@@ -1,0 +1,154 @@
+"""Oracle-checked catalog entries for the dedup operators (X1/X2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import Query, register
+from ..sources.registry import load_table
+from .dedup import (
+    SIMHASH16_SQL,
+    exact_dedup_stats,
+    lsh_candidate_pairs,
+    minhash_signature_sql,
+    ngram_jaccard_pairs,
+    shingles_sql,
+    simhash16,
+)
+
+_SH = shingles_sql("text")
+
+
+# ------------------------------------------------------------- exact dedup
+def x_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_stats(docs, "text", "source").orderBy("source")
+
+
+register(
+    Query(
+        name="x_exact_dedup",
+        build=x_exact_dedup,
+        oracle=r"""
+        WITH fp AS (
+            SELECT source,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        )
+        SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+               count(*) - count(DISTINCT fp) AS n_duplicates
+        FROM fp GROUP BY source ORDER BY source
+        """,
+        doc="exact content-hash dedup accounting per source (X1)",
+        tags=("X1",),
+    )
+)
+
+
+# ----------------------------------------------------------- jaccard top-k
+# Exact n-gram Jaccard, top-3 most similar pairs per source
+# (deterministic: ranked by exact rational similarity then ids).
+def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("jaccard"), "id_a", "id_b"
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "id_a", "id_b", "jaccard", "rank")
+        .orderBy("source", "rank")
+    )
+
+
+register(
+    Query(
+        name="x_ngram_jaccard",
+        build=x_ngram_jaccard,
+        oracle=f"""
+        WITH sh AS (
+            SELECT source, doc_id, {_SH} AS sh FROM documents
+        ), pairs AS (
+            SELECT a.source,
+                   a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY jaccard DESC, id_a, id_b) AS rank
+            FROM pairs
+        )
+        SELECT source, id_a, id_b, jaccard, rank
+        FROM ranked WHERE rank <= 3 ORDER BY source, rank
+        """,
+        doc="exact n-gram Jaccard near-dup, top-3 pairs per source (X2)",
+        tags=("X2",),
+    )
+)
+
+
+# ------------------------------------------------------------- minhash LSH
+def x_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=1, block_col="source"
+    )
+    return (
+        pairs.groupBy("source")
+        .agg(F.count("*").alias("n_candidate_pairs"))
+        .orderBy("source")
+    )
+
+
+_SIG = minhash_signature_sql("sh", 8)
+register(
+    Query(
+        name="x_minhash_lsh",
+        build=x_minhash_lsh,
+        oracle=f"""
+        WITH sh AS (
+            SELECT source, doc_id, {_SH} AS sh FROM documents
+        ), sig AS (
+            SELECT source, doc_id, {_SIG} AS sig FROM sh
+        ), banded AS (
+            SELECT source, doc_id, b AS band_id, md5(sig[b + 1]) AS band_hash
+            FROM sig, unnest(range(8)) AS t(b)
+        ), pairs AS (
+            SELECT DISTINCT l.source, l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             AND l.source = r.source AND l.doc_id < r.doc_id
+        )
+        SELECT source, count(*) AS n_candidate_pairs
+        FROM pairs GROUP BY source ORDER BY source
+        """,
+        doc="MinHash+LSH candidate-pair discovery, banded signature join (X2)",
+        tags=("X2",),
+    )
+)
+
+
+# ----------------------------------------------------------------- simhash
+def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash16("text").alias("simhash")
+    ).orderBy("doc_id")
+
+
+register(
+    Query(
+        name="x_simhash",
+        build=x_simhash,
+        oracle=f"""
+        SELECT doc_id, CAST({SIMHASH16_SQL.format(text="text")} AS BIGINT) AS simhash
+        FROM documents ORDER BY doc_id
+        """,
+        doc="16-bit SimHash fingerprint per document (X2)",
+        tags=("X2",),
+    )
+)

@@ -1,0 +1,167 @@
+"""Oracle-checked catalog entries for the text-analysis operators (X4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import Query, register
+from ..sources.registry import load_table
+from .text import EN_STOPWORDS, fingerprint, lang_id, quality_features, token_count, tokens
+
+_SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+# ------------------------------------------------------------ token stats
+def x_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(tokens("text"))).alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+register(
+    Query(
+        name="x_token_stats",
+        build=x_token_stats,
+        oracle="""
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+        FROM documents ORDER BY doc_id
+        """,
+        doc="token counting over documents (X4)",
+        tags=("X4",),
+    )
+)
+
+
+# ---------------------------------------------------------------- lang id
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", lang_id("text").alias("predicted_lang")
+    )
+    return (
+        scored.groupBy("source", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "predicted_lang")
+    )
+
+
+register(
+    Query(
+        name="x_lang_id",
+        build=x_lang_id,
+        oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ({_SW})))
+                             / (CASE WHEN len(string_split(text, ' ')) > 0
+                                     THEN len(string_split(text, ' ')) ELSE 1 END)
+                             >= 0.04
+                        THEN 'en' ELSE 'unk' END AS predicted_lang
+            FROM documents
+        )
+        SELECT source, predicted_lang, count(*) AS n_docs
+        FROM scored GROUP BY source, predicted_lang
+        ORDER BY source, predicted_lang
+        """,
+        doc="stopword-density language-ID heuristic (X4)",
+        tags=("X4",),
+    )
+)
+
+
+# ---------------------------------------------------------- quality score
+def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["distinct_ratio"].alias("distinct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+register(
+    Query(
+        name="x_quality_score",
+        build=x_quality_score,
+        oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS toks,
+                   length(text) AS n_chars
+            FROM documents
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(len(list_distinct(toks))
+                     / (CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END), 6) AS distinct_ratio,
+               round(len(list_filter(toks, x -> x IN ({_SW})))
+                     / (CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END), 6) AS stopword_ratio,
+               round((n_chars - (len(toks) - 1))
+                     / (CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END), 6) AS mean_token_len
+        FROM t ORDER BY doc_id
+        """,
+        doc="quality-scoring features: token/distinct/stopword ratios (X4)",
+        tags=("X4",),
+    )
+)
+
+
+# ------------------------------------------------------------- fingerprint
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+register(
+    Query(
+        name="x_fingerprint",
+        build=x_fingerprint,
+        oracle=r"""
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents ORDER BY doc_id
+        """,
+        doc="content-hash document fingerprint (X4/X1 key)",
+        tags=("X4", "X1"),
+    )
+)
+
+
+# ---------------------------------------------------------- word frequency
+def x_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+register(
+    Query(
+        name="x_word_frequency",
+        build=x_word_frequency,
+        oracle="""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        doc="explode + global word frequency top-k (X4)",
+        tags=("X4",),
+    )
+)

@@ -1,0 +1,291 @@
+"""Analytics suite — TPC-H-style queries over the fixture star schema.
+
+These are the bench headliners: classic scan-heavy aggregation, join
+chains, and top-k patterns that exercise the engine the way a 100 TB
+warehouse would.  All aggregates over doubles run through exact DECIMAL
+arithmetic (order-independent) and are cast back to DOUBLE for output.
+
+Scale notes per query are inline; `.explain("formatted")` on each shows
+filters pushed to the parquet scan, broadcast joins for the dims, and
+single-shuffle aggregations inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .catalog import Query, register
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ------------------------------------------------------------------ Q1
+# Pricing summary: full lineitem scan, 2-key groupBy, 8 aggregates.
+# At 100 TB this is the map-side-partial-agg showcase: 6 distinct
+# (returnflag, linestatus) groups mean the shuffle carries ~6 rows per
+# input partition regardless of input size.
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    charge = disc_price * (1 + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(F.avg(_dec("l_quantity")), 6).cast("double").alias("avg_qty"),
+            F.round(F.avg(_dec("l_extendedprice")), 6).cast("double").alias("avg_price"),
+            F.round(F.avg(_dec("l_discount")), 6).cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+register(
+    Query(
+        name="q1_pricing_summary",
+        build=q1_pricing_summary,
+        oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+               CAST(round(avg(CAST(l_quantity AS DECIMAL(18,2))), 6) AS DOUBLE) AS avg_qty,
+               CAST(round(avg(CAST(l_extendedprice AS DECIMAL(18,2))), 6) AS DOUBLE) AS avg_price,
+               CAST(round(avg(CAST(l_discount AS DECIMAL(18,2))), 6) AS DOUBLE) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        doc="TPC-H Q1 pricing summary: scan-heavy multi-aggregate",
+        tags=("A3", "A4", "bench"),
+        bench=True,
+    )
+)
+
+
+# ------------------------------------------------------------------ Q3
+# Shipping-priority top-k: fact-fact join + dim filter + top-10 by
+# exact-decimal revenue (deterministic ranking; doubles could flip
+# near-equal ranks between engines).
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+register(
+    Query(
+        name="q3_top_orders",
+        build=q3_top_orders,
+        oracle="""
+        SELECT l_orderkey, o_orderdate,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """,
+        doc="TPC-H Q3 shipping priority: join chain + deterministic top-k",
+        tags=("J1", "O4", "bench"),
+        bench=True,
+    )
+)
+
+
+# ------------------------------------------------------------------ Q5
+# Local-supplier revenue: 6-table join where customer and supplier must
+# share a nation — the join-order/broadcast showcase.
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(cust["c_nationkey"] == supp["s_nationkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+register(
+    Query(
+        name="q5_nation_revenue",
+        build=q5_nation_revenue,
+        oracle="""
+        SELECT n_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """,
+        doc="TPC-H Q5 local-supplier revenue: multi-join + broadcast dims",
+        tags=("J1", "bench"),
+        bench=True,
+    )
+)
+
+
+# ------------------------------------------------------------------ Q6
+# Forecast revenue change: pure filter + single aggregate — the
+# predicate-pushdown showcase (no shuffle at all after AQE).
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+register(
+    Query(
+        name="q6_forecast_revenue",
+        build=q6_forecast_revenue,
+        oracle="""
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+        doc="TPC-H Q6 forecast revenue: pushdown filter + single agg",
+        tags=("P4", "A4", "bench"),
+        bench=True,
+    )
+)
+
+
+# ------------------------------------------------------------------ Q10-ish
+# Returned-item customers: who returned the most revenue.
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+register(
+    Query(
+        name="q10_returned_customers",
+        build=q10_returned_customers,
+        oracle="""
+        SELECT c_custkey, c_name, n_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS lost_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+        """,
+        doc="TPC-H Q10 returned-item report: top-k customers by lost revenue",
+        tags=("J1", "O4", "bench"),
+        bench=True,
+    )
+)
+
+
+# ------------------------------------------------------------- cube/rollup
+# Grouping-sets coverage (SURVEY §2.4 'not present' list — parity-plus).
+def a_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+register(
+    Query(
+        name="a_rollup_orders",
+        build=a_rollup_orders,
+        oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """,
+        doc="ROLLUP grouping sets over orders (parity-plus aggregation)",
+        tags=("A3", "A4"),
+    )
+)

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Scale posture: every config here is chosen so the same plan that passes
+local[N] tests would survive a 1000-executor cluster reading 100 TB —
+AQE for runtime re-planning (coalesce post-shuffle partitions, skew-join
+splitting), adaptive broadcast selection, UTC session time zone for
+deterministic timestamp semantics, Arrow for the (rare) pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "airflow_embeddings_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.  ``shuffle_partitions``
+    defaults to the core count locally — on a 1000-executor cluster the
+    right value is O(cores × 2-4); AQE coalescing makes the exact number
+    forgiving by merging small post-shuffle partitions.
+    """
+    cpus = _DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: re-plan at runtime from observed shuffle statistics.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transfer for pandas_udf / mapInPandas / toPandas.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 10 MB default is conservative; dims like sources_config are tiny.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Read-side split sizing: 128 MB splits keep 100 TB ≈ 800k tasks.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions if shuffle_partitions is not None else int(cpus)),
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

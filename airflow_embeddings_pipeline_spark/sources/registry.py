@@ -1,0 +1,98 @@
+"""Source registry over parquet table directories.
+
+Replaces the reference's hand-built source plumbing (MongoDB paginated
+cursor scan at embeddings-pipeline.py:166-177, GCS staged-parquet scan
+with filename pattern at :319-322).  Spark-first: a parquet scan IS the
+paginated cursor (splits replace LIMIT/SKIP, reference O2), and Catalyst
+pushes filters/projections into the scan the way the reference pushes
+`$match`/`$project` into Mongo (S1).
+
+At 100 TB the same code path holds: `spark.sql.files.maxPartitionBytes`
+controls split sizing, partition-directory layout gives partition
+pruning, and `pathGlobFilter` reproduces the stage `pattern=>` file
+filter (S5) without listing-then-filtering on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects outright (PARQUET_TYPE_ILLEGAL).  Footer-only probe, driver
+    side, negligible at any scale."""
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table (reference S1 analog).
+
+    Nanosecond-timestamp columns are read as raw int64 nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncated to
+    microsecond timestamps — the same truncation DuckDB applies when it
+    loads ns parquet into its µs-native TIMESTAMP, so oracle comparison
+    stays exact.
+    """
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def scan_glob(spark: SparkSession, directory: str, pattern: str) -> DataFrame:
+    """Staged-parquet scan with a filename pattern (reference S5,
+    embeddings-pipeline.py:319-322): Snowflake's
+    ``FROM @stage (pattern=>'.*{filename}')`` becomes a pathGlobFilter,
+    applied at file-listing time (no data read for excluded files)."""
+    return spark.read.option("pathGlobFilter", pattern).parquet(directory)
+
+
+class TableRegistry:
+    """Lazy per-session view registry for the fixture tables.
+
+    ``register_all`` creates temp views so plans can be written in
+    either the DataFrame API or ``spark.sql`` — Catalyst produces the
+    same optimized plan for both.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in FIXTURE_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> TableRegistry:
+    reg = TableRegistry(spark, sf_dir)
+    for name in FIXTURE_TABLES:
+        reg.table(name).createOrReplaceTempView(name)
+    return reg
