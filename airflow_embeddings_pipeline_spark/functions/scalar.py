@@ -22,8 +22,6 @@ oracle can never drift apart.
 
 from __future__ import annotations
 
-import unicodedata
-
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -57,26 +55,33 @@ def normalize_ref_sql(expr: str) -> str:
     return f"lower(rtrim(translate(CAST({expr} AS VARCHAR), '{src}', '{dst}')))"
 
 
-@F.pandas_udf(T.StringType())
-def _nfkd_fold(s: pd.Series) -> pd.Series:
-    def fold(x):
-        if x is None:
-            return None
-        # NFKD-decompose and drop combining marks — public-stdlib analog
-        # of the reference's unidecode transliteration (Latin scripts).
-        decomposed = unicodedata.normalize("NFKD", str(x))
-        ascii_ish = "".join(ch for ch in decomposed if not unicodedata.combining(ch))
-        return ascii_ish.replace(".", "").replace("$", "").rstrip().lower()
-
-    return s.map(fold)
-
-
 def normalize_ref_udf(col: Column | str) -> Column:
     """F1 exact-shape variant: Arrow-batched pandas_udf (never
     row-at-a-time Python).  Use only when full Unicode coverage matters;
-    the builtin variant is the hot-path default."""
+    the builtin variant is the hot-path default.
+
+    The UDF body is nested so cloudpickle ships it by value — executor
+    Python workers need no access to this package on their sys.path
+    (they only import stdlib ``unicodedata``).
+    """
+
+    def _fold_series(s: pd.Series) -> pd.Series:
+        import unicodedata as _ud
+
+        def fold(x):
+            if x is None:
+                return None
+            # NFKD-decompose and drop combining marks — public-stdlib
+            # analog of the reference's unidecode call (Latin scripts).
+            decomposed = _ud.normalize("NFKD", str(x))
+            ascii_ish = "".join(ch for ch in decomposed if not _ud.combining(ch))
+            return ascii_ish.replace(".", "").replace("$", "").rstrip().lower()
+
+        return s.map(fold)
+
+    udf = F.pandas_udf(_fold_series, T.StringType())
     c = F.col(col) if isinstance(col, str) else col
-    return _nfkd_fold(c.cast("string"))
+    return udf(c.cast("string"))
 
 
 def derive_main_refco(cleaned_ref: Column, color: Column, max_length: int = 100) -> Column:

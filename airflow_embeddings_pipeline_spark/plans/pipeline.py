@@ -1,0 +1,203 @@
+"""End-to-end pipeline parity query — the complete reference dataflow
+(embeddings-pipeline.py:132-363) as one oracle-checked plan.
+
+Derives a ``source_documents``-shaped input (FIXTURES.md §1) from the
+fixture tables deterministically, pre-seeds a MERGE target with
+overlapping keys, then runs the full reference semantics:
+
+  transform (F1-F7) → stage → window dedup (W1) → dim join (J1,
+  inner ⇒ silent drop of unmatched) → MERGE (J2/J3: matched rows keep
+  the target's ``cleaned_ref``, get the source's everything-else;
+  unmatched source rows insert; untouched target rows carry through).
+
+The output is the post-merge target table (minus the
+``embedding_inserted_at`` audit stamp, which is CURRENT_TIMESTAMP and
+therefore not oracle-comparable — its semantics are pytest-verified in
+tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import (
+    derive_display_name,
+    derive_main_refco,
+    display_name_sql,
+    main_refco_sql,
+    normalize_ref,
+    normalize_ref_sql,
+    timestamp_to_iso,
+    timestamp_to_iso_sql,
+)
+from ..operators.dedup import latest_per_key
+from ..operators.merge import merge_upsert
+from ..sources.registry import load_table
+from .catalog import Query, register
+
+_REF_LEN = 30
+
+# The reference updates everything except cleaned_ref + key on match
+# (embeddings-pipeline.py:329-338).
+_UPDATE_COLS = ("category", "display_name", "display_name_id", "original_timestamp")
+
+
+def _source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_documents analog: docs ⨝ vectors with pipeline-shaped
+    derived fields and a deterministic event time."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        F.col("source"),
+        F.substring("text", 1, _REF_LEN).alias("raw_ref"),
+        F.nullif(F.col("lang"), F.lit("en")).alias("color"),
+        F.col("lang").alias("category"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("timestamp"),
+    )
+
+
+def _transform(src: DataFrame) -> DataFrame:
+    """The reference's per-document transform loop (:182-228) as one
+    projection: normalize → derive keys → ISO event time."""
+    d = src.select(
+        "doc_id",
+        "source",
+        "category",
+        "color",
+        normalize_ref(F.col("raw_ref")).alias("cleaned_ref"),
+        timestamp_to_iso("timestamp").alias("original_timestamp"),
+    )
+    return d.select(
+        "doc_id",
+        "cleaned_ref",
+        "category",
+        derive_main_refco(F.col("cleaned_ref"), F.col("color")).alias("main_refco"),
+        derive_display_name(F.col("source"), F.col("color")).alias("display_name"),
+        "original_timestamp",
+    )
+
+
+def pipeline_e2e_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _source_documents(spark, sf_dir)
+    transformed = _transform(src)
+
+    # Staged batch: even doc_ids (the "new data" slice).
+    staged = transformed.filter(F.col("doc_id") % 2 == 0)
+    # W1 dedup within the staged batch, newest original_timestamp wins
+    # (ISO strings sort as timestamps), doc_id tiebreak.
+    staged = latest_per_key(
+        staged, "main_refco", "original_timestamp", tiebreak="doc_id"
+    ).drop("doc_id")
+
+    # J1 dim: display_names seen ≥2 times get a surrogate id; inner
+    # join silently drops the rest (the reference's semi-filter).
+    dim = (
+        transformed.groupBy("display_name")
+        .agg(F.min("doc_id").alias("display_name_id"), F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .drop("__n")
+    )
+    staged = staged.join(F.broadcast(dim), "display_name", "inner")
+
+    # Pre-seeded target: doc_id % 3 == 0 slice, older shape — distinct
+    # category marker and no surrogate ids yet.
+    target = (
+        latest_per_key(
+            transformed.filter(F.col("doc_id") % 3 == 0),
+            "main_refco",
+            "original_timestamp",
+            tiebreak="doc_id",
+        )
+        .drop("doc_id")
+        .select(
+            "cleaned_ref",
+            F.lit("preseed").alias("category"),
+            "main_refco",
+            "display_name",
+            F.lit(None).cast("long").alias("display_name_id"),
+            "original_timestamp",
+        )
+    )
+
+    merged = merge_upsert(
+        target,
+        staged.select(
+            "cleaned_ref",
+            "category",
+            "main_refco",
+            "display_name",
+            "display_name_id",
+            "original_timestamp",
+        ),
+        "main_refco",
+        update_columns=list(_UPDATE_COLS),
+    )
+    return merged.orderBy("main_refco")
+
+
+_NORM = normalize_ref_sql("substring(text, 1, 30)")
+_ISO = timestamp_to_iso_sql("ts")
+_MAIN = main_refco_sql("cleaned_ref", "color")
+_DISP = display_name_sql("source", "color")
+
+_ORACLE = f"""
+WITH src AS (
+    SELECT doc_id, source,
+           nullif(lang, 'en') AS color,
+           lang AS category,
+           {_NORM} AS cleaned_ref,
+           TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts
+    FROM documents
+), transformed AS (
+    SELECT doc_id, cleaned_ref, category,
+           {_MAIN} AS main_refco,
+           {_DISP} AS display_name,
+           {_ISO} AS original_timestamp
+    FROM src
+), staged_dedup AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY main_refco
+                   ORDER BY original_timestamp DESC, doc_id DESC) AS rn
+        FROM transformed WHERE doc_id % 2 = 0
+    ) WHERE rn = 1
+), dim AS (
+    SELECT display_name, min(doc_id) AS display_name_id
+    FROM transformed GROUP BY display_name HAVING count(*) >= 2
+), staged AS (
+    SELECT s.cleaned_ref, s.category, s.main_refco, s.display_name,
+           d.display_name_id, s.original_timestamp
+    FROM staged_dedup s JOIN dim d ON s.display_name = d.display_name
+), target AS (
+    SELECT cleaned_ref, 'preseed' AS category, main_refco, display_name,
+           CAST(NULL AS BIGINT) AS display_name_id, original_timestamp
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY main_refco
+                   ORDER BY original_timestamp DESC, doc_id DESC) AS rn
+        FROM transformed WHERE doc_id % 3 = 0
+    ) WHERE rn = 1
+)
+SELECT coalesce(t.main_refco, s.main_refco) AS main_refco,
+       CASE WHEN t.main_refco IS NOT NULL THEN t.cleaned_ref ELSE s.cleaned_ref END AS cleaned_ref,
+       CASE WHEN s.main_refco IS NOT NULL THEN s.category ELSE t.category END AS category,
+       CASE WHEN s.main_refco IS NOT NULL THEN s.display_name ELSE t.display_name END AS display_name,
+       CASE WHEN s.main_refco IS NOT NULL THEN s.display_name_id ELSE t.display_name_id END AS display_name_id,
+       CASE WHEN s.main_refco IS NOT NULL THEN s.original_timestamp ELSE t.original_timestamp END AS original_timestamp
+FROM target t FULL OUTER JOIN staged s ON t.main_refco = s.main_refco
+ORDER BY main_refco
+"""
+
+register(
+    Query(
+        name="pipeline_e2e_merge",
+        build=pipeline_e2e_merge,
+        oracle=_ORACLE,
+        doc="full reference dataflow: transform → dedup → dim join → MERGE "
+        "matched/not-matched semantics (embeddings-pipeline.py:132-363)",
+        tags=("flagship", "J2", "J3", "W1", "F1", "F7"),
+        bench=True,
+    )
+)

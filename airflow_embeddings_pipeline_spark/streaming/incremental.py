@@ -1,0 +1,152 @@
+"""Incremental runtime — SURVEY §2.8 (T1-T8).
+
+The reference is a batch-incremental micro-pipeline: per-key watermarks
+hand-rolled as a JSON map on GCS (embeddings-pipeline.py:106-130,
+374-395), an incremental predicate (`timestamp > last_ts`, :149-158),
+and commit ordering that writes state only after the idempotent MERGE
+succeeds (:480) — at-least-once delivery + idempotent sink =
+effectively-once.
+
+Spark-first translation:
+
+* ``WatermarkStore`` — the same `{key: iso_timestamp}` JSON map, local
+  fs (driver-side; on a cluster this is one tiny object on any shared
+  store — never a scale concern).
+* ``IncrementalPipeline`` — one batch run: plan an incremental scan
+  from the stored watermarks (P4/T2), transform, MERGE into the target
+  (T4), then — only after sink success — advance watermarks from the
+  observed per-key max event time (A2/T3 via ``groupBy().max()``,
+  which Spark executes as partial/final agg, the distributed form of
+  the reference's running max).
+* Failure semantics: any exception before the state write leaves the
+  watermark untouched → next run replays the window; the MERGE key
+  makes the replay idempotent (T4/T8).  E2: corrupt/absent state ⇒
+  full-history fallback date, mirroring :126-130.
+
+The structured-streaming form of the same pipeline lives in
+``structured.py`` (checkpoint = watermark store, foreachBatch = merge).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from collections.abc import Callable
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class WatermarkStore:
+    """Per-key watermark state: ``{key: iso_timestamp}`` JSON file
+    (T1/S3/S6).  Reads degrade to empty on any failure (E2,
+    embeddings-pipeline.py:128-130); writes are atomic
+    (tmp + rename — the Spark-commit-protocol pattern, E3)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def load(self) -> dict[str, datetime]:
+        try:
+            with open(self.path) as f:
+                raw = json.load(f)
+            return {
+                k: datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+                for k, v in raw.items()
+            }
+        except Exception:
+            return {}  # E2: degrade to full reprocess
+
+    def save(self, watermarks: dict[str, datetime]) -> None:
+        payload = {k: v.isoformat() for k, v in watermarks.items()}
+        d = os.path.dirname(os.path.abspath(self.path)) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, sort_keys=True)
+        os.replace(tmp, self.path)
+
+
+class IncrementalPipeline:
+    """One incremental batch run over an event-time source.
+
+    Parameters
+    ----------
+    key_col / ts_col : partition key and event-time columns
+        (reference: ``source`` / ``timestamp``).
+    transform : DataFrame -> DataFrame applied to the incremental slice.
+    sink : callable receiving the transformed slice; must be idempotent
+        under replay (e.g. ``merge_upsert_write``).  State advances only
+        if it returns without raising (T4 ordering).
+    fallback : first-run lower bound (inclusive ``>=``), reference's
+        ``embeddings_fallback_date`` (T2, CONFIGURATION.md:50).
+    """
+
+    def __init__(
+        self,
+        store: WatermarkStore,
+        *,
+        key_col: str,
+        ts_col: str,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        sink: Callable[[DataFrame], None],
+        fallback: datetime | None = None,
+    ):
+        self.store = store
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.transform = transform or (lambda df: df)
+        self.sink = sink
+        self.fallback = fallback
+
+    def plan_incremental_scan(self, source: DataFrame) -> DataFrame:
+        """T2/P4: one predicate per key — ``ts > wm(key)`` for known
+        keys, ``ts >= fallback`` (or full history) for new keys.  The
+        whole predicate is a literal OR-of-ANDs, so Catalyst pushes it
+        into the parquet scan (row-group pruning); at 100 TB with
+        time-partitioned layout this becomes partition pruning."""
+        wms = self.store.load()
+        if not wms:
+            if self.fallback is not None:
+                return source.filter(F.col(self.ts_col) >= F.lit(self.fallback))
+            return source
+        known_key, known_wm = zip(*sorted(wms.items()))
+        # per-key strict > watermark; unseen keys get fallback/full.
+        per_key = [
+            (F.col(self.key_col) == F.lit(k)) & (F.col(self.ts_col) > F.lit(w))
+            for k, w in zip(known_key, known_wm)
+        ]
+        unseen = ~F.col(self.key_col).isin(*known_key)
+        if self.fallback is not None:
+            unseen = unseen & (F.col(self.ts_col) >= F.lit(self.fallback))
+        pred = unseen
+        for p in per_key:
+            pred = pred | p
+        return source.filter(pred)
+
+    def observed_watermarks(self, increment: DataFrame) -> dict[str, datetime]:
+        """T3: max event time per key in this slice (A2 as partial/final
+        agg; ≤1 row per key reaches the driver)."""
+        rows = (
+            increment.groupBy(self.key_col)
+            .agg(F.max(self.ts_col).alias("wm"))
+            .collect()
+        )
+        return {str(r[self.key_col]): r["wm"] for r in rows if r["wm"] is not None}
+
+    def run(self, source: DataFrame) -> dict[str, int]:
+        """Execute one batch: scan → transform → sink → advance state.
+        Returns a small metrics dict (A4 analog of the reference's
+        per-run metrics, embeddings-pipeline.py:397-432)."""
+        increment = self.plan_incremental_scan(source)
+        new_wms = self.observed_watermarks(increment)
+        n = increment.count()
+        if n > 0:  # P8 empty-input guard
+            self.sink(self.transform(increment))
+        # T4: state advances only after the sink committed.
+        if new_wms:
+            merged = self.store.load()
+            merged.update(new_wms)
+            self.store.save(merged)
+        return {"records_processed": n, "keys_advanced": len(new_wms)}

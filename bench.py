@@ -1,0 +1,62 @@
+"""Benchmark harness — runs the headline query set and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Scale dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+cores from $SPARK_GRAFT_CPUS (default 32).  Each query is timed to
+full materialization (count of the action's result set) after a
+warm-up of the session JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from airflow_embeddings_pipeline_spark.plans import get_catalog
+    from airflow_embeddings_pipeline_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    catalog = get_catalog()
+    bench_queries = {n: q for n, q in catalog.items() if q.bench}
+
+    # Warm up the JVM + parquet footer caches with a trivial action so
+    # per-query numbers measure the plan, not session start.
+    next(iter(bench_queries.values())).build(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        df = q.build(spark, sf_dir)
+        # noop sink: forces every column of every row to materialize
+        # (count() would let Catalyst prune the expensive expressions).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Catalog integrity + driver-contract smoke."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from airflow_embeddings_pipeline_spark.plans import get_catalog
+
+
+def test_catalog_nonempty_and_consistent():
+    cat = get_catalog()
+    assert len(cat) >= 30
+    for name, q in cat.items():
+        assert q.name == name
+        assert callable(q.build)
+        assert q.doc
+
+
+def test_entry_contract(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == [
+        "source",
+        "lang",
+        "n_refs",
+        "sum_chars",
+        "min_display_name_id",
+        "latest_doc_id",
+    ]
+
+
+def test_queries_oracle_keys_align():
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    assert set(osql) <= set(qs)
+    # every oracle is plain SQL text
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "w_latest_per_key", "x_fingerprint"])
+def test_spot_queries_run(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    assert len(df.take(5)) > 0

@@ -1,0 +1,126 @@
+"""Watermark state + incremental runtime (SURVEY §2.8 T1-T8, E2)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_embeddings_pipeline_spark.streaming.incremental import (
+    IncrementalPipeline,
+    WatermarkStore,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="source string, ts timestamp, value int"
+    )
+
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+T1 = datetime(2024, 1, 1, 1, 0, 0)
+T2 = datetime(2024, 1, 1, 2, 0, 0)
+T3 = datetime(2024, 1, 1, 3, 0, 0)
+
+
+def test_watermark_store_roundtrip(tmp_path):
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    assert store.load() == {}  # absent ⇒ full-history mode (T1)
+    store.save({"a": T1, "b": T2})
+    assert store.load() == {"a": T1, "b": T2}
+
+
+def test_watermark_store_corrupt_degrades(tmp_path):
+    p = tmp_path / "wm.json"
+    p.write_text("{not json")
+    assert WatermarkStore(str(p)).load() == {}  # E2
+
+
+def test_watermark_store_z_suffix(tmp_path):
+    p = tmp_path / "wm.json"
+    p.write_text('{"a": "2024-01-01T01:00:00Z"}')
+    assert WatermarkStore(str(p)).load() == {"a": T1}
+
+
+def _pipeline(store, sink_rows):
+    return IncrementalPipeline(
+        store,
+        key_col="source",
+        ts_col="ts",
+        sink=lambda df: sink_rows.extend(df.collect()),
+    )
+
+
+def test_first_run_processes_all_and_advances(spark, tmp_path):
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    sink: list = []
+    pipe = _pipeline(store, sink)
+    metrics = pipe.run(_events(spark, [("a", T0, 1), ("a", T1, 2), ("b", T2, 3)]))
+    assert metrics == {"records_processed": 3, "keys_advanced": 2}
+    assert store.load() == {"a": T1, "b": T2}
+    assert len(sink) == 3
+
+
+def test_second_run_incremental_only(spark, tmp_path):
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    pipe = _pipeline(store, [])
+    pipe.run(_events(spark, [("a", T0, 1), ("a", T1, 2), ("b", T2, 3)]))
+
+    sink2: list = []
+    pipe2 = _pipeline(store, sink2)
+    # a@T1 is a duplicate (not > watermark), a@T2 is new, c is unseen key
+    m = pipe2.run(
+        _events(spark, [("a", T1, 9), ("a", T2, 4), ("b", T2, 9), ("c", T0, 5)])
+    )
+    assert m["records_processed"] == 2
+    got = {(r["source"], r["ts"]) for r in sink2}
+    assert got == {("a", T2), ("c", T0)}
+    assert store.load() == {"a": T2, "b": T2, "c": T0}
+
+
+def test_fallback_date_first_run(spark, tmp_path):
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    sink: list = []
+    pipe = IncrementalPipeline(
+        store,
+        key_col="source",
+        ts_col="ts",
+        sink=lambda df: sink.extend(df.collect()),
+        fallback=T1,
+    )
+    pipe.run(_events(spark, [("a", T0, 1), ("a", T1, 2), ("b", T2, 3)]))
+    # fallback is inclusive >= (embeddings-pipeline.py:157-158)
+    assert {(r["source"], r["ts"]) for r in sink} == {("a", T1), ("b", T2)}
+
+
+def test_sink_failure_leaves_state_untouched(spark, tmp_path):
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    store.save({"a": T0})
+
+    def boom(df):
+        raise RuntimeError("sink down")
+
+    pipe = IncrementalPipeline(store, key_col="source", ts_col="ts", sink=boom)
+    with pytest.raises(RuntimeError):
+        pipe.run(_events(spark, [("a", T1, 1)]))
+    # T4 ordering: no state advance on failure ⇒ replay next run
+    assert store.load() == {"a": T0}
+
+    sink: list = []
+    pipe2 = _pipeline(store, sink)
+    m = pipe2.run(_events(spark, [("a", T1, 1)]))
+    assert m["records_processed"] == 1 and store.load() == {"a": T1}
+
+
+def test_empty_increment_no_sink_call(spark, tmp_path):
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    store.save({"a": T3})
+    calls: list = []
+    pipe = IncrementalPipeline(
+        store, key_col="source", ts_col="ts", sink=lambda df: calls.append(1)
+    )
+    m = pipe.run(_events(spark, [("a", T1, 1)]))
+    # P8 guard: nothing newer ⇒ sink not invoked, watermark unchanged
+    assert m["records_processed"] == 0 and calls == [] and store.load() == {"a": T3}

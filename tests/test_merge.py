@@ -1,0 +1,79 @@
+"""MERGE upsert semantics + idempotency (SURVEY §2.3 J3, §2.8 T4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from airflow_embeddings_pipeline_spark.operators.merge import (
+    merge_counts,
+    merge_upsert,
+    merge_upsert_write,
+)
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [
+            ("k1", "old_ref", "old_cat", 1),
+            ("k2", "keep_ref", "old_cat", 2),
+            ("k3", "untouched", "old_cat", 3),
+        ],
+        schema="main_refco string, cleaned_ref string, category string, n int",
+    )
+
+
+def _source(spark):
+    return spark.createDataFrame(
+        [
+            ("k1", "new_ref", "new_cat", 10),
+            ("k2", "new_ref2", "new_cat", 20),
+            ("k9", "ins_ref", "ins_cat", 90),
+        ],
+        schema="main_refco string, cleaned_ref string, category string, n int",
+    )
+
+
+def test_merge_matched_updates_unmatched_inserts(spark):
+    out = merge_upsert(
+        _target(spark), _source(spark), "main_refco",
+        update_columns=["category", "n"],
+    )
+    rows = {r["main_refco"]: r for r in out.collect()}
+    assert set(rows) == {"k1", "k2", "k3", "k9"}
+    # matched: update-set columns from source, cleaned_ref kept from
+    # target (absent from UPDATE SET, embeddings-pipeline.py:329-338)
+    assert rows["k1"]["category"] == "new_cat" and rows["k1"]["n"] == 10
+    assert rows["k1"]["cleaned_ref"] == "old_ref"
+    assert rows["k2"]["cleaned_ref"] == "keep_ref"
+    # target-only rows carry through unchanged
+    assert rows["k3"]["category"] == "old_cat" and rows["k3"]["n"] == 3
+    # source-only rows insert all columns
+    assert rows["k9"]["cleaned_ref"] == "ins_ref" and rows["k9"]["n"] == 90
+
+
+def test_merge_idempotent_replay(spark):
+    once = merge_upsert(_target(spark), _source(spark), "main_refco")
+    twice = merge_upsert(once, _source(spark), "main_refco")
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_merge_counts(spark):
+    row = merge_counts(_target(spark), _source(spark), "main_refco").collect()[0]
+    assert row["rows_updated"] == 2 and row["rows_inserted"] == 1
+
+
+def test_merge_upsert_write_atomic(spark, tmp_path):
+    path = str(tmp_path / "target")
+    _target(spark).write.parquet(path)
+    merge_upsert_write(path, _source(spark), "main_refco")
+    out = {r["main_refco"]: r for r in spark.read.parquet(path).collect()}
+    assert set(out) == {"k1", "k2", "k3", "k9"}
+    assert out["k9"]["n"] == 90
+    # replay: same source again ⇒ identical table (T4 idempotency)
+    before = sorted(spark.read.parquet(path).collect())
+    merge_upsert_write(path, _source(spark), "main_refco")
+    assert sorted(spark.read.parquet(path).collect()) == before
+    assert not os.path.exists(path + ".__merge_tmp__")
+    assert not os.path.exists(path + ".__merge_old__")
