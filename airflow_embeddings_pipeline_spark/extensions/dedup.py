@@ -56,21 +56,55 @@ def shingles_sql(text_expr: str, n: int = 3) -> str:
     )
 
 
+# Universal-hash MinHash (Broder): one content hash per shingle, then
+# k affine permutations h_s(x) = (a_s·x + b_s) mod p over a Mersenne
+# prime.  One md5 per shingle instead of k — the content hash is the
+# expensive part (md5 in an interpreted higher-order fn), the affine
+# family is integer arithmetic inside codegen.
+_MERSENNE_P = (1 << 31) - 1
+# deterministic odd multipliers/offsets per seed (public LCG constants)
+_A = lambda s: (2 * s + 1) * 2654435761 % _MERSENNE_P  # noqa: E731
+_B = lambda s: (s * 40503 + 12345) % _MERSENNE_P  # noqa: E731
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> Column:
-    """MinHash signature: for each seed s, min over shingles of
-    ``md5(s || shingle)`` — k permutations simulated by seeded md5."""
+    """MinHash signature as ``array<long>``: content-hash each shingle
+    once (first 15 md5 hex digits → int, mod p), then take the min of
+    each affine permutation."""
+    hashed = F.transform(
+        shingle_col,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        % _MERSENNE_P,
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda s: F.array_min(
-            F.transform(shingle_col, lambda g: F.md5(F.concat(s.cast("string"), g)))
+            F.transform(
+                hashed,
+                lambda h: (
+                    (_A_col(s) * h + _B_col(s)) % _MERSENNE_P
+                ),
+            )
         ),
     )
 
 
+def _A_col(s: Column) -> Column:
+    return ((2 * s + 1) * F.lit(2654435761)) % _MERSENNE_P
+
+
+def _B_col(s: Column) -> Column:
+    return (s * 40503 + 12345) % _MERSENNE_P
+
+
 def minhash_signature_sql(shingles_expr: str, num_hashes: int = 8) -> str:
+    p = _MERSENNE_P
     return (
         f"list_transform(range({num_hashes}), s -> "
-        f"list_min(list_transform({shingles_expr}, g -> md5(concat(CAST(s AS VARCHAR), g)))))"
+        f"list_min(list_transform({shingles_expr}, g -> "
+        f"((((2*s + 1) * 2654435761) % {p}) * "
+        f"(CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) % {p}) "
+        f"+ ((s * 40503 + 12345) % {p})) % {p})))"
     )
 
 
@@ -88,32 +122,59 @@ def lsh_candidate_pairs(
     to a blocking key (e.g. same source) — at 100 TB blocking bounds
     both the shuffle width and the bucket sizes."""
     num_bands = num_hashes // rows_per_band
-    sig = minhash_signature(shingles(text_col), num_hashes)
     base_cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
-    banded = df.select(
+
+    # Stage 1 (one pass, no recompute): signature as a materialized
+    # column, then band hashes from it.  Keeping these as separate
+    # projections stops Catalyst from inlining the expensive signature
+    # expression into every band element.
+    with_sig = df.select(
+        *base_cols, minhash_signature(shingles(text_col), num_hashes).alias("__sig")
+    )
+    banded = with_sig.select(
         *base_cols,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
                 lambda b: F.md5(
-                    F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
                 ),
             )
         ).alias("band_id", "band_hash"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cond = (
-        (F.col("l.band_id") == F.col("r.band_id"))
-        & (F.col("l.band_hash") == F.col("r.band_hash"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+
+    # Stage 2: bucket by (band, hash) — the ONLY shuffle — and emit
+    # pairs from each bucket's sorted id array.  No self-join: at scale
+    # a self-join would compute the signature subtree twice and shuffle
+    # the corpus twice; bucketing shuffles (id, band_hash) pairs once.
+    group_keys = ([block_col] if block_col else []) + ["band_id", "band_hash"]
+    buckets = (
+        banded.groupBy(*group_keys)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    if block_col:
-        cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
-    pairs = left.join(right, cond).select(
-        *( [F.col(f"l.{block_col}").alias(block_col)] if block_col else [] ),
-        F.col(f"l.{id_col}").alias("id_a"),
-        F.col(f"r.{id_col}").alias("id_b"),
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = buckets.select(
+        *([F.col(block_col)] if block_col else []),
+        F.explode(pair_structs).alias("p"),
+    ).select(
+        *([block_col] if block_col else []),
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
     )
     return pairs.distinct()
 

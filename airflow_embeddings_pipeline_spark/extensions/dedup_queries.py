@@ -115,7 +115,7 @@ register(
         ), sig AS (
             SELECT source, doc_id, {_SIG} AS sig FROM sh
         ), banded AS (
-            SELECT source, doc_id, b AS band_id, md5(sig[b + 1]) AS band_hash
+            SELECT source, doc_id, b AS band_id, md5(CAST(sig[b + 1] AS VARCHAR)) AS band_hash
             FROM sig, unnest(range(8)) AS t(b)
         ), pairs AS (
             SELECT DISTINCT l.source, l.doc_id AS id_a, r.doc_id AS id_b

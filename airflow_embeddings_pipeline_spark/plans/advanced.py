@@ -1,0 +1,212 @@
+"""Advanced relational coverage: as-of join, range join, pagination,
+pivot, set operations — operators beyond the reference's own surface
+(SURVEY §2.3/§2.6 'not present' lists), included for engine
+completeness and each oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join, range_join_small_dim
+from ..sources.registry import load_table
+from .catalog import Query, register
+
+
+# ---------------------------------------------------------------- as-of
+# For every click event, the most recent purchase by the same user at
+# or before it (classic event-attribution as-of).  DuckDB has native
+# ASOF JOIN — a strong independent oracle for the union-window
+# composition.
+def j_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("asof_purchase_value").cast("decimal(18,6)"), 4)
+        .cast("double")
+        .alias("last_purchase_value"),
+        F.col("asof_ts").alias("last_purchase_ts"),
+    ).orderBy("event_id")
+
+
+register(
+    Query(
+        name="j_asof_attribution",
+        build=j_asof_attribution,
+        oracle="""
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id, ts, max(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        )
+        SELECT c.event_id, c.user_id, c.ts,
+               CAST(round(CAST(p.purchase_value AS DECIMAL(18,6)), 4) AS DOUBLE) AS last_purchase_value,
+               p.ts AS last_purchase_ts
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY c.event_id
+        """,
+        doc="as-of join via union+window composition, oracled against native ASOF JOIN",
+        tags=("asof", "custom-op"),
+        bench=True,
+    )
+)
+
+
+# ---------------------------------------------------------------- range
+# Discount-tier classification: lineitem joined to an interval dim.
+_TIERS = [("low", 0.0, 0.03), ("mid", 0.03, 0.07), ("high", 0.07, 1.01)]
+
+
+def j_range_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(_TIERS, schema="tier string, lo double, hi double")
+    joined = range_join_small_dim(
+        li, dim, value_col="l_discount", lo_col="lo", hi_col="hi"
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("tier")
+    )
+
+
+_TIER_VALUES = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _TIERS)
+register(
+    Query(
+        name="j_range_tiers",
+        build=j_range_tiers,
+        oracle=f"""
+        WITH dim(tier, lo, hi) AS (VALUES {_TIER_VALUES})
+        SELECT tier, count(*) AS n_items,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+        FROM lineitem JOIN dim ON l_discount >= lo AND l_discount < hi
+        GROUP BY tier ORDER BY tier
+        """,
+        doc="range (interval) join against a broadcast tier dim",
+        tags=("range-join", "custom-op"),
+    )
+)
+
+
+# ---------------------------------------------------------- limit/offset
+# O2: the reference's LIMIT/SKIP cursor pagination as a deterministic
+# keyset page (ORDER BY unique key + offset/limit).
+def o_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+register(
+    Query(
+        name="o_pagination",
+        build=o_pagination,
+        oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100
+        """,
+        doc="LIMIT/OFFSET cursor pagination (O2, embeddings-pipeline.py:166-177)",
+        tags=("O2",),
+    )
+)
+
+
+# ----------------------------------------------------------------- pivot
+def a_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2).cast("double")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    Query(
+        name="a_pivot_status",
+        build=a_pivot_status,
+        oracle="""
+        SELECT l_returnflag,
+               CAST(round(sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS "O",
+               CAST(round(sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS "F"
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        doc="pivot (conditional aggregation) quantity by status",
+        tags=("pivot",),
+    )
+)
+
+
+# ---------------------------------------------------------------- set ops
+def o_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    with_open = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    inter = building.intersect(with_open).withColumn("set_op", F.lit("both"))
+    minus = building.exceptAll(with_open).withColumn("set_op", F.lit("building_only"))
+    return inter.unionAll(minus).orderBy("set_op", "custkey")
+
+
+register(
+    Query(
+        name="o_set_ops",
+        build=o_set_ops,
+        oracle="""
+        WITH building AS (
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ), with_open AS (
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+        SELECT custkey, 'both' AS set_op FROM
+            (SELECT custkey FROM building INTERSECT SELECT custkey FROM with_open)
+        UNION ALL
+        SELECT custkey, 'building_only' AS set_op FROM
+            (SELECT custkey FROM building EXCEPT ALL SELECT custkey FROM with_open)
+        ORDER BY set_op, custkey
+        """,
+        doc="INTERSECT / EXCEPT ALL set operations",
+        tags=("set-ops",),
+    )
+)
