@@ -167,8 +167,10 @@ def assign_ivf_cells(
         ]
     )
     v = _as_double(F.col(vec_col))
-    # distance to each centroid, pick argmin (deterministic: first min).
-    dists = F.transform(cents, lambda c: dot(c, c) - 2 * dot(v, c))
+    # Distance to each centroid, pick argmin (deterministic: first min).
+    # Rounded to 6dp so an oracle computing the same distances with a
+    # different float-accumulation order assigns identical cells.
+    dists = F.transform(cents, lambda c: F.round(dot(c, c) - 2 * dot(v, c), 6))
     return corpus.withColumn("ivf_cell", F.array_position(dists, F.array_min(dists)) - 1)
 
 
@@ -200,7 +202,7 @@ def ivf_topk(
         ]
     )
     qv = _as_double(F.col("__qv"))
-    dists = F.transform(cents, lambda c: dot(c, c) - 2 * dot(qv, c))
+    dists = F.transform(cents, lambda c: F.round(dot(c, c) - 2 * dot(qv, c), 6))
     order = F.array_sort(
         F.zip_with(dists, F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
                    lambda d, i: F.struct(d.alias("d"), i.alias("i")))

@@ -13,10 +13,20 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import Query, register
 from ..sources.registry import load_table
-from .similarity import cosine, cosine_topk_bruteforce, l2_norm, _as_double
+from .similarity import (
+    _as_double,
+    assign_ivf_cells,
+    cosine,
+    cosine_topk_blocked,
+    cosine_topk_bruteforce,
+    ivf_topk,
+    l2_norm,
+)
 
 _N_QUERIES = 8  # vec_id < 8 are the probe vectors
 _K = 5
+_N_CENTS = 4  # IVF centroids = embeddings of vec_id < 4 (deterministic)
+_NPROBE = 2
 
 # DuckDB cosine between two float lists a/b, left-fold, double math.
 _DOT = (
@@ -98,6 +108,124 @@ register(
         """,
         doc="brute-force exact cosine top-k neighbors (X3 baseline)",
         tags=("X3",),
+        bench=True,
+    )
+)
+
+
+# ------------------------------------------- cosine top-k, blocked tier
+# Same answer as x_cosine_topk, computed via the single-node throughput
+# path: numpy matmul per Arrow batch (mapInPandas) against the
+# broadcast query matrix, partial top-k per batch, global window
+# reduction.  Shares x_cosine_topk's oracle — the point IS that the
+# scale path is exact.
+def x_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    query_rows = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+    return cosine_topk_blocked(emb, query_rows, k=_K).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+register(
+    Query(
+        name="x_cosine_topk_blocked",
+        build=x_cosine_topk_blocked,
+        oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {_N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_cos_sql('q.qv', 'e.embedding')} AS cosine
+            FROM embeddings e JOIN q ON q.query_id <> e.vec_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {_K} ORDER BY query_id, rank
+        """,
+        doc="exact cosine top-k via Arrow-batched numpy matmul (X3 throughput tier)",
+        tags=("X3", "pandas-udf"),
+        bench=True,
+    )
+)
+
+
+# ------------------------------------------------------------ IVF top-k
+# The 100 TB path: one corpus pass assigns each vector to its nearest
+# centroid cell (codegen'd expression, no UDF); queries probe only the
+# nprobe nearest cells, turning the similarity join into an equi-join
+# on a small int key.  Deterministic centroids (embeddings of the
+# lowest vec_ids) make the approximation itself oracle-checkable: the
+# DuckDB SQL replicates assignment, probing, and ranking exactly.
+def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < _N_CENTS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    corpus = assign_ivf_cells(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(corpus, queries, centroids, k=_K, nprobe=_NPROBE).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+_CDIST = (
+    f"round({_DOT.format(a='c.cv', b='c.cv')}"
+    f" - 2 * {_DOT.format(a='e.embedding', b='c.cv')}, 6)"
+)
+
+register(
+    Query(
+        name="x_ann_ivf",
+        build=x_ann_ivf,
+        oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id < {_N_CENTS}
+        ), dists AS (
+            SELECT e.vec_id, c.cid, {_CDIST} AS dist
+            FROM embeddings e CROSS JOIN cents c
+        ), assign AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM dists
+        ), cells AS (
+            SELECT vec_id, cid AS cell FROM assign WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, cid AS probe_cell FROM assign
+            WHERE vec_id < {_N_QUERIES} AND rn <= {_NPROBE}
+        ), scored AS (
+            SELECT p.query_id, e.vec_id AS neighbor_id,
+                   {_cos_sql('qe.embedding', 'e.embedding')} AS cosine
+            FROM probes p
+            JOIN cells ce ON ce.cell = p.probe_cell
+            JOIN embeddings e ON e.vec_id = ce.vec_id AND e.vec_id <> p.query_id
+            JOIN embeddings qe ON qe.vec_id = p.query_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {_K} ORDER BY query_id, rank
+        """,
+        doc="IVF-pruned approximate top-k: nearest-centroid cells + nprobe equi-join (X3 scale tier)",
+        tags=("X3", "ann"),
         bench=True,
     )
 )

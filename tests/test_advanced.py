@@ -1,0 +1,164 @@
+"""Unit tests for as-of/range joins, LSH candidate generation, and the
+ANN similarity tiers."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_embeddings_pipeline_spark.operators.asof import (
+    asof_join,
+    range_join_small_dim,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),
+            (2, "u1", _ts("2024-01-01T12:00:00")),
+            (3, "u2", _ts("2024-01-01T09:00:00")),  # before any right row
+            (4, "u3", _ts("2024-01-01T11:00:00")),  # key absent on right
+        ],
+        schema="event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T09:30:00"), 10.0),
+            ("u1", _ts("2024-01-01T11:00:00"), 20.0),
+            ("u2", _ts("2024-01-01T09:00:00"), 5.0),  # equal ts → included
+        ],
+        schema="user_id string, ts timestamp, amount double",
+    )
+    return left, right
+
+
+def test_asof_backward(spark, asof_frames):
+    left, right = asof_frames
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["amount"],
+    )
+    got = {r["event_id"]: r["asof_amount"] for r in out.collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 5.0, 4: None}
+    # all left rows preserved (left-join semantics)
+    assert out.count() == left.count()
+
+
+def test_asof_forward(spark, asof_frames):
+    left, right = asof_frames
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["amount"], direction="forward",
+    )
+    got = {r["event_id"]: r["asof_amount"] for r in out.collect()}
+    # earliest right row at-or-after each left ts
+    assert got == {1: 20.0, 2: None, 3: 5.0, 4: None}
+
+
+def test_range_join(spark):
+    fact = spark.createDataFrame(
+        [(1, 0.0), (2, 0.5), (3, 0.99), (4, 1.0)], schema="id long, v double"
+    )
+    dim = spark.createDataFrame(
+        [("lo", 0.0, 0.5), ("hi", 0.5, 1.0)], schema="tier string, lo double, hi double"
+    )
+    out = range_join_small_dim(fact, dim, value_col="v", lo_col="lo", hi_col="hi")
+    got = {r["id"]: r["tier"] for r in out.collect()}
+    # [lo, hi) semantics: 1.0 falls in no tier, 0.5 in 'hi'
+    assert got == {1: "lo", 2: "hi", 3: "hi"}
+
+
+def test_lsh_candidate_pairs_finds_exact_dups(spark):
+    from airflow_embeddings_pipeline_spark.extensions.dedup import lsh_candidate_pairs
+
+    rows = [
+        (1, "a", "the quick brown fox jumps over the lazy dog"),
+        (2, "a", "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (3, "a", "completely different text about spark engines"),
+        (4, "b", "the quick brown fox jumps over the lazy dog"),  # dup, other block
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, source string, text string")
+    pairs = lsh_candidate_pairs(
+        df, id_col="doc_id", text_col="text", block_col="source"
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # identical docs always collide in every band
+    # blocking: 4 never pairs with 1/2 despite identical text
+    assert all(not ((a == 4) or (b == 4)) for a, b in got)
+    # canonical orientation
+    assert all(a < b for a, b in got)
+
+
+def test_blocked_matches_bruteforce(spark, sf_dir):
+    from airflow_embeddings_pipeline_spark.extensions.similarity import (
+        cosine_topk_blocked,
+        cosine_topk_bruteforce,
+    )
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    brute = cosine_topk_bruteforce(emb, queries, k=3).collect()
+    qrows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.orderBy("vec_id").select("vec_id", "embedding").collect()
+    ]
+    blocked = cosine_topk_blocked(emb, qrows, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, brute), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, blocked), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_ivf_subset_of_probed_cells(spark, sf_dir):
+    from airflow_embeddings_pipeline_spark.extensions.similarity import (
+        assign_ivf_cells,
+        ivf_topk,
+    )
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").select("embedding").collect()
+    ]
+    corpus = assign_ivf_cells(emb, cents)
+    cells = corpus.select("ivf_cell").distinct().collect()
+    assert all(0 <= r[0] < 4 for r in cells)
+
+    out = ivf_topk(corpus, emb.filter(F.col("vec_id") < 2), cents, k=3, nprobe=4)
+    rows = out.collect()
+    # nprobe = all cells ⇒ identical to brute force over full corpus
+    from airflow_embeddings_pipeline_spark.extensions.similarity import (
+        cosine_topk_bruteforce,
+    )
+    brute = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 2), k=3).collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in brute}
+
+
+def test_stream_windowed_counts_matches_batch(spark, sf_dir):
+    from airflow_embeddings_pipeline_spark.streaming.queries import (
+        t_stream_windowed_counts,
+    )
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    streamed = t_stream_windowed_counts(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    )
+    s = {(r["window_start"], r["event_type"]): r["n_events"] for r in streamed}
+    b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch}
+    assert s == b
