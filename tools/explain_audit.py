@@ -1,0 +1,89 @@
+"""Physical-plan audit for catalog queries.
+
+Prints the formatted plan per query and flags scale smells:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` where not expected
+  (range joins legitimately use BNLJ on a broadcast dim)
+- ``BatchEvalPython`` — row-at-a-time Python UDF in the plan (the slow
+  path; only ArrowEvalPython / mapInPandas are acceptable)
+- parquet scans with no ``PushedFilters`` despite a query filter
+- ``SortMergeJoin`` against a tiny dim that should broadcast
+
+Usage: python tools/explain_audit.py [query ...]   (default: bench set)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# BNLJ-by-design: broadcast range join, and brute-force top-k (tiny
+# broadcast query set x streamed corpus with a non-equi self-exclusion).
+EXPECTED_BNLJ = {"j_range_tiers", "x_cosine_topk"}
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, plan: str) -> list[str]:
+    smells = []
+    if "CartesianProduct" in plan:
+        smells.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in EXPECTED_BNLJ:
+        smells.append("BroadcastNestedLoopJoin (unexpected)")
+    if re.search(r"\bBatchEvalPython\b", plan):
+        smells.append("BatchEvalPython (row-at-a-time Python UDF)")
+    # scans that push nothing while the plan filters right above them
+    for m in re.finditer(r"PushedFilters: \[\]", plan):
+        if "Filter" in plan:
+            smells.append("scan with empty PushedFilters under a Filter")
+            break
+    return smells
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from airflow_embeddings_pipeline_spark.plans import get_catalog
+    from airflow_embeddings_pipeline_spark.session import get_spark
+
+    spark = get_spark("explain-audit")
+    catalog = get_catalog()
+    names = sys.argv[1:] or [n for n, q in catalog.items() if q.bench]
+
+    verbose = "-v" in names
+    names = [n for n in names if n != "-v"]
+
+    bad = 0
+    for name in names:
+        q = catalog[name]
+        try:
+            df = q.build(spark, SF_DIR)
+        except Exception as e:
+            print(f"ERR  {name}: {e}")
+            bad += 1
+            continue
+        plan = plan_of(df)
+        smells = audit(name, plan)
+        status = "SMELL" if smells else "ok"
+        print(f"{status:5s} {name}: {', '.join(smells) if smells else 'clean'}")
+        if smells or verbose:
+            # print the condensed operator tree (header section only)
+            header = plan.split("\n\n")[0]
+            print("      " + "\n      ".join(header.splitlines()[:40]))
+        bad += bool(smells)
+    print(f"\n{len(names) - bad}/{len(names)} clean")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
