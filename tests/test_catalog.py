@@ -43,3 +43,14 @@ def test_queries_oracle_keys_align():
 def test_spot_queries_run(spark, sf_dir, name):
     df = entrymod.queries()[name](spark, sf_dir)
     assert len(df.take(5)) > 0
+
+
+def test_engine_facade(spark, sf_dir):
+    from airflow_embeddings_pipeline_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    assert "documents" in eng.tables()
+    n_sql = eng.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+    assert n_sql == eng.table("documents").count() > 0
+    assert eng.query("a_distinct_sources").count() > 0
+    assert "flagship_merge_pipeline" in eng.catalog()

@@ -106,3 +106,41 @@ def test_windowed_counts_streaming(spark, tmp_path):
         (r["event_type"], r["n_events"]) for r in spark.sql("SELECT * FROM win_out").collect()
     }
     assert got == {("click", 1), ("view", 1)}
+
+
+def test_first_seen_dedup_across_batches(spark, tmp_path):
+    """Stateful cross-batch dedup: a key seen in batch 1 must not be
+    re-emitted by batch 2 (maxFilesPerTrigger=1 forces two batches)."""
+    from datetime import datetime
+
+    from airflow_embeddings_pipeline_spark.streaming.stateful import (
+        first_seen_dedup,
+    )
+
+    src = str(tmp_path / "dedup_src")
+    _write_batch(spark, src, [("a", datetime(2024, 1, 1), 1.0)])
+    _write_batch(spark, src, [("a", datetime(2024, 1, 2), 99.0),
+                              ("b", datetime(2024, 1, 2), 2.0)])
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = first_seen_dedup(
+        stream, key_col="source", output_schema="source string, ts timestamp, value double"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    got = {r["source"]: r["value"] for r in rows}
+    assert len(rows) == 2          # one row per key, ever
+    assert got["b"] == 2.0
+    assert got["a"] in (1.0, 99.0)  # file order within a dir listing may vary
