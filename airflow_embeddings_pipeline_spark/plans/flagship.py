@@ -61,20 +61,33 @@ def flagship_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         derive_display_name(F.col("source"), F.col("color")).alias("display_name"),
     )
 
-    # W1: latest row per merge key (doc_id is the event-time analog;
-    # unique, so the pick is deterministic).
-    deduped = latest_per_key(derived, "main_refco", "doc_id")
+    # J1 as a window: the reference joins to a dim derived from the
+    # same staged batch (display_name -> surrogate id, names seen ≥2
+    # qualify — unmatched rows silently dropped).  Deriving the dim as
+    # a separate aggregate would scan+join the docs⨝vectors base
+    # TWICE; a window over display_name computes the count and the
+    # surrogate min-id in one pass over one shuffle — same rows, same
+    # values, half the I/O.  At 100 TB the saved pass is the dominant
+    # cost (the base includes the 128-float embedding decode).
+    from pyspark.sql import Window
 
-    # J1: small derived dim (display_name -> surrogate id), broadcast.
-    # Only names seen ≥2 times qualify — reproducing the reference's
-    # inner-join semi-filter (unmatched rows silently dropped).
-    dim = (
-        derived.groupBy("display_name")
-        .agg(F.min("doc_id").alias("display_name_id"), F.count("*").alias("__n"))
+    w_dim = Window.partitionBy("display_name")
+    enriched_all = derived.select(
+        "*",
+        F.count("*").over(w_dim).alias("__n"),
+        F.min("doc_id").over(w_dim).alias("display_name_id"),
+    )
+
+    # W1: latest row per merge key (doc_id is the event-time analog;
+    # unique, so the pick is deterministic).  The dim filter applies
+    # AFTER dedup — the reference dedups the staged batch, then the
+    # inner join drops unmatched rows (order is observable when a
+    # group's latest row has a non-qualifying display_name).
+    enriched = (
+        latest_per_key(enriched_all, "main_refco", "doc_id")
         .filter(F.col("__n") >= 2)
         .drop("__n")
     )
-    enriched = deduped.join(F.broadcast(dim), "display_name", "inner")
 
     # A2-A4: report per (source, lang).
     return (
