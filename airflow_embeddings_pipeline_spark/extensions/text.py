@@ -80,3 +80,63 @@ def fingerprint(text: Column | str) -> Column:
     text — the exact-dedup key (content hash)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+# ------------------------------------------------------------- winnowing
+# Rolling-hash fingerprinting (winnowing, Schleimer et al. 2003):
+# hash every word k-gram (rolling window over the token stream), then
+# keep the minimum hash of each window of w consecutive k-gram hashes.
+# The selected-hash set is a position-insensitive document sketch —
+# shared substrings of length ≥ k+w-1 words always contribute a common
+# fingerprint, the property plagiarism/near-dup detection relies on.
+# Pure built-in expressions (one codegen'd map stage, no shuffle).
+_FP_P = (1 << 31) - 1
+
+
+def rolling_kgram_hashes(text: Column | str, k: int = 3) -> Column:
+    """Hash of every consecutive word k-gram, in order (NOT distinct —
+    the rolling window needs positional hashes)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 15), 16, 10
+        ).cast("long")
+        % _FP_P,
+    )
+
+
+def winnow_from_hashes(hashes: Column, w: int = 4) -> Column:
+    """Winnowing sketch from a *materialized* rolling-hash array
+    column: distinct sorted min-hashes, one per window of ``w``
+    consecutive k-gram hashes.
+
+    Take the hash array as a bound column, NOT an inline expression —
+    Catalyst does not CSE inside higher-order functions, so an inline
+    ``rolling_kgram_hashes(...)`` would be re-evaluated (n·md5 calls)
+    once per window element: O(n²) hashing.  Materializing the array in
+    a prior projection keeps winnowing O(n·w) integer ops."""
+    win_idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(0)))
+    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, w)))
+    return F.array_sort(F.array_distinct(mins))
+
+
+def rolling_kgram_hashes_sql(text_expr: str, k: int = 3) -> str:
+    p = _FP_P
+    toks = f"string_split({text_expr}, ' ')"
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
+        f"i -> CAST(concat('0x', substring(md5(array_to_string({toks}[i:i+{k - 1}], ' ')), 1, 15)) AS BIGINT) % {p})"
+    )
+
+
+def winnow_from_hashes_sql(hashes_expr: str, w: int = 4) -> str:
+    """DuckDB fragment mirroring ``winnow_from_hashes``; pass a column
+    reference to a (materialized) hash-array CTE, same O(n²) caveat."""
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, greatest(len({hashes_expr}) - {w - 1}, 0) + 1), "
+        f"i -> list_min(({hashes_expr})[i:i+{w - 1}]))))"
+    )

@@ -165,3 +165,46 @@ register(
         tags=("X4",),
     )
 )
+
+
+# ------------------------------------------------------ winnowing sketch
+def x_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import rolling_kgram_hashes, winnow_from_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    # two projections: materialize the rolling-hash array, THEN winnow
+    # — inlining would re-hash the document once per window (O(n²)).
+    hashed = docs.select(
+        "doc_id", rolling_kgram_hashes("text").alias("__h")
+    )
+    return (
+        hashed.select(
+            "doc_id", winnow_from_hashes(F.col("__h")).alias("fingerprints")
+        )
+        .withColumn("n_fingerprints", F.size("fingerprints"))
+        .orderBy("doc_id")
+    )
+
+
+from .text import (  # noqa: E402
+    rolling_kgram_hashes_sql as _rh_sql,
+    winnow_from_hashes_sql as _wf_sql,
+)
+
+register(
+    Query(
+        name="x_winnow_fingerprint",
+        build=x_winnow_fingerprint,
+        oracle=f"""
+        WITH hashed AS MATERIALIZED (
+            SELECT doc_id, {_rh_sql('text')} AS h FROM documents
+        ), fp AS MATERIALIZED (
+            SELECT doc_id, {_wf_sql('h')} AS fingerprints FROM hashed
+        )
+        SELECT doc_id, fingerprints, len(fingerprints) AS n_fingerprints
+        FROM fp ORDER BY doc_id
+        """,
+        doc="rolling-hash winnowing sketch (k-gram rolling hashes, per-window min; Schleimer 2003)",
+        tags=("X4", "X2", "rolling-hash"),
+    )
+)

@@ -124,3 +124,30 @@ def test_frame_sample_only_video(spark, sf_dir):
     assert {r["media_type"] for r in joined} == {"video"}
     per_doc = frames.groupBy("doc_id").count().collect()
     assert all(r["count"] == 4 for r in per_doc)  # 64 bytes / 16-byte frames
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing property (Schleimer 2003): documents sharing a word
+    substring of length >= k + w - 1 always share >= 1 fingerprint."""
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.extensions.text import (
+        rolling_kgram_hashes,
+        winnow_from_hashes,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = k+w-1 (3+4-1)
+    rows = [
+        (1, f"unrelated prefix words {shared}"),
+        (2, f"{shared} and a completely different tail of text"),
+        (3, "nothing in common with the others at all"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = (
+        df.select("doc_id", rolling_kgram_hashes("text").alias("h"))
+        .select("doc_id", winnow_from_hashes(F.col("h")).alias("fp"))
+        .collect()
+    )
+    fps = {r["doc_id"]: set(r["fp"]) for r in out}
+    assert fps[1] & fps[2], "shared substring must yield a common fingerprint"
+    assert not (fps[1] & fps[3] and fps[2] & fps[3]) or fps[3]  # sanity
