@@ -23,6 +23,19 @@ from ..schemas import FIXTURE_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Physical layout management (the engine's OPTIMIZE analog): fixture
+# files arrive as ONE parquet row group, and a row group is Spark's
+# minimum split unit — so every scan and its partial aggregation run
+# as a single task no matter how many cores exist.  Tables above the
+# row threshold are re-chunked once into a local layout cache (same
+# rows, same types, multiple files) so scans parallelize.  At 100 TB
+# this layer is the ingest/compaction policy; locally it is a tiny
+# one-time rewrite under /tmp.
+LAYOUT_CACHE_DIR = os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "/tmp/spark_graft_layout")
+_LAYOUT_MIN_ROWS = 100_000
+_ROWS_PER_PARTITION = 75_000
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
@@ -50,13 +63,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_columns(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _with_layout_cache(spark, df, path)
+
+
+def _with_layout_cache(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Re-chunk a big single-row-group file once (atomic dir rename),
+    then serve the parallel-scannable copy.  Values/types identical —
+    only the physical split structure changes."""
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.ParquetFile(path).metadata
+    except Exception:
+        return df
+    if meta.num_row_groups > 1 or meta.num_rows < _LAYOUT_MIN_ROWS:
+        return df
+
+    key = path.strip("/").replace("/", "_")
+    cache = os.path.join(LAYOUT_CACHE_DIR, key)
+    marker = os.path.join(cache, "_SUCCESS")
+    if not (os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(path)):
+        n_parts = max(2, min(int(_DEFAULT_CPUS), meta.num_rows // _ROWS_PER_PARTITION + 1))
+        tmp = f"{cache}.tmp.{os.getpid()}"
+        df.repartition(n_parts).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, cache)  # atomic; loser of a race keeps serving
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(cache)
 
 
 def scan_glob(spark: SparkSession, directory: str, pattern: str) -> DataFrame:
