@@ -37,7 +37,15 @@ def register(q: Query) -> Query:
 
 def get_catalog() -> dict[str, Query]:
     # Import side-effect modules exactly once.
-    from . import advanced, analytics, coverage, flagship, pipeline, relational  # noqa: F401
+    from . import (  # noqa: F401
+        advanced,
+        analytics,
+        coverage,
+        flagship,
+        grouped,
+        pipeline,
+        relational,
+    )
     from ..streaming import queries as streaming_queries  # noqa: F401
     from ..extensions import (  # noqa: F401
         dedup_queries,

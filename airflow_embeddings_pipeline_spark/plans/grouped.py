@@ -1,0 +1,143 @@
+"""Grouped-map (``applyInPandas``) and native session-window coverage.
+
+``applyInPandas`` is the remaining Pandas-UDF execution mode after
+scalar ``pandas_udf`` (functions/scalar.py), ``mapInPandas``
+(extensions/similarity.py, multimodal.py) and
+``applyInPandasWithState`` (streaming/stateful.py): one Arrow-batched
+Python call per group, for group-shaped math that built-in aggregates
+can't express (here: an element-wise vector mean — numpy does the
+whole group in one vectorized reduction).
+
+``session_window`` is the built-in gap-based session operator — same
+semantics as the hand-rolled lag-gap-cumsum in t_sessionize, but as a
+single native streaming-capable aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator  # noqa: F401  (doc parity with sibling modules)
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .catalog import Query, register
+
+
+# ------------------------------------------------- grouped-map centroid
+# Per-label embedding centroid: mean over array<float> columns is not
+# expressible as a built-in aggregate (avg() doesn't lift over arrays);
+# the scalable formulations are explode+groupBy(dim) — a 128× row blow-
+# up — or one vectorized numpy reduction per group via applyInPandas.
+def x_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].map(np.asarray).values).astype(np.float64)
+        c = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": [pdf["label"].iloc[0]],
+                "n_vectors": [len(pdf)],
+                "centroid_head": [np.round(c[:4], 6).tolist()],
+                "centroid_norm": [round(float(np.sqrt((c * c).sum())), 6)],
+            }
+        )
+
+    out_schema = (
+        "label int, n_vectors long, centroid_head array<double>, centroid_norm double"
+    )
+    return (
+        emb.select("label", "embedding")
+        .groupBy("label")
+        .applyInPandas(centroid, schema=out_schema)
+        .orderBy("label")
+    )
+
+
+# Oracle: mean per dimension via unnest (the SQL formulation of the
+# same math); centroid_norm recomputed from all 128 dims.
+register(
+    Query(
+        name="x_group_centroids",
+        build=x_group_centroids,
+        oracle="""
+        WITH dims AS (
+            SELECT label, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
+            FROM embeddings,
+                 unnest(range(1, len(embedding) + 1)) AS t(i)
+        ), means AS (
+            SELECT label, dim, avg(v) AS m
+            FROM dims GROUP BY label, dim
+        ), agg AS (
+            SELECT label, list(m ORDER BY dim) AS centroid
+            FROM means GROUP BY label
+        ), counts AS (
+            SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label
+        )
+        SELECT a.label, c.n_vectors,
+               list_transform(a.centroid[1:4], x -> round(x, 6)) AS centroid_head,
+               round(sqrt(list_sum(list_transform(a.centroid, x -> x * x))), 6)
+                   AS centroid_norm
+        FROM agg a JOIN counts c ON a.label = c.label
+        ORDER BY a.label
+        """,
+        doc="per-label embedding centroid via applyInPandas grouped-map (vectorized numpy mean)",
+        tags=("X3", "pandas-udf", "grouped-map"),
+    )
+)
+
+
+# ---------------------------------------------------- session_window
+def t_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1 hour").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# Oracle: gap-based sessions via lag + cumulative sum; session end =
+# last event + gap, so session_start = min(ts) within each gap-group.
+register(
+    Query(
+        name="t_session_window",
+        build=t_session_window,
+        oracle="""
+        WITH gapped AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                          - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                            OVER (PARTITION BY user_id ORDER BY ts) > 3600
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ), grouped AS (
+            SELECT user_id, ts, value,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gapped
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS session_value
+        FROM grouped GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+        """,
+        doc="native session_window gap-sessions, oracled against lag-gap-cumsum SQL",
+        tags=("T5", "session"),
+    )
+)
