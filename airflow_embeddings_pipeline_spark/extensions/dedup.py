@@ -67,15 +67,24 @@ _A = lambda s: (2 * s + 1) * 2654435761 % _MERSENNE_P  # noqa: E731
 _B = lambda s: (s * 40503 + 12345) % _MERSENNE_P  # noqa: E731
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> Column:
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 8, fast: bool = False
+) -> Column:
     """MinHash signature as ``array<long>``: content-hash each shingle
     once (first 15 md5 hex digits → int, mod p), then take the min of
-    each affine permutation."""
-    hashed = F.transform(
-        shingle_col,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
-        % _MERSENNE_P,
-    )
+    each affine permutation.  ``fast=True`` uses native ``xxhash64``
+    for the content hash — the corpus-scale path; md5 is kept as the
+    default because DuckDB reproduces it exactly (oracle parity)."""
+    if fast:
+        hashed = F.transform(
+            shingle_col, lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE_P))
+        )
+    else:
+        hashed = F.transform(
+            shingle_col,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+            % _MERSENNE_P,
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda s: F.array_min(
@@ -116,6 +125,8 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 1,
     block_col: str | None = None,
+    max_bucket_size: int | None = None,
+    fast: bool = False,
 ) -> DataFrame:
     """X2: LSH candidate pairs.  signature → explode bands → self-join
     on (band_id, band_hash).  ``block_col`` optionally restricts pairs
@@ -129,7 +140,8 @@ def lsh_candidate_pairs(
     # projections stops Catalyst from inlining the expensive signature
     # expression into every band element.
     with_sig = df.select(
-        *base_cols, minhash_signature(shingles(text_col), num_hashes).alias("__sig")
+        *base_cols,
+        minhash_signature(shingles(text_col), num_hashes, fast=fast).alias("__sig"),
     )
     banded = with_sig.select(
         *base_cols,
@@ -159,6 +171,12 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        # Degenerate buckets (≫ expected collision size) are exact-
+        # duplicate clusters — the cheap exact-dedup pass owns those —
+        # or band pile-ups; emitting their O(n²) pairs would dominate
+        # the job for no recall gain.  Cap and move on.
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),

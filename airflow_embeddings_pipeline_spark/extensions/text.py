@@ -93,12 +93,22 @@ def fingerprint(text: Column | str) -> Column:
 _FP_P = (1 << 31) - 1
 
 
-def rolling_kgram_hashes(text: Column | str, k: int = 3) -> Column:
+def rolling_kgram_hashes(text: Column | str, k: int = 3, fast: bool = False) -> Column:
     """Hash of every consecutive word k-gram, in order (NOT distinct —
-    the rolling window needs positional hashes)."""
+    the rolling window needs positional hashes).
+
+    ``fast=True`` swaps md5-hex-parse for native ``xxhash64`` — ~3×
+    cheaper per k-gram and the right choice at corpus scale; the md5
+    form exists because DuckDB can reproduce it exactly (oracle
+    parity), xxhash64 it cannot."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(c, " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    if fast:
+        return F.transform(
+            idx,
+            lambda i: F.pmod(F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))), F.lit(_FP_P)),
+        )
     return F.transform(
         idx,
         lambda i: F.conv(

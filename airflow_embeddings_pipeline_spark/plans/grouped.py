@@ -141,3 +141,42 @@ register(
         tags=("T5", "session"),
     )
 )
+
+
+# -------------------------------------------------------------- variant
+# Spark 4 VariantType: parse once into the binary variant encoding,
+# extract typed fields — the engine-native form of semi-structured
+# access (the reference's `$1:field::TYPE`, SURVEY §1.2 'semi-
+# structured' row).  Unlike get_json_object (string re-parse per
+# access), the variant is parsed once and field access is a binary
+# probe — the 100 TB answer for JSON-heavy columns.
+def f_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "long").alias("k"),
+            F.try_variant_get(v, "$.missing", "string").alias("missing_field"),
+        )
+        .filter(F.col("k") % 10 == 0)
+        .orderBy("event_id")
+    )
+
+
+register(
+    Query(
+        name="f_variant_extract",
+        build=f_variant_extract,
+        oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               json_extract_string(props, '$.missing') AS missing_field
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0
+        ORDER BY event_id
+        """,
+        doc="VariantType semi-structured access (parse_json + try_variant_get; Spark 4 native)",
+        tags=("P6", "variant"),
+    )
+)

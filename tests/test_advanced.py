@@ -162,3 +162,19 @@ def test_stream_windowed_counts_matches_batch(spark, sf_dir):
     s = {(r["window_start"], r["event_type"]): r["n_events"] for r in streamed}
     b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch}
     assert s == b
+
+
+def test_lsh_fast_variant_same_pairs(spark):
+    from airflow_embeddings_pipeline_spark.extensions.dedup import lsh_candidate_pairs
+
+    rows = [
+        (1, "a", "the quick brown fox jumps over the lazy dog"),
+        (2, "a", "the quick brown fox jumps over the lazy dog"),
+        (3, "a", "completely different text about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, source string, text string")
+    kw = dict(id_col="doc_id", text_col="text", block_col="source")
+    slow = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(df, **kw).collect()}
+    fast = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(df, fast=True, **kw).collect()}
+    # identical docs collide in every band under either hash family
+    assert (1, 2) in slow and (1, 2) in fast

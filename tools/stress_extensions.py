@@ -1,0 +1,118 @@
+"""Scale-stress the extension operators on an N×-replicated corpus.
+
+The fixture `documents` table is 5k rows at sf0.1 — small enough that
+any plan looks fine.  This staged corpus (distinct doc_ids, same text
+distribution → heavy duplicate density, the worst case for LSH bucket
+sizes) checks that the dedup/fingerprint/similarity plans hold up when
+the data is 2-3 orders of magnitude bigger than the fixtures.
+
+Usage: python tools/stress_extensions.py [sf_dir] [--scale N]
+Prints one JSON line: {op: seconds}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from bench_vs_reference import scale_corpus  # noqa: E402
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        lsh_candidate_pairs,
+    )
+    from airflow_embeddings_pipeline_spark.extensions.text import (
+        rolling_kgram_hashes,
+        winnow_from_hashes,
+    )
+    from airflow_embeddings_pipeline_spark.plans import get_catalog
+    from airflow_embeddings_pipeline_spark.session import get_spark
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    scale = 100
+    for i, a in enumerate(sys.argv):
+        if a.startswith("--scale"):
+            scale = int(a.split("=")[1]) if "=" in a else int(sys.argv[i + 1])
+
+    staged = scale_corpus(sf_dir, scale)
+    spark = get_spark("stress-extensions")
+    docs = load_table(spark, staged, "documents")
+    n = docs.count()
+
+    timings: dict[str, float] = {}
+
+    def run(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    run(
+        "exact_dedup_fingerprint",
+        docs.select(F.md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .count(),
+    )
+    run(
+        "winnow_fingerprint_md5",
+        docs.select("doc_id", rolling_kgram_hashes("text").alias("h")).select(
+            "doc_id", winnow_from_hashes(F.col("h")).alias("fp")
+        ),
+    )
+    run(
+        "winnow_fingerprint_xxhash",
+        docs.select(
+            "doc_id", rolling_kgram_hashes("text", fast=True).alias("h")
+        ).select("doc_id", winnow_from_hashes(F.col("h")).alias("fp")),
+    )
+    # Realistic pipeline order: exact dedup first (the replicated
+    # corpus is exact-dup clusters; their O(n²) pairs belong to the
+    # cheap exact pass), THEN LSH over *mutated* near-duplicates (a
+    # version-suffix token per replica → clusters of ~7 near-dup
+    # variants), degenerate buckets capped.
+    mutated = docs.withColumn(
+        "text", F.concat("text", F.lit(" rev"), (F.col("doc_id") % 7).cast("string"))
+    )
+    distinct_docs = mutated.dropDuplicates(["text"])
+    run(
+        "minhash_lsh_pairs_post_exact",
+        lsh_candidate_pairs(
+            distinct_docs,
+            id_col="doc_id",
+            text_col="text",
+            block_col="source",
+            max_bucket_size=256,
+        ),
+    )
+    run(
+        "minhash_lsh_pairs_xxhash",
+        lsh_candidate_pairs(
+            distinct_docs,
+            id_col="doc_id",
+            text_col="text",
+            block_col="source",
+            max_bucket_size=256,
+            fast=True,
+        ),
+    )
+    q = get_catalog()["x_group_centroids"]
+    run("group_centroids", q.build(spark, staged))
+
+    print(
+        json.dumps(
+            {"n_documents": n, "scale_x": scale, "timings_sec": timings}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
