@@ -19,3 +19,21 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name: str):
+    # Lazy top-level conveniences (keep `import airflow_embeddings_pipeline_spark`
+    # free of a SparkSession / pyspark import cost until actually used).
+    if name == "Engine":
+        from .engine import Engine
+
+        return Engine
+    if name == "get_spark":
+        from .session import get_spark
+
+        return get_spark
+    if name == "get_catalog":
+        from .plans import get_catalog
+
+        return get_catalog
+    raise AttributeError(name)

@@ -152,7 +152,10 @@ register(
 # probe — the 100 TB answer for JSON-heavy columns.
 def f_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json: malformed rows become NULL instead of failing the
+    # job — on a real corpus one bad props value must not kill the scan
+    # (rejects route through sources.sink.quarantine_split when needed).
+    v = F.try_parse_json("props")
     return (
         ev.select(
             "event_id",

@@ -176,5 +176,23 @@ def test_lsh_fast_variant_same_pairs(spark):
     kw = dict(id_col="doc_id", text_col="text", block_col="source")
     slow = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(df, **kw).collect()}
     fast = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(df, fast=True, **kw).collect()}
-    # identical docs collide in every band under either hash family
-    assert (1, 2) in slow and (1, 2) in fast
+    # identical docs collide in every band under either hash family;
+    # the disjoint doc (zero shared shingles) collides in neither.
+    assert slow == fast == {(1, 2)}
+
+
+def test_lsh_max_bucket_size_caps_degenerate_buckets(spark):
+    from airflow_embeddings_pipeline_spark.extensions.dedup import lsh_candidate_pairs
+
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(i, "a", text) for i in range(1, 5)],  # 4 exact replicas
+        schema="doc_id long, source string, text string",
+    )
+    kw = dict(id_col="doc_id", text_col="text", block_col="source")
+    uncapped = lsh_candidate_pairs(df, **kw).count()
+    capped = lsh_candidate_pairs(df, max_bucket_size=2, **kw).count()
+    assert uncapped == 6  # C(4,2) — every replica pair
+    assert capped == 0  # bucket of 4 > cap ⇒ routed to the exact pass
+    # cap above the bucket size changes nothing
+    assert lsh_candidate_pairs(df, max_bucket_size=16, **kw).count() == 6

@@ -34,14 +34,35 @@ sys.path.insert(0, "/root/repo")
 REF_PREFIX_LEN = 30
 
 
+def parse_args(argv: list[str], default_sf: str = "/root/testdata/sf0.1") -> tuple[str, int]:
+    """Shared CLI parsing for the bench/stress tools:
+    ``[sf_dir] [--scale N | --scale=N]``."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("sf_dir", nargs="?", default=default_sf)
+    p.add_argument("--scale", type=int, default=1)
+    ns = p.parse_args(argv)
+    return ns.sf_dir, ns.scale
+
+
 def scale_corpus(sf_dir: str, factor: int) -> str:
     """Replicate documents/embeddings N× with shifted ids, staged in
-    /tmp as parquet (same schema, same skew shape)."""
+    /tmp as parquet (same schema, same skew shape).  Deterministic
+    path keyed by (sf_dir, factor) — reruns reuse the staged corpus
+    (and its layout-cache entry) instead of leaking a copy per run."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    out = tempfile.mkdtemp(prefix=f"refbench_x{factor}_")
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"refbench_{key}_x{factor}")
+    if all(
+        os.path.exists(os.path.join(out, f"{n}.parquet"))
+        for n in ("documents", "embeddings")
+    ):
+        return out
+    os.makedirs(out, exist_ok=True)
     for name, id_col in (("documents", "doc_id"), ("embeddings", "vec_id")):
         t = pq.read_table(f"{sf_dir}/{name}.parquet")
         n = t.num_rows
@@ -53,7 +74,9 @@ def scale_corpus(sf_dir: str, factor: int) -> str:
                 pc.add(t[id_col], i * n),
             )
             parts.append(shifted)
-        pq.write_table(pa.concat_tables(parts), f"{out}/{name}.parquet")
+        final = f"{out}/{name}.parquet"
+        pq.write_table(pa.concat_tables(parts), final + ".tmp")
+        os.replace(final + ".tmp", final)  # no partial file on crash
     return out
 
 
@@ -141,12 +164,7 @@ def spark_style(sf_dir: str) -> tuple[float, int, int]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    scale = 1
-    for a in sys.argv[1:]:
-        if a.startswith("--scale"):
-            scale = int(a.split("=")[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+    sf_dir, scale = parse_args(sys.argv[1:])
     if scale > 1:
         sf_dir = scale_corpus(sf_dir, scale)
     ref_wall, n_docs, ref_groups = reference_style(sf_dir)

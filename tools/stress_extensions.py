@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
-from bench_vs_reference import scale_corpus  # noqa: E402
+from bench_vs_reference import parse_args, scale_corpus  # noqa: E402
 
 
 def main() -> None:
@@ -36,12 +36,9 @@ def main() -> None:
     from airflow_embeddings_pipeline_spark.session import get_spark
     from airflow_embeddings_pipeline_spark.sources.registry import load_table
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    scale = 100
-    for i, a in enumerate(sys.argv):
-        if a.startswith("--scale"):
-            scale = int(a.split("=")[1]) if "=" in a else int(sys.argv[i + 1])
+    sf_dir, scale = parse_args(sys.argv[1:])
+    if scale == 1:
+        scale = 100  # this tool's whole point is the scaled corpus
 
     staged = scale_corpus(sf_dir, scale)
     spark = get_spark("stress-extensions")
@@ -56,11 +53,13 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 2)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
+    # the engine's actual exact-dedup key (normalized-content md5,
+    # extensions/text.py:fingerprint), not a bare md5
+    from airflow_embeddings_pipeline_spark.extensions.text import fingerprint
+
     run(
         "exact_dedup_fingerprint",
-        docs.select(F.md5(F.col("text")).alias("fp"))
-        .groupBy("fp")
-        .count(),
+        docs.select(fingerprint("text").alias("fp")).groupBy("fp").count(),
     )
     run(
         "winnow_fingerprint_md5",
