@@ -289,3 +289,91 @@ register(
         tags=("A3", "A4"),
     )
 )
+
+
+# ------------------------------------------------------------- TPC-H Q4
+# EXISTS correlated subquery → Catalyst decorrelates to a left-semi
+# join (no per-row subquery execution; one shuffle on the join key).
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders.createOrReplaceTempView("__q4_orders")
+    li.createOrReplaceTempView("__q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM __q4_orders
+        WHERE o_orderdate >= timestamp'1995-01-01 00:00:00'
+          AND o_orderdate < timestamp'1995-07-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM __q4_lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+register(
+    Query(
+        name="q4_order_priority",
+        build=q4_order_priority,
+        oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+        doc="TPC-H Q4: EXISTS correlated subquery (decorrelated to left-semi join)",
+        tags=("J1", "subquery"),
+    )
+)
+
+
+# ------------------------------------------------------------ TPC-H Q17
+# Scalar correlated subquery (per-part average) → decorrelated into an
+# aggregate + equi-join; the naive plan would re-scan lineitem per part.
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    part.createOrReplaceTempView("__q17_part")
+    li.createOrReplaceTempView("__q17_lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+                    AS DOUBLE) AS avg_yearly
+        FROM __q17_lineitem l JOIN __q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#11'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM __q17_lineitem
+              WHERE l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+register(
+    Query(
+        name="q17_small_quantity",
+        build=q17_small_quantity,
+        oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem
+          WHERE l_partkey = p.p_partkey
+      )
+    """,
+        doc="TPC-H Q17: scalar correlated subquery (decorrelated to agg + join)",
+        tags=("subquery",),
+    )
+)
