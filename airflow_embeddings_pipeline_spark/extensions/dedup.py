@@ -264,3 +264,78 @@ SIMHASH16_SQL = (
     "// CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1)) > 0 "
     "THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))"
 )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    simhash_col: str,
+    *,
+    max_hamming: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """X2: near-duplicate pairs by SimHash hamming distance.
+
+    Exact for ``max_hamming <= 3`` with 4 bands: split the 16-bit
+    fingerprint into 4 nibbles and bucket-join on (band, nibble) — by
+    pigeonhole, ≤3 differing bits can touch at most 3 of the 4 bands,
+    so every qualifying pair shares at least one identical band.  The
+    candidate set is then precision-filtered with the true hamming
+    distance (``bit_count(xor)``).  Same single-shuffle bucket shape as
+    ``lsh_candidate_pairs``: no self-join over the corpus, only over
+    bucket id-lists.
+    """
+    base = [F.col(id_col), F.col(simhash_col)] + (
+        [F.col(block_col)] if block_col else []
+    )
+    banded = df.select(
+        *base,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                # shiftright() takes only a literal shift; arithmetic
+                # form works with a per-band column (sim is 16-bit).
+                lambda b: (
+                    F.col(simhash_col) / F.pow(F.lit(2.0), b * 4)
+                ).cast("long")
+                % 16,
+            )
+        ).alias("band_id", "nibble"),
+    )
+    group_keys = ([block_col] if block_col else []) + ["band_id", "nibble"]
+    buckets = (
+        banded.groupBy(*group_keys)
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col(id_col).alias("id"), F.col(simhash_col).alias("sim")))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(
+            *([F.col(block_col)] if block_col else []),
+            F.explode(pair_structs).alias("p"),
+        )
+        .select(
+            *([block_col] if block_col else []),
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.hamming").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.distinct()

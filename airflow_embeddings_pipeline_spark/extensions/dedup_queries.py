@@ -152,3 +152,42 @@ register(
         tags=("X2",),
     )
 )
+
+
+# ----------------------------------------------------- simhash near-dup
+# Banded hamming join: exact for hd<=3 by pigeonhole over 4 nibble
+# bands; the oracle is the plain O(n^2) self-join — results must be
+# identical, which is precisely the claim the banding makes.
+def x_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import simhash16, simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_sim = docs.select("doc_id", "source", simhash16("text").alias("sim"))
+    return simhash_near_dup_pairs(
+        with_sim, id_col="doc_id", simhash_col="sim", max_hamming=3,
+        block_col="source",
+    ).orderBy("source", "id_a", "id_b")
+
+
+from .dedup import SIMHASH16_SQL as _SH_SQL  # noqa: E402
+
+register(
+    Query(
+        name="x_simhash_near_dup",
+        build=x_simhash_near_dup,
+        oracle=f"""
+        WITH s AS MATERIALIZED (
+            SELECT doc_id, source, {_SH_SQL.format(text='text')} AS sim
+            FROM documents
+        )
+        SELECT l.source, l.doc_id AS id_a, r.doc_id AS id_b,
+               bit_count(xor(l.sim, r.sim)) AS hamming
+        FROM s l JOIN s r
+          ON l.source = r.source AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sim, r.sim)) <= 3
+        ORDER BY l.source, id_a, id_b
+        """,
+        doc="SimHash near-dup pairs: banded nibble buckets (pigeonhole-exact for hd<=3), oracled vs full self-join",
+        tags=("X2", "simhash"),
+    )
+)

@@ -151,3 +151,42 @@ def test_winnowing_shared_substring_guarantee(spark):
     fps = {r["doc_id"]: set(r["fp"]) for r in out}
     assert fps[1] & fps[2], "shared substring must yield a common fingerprint"
     assert not (fps[1] & fps[3] and fps[2] & fps[3]) or fps[3]  # sanity
+
+
+def test_simhash_banding_exact_for_hd3(spark):
+    """Banded nibble buckets must find EVERY pair with hamming <= 3
+    (pigeonhole over 4 bands) — compare against the brute-force join."""
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    # fingerprints engineered around the hd=3 boundary
+    rows = [
+        (1, 0b1010101010101010),
+        (2, 0b1010101010101011),  # hd 1 from #1
+        (3, 0b1010101010101000),  # hd 2 from #1, 3 from #2 (bits 0,1 vs 1,3)
+        (4, 0b0101010101010101),  # hd 16 from #1
+        (5, 0b1010101010100110),  # mixed
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, sim long")
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(
+            df, id_col="doc_id", simhash_col="sim", max_hamming=3
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute and brute  # non-empty and identical
