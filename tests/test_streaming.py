@@ -144,3 +144,49 @@ def test_first_seen_dedup_across_batches(spark, tmp_path):
     assert len(rows) == 2          # one row per key, ever
     assert got["b"] == 2.0
     assert got["a"] in (1.0, 99.0)  # file order within a dir listing may vary
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-bound — the
+    state-bounded join Structured Streaming requires (each side's
+    state is purged once the watermark passes the interval)."""
+    from datetime import datetime
+
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    spark.createDataFrame(
+        [(1, "u1", datetime(2024, 1, 1, 0, 10)), (2, "u2", datetime(2024, 1, 1, 2, 0))],
+        schema="click_id long, user string, cts timestamp",
+    ).coalesce(1).write.parquet(clicks_dir)
+    spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1, 0, 40), 9.0),  # 30 min after click 1
+         ("u2", datetime(2024, 1, 1, 5, 0), 7.0)],  # 3 h after click 2 → outside bound
+        schema="user string, bts timestamp, amount double",
+    ).coalesce(1).write.parquet(buys_dir)
+
+    clicks = (
+        spark.readStream.schema("click_id long, user string, cts timestamp")
+        .parquet(clicks_dir).withWatermark("cts", "1 hour")
+    )
+    buys = (
+        spark.readStream.schema("user string, bts timestamp, amount double")
+        .parquet(buys_dir).withWatermark("bts", "1 hour")
+    )
+    from pyspark.sql import functions as F
+
+    joined = clicks.join(
+        buys,
+        (clicks["user"] == buys["user"])
+        & (buys["bts"] >= clicks["cts"])
+        & (buys["bts"] <= clicks["cts"] + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT click_id, amount FROM ss_join").collect()
+    assert {(r["click_id"], r["amount"]) for r in rows} == {(1, 9.0)}
