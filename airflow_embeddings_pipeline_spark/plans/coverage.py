@@ -119,7 +119,9 @@ def f_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
             F.translate("p_name", " ", "_").alias("snake_name"),
             F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
-            F.split("p_type", " ").alias("type_words"),
+            # split→array_join round-trip: exercises the array op but
+            # emits a string (the driver's comparator can't hash lists).
+            F.array_join(F.split("p_type", " "), "|").alias("type_words"),
             F.concat_ws("::", "p_brand", "p_type").alias("brand_type"),
             F.levenshtein("p_brand", F.lit("Brand#11")).alias("brand_dist"),
         )
@@ -139,7 +141,7 @@ register(
                regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
                replace(p_name, ' ', '_') AS snake_name,
                lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
-               string_split(p_type, ' ') AS type_words,
+               array_to_string(string_split(p_type, ' '), '|') AS type_words,
                concat_ws('::', p_brand, p_type) AS brand_type,
                levenshtein(p_brand, 'Brand#11') AS brand_dist
         FROM part WHERE p_partkey <= 500 ORDER BY p_partkey

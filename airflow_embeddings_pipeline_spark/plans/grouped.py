@@ -37,17 +37,21 @@ def x_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(pdf["embedding"].map(np.asarray).values).astype(np.float64)
         c = mat.mean(axis=0)
+        # centroid_head serialized to a fixed-format string: the driver's
+        # correctness comparator hashes values via pandas and cannot hash
+        # list cells; "%.6f"-join matches DuckDB printf exactly.
+        head = ",".join(f"{x:.6f}" for x in c[:4])
         return pd.DataFrame(
             {
                 "label": [pdf["label"].iloc[0]],
                 "n_vectors": [len(pdf)],
-                "centroid_head": [np.round(c[:4], 6).tolist()],
+                "centroid_head": [head],
                 "centroid_norm": [round(float(np.sqrt((c * c).sum())), 6)],
             }
         )
 
     out_schema = (
-        "label int, n_vectors long, centroid_head array<double>, centroid_norm double"
+        "label int, n_vectors long, centroid_head string, centroid_norm double"
     )
     return (
         emb.select("label", "embedding")
@@ -78,7 +82,9 @@ register(
             SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label
         )
         SELECT a.label, c.n_vectors,
-               list_transform(a.centroid[1:4], x -> round(x, 6)) AS centroid_head,
+               array_to_string(list_transform(a.centroid[1:4],
+                                              x -> printf('%.6f', x)), ',')
+                   AS centroid_head,
                round(sqrt(list_sum(list_transform(a.centroid, x -> x * x))), 6)
                    AS centroid_norm
         FROM agg a JOIN counts c ON a.label = c.label
