@@ -91,11 +91,22 @@ def _with_layout_cache(spark: SparkSession, df: DataFrame, path: str) -> DataFra
         n_parts = max(2, min(int(_DEFAULT_CPUS), meta.num_rows // _ROWS_PER_PARTITION + 1))
         tmp = f"{cache}.tmp.{os.getpid()}"
         df.repartition(n_parts).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, cache)  # atomic; loser of a race keeps serving
-        except OSError:
-            import shutil
+        import shutil
 
+        # A stale cache dir (source rewritten since last chunking) blocks
+        # the rename with ENOTEMPTY — move it aside first, then swap the
+        # fresh copy in.  Losing a concurrent race is fine: the winner's
+        # copy has identical content, so we drop ours and serve theirs.
+        if os.path.exists(cache):
+            old = f"{cache}.old.{os.getpid()}"
+            try:
+                os.rename(cache, old)
+                shutil.rmtree(old, ignore_errors=True)
+            except OSError:
+                pass
+        try:
+            os.rename(tmp, cache)
+        except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(cache)
 

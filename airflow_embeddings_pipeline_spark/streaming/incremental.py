@@ -83,6 +83,12 @@ class IncrementalPipeline:
         ``embeddings_fallback_date`` (T2, CONFIGURATION.md:50).
     """
 
+    # Above this many watermark keys the OR-chain predicate is replaced
+    # by a broadcast join (Catalyst planning cost grows per OR branch;
+    # the reference never exceeds tens of keys, but a 100 TB corpus
+    # with per-document or per-shard keys easily reaches 10⁵+).
+    JOIN_PATH_MIN_KEYS = 64
+
     def __init__(
         self,
         store: WatermarkStore,
@@ -105,12 +111,20 @@ class IncrementalPipeline:
         keys, ``ts >= fallback`` (or full history) for new keys.  The
         whole predicate is a literal OR-of-ANDs, so Catalyst pushes it
         into the parquet scan (row-group pruning); at 100 TB with
-        time-partitioned layout this becomes partition pruning."""
+        time-partitioned layout this becomes partition pruning.
+
+        The literal OR-chain is ideal at the reference's scale (tens of
+        sources: full pushdown, zero extra operators) but Catalyst
+        planning cost grows with the number of branches — above
+        ``JOIN_PATH_MIN_KEYS`` keys the plan switches to a broadcast
+        join against the watermark table (see ``_join_scan``)."""
         wms = self.store.load()
         if not wms:
             if self.fallback is not None:
                 return source.filter(F.col(self.ts_col) >= F.lit(self.fallback))
             return source
+        if len(wms) >= self.JOIN_PATH_MIN_KEYS:
+            return self._join_scan(source, wms)
         known_key, known_wm = zip(*sorted(wms.items()))
         # per-key strict > watermark; unseen keys get fallback/full.
         per_key = [
@@ -124,6 +138,39 @@ class IncrementalPipeline:
         for p in per_key:
             pred = pred | p
         return source.filter(pred)
+
+    def _join_scan(self, source: DataFrame, wms: dict[str, datetime]) -> DataFrame:
+        """High-key-cardinality incremental scan: broadcast the
+        watermark map as a two-column table and filter post-join.
+
+        The per-key predicate can no longer be pushed into the scan,
+        so a coarse GLOBAL lower bound — ``ts > min(watermarks)`` (or
+        ``>= fallback`` if unseen keys are admitted further back) — is
+        pushed instead: at 100 TB with time-partitioned layout that
+        single conjunct still prunes the bulk of history, and the
+        broadcast join refines per key without a shuffle."""
+        spark = source.sparkSession
+        wm_df = spark.createDataFrame(
+            sorted(wms.items()), schema="__wm_key string, __wm_ts timestamp"
+        )
+        coarse = min(wms.values())
+        if self.fallback is not None:
+            coarse = min(coarse, self.fallback)
+            source = source.filter(F.col(self.ts_col) >= F.lit(coarse))
+        else:
+            # unseen keys need full history — no coarse bound possible.
+            pass
+        joined = source.join(
+            F.broadcast(wm_df),
+            F.col(self.key_col).cast("string") == F.col("__wm_key"),
+            "left",
+        )
+        unseen = F.col("__wm_ts").isNull()
+        if self.fallback is not None:
+            unseen = unseen & (F.col(self.ts_col) >= F.lit(self.fallback))
+        return joined.filter(unseen | (F.col(self.ts_col) > F.col("__wm_ts"))).drop(
+            "__wm_key", "__wm_ts"
+        )
 
     def observed_watermarks(self, increment: DataFrame) -> dict[str, datetime]:
         """T3: max event time per key in this slice (A2 as partial/final
@@ -139,14 +186,21 @@ class IncrementalPipeline:
         """Execute one batch: scan → transform → sink → advance state.
         Returns a small metrics dict (A4 analog of the reference's
         per-run metrics, embeddings-pipeline.py:397-432)."""
-        increment = self.plan_incremental_scan(source)
-        new_wms = self.observed_watermarks(increment)
-        n = increment.count()
-        if n > 0:  # P8 empty-input guard
-            self.sink(self.transform(increment))
-        # T4: state advances only after the sink committed.
-        if new_wms:
-            merged = self.store.load()
-            merged.update(new_wms)
-            self.store.save(merged)
+        # Persist the slice for the run's duration: watermark agg, count
+        # and sink must all see the SAME scan — on a source that changes
+        # mid-run, re-evaluation could advance state past rows the sink
+        # never received (rows silently skipped on the next run).
+        increment = self.plan_incremental_scan(source).persist()
+        try:
+            new_wms = self.observed_watermarks(increment)
+            n = increment.count()
+            if n > 0:  # P8 empty-input guard
+                self.sink(self.transform(increment))
+            # T4: state advances only after the sink committed.
+            if new_wms:
+                merged = self.store.load()
+                merged.update(new_wms)
+                self.store.save(merged)
+        finally:
+            increment.unpersist()
         return {"records_processed": n, "keys_advanced": len(new_wms)}

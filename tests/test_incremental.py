@@ -114,6 +114,66 @@ def test_sink_failure_leaves_state_untouched(spark, tmp_path):
     assert m["records_processed"] == 1 and store.load() == {"a": T1}
 
 
+def test_join_scan_matches_or_chain(spark, tmp_path, monkeypatch):
+    """Above JOIN_PATH_MIN_KEYS the broadcast-join scan must return the
+    exact rows the OR-chain predicate would (including unseen-key and
+    fallback semantics)."""
+    n_keys = 200
+    wms = {f"k{i:04d}": T1 for i in range(n_keys)}
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    store.save(wms)
+
+    rows = []
+    for i in range(0, n_keys, 7):  # a sample of known keys
+        rows.append((f"k{i:04d}", T0, 1))  # below watermark ⇒ excluded
+        rows.append((f"k{i:04d}", T1, 2))  # at watermark (not strict >) ⇒ excluded
+        rows.append((f"k{i:04d}", T2, 3))  # above ⇒ included
+    rows += [("unseen_a", T0, 4), ("unseen_b", T2, 5)]
+    src = _events(spark, rows)
+
+    def scan(fallback, min_keys):
+        pipe = IncrementalPipeline(
+            store, key_col="source", ts_col="ts", sink=lambda df: None,
+            fallback=fallback,
+        )
+        monkeypatch.setattr(IncrementalPipeline, "JOIN_PATH_MIN_KEYS", min_keys)
+        return {
+            (r["source"], r["ts"], r["value"])
+            for r in pipe.plan_incremental_scan(src).collect()
+        }
+
+    for fb in (None, T1):
+        or_chain = scan(fb, 10**9)  # force literal-predicate path
+        join_path = scan(fb, 1)  # force broadcast-join path
+        assert join_path == or_chain, f"fallback={fb}"
+        # sanity: known keys advance strictly, unseen keys per fallback
+        assert ("k0000", T2, 3) in join_path and ("k0000", T1, 2) not in join_path
+        if fb is None:
+            assert ("unseen_a", T0, 4) in join_path
+        else:
+            assert ("unseen_a", T0, 4) not in join_path
+            assert ("unseen_b", T2, 5) in join_path
+
+
+def test_join_scan_plan_bounded_at_1e4_keys(spark, tmp_path):
+    """10⁴ watermark keys: the join path must plan in bounded time with
+    a plan whose size does not grow per-key (the OR-chain grows one
+    branch per key and blows up Catalyst planning)."""
+    wms = {f"key{i:05d}": T1 for i in range(10_000)}
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    store.save(wms)
+    pipe = IncrementalPipeline(
+        store, key_col="source", ts_col="ts", sink=lambda df: None
+    )
+    src = _events(spark, [("key00000", T2, 1), ("key00000", T0, 2), ("nope", T0, 3)])
+    df = pipe.plan_incremental_scan(src)
+    # filter/join condition is fixed-size — not one branch per key
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000
+    got = {(r["source"], r["ts"]) for r in df.collect()}
+    assert got == {("key00000", T2), ("nope", T0)}
+
+
 def test_empty_increment_no_sink_call(spark, tmp_path):
     store = WatermarkStore(str(tmp_path / "wm.json"))
     store.save({"a": T3})

@@ -1,0 +1,59 @@
+"""Source registry: layout cache lifecycle (SURVEY §2.1 S1/S5)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from airflow_embeddings_pipeline_spark.sources import registry
+
+
+def _write_single_row_group(path: str, values: list[int]) -> None:
+    pq.write_table(
+        pa.table({"v": pa.array(values, pa.int64())}),
+        path,
+        row_group_size=len(values) + 1,
+    )
+
+
+def test_layout_cache_builds_and_serves(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(registry, "_LAYOUT_MIN_ROWS", 10)
+    monkeypatch.setattr(registry, "_ROWS_PER_PARTITION", 20)
+    monkeypatch.setattr(registry, "LAYOUT_CACHE_DIR", str(tmp_path / "cache"))
+    src = str(tmp_path / "t.parquet")
+    _write_single_row_group(src, list(range(50)))
+
+    df = registry._with_layout_cache(spark, spark.read.parquet(src), src)
+    assert df.count() == 50
+    # re-chunked: more than one file in the cache dir
+    key = src.strip("/").replace("/", "_")
+    cache = os.path.join(str(tmp_path / "cache"), key)
+    parts = [f for f in os.listdir(cache) if f.endswith(".parquet")]
+    assert len(parts) >= 2
+
+
+def test_layout_cache_refreshes_on_stale_source(spark, tmp_path, monkeypatch):
+    """A source rewritten AFTER the cache was built must be re-chunked —
+    not served stale forever (the old code's rename hit ENOTEMPTY on the
+    existing cache dir, deleted the fresh rewrite, and kept serving the
+    stale copy)."""
+    monkeypatch.setattr(registry, "_LAYOUT_MIN_ROWS", 10)
+    monkeypatch.setattr(registry, "_ROWS_PER_PARTITION", 20)
+    monkeypatch.setattr(registry, "LAYOUT_CACHE_DIR", str(tmp_path / "cache"))
+    src = str(tmp_path / "t.parquet")
+    _write_single_row_group(src, list(range(50)))
+    df1 = registry._with_layout_cache(spark, spark.read.parquet(src), src)
+    assert df1.count() == 50
+
+    time.sleep(0.05)
+    _write_single_row_group(src, list(range(75)))  # source rewritten
+    os.utime(src)  # ensure mtime strictly newer than the marker
+    df2 = registry._with_layout_cache(spark, spark.read.parquet(src), src)
+    assert df2.count() == 75  # fresh data, not the stale 50-row cache
+
+    # and the refreshed cache is itself served on the next load
+    df3 = registry._with_layout_cache(spark, spark.read.parquet(src), src)
+    assert df3.count() == 75
