@@ -166,16 +166,24 @@ def lsh_candidate_pairs(
     # a self-join would compute the signature subtree twice and shuffle
     # the corpus twice; bucketing shuffles (id, band_hash) pairs once.
     group_keys = ([block_col] if block_col else []) + ["band_id", "band_hash"]
+    if max_bucket_size is not None:
+        # Degenerate buckets (≫ expected collision size) are exact-
+        # duplicate clusters — the cheap exact-dedup pass owns those —
+        # or band pile-ups; emitting their O(n²) pairs would dominate
+        # the job for no recall gain.  Filter on a pre-aggregated COUNT
+        # first so an oversized bucket is dropped before collect_set
+        # materializes its whole membership on one executor (a hot band
+        # hash at corpus scale can hold millions of ids).  Both sides
+        # of the semi-join hash-partition on the same keys, so AQE
+        # reuses the exchange rather than shuffling twice.
+        banded = _cap_buckets(banded, group_keys, max_bucket_size)
     buckets = (
         banded.groupBy(*group_keys)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     if max_bucket_size is not None:
-        # Degenerate buckets (≫ expected collision size) are exact-
-        # duplicate clusters — the cheap exact-dedup pass owns those —
-        # or band pile-ups; emitting their O(n²) pairs would dominate
-        # the job for no recall gain.  Cap and move on.
+        # precise re-check: the prefilter counts rows, this counts ids
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pair_structs = F.flatten(
         F.transform(
@@ -195,6 +203,18 @@ def lsh_candidate_pairs(
         F.col("p.id_b").alias("id_b"),
     )
     return pairs.distinct()
+
+
+def _cap_buckets(banded: DataFrame, group_keys: list[str], cap: int) -> DataFrame:
+    """Keep only rows whose bucket has 2..cap members, via a count
+    pre-aggregation + semi-join — never materializing oversize buckets."""
+    keep = (
+        banded.groupBy(*group_keys)
+        .agg(F.count("*").alias("__n"))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= cap))
+        .drop("__n")
+    )
+    return banded.join(keep, group_keys, "left_semi")
 
 
 def ngram_jaccard_pairs(
@@ -257,6 +277,108 @@ def simhash16(text_col: Column | str) -> Column:
     return F.aggregate(votes, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def token_hashes(text_col: Column | str, *, fast: bool = False) -> Column:
+    """Per-token long hashes feeding ``simhash_from_hashes``: md5-head
+    (15 hex digits = 60 bits, DuckDB-reproducible → oracle tier) or
+    native ``xxhash64`` (full 64 bits, the corpus-scale tier).
+
+    Materialize this as a COLUMN before computing the fingerprint —
+    Catalyst does not CSE inside higher-order-function lambdas, so
+    referencing the hash expression from ``width`` per-bit votes would
+    re-hash every token ``width`` times."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    if fast:
+        return F.transform(toks, lambda t: F.xxhash64(t))
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+
+
+def simhash_from_hashes(hashes: Column, width: int = 60) -> Column:
+    """Wide SimHash fingerprint from a materialized token-hash column.
+
+    One ±1 vote per bit position over all token hashes; literal shift
+    amounts keep every vote a codegen'd integer expression (no Python,
+    no variable-shift workaround).  ``width=60`` pairs with the md5
+    tier, ``width=64`` with xxhash64 (bit 63 maps to the sign bit of
+    the long, i.e. two's complement — hamming/xor still work)."""
+    def _vote_fn(j: int):
+        # closure factory, not a default arg: pyspark derives the SQL
+        # lambda's arity from the Python signature, so `lambda acc, h,
+        # j=j:` would be mistaken for a 3-argument lambda.
+        return lambda acc, h: (
+            acc + F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
+        )
+
+    terms = []
+    for j in range(width):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(j))
+        bit = (
+            F.lit(-(1 << 63)).cast("long")
+            if j == 63
+            else F.lit(1 << j).cast("long")
+        )
+        terms.append(F.when(vote > 0, bit).otherwise(F.lit(0).cast("long")))
+    fp = terms[0]
+    for t in terms[1:]:
+        fp = fp + t
+    return fp
+
+
+def simhash_wide_agg(
+    df: DataFrame,
+    keys: list[str],
+    hashes_col: str,
+    *,
+    width: int = 64,
+) -> DataFrame:
+    """Aggregation-tier wide SimHash: explode token hashes, one
+    ``groupBy(keys)`` with ``width`` codegen'd bit-count SUMs, then
+    assemble the fingerprint from the vote columns.
+
+    Semantically identical to ``simhash_from_hashes`` (same votes, same
+    tie rule — a zero/negative vote clears the bit) but executes as a
+    vectorized hash aggregate with map-side partial aggregation instead
+    of ``width`` interpreted higher-order-function passes per row —
+    ~8× faster at corpus scale, and the (key, token-hash) shuffle is
+    the plan you want at 100 TB.  Documents whose token array is empty
+    produce no row (nothing to vote); the HOF tier gives them
+    fingerprint 0.
+    """
+    one = F.lit(1).cast("long")
+    tok = df.select(*keys, F.explode(hashes_col).alias("__h"))
+    sums = [
+        F.sum(F.shiftrightunsigned("__h", j).bitwiseAND(one)).alias(f"__b{j}")
+        for j in range(width)
+    ]
+    agg = tok.groupBy(*keys).agg(F.count("*").alias("__n"), *sums)
+    fp = F.lit(0).cast("long")
+    for j in range(width):
+        bit = (
+            F.lit(-(1 << 63)).cast("long")
+            if j == 63
+            else F.lit(1 << j).cast("long")
+        )
+        # vote = 2*popcount - n; set the bit when vote > 0
+        fp = fp + F.when(
+            F.col(f"__b{j}") * 2 > F.col("__n"), bit
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(*keys, fp.alias("sim"))
+
+
+def simhash_wide_sql(text_expr: str, width: int = 60) -> str:
+    """DuckDB mirror of ``token_hashes`` (md5 tier) + ``simhash_from_hashes``.
+    ``pow(2, j)`` is exact for powers of two well past 2^59."""
+    return (
+        f"list_sum(list_transform(range({width}), j -> "
+        f"CASE WHEN list_sum(list_transform(string_split({text_expr}, ' '), t -> "
+        f"((CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) "
+        f"// CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1)) > 0 "
+        f"THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))"
+    )
+
+
 SIMHASH16_SQL = (
     "list_sum(list_transform(range(16), j -> "
     "CASE WHEN list_sum(list_transform(string_split({text}, ' '), t -> "
@@ -266,6 +388,20 @@ SIMHASH16_SQL = (
 )
 
 
+def simhash_bands(sim: Column, num_bands: int, band_bits: int) -> Column:
+    """Split a fingerprint into ``num_bands`` contiguous bit bands.
+    Literal shifts + unsigned semantics so the top band of a 64-bit
+    (sign-bit-carrying) fingerprint buckets correctly."""
+    mask = (1 << band_bits) - 1
+    return F.array(
+        *[
+            F.shiftrightunsigned(sim, b * band_bits)
+            .bitwiseAND(F.lit(mask).cast("long"))
+            for b in range(num_bands)
+        ]
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -273,36 +409,39 @@ def simhash_near_dup_pairs(
     *,
     max_hamming: int = 3,
     block_col: str | None = None,
+    num_bands: int = 4,
+    band_bits: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """X2: near-duplicate pairs by SimHash hamming distance.
 
-    Exact for ``max_hamming <= 3`` with 4 bands: split the 16-bit
-    fingerprint into 4 nibbles and bucket-join on (band, nibble) — by
-    pigeonhole, ≤3 differing bits can touch at most 3 of the 4 bands,
-    so every qualifying pair shares at least one identical band.  The
-    candidate set is then precision-filtered with the true hamming
-    distance (``bit_count(xor)``).  Same single-shuffle bucket shape as
+    Exact for ``max_hamming < num_bands``: by pigeonhole, ≤k differing
+    bits can touch at most k of the bands, so every qualifying pair
+    shares at least one identical band — bucket-join on (band, value)
+    and precision-filter with the true hamming distance
+    (``bit_count(xor)``).  Same single-shuffle bucket shape as
     ``lsh_candidate_pairs``: no self-join over the corpus, only over
     bucket id-lists.
+
+    Defaults (4 bands × 4 bits) pair with ``simhash16`` — the oracle
+    tier.  The corpus-scale configuration is a wide fingerprint with
+    16-bit bands (e.g. ``simhash_from_hashes`` width 60/64, 4×15 or
+    4×16): 2^15+ distinct values per band keeps bucket sizes ~n/65536
+    per block instead of ~n/16, which is what stops pair emission from
+    degenerating to O(n²/16) on a large single-source corpus.
     """
     base = [F.col(id_col), F.col(simhash_col)] + (
         [F.col(block_col)] if block_col else []
     )
     banded = df.select(
         *base,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                # shiftright() takes only a literal shift; arithmetic
-                # form works with a per-band column (sim is 16-bit).
-                lambda b: (
-                    F.col(simhash_col) / F.pow(F.lit(2.0), b * 4)
-                ).cast("long")
-                % 16,
-            )
-        ).alias("band_id", "nibble"),
+        F.posexplode(simhash_bands(F.col(simhash_col), num_bands, band_bits)).alias(
+            "band_id", "band_val"
+        ),
     )
-    group_keys = ([block_col] if block_col else []) + ["band_id", "nibble"]
+    group_keys = ([block_col] if block_col else []) + ["band_id", "band_val"]
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, group_keys, max_bucket_size)
     buckets = (
         banded.groupBy(*group_keys)
         .agg(
@@ -312,6 +451,8 @@ def simhash_near_dup_pairs(
         )
         .filter(F.size("members") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket_size)
     pair_structs = F.flatten(
         F.transform(
             F.col("members"),

@@ -191,3 +191,55 @@ register(
         tags=("X2", "simhash"),
     )
 )
+
+
+# ----------------------------------------- wide simhash (scale tier)
+# 60-bit md5 fingerprint with 4×15-bit bands: 2^15 values per band
+# keeps bucket sizes ~n/32768 per block (vs n/16 for the nibble tier),
+# which is what stops pair emission degenerating to O(n²/16) on a big
+# single-source corpus.  md5 keeps it DuckDB-reproducible; the
+# xxhash64/64-bit variant (token_hashes(fast=True), 4×16-bit bands) is
+# the same plan shape and is covered by unit tests + the stress
+# harness (xxhash64 has no DuckDB mirror).
+def x_simhash_wide_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import simhash_near_dup_pairs, simhash_wide_agg, token_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Corpus-wide (no source blocking — near-dups cross sources), over
+    # whitespace/case-normalized text, the same canonical form the
+    # exact-dedup fingerprint uses.  Fingerprints via the aggregation
+    # tier (explode + codegen'd bit sums — the corpus-scale shape;
+    # bit-identical to the HOF expression tier, see tests).
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    hashed = docs.select("doc_id", token_hashes(norm).alias("th"))
+    with_sim = simhash_wide_agg(hashed, ["doc_id"], "th", width=60)
+    return simhash_near_dup_pairs(
+        with_sim, id_col="doc_id", simhash_col="sim", max_hamming=3,
+        num_bands=4, band_bits=15,
+    ).orderBy("id_a", "id_b")
+
+
+from .dedup import simhash_wide_sql as _swide  # noqa: E402
+
+register(
+    Query(
+        name="x_simhash_wide_near_dup",
+        build=x_simhash_wide_near_dup,
+        oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+            FROM documents
+        ), s AS MATERIALIZED (
+            SELECT doc_id, CAST({_swide('norm', 60)} AS BIGINT) AS sim FROM d
+        )
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               bit_count(xor(l.sim, r.sim)) AS hamming
+        FROM s l JOIN s r ON l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sim, r.sim)) <= 3
+        ORDER BY id_a, id_b
+        """,
+        doc="60-bit SimHash near-dup pairs, 4x15-bit bands (scale-tier banding), oracled vs full self-join",
+        tags=("X2", "simhash"),
+    )
+)

@@ -86,21 +86,25 @@ def normalize_ref_udf(col: Column | str) -> Column:
 
 def derive_main_refco(cleaned_ref: Column, color: Column, max_length: int = 100) -> Column:
     """F2+F3 (embeddings-pipeline.py:198-207): ``{ref}_{color}`` when a
-    non-empty color exists, else bare ref; truncated to ``max_length``
-    (config default 100, CONFIGURATION.md:52)."""
+    non-empty color exists, else bare ref; the CONCATENATED value is
+    then normalized (mimic_utf8_general_ci at :202, i.e. the color part
+    is case/accent-folded too) and finally truncated to ``max_length``
+    (config default 100, CONFIGURATION.md:52) — same operation order as
+    the reference."""
     joined = F.when(
         F.length(F.coalesce(color, F.lit(""))) > 0,
         F.concat_ws("_", cleaned_ref, color),
     ).otherwise(cleaned_ref)
-    return F.substring(joined, 1, max_length)
+    return F.substring(normalize_ref(joined), 1, max_length)
 
 
 def main_refco_sql(ref_expr: str, color_expr: str, max_length: int = 100) -> str:
     """DuckDB fragment matching ``derive_main_refco``."""
-    return (
-        f"substring(CASE WHEN length(coalesce({color_expr}, '')) > 0 "
-        f"THEN concat({ref_expr}, '_', {color_expr}) ELSE {ref_expr} END, 1, {max_length})"
+    case = (
+        f"CASE WHEN length(coalesce({color_expr}, '')) > 0 "
+        f"THEN concat({ref_expr}, '_', {color_expr}) ELSE {ref_expr} END"
     )
+    return f"substring({normalize_ref_sql(case)}, 1, {max_length})"
 
 
 def truncate_ref(col: Column | str, max_length: int = 100) -> Column:

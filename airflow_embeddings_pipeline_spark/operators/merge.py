@@ -95,25 +95,29 @@ def merge_upsert_write(
     key: str,
     *,
     update_columns: Sequence[str] | None = None,
-) -> None:
-    """Parquet-table MERGE with atomic-rename commit.
+    vacuum_keep_last: int | None = 2,
+) -> int:
+    """Parquet-table MERGE with a versioned pointer-file commit.
 
-    Reads the current target, merges, writes to a temp dir, then swaps —
-    the same only-commit-after-success ordering the reference enforces by
-    task dependencies (T4, embeddings-pipeline.py:480).  On Delta/Iceberg
-    this whole function is `MERGE INTO`.
+    Reads the live version of the target table, merges, writes the
+    result as a brand-new immutable version directory, and swaps the
+    ``_CURRENT`` pointer last — the same only-commit-after-success
+    ordering the reference enforces by task dependencies (T4,
+    embeddings-pipeline.py:480), made crash-safe: dying anywhere before
+    the pointer swap leaves the previous version live and readable (no
+    rename window with zero live targets).  A plain parquet directory
+    is adopted as the implicit version 0 on first merge.  Returns the
+    committed version number.  On Delta/Iceberg this whole function is
+    `MERGE INTO` (the versioned table rejects non-local URIs and says
+    so).  ``vacuum_keep_last=None`` keeps every version (time travel).
     """
-    import os
-    import shutil
+    from ..sources.versioned import VersionedParquetTable
 
     spark = source.sparkSession
-    target = spark.read.parquet(target_path)
+    table = VersionedParquetTable(target_path)
+    target = table.read(spark)
     merged = merge_upsert(target, source, key, update_columns=update_columns)
-    tmp = target_path.rstrip("/") + ".__merge_tmp__"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = target_path.rstrip("/") + ".__merge_old__"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(target_path, old)
-    os.rename(tmp, target_path)
-    shutil.rmtree(old)
+    version = table.commit(merged)
+    if vacuum_keep_last is not None:
+        table.vacuum(keep_last=vacuum_keep_last)
+    return version

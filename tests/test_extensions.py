@@ -190,3 +190,93 @@ def test_simhash_banding_exact_for_hd3(spark):
         .collect()
     }
     assert banded == brute and brute  # non-empty and identical
+
+
+def test_simhash64_fast_banding_exact_for_hd3(spark, sf_dir):
+    """Scale tier: 64-bit xxhash64 fingerprint with 4x16-bit bands must
+    find EVERY pair with hamming <= 3 (pigeonhole), including pairs
+    whose fingerprints carry the sign bit — verified against the
+    brute-force O(n^2) join on the real documents fixture."""
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        simhash_from_hashes,
+        simhash_near_dup_pairs,
+        token_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    sims = docs.select("doc_id", token_hashes(norm, fast=True).alias("th")).select(
+        "doc_id", simhash_from_hashes(F.col("th"), 64).alias("sim")
+    )
+    # xxhash64 is uniform over the full long range — assert the corpus
+    # actually exercises negative (sign-bit) fingerprints
+    assert sims.filter(F.col("sim") < 0).count() > 0
+    sims = sims.persist()
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(
+            sims, id_col="doc_id", simhash_col="sim",
+            max_hamming=3, num_bands=4, band_bits=16,
+        ).collect()
+    }
+    a, b = sims.alias("a"), sims.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    sims.unpersist()
+    assert banded == brute and brute  # non-empty and identical
+
+
+def test_simhash_bucket_cap_prefilter(spark):
+    """max_bucket_size on the simhash pairing drops hot buckets before
+    membership arrays materialize; results match the post-filter
+    semantics (bucket of n > cap emits nothing)."""
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    rows = [(i, 0b1010101010101010) for i in range(1, 6)]  # 5 identical
+    rows += [(10, 0b0101010101010101), (11, 0b0101010101010100)]
+    df = spark.createDataFrame(rows, schema="doc_id long, sim long")
+    kw = dict(id_col="doc_id", simhash_col="sim", max_hamming=3)
+    assert simhash_near_dup_pairs(df, **kw).count() == 11  # C(5,2) + 1
+    capped = simhash_near_dup_pairs(df, max_bucket_size=3, **kw)
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(10, 11)}
+
+
+def test_simhash_agg_tier_matches_hof_tier(spark, sf_dir):
+    """The aggregation tier (explode + codegen'd bit sums) must produce
+    bit-identical fingerprints to the HOF expression tier."""
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        simhash_from_hashes,
+        simhash_wide_agg,
+        token_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for fast, width in ((False, 60), (True, 64)):
+        hashed = docs.select(
+            "doc_id", token_hashes("text", fast=fast).alias("th")
+        ).persist()
+        hof = {
+            r["doc_id"]: r["sim"]
+            for r in hashed.select(
+                "doc_id", simhash_from_hashes(F.col("th"), width).alias("sim")
+            ).collect()
+        }
+        agg = {
+            r["doc_id"]: r["sim"]
+            for r in simhash_wide_agg(
+                hashed, ["doc_id"], "th", width=width
+            ).collect()
+        }
+        hashed.unpersist()
+        assert agg == hof, f"fast={fast} width={width}"

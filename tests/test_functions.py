@@ -44,7 +44,14 @@ def test_normalize_ref_udf_matches_builtin_on_latin(spark):
 
 def test_derive_main_refco_branches(spark):
     df = spark.createDataFrame(
-        [("ref1", "red"), ("ref2", None), ("ref3", ""), ("x" * 150, "blue")],
+        [
+            ("ref1", "red"),
+            ("ref2", None),
+            ("ref3", ""),
+            ("x" * 150, "blue"),
+            ("Ref4", "RED"),
+            ("ref5", "Café$"),
+        ],
         schema="ref string, color string",
     )
     got = [
@@ -58,6 +65,10 @@ def test_derive_main_refco_branches(spark):
     assert got[1] == "ref2"
     assert got[2] == "ref3"
     assert got[3] == ("x" * 150 + "_blue")[:100]  # 100-char truncation (:204-207)
+    # normalization applies to the CONCATENATED value (:202), so the
+    # color part is case/accent-folded too
+    assert got[4] == "ref4_red"
+    assert got[5] == "ref5_cafe"
 
 
 def test_display_name_none_quirk(spark):

@@ -64,16 +64,75 @@ def test_merge_counts(spark):
     assert row["rows_updated"] == 2 and row["rows_inserted"] == 1
 
 
-def test_merge_upsert_write_atomic(spark, tmp_path):
+def test_merge_upsert_write_versioned_commit(spark, tmp_path):
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
     path = str(tmp_path / "target")
-    _target(spark).write.parquet(path)
-    merge_upsert_write(path, _source(spark), "main_refco")
-    out = {r["main_refco"]: r for r in spark.read.parquet(path).collect()}
+    _target(spark).write.parquet(path)  # legacy plain-parquet table
+    v = merge_upsert_write(path, _source(spark), "main_refco")
+    table = VersionedParquetTable(path)
+    assert v == 1 and table.current_version() == 1
+    out = {r["main_refco"]: r for r in table.read(spark).collect()}
     assert set(out) == {"k1", "k2", "k3", "k9"}
     assert out["k9"]["n"] == 90
     # replay: same source again ⇒ identical table (T4 idempotency)
-    before = sorted(spark.read.parquet(path).collect())
-    merge_upsert_write(path, _source(spark), "main_refco")
-    assert sorted(spark.read.parquet(path).collect()) == before
-    assert not os.path.exists(path + ".__merge_tmp__")
-    assert not os.path.exists(path + ".__merge_old__")
+    before = sorted(table.read(spark).collect())
+    v2 = merge_upsert_write(path, _source(spark), "main_refco")
+    assert v2 == 2 and sorted(table.read(spark).collect()) == before
+    # default vacuum keeps current + one previous version
+    versions = sorted(
+        d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit()
+    )
+    assert versions == ["v00000001", "v00000002"]
+
+
+def test_versioned_crash_before_pointer_swap_keeps_old_live(spark, tmp_path, monkeypatch):
+    """Kill between the version-dir write and the pointer swap: the old
+    version must stay live and a retry must commit cleanly past the
+    orphan."""
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "target")
+    _target(spark).write.parquet(path)
+    merge_upsert_write(path, _source(spark), "main_refco")  # v1 live
+    table = VersionedParquetTable(path)
+    live = sorted(table.read(spark).collect())
+
+    def boom(self, version):
+        raise RuntimeError("crashed before pointer swap")
+
+    monkeypatch.setattr(VersionedParquetTable, "_swap_pointer", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        merge_upsert_write(path, _source(spark), "main_refco")
+    monkeypatch.undo()
+
+    # old version still live and readable; orphan v2 invisible to readers
+    assert table.current_version() == 1
+    assert sorted(table.read(spark).collect()) == live
+    assert os.path.isdir(os.path.join(path, "v00000002"))  # the orphan
+
+    # retry skips the orphan's number and commits
+    v = merge_upsert_write(path, _source(spark), "main_refco")
+    assert v == 3 and table.current_version() == 3
+    assert sorted(table.read(spark).collect()) == live  # idempotent replay
+    # vacuum reclaimed the orphan (kept: v3 current + v1 previous-live)
+    versions = sorted(
+        d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit()
+    )
+    assert versions == ["v00000001", "v00000003"]
+
+
+def test_versioned_rejects_remote_uri():
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Delta Lake / Iceberg"):
+        VersionedParquetTable("s3://bucket/table")

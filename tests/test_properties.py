@@ -70,8 +70,13 @@ def test_main_refco_model(spark, pairs):
             derive_main_refco(F.col("ref"), F.col("color")).alias("y")
         ).collect()
     ]
+    # reference order (embeddings-pipeline.py:198-207): conditional
+    # concat → mimic_utf8_general_ci on the WHOLE value → truncate
+    def _mimic(s: str) -> str:
+        return s.replace(".", "").replace("$", "").rstrip().lower()
+
     want = [
-        (f"{ref}_{color}" if color else ref)[:100] for ref, color in pairs
+        _mimic(f"{ref}_{color}" if color else ref)[:100] for ref, color in pairs
     ]
     assert got == want
 

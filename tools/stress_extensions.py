@@ -103,6 +103,29 @@ def main() -> None:
             fast=True,
         ),
     )
+    # Wide simhash on a SINGLE-source corpus (no blocking): the 4×16-bit
+    # bands give 2^16 values per band, so bucket sizes stay ~n/65536
+    # and pair emission stays bounded even with every doc in one block
+    # — the degenerate case the 16-bit nibble tier could not survive.
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        simhash_near_dup_pairs,
+        simhash_wide_agg,
+        token_hashes,
+    )
+
+    sims = simhash_wide_agg(
+        mutated.select("doc_id", token_hashes("text", fast=True).alias("th")),
+        ["doc_id"],
+        "th",
+        width=64,
+    )
+    run(
+        "simhash64_near_dup_single_source",
+        simhash_near_dup_pairs(
+            sims, id_col="doc_id", simhash_col="sim", max_hamming=3,
+            num_bands=4, band_bits=16, max_bucket_size=1024,
+        ),
+    )
     q = get_catalog()["x_group_centroids"]
     run("group_centroids", q.build(spark, staged))
 
