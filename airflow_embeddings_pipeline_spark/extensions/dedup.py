@@ -67,24 +67,32 @@ _A = lambda s: (2 * s + 1) * 2654435761 % _MERSENNE_P  # noqa: E731
 _B = lambda s: (s * 40503 + 12345) % _MERSENNE_P  # noqa: E731
 
 
-def minhash_signature(
-    shingle_col: Column, num_hashes: int = 8, fast: bool = False
-) -> Column:
-    """MinHash signature as ``array<long>``: content-hash each shingle
-    once (first 15 md5 hex digits → int, mod p), then take the min of
-    each affine permutation.  ``fast=True`` uses native ``xxhash64``
-    for the content hash — the corpus-scale path; md5 is kept as the
-    default because DuckDB reproduces it exactly (oracle parity)."""
+def hashed_shingles(shingle_col: Column, *, fast: bool = False) -> Column:
+    """Content-hash each shingle once (first 15 md5 hex digits → int,
+    mod p).  ``fast=True`` uses native ``xxhash64`` — the corpus-scale
+    path; md5 is the default because DuckDB reproduces it exactly
+    (oracle parity).
+
+    Materialize this as a COLUMN before ``minhash_from_hashes``:
+    Catalyst does not CSE inside higher-order-function lambdas, so the
+    k per-permutation mins would otherwise re-hash every shingle k
+    times (CollapseProject keeps a projection whose alias is referenced
+    more than once, which is what makes the two-step split work)."""
     if fast:
-        hashed = F.transform(
+        return F.transform(
             shingle_col, lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE_P))
         )
-    else:
-        hashed = F.transform(
-            shingle_col,
-            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
-            % _MERSENNE_P,
-        )
+    return F.transform(
+        shingle_col,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        % _MERSENNE_P,
+    )
+
+
+def minhash_from_hashes(hashed: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature as ``array<long>`` from a (materialized)
+    shingle-hash column: min of each affine permutation — integer
+    arithmetic only, the cheap half of the Broder construction."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda s: F.array_min(
@@ -95,6 +103,18 @@ def minhash_signature(
                 ),
             )
         ),
+    )
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 8, fast: bool = False
+) -> Column:
+    """One-expression MinHash (hash + permute).  Prefer the two-step
+    ``hashed_shingles`` → ``minhash_from_hashes`` split across two
+    projections in hot paths — inside a single expression the shingle
+    hashing is re-evaluated once per permutation (no CSE in HOFs)."""
+    return minhash_from_hashes(
+        hashed_shingles(shingle_col, fast=fast), num_hashes
     )
 
 
@@ -135,13 +155,20 @@ def lsh_candidate_pairs(
     num_bands = num_hashes // rows_per_band
     base_cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
 
-    # Stage 1 (one pass, no recompute): signature as a materialized
-    # column, then band hashes from it.  Keeping these as separate
-    # projections stops Catalyst from inlining the expensive signature
-    # expression into every band element.
-    with_sig = df.select(
+    # Stage 1 (one pass, no recompute): shingle hashes materialized,
+    # then the signature from them, then band hashes from the
+    # signature.  Each step is a separate projection whose alias is
+    # referenced multiple times downstream, which stops Catalyst from
+    # inlining the expensive subtree into every consumer (no CSE inside
+    # HOF lambdas — the md5 pass would otherwise run once per
+    # permutation).
+    with_hashes = df.select(
         *base_cols,
-        minhash_signature(shingles(text_col), num_hashes, fast=fast).alias("__sig"),
+        hashed_shingles(shingles(text_col), fast=fast).alias("__hs"),
+    )
+    with_sig = with_hashes.select(
+        *base_cols,
+        minhash_from_hashes(F.col("__hs"), num_hashes).alias("__sig"),
     )
     banded = with_sig.select(
         *base_cols,

@@ -41,6 +41,7 @@ register(
         FROM fp GROUP BY source ORDER BY source
         """,
         doc="exact content-hash dedup accounting per source (X1)",
+        bench=True,
         tags=("X1",),
     )
 )
@@ -127,6 +128,7 @@ register(
         FROM pairs GROUP BY source ORDER BY source
         """,
         doc="MinHash+LSH candidate-pair discovery, banded signature join (X2)",
+        bench=True,
         tags=("X2",),
     )
 )
@@ -240,6 +242,7 @@ register(
         ORDER BY id_a, id_b
         """,
         doc="60-bit SimHash near-dup pairs, 4x15-bit bands (scale-tier banding), oracled vs full self-join",
+        bench=True,
         tags=("X2", "simhash"),
     )
 )

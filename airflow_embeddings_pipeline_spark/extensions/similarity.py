@@ -174,6 +174,69 @@ def assign_ivf_cells(
     return corpus.withColumn("ivf_cell", F.array_position(dists, F.array_min(dists)) - 1)
 
 
+def recompute_centroids(
+    corpus_with_cells: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    round_to: int = 6,
+    scale: int = 1_000_000,
+) -> list[list[float]]:
+    """One Lloyd's recompute step: per-cell component means.
+
+    Components are scaled to integers (``round(x * scale)``) before
+    summing, so the sums are EXACT and order-independent — Spark's
+    partial-aggregation order can't perturb the result, which makes the
+    retrained centroids deterministic and bit-reproducible by a SQL
+    oracle.  Means come back as ``round(sum / (n * scale), round_to)``
+    doubles.  Empty cells keep their previous centroid (can't happen
+    when centroids are corpus points — a centroid's own cell contains
+    at least itself — but guarded anyway).
+
+    Only (cell, pos) partial sums cross the wire: k·dim rows to the
+    driver, one shuffle, map-side combine — the 100 TB shape.
+    """
+    comp = corpus_with_cells.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    agg = comp.groupBy("cell", "pos").agg(
+        F.sum(F.round(F.col("val") * scale).cast("long")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    rows = agg.select(
+        "cell",
+        "pos",
+        F.round(F.col("s").cast("double") / (F.col("n") * float(scale)), round_to).alias("m"),
+    ).collect()
+    per_cell: dict[int, dict[int, float]] = {}
+    for r in rows:
+        per_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+    out = [list(c) for c in centroids]
+    for cell, comps in per_cell.items():
+        out[cell] = [comps[i] for i in range(len(comps))]
+    return out
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    seed_centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> list[list[float]]:
+    """Deterministic k-means for IVF: seed with given points (by
+    convention the k lowest-id corpus vectors), run ``iters`` Lloyd
+    steps of assign → exact-integer-mean recompute.  Every step is one
+    distributed pass; only k·dim means return to the driver."""
+    cents = [list(c) for c in seed_centroids]
+    for _ in range(iters):
+        assigned = assign_ivf_cells(corpus, cents, vec_col=vec_col)
+        cents = recompute_centroids(assigned, cents, vec_col=vec_col)
+    return cents
+
+
 def ivf_topk(
     corpus_with_cells: DataFrame,
     queries: DataFrame,

@@ -231,6 +231,106 @@ register(
 )
 
 
+# ------------------------------------------------- IVF top-k, trained
+# Same plan as x_ann_ivf but with centroids refined by one Lloyd's
+# k-means step (assign to seed cells → exact-integer component means).
+# The training is deterministic by construction — component sums are
+# exact scaled integers, order-independent — so the oracle replicates
+# seed assignment, mean recompute, reassignment, probing and ranking
+# down to the bit.  Recall@5 vs the brute-force tier is asserted in
+# tests/test_extensions.py at sf0.1.
+def x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < _N_CENTS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    seeds = [[float(x) for x in r[0]] for r in cent_rows]
+    trained = train_ivf_centroids(emb, seeds, iters=1)
+    corpus = assign_ivf_cells(emb, trained)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(corpus, queries, trained, k=_K, nprobe=_NPROBE).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+_CDIST1 = (
+    f"round({_DOT.format(a='c.cv', b='c.cv')}"
+    f" - 2 * {_DOT.format(a='e.embedding', b='c.cv')}, 6)"
+)
+
+register(
+    Query(
+        name="x_ann_ivf_trained",
+        build=x_ann_ivf_trained,
+        oracle=f"""
+        WITH cents0 AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id < {_N_CENTS}
+        ), d0 AS (
+            SELECT e.vec_id, c.cid, {_CDIST1} AS dist
+            FROM embeddings e CROSS JOIN cents0 c
+        ), a0 AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d0
+        ), cells0 AS (
+            SELECT vec_id, cid AS cell FROM a0 WHERE rn = 1
+        ), comp AS (
+            -- exact integer component sums: same scaling the Spark
+            -- trainer uses, so means are order-independent
+            SELECT c0.cell, i AS pos,
+                   CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+            FROM cells0 c0
+            JOIN embeddings e ON e.vec_id = c0.vec_id,
+                 unnest(range(1, len(e.embedding) + 1)) AS t(i)
+        ), means AS (
+            SELECT cell, pos,
+                   round(CAST(sum(v) AS DOUBLE) / (count(*) * 1000000.0), 6) AS m
+            FROM comp GROUP BY cell, pos
+        ), cents1 AS MATERIALIZED (
+            SELECT cell AS cid, list(m ORDER BY pos) AS cv
+            FROM means GROUP BY cell
+        ), d1 AS (
+            SELECT e.vec_id, c.cid, {_CDIST1} AS dist
+            FROM embeddings e CROSS JOIN cents1 c
+        ), a1 AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d1
+        ), cells1 AS (
+            SELECT vec_id, cid AS cell FROM a1 WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, cid AS probe_cell FROM a1
+            WHERE vec_id < {_N_QUERIES} AND rn <= {_NPROBE}
+        ), scored AS (
+            SELECT p.query_id, e.vec_id AS neighbor_id,
+                   {_cos_sql('qe.embedding', 'e.embedding')} AS cosine
+            FROM probes p
+            JOIN cells1 ce ON ce.cell = p.probe_cell
+            JOIN embeddings e ON e.vec_id = ce.vec_id AND e.vec_id <> p.query_id
+            JOIN embeddings qe ON qe.vec_id = p.query_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {_K} ORDER BY query_id, rank
+        """,
+        doc="IVF top-k with k-means-trained centroids (1 deterministic Lloyd step), oracle replicates training (X3 scale tier)",
+        tags=("X3", "ann"),
+        bench=True,
+    )
+)
+
+
 # ------------------------------------------------------- cosine near-dup
 # Embedding-space near-duplicate join, blocked by label (the blocking
 # key bounds the pair count; at scale the block is an LSH bucket).

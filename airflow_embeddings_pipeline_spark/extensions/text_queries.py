@@ -34,6 +34,7 @@ register(
         FROM documents ORDER BY doc_id
         """,
         doc="token counting over documents (X4)",
+        bench=True,
         tags=("X4",),
     )
 )
@@ -71,6 +72,7 @@ register(
         ORDER BY source, predicted_lang
         """,
         doc="stopword-density language-ID heuristic (X4)",
+        bench=True,
         tags=("X4",),
     )
 )
@@ -205,6 +207,7 @@ register(
         FROM fp ORDER BY doc_id
         """,
         doc="rolling-hash winnowing sketch (k-gram rolling hashes, per-window min; Schleimer 2003)",
+        bench=True,
         tags=("X4", "X2", "rolling-hash"),
     )
 )

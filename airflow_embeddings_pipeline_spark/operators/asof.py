@@ -87,6 +87,44 @@ def asof_join(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Event-time interval join: pair each left row with every right
+    row of the same key whose timestamp falls in
+    ``[left_ts, left_ts + window_seconds]`` (both ends inclusive — the
+    batch equivalent of the stream-stream time-bound join in
+    ``tests/test_streaming.py``).
+
+    Scale shape: instead of an equi-join on key with a range residual
+    (state per key unbounded — one hot key holds its whole history),
+    both sides bucketize event time into ``window_seconds`` buckets and
+    equi-join on (key, bucket); each left row probes exactly two
+    buckets (its own and the next), so the join key includes time and
+    state per (key, bucket) is bounded by the window — the same bound
+    a streaming watermark enforces.  The exact range predicate runs as
+    a cheap post-join filter."""
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / window_seconds)  # noqa: E731
+    l = left.withColumn(
+        "__bucket", F.explode(F.array(bucket(F.col(left_ts)), bucket(F.col(left_ts)) + 1))
+    )
+    r = right.withColumn("__bucket", bucket(F.col(right_ts)))
+    joined = l.join(r, [key, "__bucket"]).filter(
+        (F.col(right_ts) >= F.col(left_ts))
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+        )
+    )
+    return joined.drop("__bucket")
+
+
 def range_join_small_dim(
     fact: DataFrame,
     dim: DataFrame,

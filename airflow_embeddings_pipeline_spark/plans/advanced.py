@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join, range_join_small_dim
+from ..operators.asof import asof_join, interval_join, range_join_small_dim
 from ..sources.registry import load_table
 from .catalog import Query, register
 
@@ -68,6 +68,64 @@ register(
         """,
         doc="as-of join via union+window composition, oracled against native ASOF JOIN",
         tags=("asof", "custom-op"),
+        bench=True,
+    )
+)
+
+
+# ------------------------------------------------------------- interval
+# Click→purchase pairs within a 1-hour window per user — the batch
+# equivalent of the stream-stream time-bound join (the streaming form,
+# with watermarks purging state, is covered in tests/test_streaming.py;
+# this catalog entry makes the same semantics oracle-checkable).
+def j_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        "user_id",
+        F.col("ts").alias("bts"),
+        "value",
+    )
+    out = interval_join(
+        clicks, buys, key="user_id", left_ts="cts", right_ts="bts",
+        window_seconds=3600,
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "cts",
+        "buy_id",
+        "bts",
+        F.round(F.col("value").cast("decimal(18,6)"), 4)
+        .cast("double")
+        .alias("purchase_value"),
+    ).orderBy("click_id", "buy_id")
+
+
+register(
+    Query(
+        name="j_interval_attribution",
+        build=j_interval_attribution,
+        oracle="""
+        WITH c AS (
+            SELECT event_id AS click_id, user_id, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ), b AS (
+            SELECT event_id AS buy_id, user_id, ts AS bts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.click_id, c.user_id, c.cts, b.buy_id, b.bts,
+               CAST(round(CAST(b.value AS DECIMAL(18,6)), 4) AS DOUBLE) AS purchase_value
+        FROM c JOIN b
+          ON c.user_id = b.user_id
+         AND b.bts >= c.cts AND b.bts <= c.cts + INTERVAL 1 HOUR
+        ORDER BY click_id, buy_id
+        """,
+        doc="time-bound interval join (1h window), bucketized equi-join vs plain range-join oracle",
+        tags=("interval", "custom-op"),
         bench=True,
     )
 )

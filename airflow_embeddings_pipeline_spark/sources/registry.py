@@ -31,9 +31,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # rows, same types, multiple files) so scans parallelize.  At 100 TB
 # this layer is the ingest/compaction policy; locally it is a tiny
 # one-time rewrite under /tmp.
+#
+# Split sizing is CPU-oriented, not byte-oriented: the expensive tables
+# here (documents, embeddings) are small in bytes but carry heavy
+# per-row compute (per-shingle hashing, 128-wide vector arithmetic), so
+# a byte-balanced layout would still serialize the work.  A ~150-row
+# floor per partition keeps task overhead negligible while letting any
+# non-trivial table fan out to every core — the local analog of sizing
+# spark.sql.files.maxPartitionBytes to the per-row cost of the workload.
 LAYOUT_CACHE_DIR = os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "/tmp/spark_graft_layout")
-_LAYOUT_MIN_ROWS = 100_000
-_ROWS_PER_PARTITION = 75_000
+_LAYOUT_MIN_ROWS = 1_000
+_ROWS_PER_PARTITION = 160
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
