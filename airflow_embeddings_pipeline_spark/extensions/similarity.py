@@ -174,6 +174,49 @@ def assign_ivf_cells(
     return corpus.withColumn("ivf_cell", F.array_position(dists, F.array_min(dists)) - 1)
 
 
+def hyperplane_planes(num_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH (Charikar
+    2002 random-hyperplane rounding): component (j, i) derives from
+    ``md5(f"p{j}_{i}")`` mapped into [-1, 1].  No RNG state — the same
+    list regenerates anywhere (Python here, literal arrays in the SQL
+    oracle), which is what makes the LSH bucketing oracle-checkable."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"p{j}_{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0
+            for i in range(dim)
+        ]
+        for j in range(num_planes)
+    ]
+
+
+def hyperplane_signature(vec_dbl: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bitmask: bit j set iff ``dot(v, plane_j) > 0``.  For
+    unit-ish vectors P[bit differs] = angle/π, so banded bucketing of
+    the signature (reuse ``simhash_near_dup_pairs``) yields cosine-LSH
+    candidate pairs without any O(n²) join.  Pass a MATERIALIZED
+    double-cast vector column — the 16 dots each re-evaluate their
+    input (no CSE in HOFs).  Plane dim MUST equal the vector dim:
+    ``zip_with`` pads the shorter side with nulls, which silently turns
+    the dot product null (bit cleared) instead of failing."""
+    if planes and len({len(p) for p in planes}) != 1:
+        raise ValueError("ragged plane matrix")
+    bits = []
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(dot(vec_dbl, p) > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
 def recompute_centroids(
     corpus_with_cells: DataFrame,
     centroids: list[list[float]],

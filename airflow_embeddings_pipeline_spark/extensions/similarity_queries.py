@@ -331,6 +331,120 @@ register(
 )
 
 
+# ------------------------------------------- hyperplane-LSH near-dup
+# The 100 TB similarity-join tier: sign-LSH signatures (16 random
+# hyperplanes), banded 4×4-bit bucketing — candidates are pairs sharing
+# at least one band, found by the same single-shuffle bucket-groupBy as
+# the SimHash path (NO all-pairs join over the corpus) — then exact
+# cosine verification on the candidates only.  Deterministic md5-seeded
+# planes make the whole thing (signatures, buckets, candidates, scores)
+# reproducible in SQL, so even the *approximate* step is oracle-checked.
+_HP_PLANES = 16
+_HP_DIM = 64  # fixture embedding dimensionality (all scale factors)
+_HP_THRESHOLD = 0.3
+
+
+def x_hyperplane_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import simhash_near_dup_pairs
+    from .similarity import hyperplane_planes, hyperplane_signature
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplane_planes(_HP_PLANES, _HP_DIM)
+    # double-cast vector materialized once; 16 dot products read it
+    vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    sigs = vecs.select(
+        "vec_id", hyperplane_signature(F.col("v"), planes).alias("sim")
+    )
+    cands = simhash_near_dup_pairs(
+        sigs, id_col="vec_id", simhash_col="sim",
+        max_hamming=_HP_PLANES,  # no hamming prune: pure shared-band LSH
+        num_bands=4, band_bits=4,
+    )
+    # Pre-normalize each vector ONCE below the join (2k rows), so the
+    # per-candidate-pair work is a single dot product — not dot + two
+    # norms, and not re-evaluated by the pushed-down threshold filter.
+    # At a low threshold sign-LSH admits ~20% of all pairs (cosine 0.3
+    # ≈ 72°: near the no-signal regime for hyperplane rounding), so
+    # per-pair cost dominates this query; at the high thresholds real
+    # dedup uses, the candidate set — and this stage — collapses.
+    from .similarity import dot, l2_norm
+
+    unit = F.transform(
+        "__v", lambda x: x / l2_norm(F.col("__v"))
+    )
+    norm_side = lambda out_id, out_v: (  # noqa: E731
+        emb.select(F.col("vec_id").alias(out_id), _as_double(F.col("embedding")).alias("__v"))
+        .select(out_id, unit.alias(out_v))
+    )
+    a = norm_side("id_a", "__na")
+    b = norm_side("id_b", "__nb")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _HP_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _hp_sig_sql() -> str:
+    from .similarity import hyperplane_planes
+
+    planes = hyperplane_planes(_HP_PLANES, _HP_DIM)
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        d = (
+            f"list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+register(
+    Query(
+        name="x_hyperplane_lsh_near_dup",
+        build=x_hyperplane_lsh_near_dup,
+        oracle=f"""
+        WITH sig AS MATERIALIZED (
+            SELECT vec_id, {_hp_sig_sql()} AS sim FROM embeddings
+        ), banded AS (
+            SELECT vec_id, sim, band, (sim >> (band * 4)) & 15 AS val
+            FROM sig, unnest(range(4)) AS t(band)
+        ), cand AS (
+            SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+                   bit_count(xor(l.sim, r.sim)) AS hamming
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.val = r.val AND l.vec_id < r.vec_id
+        ), nv AS MATERIALIZED (
+            -- unit-normalize once per vector (the Spark side does the
+            -- same below the join), so per-pair work is a single dot
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                       {_NORM.format(a='embedding')}) AS u
+            FROM embeddings
+        )
+        SELECT c.id_a, c.id_b, c.hamming,
+               round({_DOT.format(a='a.u', b='b.u')}, 6) AS cosine
+        FROM cand c
+        JOIN nv a ON a.vec_id = c.id_a
+        JOIN nv b ON b.vec_id = c.id_b
+        WHERE round({_DOT.format(a='a.u', b='b.u')}, 6) >= {_HP_THRESHOLD}
+        ORDER BY id_a, id_b
+        """,
+        doc="cosine-LSH near-dup: 16 deterministic hyperplanes, 4x4-bit banded buckets, exact-cosine verify on candidates (X3 scale tier)",
+        tags=("X2", "X3", "ann"),
+        bench=True,
+    )
+)
+
+
 # ------------------------------------------------------- cosine near-dup
 # Embedding-space near-duplicate join, blocked by label (the blocking
 # key bounds the pair count; at scale the block is an LSH bucket).

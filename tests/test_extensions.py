@@ -305,3 +305,33 @@ def test_trained_ivf_recall_at_sf01(spark):
     b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
     emb.unpersist()
     assert len(a & b) / len(b) >= 0.9
+
+
+def test_hyperplane_lsh_candidates_subset_with_recall(spark, sf_dir):
+    """Sign-LSH near-dup: every returned pair must be a TRUE pair
+    (cosine >= threshold — the exact-verify step guarantees zero false
+    positives), and banded bucketing must recover >= 40% of all true
+    pairs at this low (0.3) threshold (sign-LSH recall rises steeply
+    with similarity; deterministic planes make the number stable)."""
+    from airflow_embeddings_pipeline_spark.plans import get_catalog
+
+    got = get_catalog()["x_hyperplane_lsh_near_dup"].build(spark, sf_dir)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    from airflow_embeddings_pipeline_spark.extensions.similarity import cosine
+
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("c"),
+        )
+        .filter(F.col("c") >= 0.3)
+        .collect()
+    }
+    assert lsh_pairs and lsh_pairs <= brute  # no false positives
+    assert len(lsh_pairs) / len(brute) >= 0.4  # banded-bucket recall
