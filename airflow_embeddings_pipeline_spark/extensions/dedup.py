@@ -507,3 +507,86 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components — the step that
+    turns a pair list into a dedup decision (keep one doc per cluster).
+
+    Min-label propagation over the undirected edge list: every node
+    starts labeled with itself; each round takes the min of its own and
+    its neighbors' labels; at convergence label(v) = min id of v's
+    component.  Each round is one shuffle on the node id (edges join
+    labels + groupBy min), the iterate-until-fixed-point loop runs on
+    the driver with a cheap scalar convergence probe (sum of labels —
+    strictly decreasing until fixed).  Rounds needed = graph diameter:
+    near-dup clusters are near-cliques, so 2-3 in practice.  At larger
+    diameters the alternating large-star/small-star optimization halves
+    rounds, not needed at this diameter.
+
+    Returns (node, cluster) — one row per node that appears in a pair.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # localCheckpoint (not persist): each round's plan builds on the
+    # previous round's, so without truncating the LINEAGE the logical
+    # plan doubles per iteration and Catalyst chokes on a gigabyte-size
+    # plan string by round ~15.  Checkpointing makes every round start
+    # from a materialized leaf — the standard shape for iterative
+    # DataFrame algorithms.
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("cluster"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        stepped = labels.join(
+            nbr_min, labels["node"] == nbr_min["src"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("cluster"),
+                F.coalesce("nbr_cluster", F.col("cluster")),
+            ).alias("cluster"),
+        )
+        # pointer jumping: follow the label one hop (label(label(v))) —
+        # path compression turns O(diameter) rounds into O(log d).
+        # Every label is itself a node id, so the self-join resolves.
+        x, y = stepped.alias("x"), stepped.alias("y")
+        labels = (
+            x.join(y, F.col("x.cluster") == F.col("y.node"), "left")
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("x.cluster"),
+                    F.coalesce(F.col("y.cluster"), F.col("x.cluster")),
+                ).alias("cluster"),
+            )
+            # lazy checkpoint: the convergence probe below is the one
+            # action per round — it materializes the checkpoint AND
+            # reads the sum, instead of paying two jobs per round
+            .localCheckpoint(eager=False)
+        )
+        new_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+        if new_sum == prev_sum:  # fixed point: no label moved
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )

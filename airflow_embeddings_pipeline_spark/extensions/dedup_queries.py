@@ -246,3 +246,66 @@ register(
         tags=("X2", "simhash"),
     )
 )
+
+
+# ------------------------------------------------- dedup clustering
+# Pairs → components: the step that turns a near-dup pair list into a
+# dedup decision (canonical doc = min id per cluster).  Min-label
+# propagation (driver-looped fixed point, one shuffle per round; see
+# connected_components) oracled against a recursive-CTE transitive
+# closure — an independent formulation of the same components.
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import connected_components, simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_sim = docs.select("doc_id", "source", simhash16("text").alias("sim"))
+    pairs = simhash_near_dup_pairs(
+        with_sim, id_col="doc_id", simhash_col="sim", max_hamming=3,
+        block_col="source",
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("cluster").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    Query(
+        name="x_dedup_clusters",
+        build=x_dedup_clusters,
+        oracle=f"""
+        WITH RECURSIVE s AS MATERIALIZED (
+            SELECT doc_id, source, {_SH_SQL.format(text='text')} AS sim
+            FROM documents
+        ), pairs AS MATERIALIZED (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM s l JOIN s r ON l.source = r.source AND l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.sim, r.sim)) <= 3
+        ), edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs
+        ), reach(u, v) AS (
+            SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+        ), comp AS (
+            SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+        ), sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM comp GROUP BY cluster_id
+        )
+        SELECT c.doc_id, c.cluster_id, z.cluster_size
+        FROM comp c JOIN sizes z USING (cluster_id)
+        ORDER BY doc_id
+        """,
+        doc="near-dup pairs clustered into components (min-label propagation vs recursive-CTE closure), canonical = min id",
+        tags=("X1", "X2", "iterative"),
+    )
+)

@@ -7,7 +7,15 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import Query, register
 from ..sources.registry import load_table
-from .text import EN_STOPWORDS, fingerprint, lang_id, quality_features, token_count, tokens
+from .text import (
+    EN_STOPWORDS,
+    bpe_ish_tokens,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+    tokens,
+)
 
 _SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
@@ -20,20 +28,26 @@ def x_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         token_count("text").alias("n_tokens"),
         F.size(F.array_distinct(tokens("text"))).alias("n_distinct_tokens"),
+        F.size(bpe_ish_tokens("text")).alias("n_bpe_tokens"),
     ).orderBy("doc_id")
 
+
+# same GPT-2-style pre-tokenizer regex; DuckDB's RE2 and Spark's Java
+# regex agree on this subset (non-capturing group, classes, runs)
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
 
 register(
     Query(
         name="x_token_stats",
         build=x_token_stats,
-        oracle="""
+        oracle=f"""
         SELECT doc_id, source,
                len(string_split(text, ' ')) AS n_tokens,
-               len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+               len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+               len(regexp_extract_all(text, '{_BPE_RE.replace(chr(39), chr(39) * 2)}')) AS n_bpe_tokens
         FROM documents ORDER BY doc_id
         """,
-        doc="token counting over documents (X4)",
+        doc="token counting over documents: whitespace + BPE-ish regex pre-tokenizer (X4)",
         bench=True,
         tags=("X4",),
     )

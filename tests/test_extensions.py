@@ -335,3 +335,27 @@ def test_hyperplane_lsh_candidates_subset_with_recall(spark, sf_dir):
     }
     assert lsh_pairs and lsh_pairs <= brute  # no false positives
     assert len(lsh_pairs) / len(brute) >= 0.4  # banded-bucket recall
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation + pointer jumping must label every node
+    with its component's min id — including a long chain (worst case
+    for plain propagation) and overlapping-pair cliques."""
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    pairs = (
+        [(i, i + 1) for i in range(1, 20)]  # chain 1-20 (diameter 19)
+        + [(100, 101), (100, 102), (101, 102)]  # clique
+        + [(200, 201)]  # isolated pair
+    )
+    df = spark.createDataFrame(pairs, schema="id_a long, id_b long")
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    assert {got[i] for i in range(1, 21)} == {1}
+    assert got[100] == got[101] == got[102] == 100
+    assert got[200] == got[201] == 200
+    assert len(got) == 20 + 3 + 2
