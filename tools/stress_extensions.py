@@ -126,6 +126,27 @@ def main() -> None:
             num_bands=4, band_bits=16, max_bucket_size=1024,
         ),
     )
+    # Components over the near-dup pairs (the full dedup decision
+    # path: fingerprint → banded buckets → pairs → clusters).  The
+    # iterative part is driver-looped with checkpointed lineage; rounds
+    # = O(log diameter) via pointer jumping.
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    t0 = time.perf_counter()
+    wide_pairs = simhash_near_dup_pairs(
+        sims, id_col="doc_id", simhash_col="sim", max_hamming=3,
+        num_bands=4, band_bits=16, max_bucket_size=1024,
+    )
+    n_clustered = connected_components(wide_pairs, "id_a", "id_b").count()
+    timings["dedup_clusters_from_simhash64"] = round(time.perf_counter() - t0, 2)
+    print(
+        f"# dedup_clusters_from_simhash64: "
+        f"{timings['dedup_clusters_from_simhash64']}s ({n_clustered} clustered docs)",
+        file=sys.stderr,
+    )
+
     q = get_catalog()["x_group_centroids"]
     run("group_centroids", q.build(spark, staged))
 
