@@ -195,9 +195,17 @@ def x_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hashed.select(
-            "doc_id", winnow_from_hashes(F.col("__h")).alias("fingerprints")
+            "doc_id", winnow_from_hashes(F.col("__h")).alias("__fp")
         )
-        .withColumn("n_fingerprints", F.size("fingerprints"))
+        .select(
+            "doc_id",
+            # serialized for the driver comparator (it cannot hash
+            # list-valued cells — the round-1 harness failure mode)
+            F.concat_ws(",", F.transform("__fp", lambda x: x.cast("string"))).alias(
+                "fingerprints"
+            ),
+            F.size("__fp").alias("n_fingerprints"),
+        )
         .orderBy("doc_id")
     )
 
@@ -215,13 +223,88 @@ register(
         WITH hashed AS MATERIALIZED (
             SELECT doc_id, {_rh_sql('text')} AS h FROM documents
         ), fp AS MATERIALIZED (
-            SELECT doc_id, {_wf_sql('h')} AS fingerprints FROM hashed
+            SELECT doc_id, {_wf_sql('h')} AS fps FROM hashed
         )
-        SELECT doc_id, fingerprints, len(fingerprints) AS n_fingerprints
+        SELECT doc_id,
+               array_to_string(fps, ',') AS fingerprints,
+               len(fps) AS n_fingerprints
         FROM fp ORDER BY doc_id
         """,
         doc="rolling-hash winnowing sketch (k-gram rolling hashes, per-window min; Schleimer 2003)",
         bench=True,
         tags=("X4", "X2", "rolling-hash"),
+    )
+)
+
+
+# ------------------------------------------------- repetition stats
+# Gopher/C4-style repetition quality signals: duplicate word-bigram
+# fraction (HOF arithmetic, map-only) and most-frequent-token mass
+# (explode + two codegen'd aggregations — the distributed form of a
+# per-doc mode; scales as one shuffle on (doc, token)).
+def x_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.when(
+            n_tok > 1,
+            F.round(
+                1 - F.size(shingles("text", 2)) / (n_tok - 1).cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+    tok_counts = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("count") / F.sum("count").cast("double"), 6).alias(
+                "top_token_frac"
+            )
+        )
+    )
+    return (
+        base.join(tok_counts, "doc_id")
+        .select("doc_id", "n_tokens", "dup_bigram_frac", "top_token_frac")
+        .orderBy("doc_id")
+    )
+
+
+from ..extensions.dedup import shingles_sql as _sh2  # noqa: E402
+
+register(
+    Query(
+        name="x_repetition_stats",
+        build=x_repetition_stats,
+        oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CASE WHEN len(string_split(text, ' ')) > 1
+                        THEN round(1 - len({_sh2('text', 2)}) /
+                             CAST(len(string_split(text, ' ')) - 1 AS DOUBLE), 6)
+                        ELSE 0.0 END AS dup_bigram_frac
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, t AS tok, count(*) AS n
+            FROM documents, unnest(string_split(text, ' ')) AS u(t)
+            GROUP BY doc_id, t
+        ), top AS (
+            SELECT doc_id, round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_token_frac
+            FROM tok GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens, b.dup_bigram_frac, t.top_token_frac
+        FROM base b JOIN top t USING (doc_id)
+        ORDER BY doc_id
+        """,
+        doc="repetition quality signals: duplicate-bigram fraction + top-token mass (X4; Gopher-style filters)",
+        tags=("X4",),
     )
 )
