@@ -308,3 +308,53 @@ register(
         tags=("X4",),
     )
 )
+
+
+# ------------------------------------------------- hash-based splits
+# Deterministic train/valid/test assignment: bucket = md5(doc_id) mod
+# 100 → 80/10/10.  Hash-keyed splits are THE training-data split
+# mechanism at scale — stable under reprocessing and shard order,
+# no RNG state, no shuffle beyond the final counts, and any engine
+# (here: the DuckDB oracle) reproduces the exact same membership.
+def x_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), token_count("text").alias("n_tok"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+register(
+    Query(
+        name="x_hash_split",
+        build=x_hash_split,
+        oracle="""
+        WITH assigned AS (
+            SELECT CASE
+                     WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                     WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                     ELSE 'test'
+                   END AS split,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        )
+        SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM assigned GROUP BY split ORDER BY split
+        """,
+        doc="deterministic hash-keyed train/valid/test split (80/10/10) with per-split token mass (X4; training-data op)",
+        tags=("X4", "sampling"),
+    )
+)

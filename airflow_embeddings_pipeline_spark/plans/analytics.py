@@ -377,3 +377,47 @@ register(
         tags=("subquery",),
     )
 )
+
+
+# -------------------------------------------------------- percentiles
+# Exact distribution statistics per group: Spark's `percentile` (exact,
+# linear interpolation — same definition as DuckDB's quantile_cont) and
+# the min/max frame.  Exact percentiles need a per-group sort; at
+# 100 TB the approx_percentile sketch (a_approx_distinct's cousin) is
+# the mergeable map-side path — kept exact here for oracle parity.
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = lambda q: F.round(  # noqa: E731
+        F.expr(f"percentile(l_extendedprice, {q})"), 4
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            p(0.5).alias("p50"),
+            p(0.9).alias("p90"),
+            p(0.99).alias("p99"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    Query(
+        name="a_percentiles",
+        build=a_percentiles,
+        oracle="""
+        SELECT l_returnflag, count(*) AS n,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+               round(min(l_extendedprice), 2) AS lo,
+               round(max(l_extendedprice), 2) AS hi
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        doc="exact per-group percentiles (p50/p90/p99) + extrema",
+        tags=("agg", "percentile"),
+    )
+)
