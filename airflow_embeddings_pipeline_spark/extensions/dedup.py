@@ -538,7 +538,11 @@ def connected_components(
     # plan doubles per iteration and Catalyst chokes on a gigabyte-size
     # plan string by round ~15.  Checkpointing makes every round start
     # from a materialized leaf — the standard shape for iterative
-    # DataFrame algorithms.
+    # DataFrame algorithms.  Caveat for a real cluster: localCheckpoint
+    # stores blocks on executors, so losing an executor mid-loop fails
+    # the job (restart-safe, not fault-tolerant); for long-running
+    # 100 TB jobs switch to sc.setCheckpointDir + .checkpoint() so
+    # round snapshots live on the shared store.
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

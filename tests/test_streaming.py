@@ -190,3 +190,36 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT click_id, amount FROM ss_join").collect()
     assert {(r["click_id"], r["amount"]) for r in rows} == {(1, 9.0)}
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Native streaming dedup (dropDuplicatesWithinWatermark): repeats
+    of a key arriving inside the watermark window are suppressed —
+    Spark's built-in form of the reference's W1 dedup under streaming
+    delivery, with state bounded by the watermark instead of growing
+    forever like a plain dropDuplicates."""
+    from datetime import datetime
+
+    src = str(tmp_path / "ddww_src")
+    _write_batch(spark, src, [
+        ("a", datetime(2024, 1, 1, 0, 0), 1.0),
+        ("a", datetime(2024, 1, 1, 0, 10), 2.0),  # dup within 1h window
+        ("b", datetime(2024, 1, 1, 0, 20), 3.0),
+    ])
+    stream = (
+        spark.readStream.schema(SCHEMA).parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["source"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ddww_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ddww"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ddww_out").collect()
+    assert {r["source"] for r in rows} == {"a", "b"}
+    assert len(rows) == 2  # the within-window repeat of 'a' suppressed
