@@ -58,7 +58,12 @@ def main() -> int:
 
     spark = get_spark("explain-audit")
     catalog = get_catalog()
-    names = sys.argv[1:] or [n for n, q in catalog.items() if q.bench]
+    # default: audit the BENCH set; `--all` audits every catalog query
+    args = sys.argv[1:]
+    if "--all" in args:
+        names = [n for n in args if n != "--all"] or list(catalog)
+    else:
+        names = args or [n for n, q in catalog.items() if q.bench]
 
     verbose = "-v" in names
     names = [n for n in names if n != "-v"]
