@@ -358,3 +358,68 @@ register(
         tags=("X4", "sampling"),
     )
 )
+
+
+# ---------------------------------------------------- tf-idf top terms
+# Corpus-weighted term importance: tf (per-doc token counts) × idf
+# (ln(N/df) over per-term document frequency), top-3 terms per doc.
+# Three codegen'd aggregations + one window — tf and df are both
+# map-side-combinable, the df table is small (vocabulary) and
+# broadcast back onto the tf table.  Weights rounded before ranking
+# with term tiebreaks so ordering is engine-independent.
+def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), "term")
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+            .alias("weight"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "weight", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+register(
+    Query(
+        name="x_tfidf_top_terms",
+        build=x_tfidf_top_terms,
+        oracle="""
+        WITH tf AS (
+            SELECT doc_id, t AS term, count(*) AS tf
+            FROM documents, unnest(string_split(text, ' ')) AS u(t)
+            GROUP BY doc_id, t
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), weighted AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS weight
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY weight DESC, term) AS rank
+            FROM weighted
+        )
+        SELECT doc_id, term, weight, rank
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        doc="TF-IDF top-3 terms per document: tf x ln(N/df), broadcast vocabulary join (X4)",
+        tags=("X4",),
+    )
+)

@@ -196,3 +196,18 @@ def test_lsh_max_bucket_size_caps_degenerate_buckets(spark):
     assert capped == 0  # bucket of 4 > cap ⇒ routed to the exact pass
     # cap above the bucket size changes nothing
     assert lsh_candidate_pairs(df, max_bucket_size=16, **kw).count() == 6
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """The catalog's one rows-only query (HLL sketches differ across
+    engines, so no DuckDB oracle): bound the estimate locally instead —
+    approx_count_distinct at rsd=0.02 must sit within 3x the target
+    relative error of the exact count for every group."""
+    from airflow_embeddings_pipeline_spark.plans import get_catalog
+
+    rows = get_catalog()["a_approx_distinct"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        exact, approx = r["exact_users"], r["approx_users"]
+        assert exact > 0
+        assert abs(approx - exact) <= max(1, 0.06 * exact), r

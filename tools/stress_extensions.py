@@ -36,7 +36,13 @@ def main() -> None:
     from airflow_embeddings_pipeline_spark.session import get_spark
     from airflow_embeddings_pipeline_spark.sources.registry import load_table
 
-    sf_dir, scale = parse_args(sys.argv[1:])
+    argv = sys.argv[1:]
+    only = None
+    if "--ops" in argv:
+        i = argv.index("--ops")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir, scale = parse_args(argv)
     if scale == 1:
         scale = 100  # this tool's whole point is the scaled corpus
 
@@ -48,6 +54,8 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def run(name, df):
+        if only is not None and name not in only:
+            return
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 2)
@@ -134,18 +142,22 @@ def main() -> None:
         connected_components,
     )
 
-    t0 = time.perf_counter()
-    wide_pairs = simhash_near_dup_pairs(
-        sims, id_col="doc_id", simhash_col="sim", max_hamming=3,
-        num_bands=4, band_bits=16, max_bucket_size=1024,
-    )
-    n_clustered = connected_components(wide_pairs, "id_a", "id_b").count()
-    timings["dedup_clusters_from_simhash64"] = round(time.perf_counter() - t0, 2)
-    print(
-        f"# dedup_clusters_from_simhash64: "
-        f"{timings['dedup_clusters_from_simhash64']}s ({n_clustered} clustered docs)",
-        file=sys.stderr,
-    )
+    if only is None or "dedup_clusters_from_simhash64" in only:
+        t0 = time.perf_counter()
+        wide_pairs = simhash_near_dup_pairs(
+            sims, id_col="doc_id", simhash_col="sim", max_hamming=3,
+            num_bands=4, band_bits=16, max_bucket_size=1024,
+        )
+        n_clustered = connected_components(wide_pairs, "id_a", "id_b").count()
+        timings["dedup_clusters_from_simhash64"] = round(
+            time.perf_counter() - t0, 2
+        )
+        print(
+            f"# dedup_clusters_from_simhash64: "
+            f"{timings['dedup_clusters_from_simhash64']}s "
+            f"({n_clustered} clustered docs)",
+            file=sys.stderr,
+        )
 
     q = get_catalog()["x_group_centroids"]
     run("group_centroids", q.build(spark, staged))
