@@ -150,3 +150,38 @@ def winnow_from_hashes_sql(hashes_expr: str, w: int = 4) -> str:
         f"range(1, greatest(len({hashes_expr}) - {w - 1}, 0) + 1), "
         f"i -> list_min(({hashes_expr})[i:i+{w - 1}]))))"
     )
+
+
+def chunk_tokens(
+    text: Column | str, *, window: int = 32, stride: int = 24
+) -> Column:
+    """Overlapping token-window chunks — the split-before-embed step of
+    an embeddings pipeline (the reference embeds whole docs,
+    embeddings-pipeline.py:316; chunking is how the same pipeline
+    handles documents longer than the encoder context).
+
+    Returns ``array<struct<chunk_id int, chunk_text string,
+    n_tokens int>>``: windows of ``window`` tokens starting every
+    ``stride`` tokens (overlap = window - stride), last partial window
+    kept.  Pure codegen'd array expression — explode downstream to get
+    one row per chunk, which keeps the op map-only (no shuffle)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    n = F.size(toks)
+    # chunk starts: 1, 1+stride, ... while start <= n (1-based)
+    n_chunks = F.when(
+        n <= window, F.lit(1)
+    ).otherwise(
+        F.ceil((n - window).cast("double") / stride).cast("int") + 1
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, window)).alias(
+                "chunk_text"
+            ),
+            F.least(n - i * stride, F.lit(window)).cast("int").alias("n_tokens"),
+        ),
+    )

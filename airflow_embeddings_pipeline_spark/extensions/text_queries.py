@@ -423,3 +423,52 @@ register(
         tags=("X4",),
     )
 )
+
+
+# ------------------------------------------------- document chunking
+# Split-before-embed: overlapping token windows (32 tokens, stride 24)
+# per document, exploded to one row per chunk.  Map-only (the chunk
+# array is a codegen'd expression; explode adds no shuffle) — at
+# corpus scale chunking is embarrassingly parallel and this plan keeps
+# it that way.  Chunk text hashed rather than emitted raw to keep the
+# driver-comparator payload small.
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunked = docs.select(
+        "doc_id",
+        F.explode(chunk_tokens("text", window=32, stride=24)).alias("c"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+register(
+    Query(
+        name="x_chunk_documents",
+        build=x_chunk_documents,
+        oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), chunks AS (
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_id,
+                   array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+                   CAST(least(len(t) - i * 24, 32) AS INTEGER) AS n_tokens
+            FROM toks,
+                 unnest(range(CASE WHEN len(t) <= 32 THEN 1
+                              ELSE CAST(ceil((len(t) - 32) / 24.0) AS BIGINT) + 1
+                              END)) AS u(i)
+        )
+        SELECT doc_id, chunk_id, n_tokens, md5(chunk_text) AS chunk_hash
+        FROM chunks ORDER BY doc_id, chunk_id
+        """,
+        doc="overlapping token-window chunking (32/stride 24), one row per chunk, map-only (X4; split-before-embed)",
+        tags=("X4", "chunking"),
+    )
+)
