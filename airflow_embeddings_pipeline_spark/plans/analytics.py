@@ -421,3 +421,129 @@ register(
         tags=("agg", "percentile"),
     )
 )
+
+
+# ------------------------------------------------------------ TPC-H Q18
+# Large-volume orders: IN-subquery over a grouped HAVING — Catalyst
+# rewrites the IN as a left-semi join against the aggregated subquery
+# (one extra shuffle on l_orderkey, no per-row subquery).
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+register(
+    Query(
+        name="q18_large_orders",
+        build=q18_large_orders,
+        oracle="""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
+        """,
+        doc="TPC-H Q18: IN-over-grouped-HAVING rewritten to semi-join, large-volume orders",
+        tags=("subquery", "tpch"),
+    )
+)
+
+
+# ------------------------------------------------------------- TPC-H Q7
+# Volume shipping between two nations: both trade directions through a
+# 6-table join, grouped by (supp_nation, cust_nation, year).  Both
+# nation dims broadcast; the or-of-two-directions predicate rides the
+# join condition.
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+register(
+    Query(
+        name="q7_volume_shipping",
+        build=q7_volume_shipping,
+        oracle="""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """,
+        doc="TPC-H Q7: two-direction nation trade volume through a 6-table join, dims broadcast",
+        tags=("tpch",),
+    )
+)
