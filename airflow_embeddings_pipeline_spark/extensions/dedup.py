@@ -322,6 +322,18 @@ def token_hashes(text_col: Column | str, *, fast: bool = False) -> Column:
     )
 
 
+def token_hash_scalar(tok_col: Column | str, *, fast: bool = False) -> Column:
+    """Per-row token hash — the post-explode mirror of ``token_hashes``
+    (identical values for identical tokens, so the agg-tier fingerprint
+    is bit-identical whichever shape feeds it).  Applied to an exploded
+    token column this is a plain codegen'd projection; the array form
+    pays an interpreted lambda per token."""
+    c = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    if fast:
+        return F.xxhash64(c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def simhash_from_hashes(hashes: Column, width: int = 60) -> Column:
     """Wide SimHash fingerprint from a materialized token-hash column.
 
@@ -359,10 +371,18 @@ def simhash_wide_agg(
     hashes_col: str,
     *,
     width: int = 64,
+    pre_exploded: bool = False,
 ) -> DataFrame:
     """Aggregation-tier wide SimHash: explode token hashes, one
     ``groupBy(keys)`` with ``width`` codegen'd bit-count SUMs, then
     assemble the fingerprint from the vote columns.
+
+    With ``pre_exploded=True``, ``hashes_col`` is a scalar LONG column
+    (one token hash per row, e.g. ``explode(split(...))`` followed by a
+    codegen'd md5/xxhash projection) instead of an array.  Prefer that
+    shape: building the hash array inside ``F.transform`` evaluates the
+    per-token hash in an interpreted lambda, while hash-after-explode
+    stays in whole-stage codegen end to end.
 
     Semantically identical to ``simhash_from_hashes`` (same votes, same
     tie rule — a zero/negative vote clears the bit) but executes as a
@@ -374,7 +394,10 @@ def simhash_wide_agg(
     fingerprint 0.
     """
     one = F.lit(1).cast("long")
-    tok = df.select(*keys, F.explode(hashes_col).alias("__h"))
+    if pre_exploded:
+        tok = df.select(*keys, F.col(hashes_col).alias("__h"))
+    else:
+        tok = df.select(*keys, F.explode(hashes_col).alias("__h"))
     sums = [
         F.sum(F.shiftrightunsigned("__h", j).bitwiseAND(one)).alias(f"__b{j}")
         for j in range(width)
@@ -439,6 +462,7 @@ def simhash_near_dup_pairs(
     num_bands: int = 4,
     band_bits: int = 4,
     max_bucket_size: int | None = None,
+    pair_mode: str = "arrays",
 ) -> DataFrame:
     """X2: near-duplicate pairs by SimHash hamming distance.
 
@@ -456,6 +480,17 @@ def simhash_near_dup_pairs(
     4×16): 2^15+ distinct values per band keeps bucket sizes ~n/65536
     per block instead of ~n/16, which is what stops pair emission from
     degenerating to O(n²/16) on a large single-source corpus.
+
+    ``pair_mode`` picks the emission strategy.  ``"arrays"`` (default)
+    collects each bucket's members into a sorted array and expands
+    pairs with nested ``transform`` — one shuffle, ideal when buckets
+    are plentiful and small (high-entropy bands).  ``"join"`` self-joins
+    the banded table on the bucket key: the k² expansion runs inside a
+    codegen'd equi-join that streams and spills instead of
+    materializing a bucket as one array on one executor — the right
+    tier when bands are coarse (few buckets × many members, e.g. the
+    4×4-bit sign-LSH config) or when ``max_bucket_size`` must stay
+    large.  Both modes emit identical (id_a, id_b, hamming) sets.
     """
     base = [F.col(id_col), F.col(simhash_col)] + (
         [F.col(block_col)] if block_col else []
@@ -469,6 +504,31 @@ def simhash_near_dup_pairs(
     group_keys = ([block_col] if block_col else []) + ["band_id", "band_val"]
     if max_bucket_size is not None:
         banded = _cap_buckets(banded, group_keys, max_bucket_size)
+    if pair_mode == "join":
+        a = banded.select(
+            *group_keys,
+            F.col(id_col).alias("id_a"),
+            F.col(simhash_col).alias("__sim_a"),
+        )
+        b = banded.select(
+            *group_keys,
+            F.col(id_col).alias("id_b"),
+            F.col(simhash_col).alias("__sim_b"),
+        )
+        return (
+            a.join(b, group_keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                *([block_col] if block_col else []),
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b"))).alias(
+                    "hamming"
+                ),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
     buckets = (
         banded.groupBy(*group_keys)
         .agg(

@@ -204,17 +204,23 @@ register(
 # the same plan shape and is covered by unit tests + the stress
 # harness (xxhash64 has no DuckDB mirror).
 def x_simhash_wide_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import simhash_near_dup_pairs, simhash_wide_agg, token_hashes
+    from .dedup import simhash_near_dup_pairs, simhash_wide_agg, token_hash_scalar
 
     docs = load_table(spark, sf_dir, "documents")
     # Corpus-wide (no source blocking — near-dups cross sources), over
     # whitespace/case-normalized text, the same canonical form the
     # exact-dedup fingerprint uses.  Fingerprints via the aggregation
     # tier (explode + codegen'd bit sums — the corpus-scale shape;
-    # bit-identical to the HOF expression tier, see tests).
+    # bit-identical to the HOF expression tier, see tests).  Tokens are
+    # exploded BEFORE hashing so the md5 runs as a codegen'd projection
+    # (hashing inside the array-building transform() lambda is
+    # interpreted per token — ~4× slower end to end).
     norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
-    hashed = docs.select("doc_id", token_hashes(norm).alias("th"))
-    with_sim = simhash_wide_agg(hashed, ["doc_id"], "th", width=60)
+    tok = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("__t"))
+    hashed = tok.select("doc_id", token_hash_scalar("__t").alias("th"))
+    with_sim = simhash_wide_agg(
+        hashed, ["doc_id"], "th", width=60, pre_exploded=True
+    )
     return simhash_near_dup_pairs(
         with_sim, id_col="doc_id", simhash_col="sim", max_hamming=3,
         num_bands=4, band_bits=15,

@@ -359,6 +359,11 @@ def x_hyperplane_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, id_col="vec_id", simhash_col="sim",
         max_hamming=_HP_PLANES,  # no hamming prune: pure shared-band LSH
         num_bands=4, band_bits=4,
+        # 4-bit bands → only 64 coarse buckets: stream the k² expansion
+        # through a codegen'd self-join instead of materializing each
+        # bucket as one array (the "arrays" tier suits many small
+        # buckets; sign-LSH bands are few and large).
+        pair_mode="join",
     )
     # Pre-normalize each vector ONCE below the join (2k rows), so the
     # per-candidate-pair work is a single dot product — not dot + two
@@ -367,6 +372,10 @@ def x_hyperplane_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≈ 72°: near the no-signal regime for hyperplane rounding), so
     # per-pair cost dominates this query; at the high thresholds real
     # dedup uses, the candidate set — and this stage — collapses.
+    # (An Arrow-batched numpy scorer was tried here and reverted: the
+    # pair join ships both 64-double vectors per candidate through
+    # Arrow — ~0.5 GB at sf0.1 — which costs more than the interpreted
+    # dot saves.  JVM-side HOF keeps the verify zero-copy.)
     from .similarity import dot, l2_norm
 
     unit = F.transform(

@@ -282,6 +282,50 @@ def test_simhash_agg_tier_matches_hof_tier(spark, sf_dir):
         assert agg == hof, f"fast={fast} width={width}"
 
 
+def test_pair_mode_join_matches_arrays(spark, sf_dir):
+    """The codegen'd self-join pair emission must produce the identical
+    (id_a, id_b, hamming) set as the collect_set/HOF tier, including
+    under bucket capping and blocking — checked on real fingerprints."""
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        simhash_near_dup_pairs,
+        simhash_wide_agg,
+        token_hash_scalar,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split(norm, " ")).alias("__t")
+    )
+    sims = simhash_wide_agg(
+        tok.select("doc_id", "source", token_hash_scalar("__t").alias("th")),
+        ["doc_id", "source"],
+        "th",
+        width=60,
+        pre_exploded=True,
+    ).persist()
+    for kw in (
+        dict(max_hamming=3, num_bands=4, band_bits=15),
+        dict(max_hamming=60, num_bands=4, band_bits=4),  # coarse, big buckets
+        dict(max_hamming=3, num_bands=4, band_bits=15, max_bucket_size=5),
+        dict(max_hamming=3, num_bands=4, band_bits=15, block_col="source"),
+    ):
+        arrays = {
+            tuple(r)
+            for r in simhash_near_dup_pairs(
+                sims, id_col="doc_id", simhash_col="sim", **kw
+            ).collect()
+        }
+        join = {
+            tuple(r)
+            for r in simhash_near_dup_pairs(
+                sims, id_col="doc_id", simhash_col="sim", pair_mode="join", **kw
+            ).collect()
+        }
+        assert arrays == join, kw
+    sims.unpersist()
+
+
 def test_trained_ivf_recall_at_sf01(spark):
     """k-means-trained centroids (1 deterministic Lloyd step) must hit
     recall@5 >= 0.9 vs the brute-force tier at sf0.1 with nprobe=2 of 4
