@@ -1,0 +1,362 @@
+"""Corpus-curation operators a training-data pipeline runs between raw
+scrape and training: benchmark decontamination, sensitive-term
+redaction, quality-filter batteries, stratified sampling, and embedding
+quantization.  Each is an oracle-checked catalog entry over the
+documents/embeddings fixtures; scale notes inline per query.
+
+No counterpart in the reference (embeddings-pipeline.py stops at the
+MERGE sink); these extend the engine toward the 100 TB curation
+workloads the brief mandates alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import Query, register
+from ..sources.registry import load_table
+from .dedup import shingles, shingles_sql
+from .text import EN_STOPWORDS
+
+# ------------------------------------------------------- decontamination
+# Benchmark/eval-set decontamination (GPT-3 appx C / PaLM style): a doc
+# is contaminated when a high fraction of its word n-grams appear in
+# the benchmark set.  Scale shape: the benchmark side is tiny relative
+# to the corpus — distinct its n-grams and BROADCAST them; the corpus
+# side explodes per-doc distinct n-grams map-side, the broadcast
+# semi-join filters before the only shuffle (per-doc match count
+# groupBy).  No corpus self-join, no driver collect.
+_DECON_N = 3
+_DECON_BENCH_MOD = 97  # doc_id % 97 == 0 → "benchmark" member (deterministic)
+_DECON_FRAC = 0.8
+
+
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % _DECON_BENCH_MOD == 0
+    # Single pass over the corpus: explode each doc's distinct n-grams
+    # once, LEFT broadcast-join the benchmark set with a hit marker,
+    # then one groupBy computes n_grams (count — shingles are already
+    # distinct per doc) and n_matched together.  An earlier two-branch
+    # version (size(grams) joined against a matched-count aggregate)
+    # re-evaluated the interpreted shingle HOF three times and ran 5×
+    # slower.  Docs with < n tokens emit no grams and drop out — same
+    # on the oracle side (unnest of an empty list).  At corpus scale,
+    # hash grams to longs before the join to shrink broadcast/compare
+    # width; strings kept here for oracle legibility.
+    bench = (
+        docs.filter(is_bench)
+        .select(F.explode(shingles("text", _DECON_N)).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1).cast("long"))
+    )
+    corpus_g = docs.filter(~is_bench).select(
+        "doc_id", F.explode(shingles("text", _DECON_N)).alias("g")
+    )
+    return (
+        corpus_g.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_matched"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_matched",
+            (F.col("n_matched") >= F.lit(_DECON_FRAC) * F.col("n_grams"))
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    Query(
+        name="x_decontaminate",
+        build=x_decontaminate,
+        oracle=f"""
+        WITH bench AS MATERIALIZED (
+            SELECT DISTINCT unnest({shingles_sql('text', _DECON_N)}) AS g
+            FROM documents WHERE doc_id % {_DECON_BENCH_MOD} = 0
+        ), exploded AS (
+            SELECT doc_id, unnest({shingles_sql('text', _DECON_N)}) AS g
+            FROM documents WHERE doc_id % {_DECON_BENCH_MOD} <> 0
+        ), agg AS (
+            SELECT e.doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_matched
+            FROM exploded e LEFT JOIN bench b ON e.g = b.g
+            GROUP BY e.doc_id
+        )
+        SELECT doc_id, n_grams, n_matched,
+               CAST(n_matched >= {_DECON_FRAC} * n_grams AS INT) AS contaminated
+        FROM agg ORDER BY doc_id
+        """,
+        doc=(
+            "benchmark decontamination: fraction of per-doc distinct "
+            "3-grams present in a broadcast benchmark n-gram set"
+        ),
+        bench=True,
+        tags=("curation", "X4"),
+    )
+)
+
+
+# ------------------------------------------------------------- redaction
+# Dictionary/regex scrubbing (PII-shaped; the fixture corpus has no
+# real PII, so the demo patterns hit real fixture tokens — the operator
+# is the same regexp battery a real email/phone/SSN pass uses).
+# Map-only: counts via regexp_extract_all, rewrite via chained
+# regexp_replace; everything stays in whole-stage codegen, zero
+# shuffles except the final presentation sort.  The patterns use the
+# RE2-compatible subset (word boundaries, non-capturing groups) so
+# Spark's Java regex and DuckDB's RE2 agree.
+_RE_NAME = r"\bcustomer\b"
+_RE_PRODUCT = r"\b(?:spark|vector)\b"
+
+
+def x_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace("text", _RE_NAME, "[NAME]"),
+        _RE_PRODUCT,
+        "[PRODUCT]",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(_RE_NAME), 0)).alias(
+                "n_name_hits"
+            ),
+            F.size(F.regexp_extract_all("text", F.lit(_RE_PRODUCT), 0)).alias(
+                "n_product_hits"
+            ),
+            F.length(red).alias("redacted_chars"),
+            F.substring(red, 1, 60).alias("redacted_head"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    Query(
+        name="x_redact_terms",
+        build=x_redact_terms,
+        oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_RE_NAME}')) AS n_name_hits,
+               len(regexp_extract_all(text, '{_RE_PRODUCT}')) AS n_product_hits,
+               len(regexp_replace(regexp_replace(text, '{_RE_NAME}', '[NAME]', 'g'),
+                   '{_RE_PRODUCT}', '[PRODUCT]', 'g')) AS redacted_chars,
+               substring(regexp_replace(regexp_replace(text, '{_RE_NAME}', '[NAME]', 'g'),
+                   '{_RE_PRODUCT}', '[PRODUCT]', 'g'), 1, 60) AS redacted_head
+        FROM documents ORDER BY doc_id
+        """,
+        doc="regex scrub battery: match counts + chained redaction rewrite (PII-shaped)",
+        tags=("curation", "X4"),
+    )
+)
+
+
+# ------------------------------------------------ quality filter battery
+# Gopher/C4-style document filter: independent per-doc rules, a
+# combined keep decision, and per-source accept/reject accounting.
+# Every rule is a codegen'd expression over the token array; the only
+# shuffle is the final per-source rollup (map-side combined).
+_QF_MIN_TOKENS = 40
+_QF_MAX_MEAN_WLEN = 4.8
+_QF_MIN_STOPWORD_FRAC = 0.02
+_SW_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+def x_quality_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_wlen = (F.length("text") - (n - 1)) / n  # sum(len) = chars - separators
+    sw = F.size(
+        F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))
+    )
+    flagged = docs.select(
+        "source",
+        (n < _QF_MIN_TOKENS).cast("int").alias("too_short"),
+        (mean_wlen > _QF_MAX_MEAN_WLEN).cast("int").alias("long_words"),
+        (sw / n < _QF_MIN_STOPWORD_FRAC).cast("int").alias("low_stopword"),
+    ).withColumn(
+        "kept",
+        (
+            (F.col("too_short") == 0)
+            & (F.col("long_words") == 0)
+            & (F.col("low_stopword") == 0)
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum("too_short").alias("n_too_short"),
+            F.sum("long_words").alias("n_long_words"),
+            F.sum("low_stopword").alias("n_low_stopword"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    Query(
+        name="x_quality_filter_battery",
+        build=x_quality_filter_battery,
+        oracle=f"""
+        WITH f AS (
+            SELECT source,
+                   CAST(len(string_split(text, ' ')) < {_QF_MIN_TOKENS} AS INT)
+                       AS too_short,
+                   CAST((len(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                        / len(string_split(text, ' ')) > {_QF_MAX_MEAN_WLEN} AS INT)
+                       AS long_words,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ({_SW_LIST})))::DOUBLE
+                        / len(string_split(text, ' ')) < {_QF_MIN_STOPWORD_FRAC}
+                        AS INT) AS low_stopword
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN too_short = 0 AND long_words = 0
+                        AND low_stopword = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(too_short) AS BIGINT) AS n_too_short,
+               CAST(sum(long_words) AS BIGINT) AS n_long_words,
+               CAST(sum(low_stopword) AS BIGINT) AS n_low_stopword
+        FROM f GROUP BY source ORDER BY source
+        """,
+        doc="Gopher/C4-style per-doc filter rules + per-source accept/reject rollup",
+        tags=("curation", "X4"),
+    )
+)
+
+
+# ---------------------------------------------------- stratified sampling
+# Deterministic per-language downsampling (corpus rebalancing): keep a
+# doc when md5(doc_id) mod 1000 falls under its language's per-mille
+# rate.  Hash-keyed (not rand()) so the sample is reproducible across
+# runs/retries and oracle-checkable — same property x_hash_split uses.
+# Map-only; the rate table rides along as a literal CASE (at real scale
+# a broadcast-joined dim).
+_STRATA = {"en": 250, "de": 500, "es": 750, "fr": 1000, "zh": 100}
+
+
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    rate = F.lit(None).cast("int")
+    expr = None
+    for lang, r in _STRATA.items():
+        expr = (
+            F.when(F.col("lang") == lang, F.lit(r))
+            if expr is None
+            else expr.when(F.col("lang") == lang, F.lit(r))
+        )
+    rate = expr.otherwise(F.lit(0))
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+_STRATA_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in _STRATA.items()
+)
+
+register(
+    Query(
+        name="x_stratified_sample",
+        build=x_stratified_sample,
+        oracle=f"""
+        SELECT doc_id, lang,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1000 AS bucket
+        FROM documents
+        WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000
+              < (CASE {_STRATA_CASE} ELSE 0 END)
+        ORDER BY doc_id
+        """,
+        doc="deterministic hash-keyed per-language stratified sampling (corpus rebalancing)",
+        tags=("curation", "X4"),
+    )
+)
+
+
+# ------------------------------------------------- embedding quantization
+# Symmetric per-vector int8 quantization (the storage/serving format
+# for large embedding corpora): scale = max|x|/127, q_i = round(x_i /
+# scale), reconstruction error stats per vector.  Pure expression
+# arithmetic over the array — map-only, no shuffle, no UDF; the
+# scale column is materialized in a separate projection so the HOF
+# lambda does not re-derive it per element (no CSE inside HOFs).
+def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", "label", vd.alias("v"))
+    scaled = base.select(
+        "vec_id",
+        "label",
+        "v",
+        (
+            F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("scale"),
+    )
+    err = F.transform(
+        "v",
+        lambda x: F.abs(x - F.round(x / F.col("scale")) * F.col("scale")),
+    )
+    with_err = scaled.filter(F.col("scale") > 0).select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("qscale"),
+        F.round(F.array_max(err), 6).alias("max_err"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e) / F.size("v"), 6
+        ).alias("mean_err"),
+    )
+    return with_err.orderBy("vec_id")
+
+
+register(
+    Query(
+        name="x_embedding_quantize",
+        build=x_embedding_quantize,
+        oracle="""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), s AS MATERIALIZED (
+            SELECT vec_id, label, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+            FROM v
+        )
+        SELECT vec_id, label,
+               round(scale, 6) AS qscale,
+               round(list_max(list_transform(v,
+                     x -> abs(x - round(x / scale) * scale))), 6) AS max_err,
+               round(list_sum(list_transform(v,
+                     x -> abs(x - round(x / scale) * scale)))
+                     / len(v), 6) AS mean_err
+        FROM s WHERE scale > 0 ORDER BY vec_id
+        """,
+        doc="per-vector symmetric int8 quantization with reconstruction-error stats",
+        tags=("curation", "X3"),
+    )
+)

@@ -48,6 +48,7 @@ def get_catalog() -> dict[str, Query]:
     )
     from ..streaming import queries as streaming_queries  # noqa: F401
     from ..extensions import (  # noqa: F401
+        curation_queries,
         dedup_queries,
         multimodal_queries,
         similarity_queries,
