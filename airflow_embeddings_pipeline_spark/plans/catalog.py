@@ -45,6 +45,7 @@ def get_catalog() -> dict[str, Query]:
         grouped,
         pipeline,
         relational,
+        tpch_extra,
     )
     from ..streaming import queries as streaming_queries  # noqa: F401
     from ..extensions import (  # noqa: F401
