@@ -360,3 +360,73 @@ register(
         tags=("curation", "X3"),
     )
 )
+
+
+# -------------------------------------------------------- sequence packing
+# Training-sequence packing (contiguous-fill, the "concat then cut
+# every B tokens" scheme GPT-style pretraining uses): within each
+# source shard, documents are concatenated in doc_id order and cut
+# into fixed B-token sequences; each doc reports the sequence span it
+# lands in and its offset.  One window per source partition — packing
+# is per-shard by construction, so at 100 TB every shard packs
+# independently (no global cumsum, no driver loop).  B is a power of
+# two so the floor-division arithmetic is float-exact in both engines.
+_PACK_B = 256
+
+
+def x_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = docs.select(
+        "doc_id", "source", n_tok.alias("n_tokens")
+    ).withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        staged.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("cum_before") / _PACK_B).cast("long").alias("first_seq"),
+            F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / _PACK_B)
+            .cast("long")
+            .alias("last_seq"),
+            (F.col("cum_before") % _PACK_B).alias("seq_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    Query(
+        name="x_sequence_pack",
+        build=x_sequence_pack,
+        oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   COALESCE(sum(len(string_split(text, ' '))) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+            FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(floor(cum_before / {_PACK_B}.0) AS BIGINT) AS first_seq,
+               CAST(floor((cum_before + n_tokens - 1) / {_PACK_B}.0) AS BIGINT)
+                   AS last_seq,
+               CAST(cum_before % {_PACK_B} AS BIGINT) AS seq_offset
+        FROM t ORDER BY doc_id
+        """,
+        doc=(
+            "training-sequence packing: per-source concat-and-cut into "
+            "fixed 256-token sequences (span + offset per doc)"
+        ),
+        tags=("curation", "X4"),
+    )
+)

@@ -495,3 +495,109 @@ register(
         tags=("X2", "X3"),
     )
 )
+
+
+# ----------------------------------------------- filtered vector search
+# Metadata-filtered top-k ("vector search with a WHERE clause"): the
+# corpus predicate is applied BEFORE scoring, so it pushes to the
+# parquet scan (post-filtering top-k results instead would return
+# under-filled result lists — the classic filtered-ANN bug).  Same
+# broadcast-queries/stream-corpus shape as x_cosine_topk; at 100 TB
+# the predicate prunes partitions/row-groups before any vector math.
+_FILTER_LABELS = (0, 2, 4, 6, 8)
+
+
+def x_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    allowed = emb.filter(F.col("label").isin(*_FILTER_LABELS))
+    return cosine_topk_bruteforce(allowed, queries, k=_K).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+register(
+    Query(
+        name="x_filtered_topk",
+        build=x_filtered_topk,
+        oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {_N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_cos_sql('q.qv', 'e.embedding')} AS cosine
+            FROM embeddings e JOIN q ON q.query_id <> e.vec_id
+            WHERE e.label IN {_FILTER_LABELS}
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {_K} ORDER BY query_id, rank
+        """,
+        doc="metadata-filtered vector top-k: corpus predicate applied before scoring (filtered ANN)",
+        tags=("X3",),
+    )
+)
+
+
+# ------------------------------------------------- Matryoshka truncation
+# MRL-style dimensionality reduction (Kusupati et al. 2022): keep the
+# first 16 of 64 components, re-normalize, report how much of the
+# original L2 mass the head retains and the renormalized head's first
+# components.  Map-only expression arithmetic — the storage-shrink
+# step an embedding corpus runs before building a coarse ANN tier.
+_MAT_DIM = 16
+
+
+def x_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.slice(v, 1, _MAT_DIM).alias("h"),
+        l2_norm(v).alias("full_norm"),
+    )
+    with_h = base.select(
+        "vec_id", "label", "h", "full_norm", l2_norm(F.col("h")).alias("head_norm")
+    ).filter(F.col("head_norm") > 0)
+    return with_h.select(
+        "vec_id",
+        "label",
+        F.round(F.col("head_norm") / F.col("full_norm"), 6).alias("retained_frac"),
+        F.round(F.element_at("h", 1) / F.col("head_norm"), 6).alias("u1"),
+        F.round(F.element_at("h", 2) / F.col("head_norm"), 6).alias("u2"),
+        F.round(F.element_at("h", 3) / F.col("head_norm"), 6).alias("u3"),
+    ).orderBy("vec_id")
+
+
+register(
+    Query(
+        name="x_matryoshka_truncate",
+        build=x_matryoshka_truncate,
+        oracle=f"""
+        WITH h AS MATERIALIZED (
+            SELECT vec_id, label,
+                   list_transform(embedding[1:{_MAT_DIM}],
+                                  x -> CAST(x AS DOUBLE)) AS h,
+                   {_NORM.format(a='embedding')} AS full_norm
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, label, h, full_norm,
+                   sqrt(list_sum(list_transform(h, x -> x * x))) AS head_norm
+            FROM h
+        )
+        SELECT vec_id, label,
+               round(head_norm / full_norm, 6) AS retained_frac,
+               round(h[1] / head_norm, 6) AS u1,
+               round(h[2] / head_norm, 6) AS u2,
+               round(h[3] / head_norm, 6) AS u3
+        FROM n WHERE head_norm > 0 ORDER BY vec_id
+        """,
+        doc="Matryoshka truncate-and-renormalize: head-dim L2 mass retention (X3 storage tier)",
+        tags=("X3",),
+    )
+)

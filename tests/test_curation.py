@@ -83,3 +83,54 @@ def test_quantize_error_bound(spark, sf_dir):
     for r in rows:
         assert r["max_err"] <= r["qscale"] / 2 + 1e-6, r
         assert 0 <= r["mean_err"] <= r["max_err"] + 1e-9
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """Contiguous-fill packing: offsets stay under the budget, spans are
+    consistent with (offset, n_tokens), and each source's final cut
+    covers exactly its total token count."""
+    from airflow_embeddings_pipeline_spark.extensions.curation_queries import (
+        _PACK_B,
+        x_sequence_pack,
+    )
+
+    rows = x_sequence_pack(spark, sf_dir).collect()
+    assert rows
+    per_source_tokens: dict[str, int] = {}
+    per_source_last: dict[str, int] = {}
+    for r in rows:
+        assert 0 <= r.seq_offset < _PACK_B
+        expect_last = r.first_seq + (r.seq_offset + r.n_tokens - 1) // _PACK_B - (
+            r.seq_offset // _PACK_B
+        )
+        assert r.last_seq == expect_last, r
+        per_source_tokens[r.source] = per_source_tokens.get(r.source, 0) + r.n_tokens
+        per_source_last[r.source] = max(per_source_last.get(r.source, -1), r.last_seq)
+    for src, total in per_source_tokens.items():
+        assert per_source_last[src] == (total - 1) // _PACK_B, src
+
+
+def test_matryoshka_retention(spark, sf_dir):
+    from airflow_embeddings_pipeline_spark.extensions.similarity_queries import (
+        x_matryoshka_truncate,
+    )
+
+    rows = x_matryoshka_truncate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.retained_frac <= 1 + 1e-9
+        assert r.u1 ** 2 + r.u2 ** 2 + r.u3 ** 2 <= 1 + 1e-6
+
+
+def test_filtered_topk_respects_predicate(spark, sf_dir):
+    from airflow_embeddings_pipeline_spark.extensions.similarity_queries import (
+        _FILTER_LABELS,
+        x_filtered_topk,
+    )
+
+    out = x_filtered_topk(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    labels = {r.label for r in out.join(emb, "neighbor_id").select("label").collect()}
+    assert labels <= set(_FILTER_LABELS)

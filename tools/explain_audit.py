@@ -26,7 +26,12 @@ SF_DIR = "/root/testdata/sf0.01"
 # BNLJ-by-design: broadcast range join, brute-force top-k (tiny
 # broadcast query set x streamed corpus with a non-equi self-exclusion),
 # and q22's 1-row broadcast threshold cross join.
-EXPECTED_BNLJ = {"j_range_tiers", "x_cosine_topk", "q22_sales_opportunity"}
+EXPECTED_BNLJ = {
+    "j_range_tiers",
+    "x_cosine_topk",
+    "x_filtered_topk",
+    "q22_sales_opportunity",
+}
 
 
 def plan_of(df) -> str:
