@@ -601,3 +601,62 @@ register(
         tags=("X3",),
     )
 )
+
+
+# --------------------------------------------------------- semantic join
+# Retrieval + metadata join (the serving-side RAG shape): top-k cosine
+# neighbors per probe, then the tiny (queries × k) result broadcast
+# INTO the documents table to fetch text metadata — document rows
+# never shuffle.  Fixture doc_id aligns with vec_id.
+_SJ_QUERIES = 4
+_SJ_K = 3
+
+
+def x_semantic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    probes = emb.filter(F.col("vec_id") < _SJ_QUERIES)
+    topk = cosine_topk_bruteforce(emb, probes, k=_SJ_K).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+    return (
+        docs.join(F.broadcast(topk), docs["doc_id"] == F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "cosine",
+            "lang",
+            "source",
+            F.substring("text", 1, 40).alias("snippet"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+register(
+    Query(
+        name="x_semantic_join",
+        build=x_semantic_join,
+        oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {_SJ_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_cos_sql('q.qv', 'e.embedding')} AS cosine
+            FROM embeddings e JOIN q ON q.query_id <> e.vec_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, cosine, lang, source,
+               substring(text, 1, 40) AS snippet
+        FROM ranked JOIN documents ON doc_id = neighbor_id
+        WHERE rank <= {_SJ_K} ORDER BY query_id, rank
+        """,
+        doc="retrieval + metadata join: broadcast top-k results into the documents table (RAG serving shape)",
+        tags=("X3",),
+    )
+)

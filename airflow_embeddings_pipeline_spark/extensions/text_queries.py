@@ -472,3 +472,83 @@ register(
         tags=("X4", "chunking"),
     )
 )
+
+
+# ------------------------------------------------- unigram LM scoring
+# CCNet-style language-model quality score, with the LM trained on the
+# corpus itself: top-V unigram log-probabilities, out-of-vocabulary
+# floored at ln(1/total).  Two classic shuffles — the wordcount and the
+# per-doc mean — both map-side combined; the vocabulary is capped at V
+# rows (TakeOrdered, no full sort) and broadcast into the scoring join.
+# Log-probs are rounded to 9dp and summed as DECIMAL so the per-doc
+# mean is order-independent and bit-identical across engines (float
+# sums over shuffled rows are not).
+_LM_V = 500  # vocabulary cap
+
+
+def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    total = toks.agg(F.count("*").alias("tot"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(_LM_V)
+    )
+    lp = F.round(F.log(F.col("cnt") / F.col("tot")), 9).cast("decimal(18,9)")
+    lp_oov = F.round(F.log(F.lit(1.0) / F.col("tot")), 9).cast("decimal(18,9)")
+    scored = (
+        toks.join(F.broadcast(total))
+        .join(F.broadcast(vocab), "w", "left")
+        .select(
+            "doc_id",
+            F.coalesce(lp, lp_oov).alias("lp"),
+            F.col("cnt").isNull().cast("long").alias("oov"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("mean_logprob"),
+            F.round(F.sum("oov") / F.count("*"), 6).alias("oov_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    Query(
+        name="x_unigram_logprob",
+        build=x_unigram_logprob,
+        oracle=f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ), total AS (
+            SELECT count(*) AS tot FROM toks
+        ), vocab AS MATERIALIZED (
+            SELECT w, count(*) AS cnt FROM toks GROUP BY w
+            ORDER BY cnt DESC, w LIMIT {_LM_V}
+        ), scored AS (
+            SELECT t.doc_id,
+                   COALESCE(
+                       CAST(round(ln(v.cnt / total.tot), 9) AS DECIMAL(18,9)),
+                       CAST(round(ln(1.0 / total.tot), 9) AS DECIMAL(18,9))
+                   ) AS lp,
+                   CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END AS oov
+            FROM toks t CROSS JOIN total LEFT JOIN vocab v ON t.w = v.w
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob,
+               round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_frac
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        doc=(
+            "unigram-LM quality score (CCNet-style): capped-vocab "
+            "log-probs, OOV floor, decimal-exact per-doc mean"
+        ),
+        tags=("X4", "curation"),
+        bench=True,
+    )
+)

@@ -134,3 +134,29 @@ def test_filtered_topk_respects_predicate(spark, sf_dir):
     )
     labels = {r.label for r in out.join(emb, "neighbor_id").select("label").collect()}
     assert labels <= set(_FILTER_LABELS)
+
+
+def test_unigram_logprob_bounds(spark, sf_dir):
+    """Log-probs are negative; a doc of pure in-vocab tokens has
+    mean_logprob ≥ the OOV floor; oov_frac ∈ [0, 1]."""
+    from airflow_embeddings_pipeline_spark.extensions.text_queries import (
+        x_unigram_logprob,
+    )
+
+    rows = x_unigram_logprob(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_logprob < 0
+        assert 0.0 <= r.oov_frac <= 1.0
+
+
+def test_semantic_join_row_count(spark, sf_dir):
+    from airflow_embeddings_pipeline_spark.extensions.similarity_queries import (
+        _SJ_K,
+        _SJ_QUERIES,
+        x_semantic_join,
+    )
+
+    rows = x_semantic_join(spark, sf_dir).collect()
+    assert len(rows) == _SJ_QUERIES * _SJ_K
+    assert all(r.snippet for r in rows)

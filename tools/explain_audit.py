@@ -30,7 +30,9 @@ EXPECTED_BNLJ = {
     "j_range_tiers",
     "x_cosine_topk",
     "x_filtered_topk",
+    "x_semantic_join",  # same broadcast top-k core as x_cosine_topk
     "q22_sales_opportunity",
+    "x_unigram_logprob",  # 1-row broadcast total-count cross join
 }
 
 
