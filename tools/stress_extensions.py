@@ -162,6 +162,18 @@ def main() -> None:
     q = get_catalog()["x_group_centroids"]
     run("group_centroids", q.build(spark, staged))
 
+    # Curation battery over the staged corpus.  Note decontamination's
+    # benchmark side here grows with the corpus (doc_id % 97), which
+    # overstates the broadcast: a real eval set is fixed-size external
+    # data, so the broadcast stays O(benchmark), not O(corpus).
+    for name in (
+        "x_decontaminate",
+        "x_unigram_logprob",
+        "x_sequence_pack",
+        "x_quality_filter_battery",
+    ):
+        run(name, get_catalog()[name].build(spark, staged))
+
     print(
         json.dumps(
             {"n_documents": n, "scale_x": scale, "timings_sec": timings}
