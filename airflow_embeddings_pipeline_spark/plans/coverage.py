@@ -278,3 +278,58 @@ register(
         tags=("agg", "sketch"),
     )
 )
+
+
+# -------------------------------------------------- two-phase salted agg
+# Skewed-key aggregation: when one groupBy key holds most of the rows,
+# a single shuffle sends that key's whole mass to one reducer.  The
+# two-phase plan salts the key (16 shards), pre-aggregates per
+# (key, salt) — map-side combine shrinks each shard — then re-combines
+# per key in a second, tiny shuffle.  Algebraic aggregates only
+# (count→sum, sum→sum, max→max); the oracle is the plain one-shot
+# groupBy, proving the decomposition exact.  (Spark's AQE skew
+# handling covers joins, not aggregations — this is the agg-side
+# equivalent of j_salted_skew_join.)
+_AGG_SALT = 16
+
+
+def a_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn(
+            "__salt", F.pmod(F.hash("event_id"), F.lit(_AGG_SALT)).cast("int")
+        )
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.count("*").alias("pc"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("ps"),
+            F.max("user_id").alias("pm"),
+        )
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("pc").alias("n_events"),
+            F.round(F.sum("ps"), 2).cast("double").alias("total_value"),
+            F.max("pm").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    Query(
+        name="a_salted_skew_agg",
+        build=a_salted_skew_agg,
+        oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_value,
+               max(user_id) AS max_user
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        doc="two-phase salted aggregation for skewed keys, oracled against the one-shot groupBy",
+        tags=("agg", "skew"),
+    )
+)

@@ -99,3 +99,60 @@ def cleanup_files(paths: list[str]) -> list[str]:
         except Exception:
             failed.append(p)
     return failed
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> dict[str, float]:
+    """Small-file compaction: rewrite a parquet dataset into
+    ~``target_file_mb``-sized files (per partition directory when
+    ``partition_by`` is given).
+
+    The operational answer to the small-files problem
+    ``write_partitioned_parquet`` warns about: streaming/incremental
+    sinks accrete one file per micro-batch per partition, and at 100 TB
+    the NameNode/listing cost and per-file task overhead dominate scan
+    time.  File count is derived from the dataset's *current on-disk
+    bytes* (driver-side listing, no data scan), then the data is
+    rewritten through a single shuffle-free coalesce — or a
+    ``repartition(partition_keys)`` when partitioned, so each output
+    directory is written by tasks that hold only its rows.
+
+    Commits via write-to-tmp + swap (the dataset stays readable until
+    the swap); returns before/after ``file_metrics``.
+    """
+    import shutil
+
+    before = file_metrics(path)
+    n_files = max(1, round(before["total_mb"] / target_file_mb))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        writer = (
+            df.repartition(n_files, *[F.col(c) for c in partition_by])
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .partitionBy(*partition_by)
+        )
+    else:
+        writer = (
+            df.coalesce(n_files).write.mode("overwrite")
+            .option("compression", compression)
+        )
+    writer.parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    after = file_metrics(path)
+    return {"before_files": before["n_files"], "after_files": after["n_files"],
+            "before_mb": before["total_mb"], "after_mb": after["total_mb"]}

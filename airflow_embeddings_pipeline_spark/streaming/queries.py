@@ -3,9 +3,9 @@ end-to-end (SURVEY §2.8): a real ``readStream`` file source run with
 ``Trigger.AvailableNow`` into a memory sink, returned as a batch
 DataFrame so the driver's oracle harness can hash it.
 
-The tumbling-window aggregation is deterministic under AvailableNow
-(every fixture row is on time relative to the final watermark), so the
-streaming result is SQL-expressible and gets a full DuckDB oracle —
+The windowed aggregations are deterministic under AvailableNow (every
+fixture row is on time relative to the final watermark), so the
+streaming results are SQL-expressible and get full DuckDB oracles —
 stronger than the rows-only check streaming ops usually settle for.
 """
 
@@ -22,16 +22,20 @@ from ..plans.catalog import Query, register
 from .structured import windowed_counts
 
 
-def t_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly event-time windows over the events stream.
-
-    File-source stream (one micro-batch under AvailableNow at fixture
-    scale, many at 100 TB via maxFilesPerTrigger), event-time watermark
-    for bounded state, complete-mode memory sink.  The ns-timestamp
-    fixture column is declared as long (nanosAsLong) and truncated to
-    µs in-stream — same convention as the batch registry
-    (sources/registry.py).
-    """
+def _stream_windowed(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window_duration: str,
+    slide_duration: str | None = None,
+) -> DataFrame:
+    """Run the events file-source stream (one micro-batch under
+    AvailableNow at fixture scale, many at 100 TB via
+    maxFilesPerTrigger) through ``windowed_counts`` into a memory
+    sink, and hand back the settled table.  The ns-timestamp fixture
+    column is declared as long (nanosAsLong) and truncated to µs
+    in-stream — same convention as the batch registry
+    (sources/registry.py)."""
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
@@ -46,7 +50,12 @@ def t_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
-    agg = windowed_counts(stream, window_duration="1 hour", watermark_delay="30 minutes")
+    agg = windowed_counts(
+        stream,
+        window_duration=window_duration,
+        watermark_delay="30 minutes",
+        slide_duration=slide_duration,
+    )
 
     name = f"t_stream_wc_{uuid.uuid4().hex[:8]}"
     q = (
@@ -72,6 +81,11 @@ def t_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling event-time windows over the events stream."""
+    return _stream_windowed(spark, sf_dir, window_duration="1 hour")
+
+
 register(
     Query(
         name="t_stream_windowed_counts",
@@ -87,6 +101,40 @@ register(
         ORDER BY window_start, event_type
         """,
         doc="Structured Streaming tumbling-window agg (readStream → AvailableNow → memory sink), T5/§2.8",
+        tags=("streaming", "T5"),
+    )
+)
+
+
+def t_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour: every event contributes to two
+    overlapping windows.  Streaming state doubles (window/slide
+    entries per key) but stays watermark-bounded; the oracle replays
+    the overlap by fanning each event out to its two window starts."""
+    return _stream_windowed(
+        spark, sf_dir, window_duration="2 hours", slide_duration="1 hour"
+    )
+
+
+register(
+    Query(
+        name="t_stream_sliding_counts",
+        build=t_stream_sliding_counts,
+        oracle="""
+        SELECT ws AS window_start,
+               ws + INTERVAL 2 HOUR AS window_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM (
+            SELECT date_trunc('hour', ts) - o.off * INTERVAL 1 HOUR AS ws,
+                   event_type, value
+            FROM events, (SELECT unnest([0, 1]) AS off) o
+        )
+        GROUP BY 1, 2, 3
+        ORDER BY window_start, event_type
+        """,
+        doc="Structured Streaming sliding-window agg (2h window / 1h slide, overlap fan-out oracle), T5/§2.8",
         tags=("streaming", "T5"),
     )
 )

@@ -54,13 +54,22 @@ def windowed_counts(
     key_col: str = "event_type",
     window_duration: str = "1 hour",
     watermark_delay: str = "30 minutes",
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling-window aggregation with lateness control —
+    """Event-time windowed aggregation with lateness control —
     ``withWatermark`` drops data later than the delay and lets state
-    age out (bounded state at 100 TB/day event volumes)."""
+    age out (bounded state at 100 TB/day event volumes).  A
+    ``slide_duration`` shorter than the window makes the windows
+    overlap (each event lands in window/slide buckets); state stays
+    bounded the same way, just ×(window/slide) entries."""
+    win = (
+        F.window(ts_col, window_duration, slide_duration)
+        if slide_duration
+        else F.window(ts_col, window_duration)
+    )
     return (
         events.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(ts_col, window_duration).alias("win"), F.col(key_col))
+        .groupBy(win.alias("win"), F.col(key_col))
         .agg(
             F.count("*").alias("n_events"),
             F.sum("value").alias("total_value"),

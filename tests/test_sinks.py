@@ -62,3 +62,45 @@ def test_file_metrics_and_cleanup(spark, sf_dir, tmp_path):
     failed = cleanup_files([out, str(tmp_path / "does_not_exist")])
     assert not os.path.exists(out)
     assert failed == [str(tmp_path / "does_not_exist")]
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.sources.sink import (
+        compact_parquet,
+        file_metrics,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("k", (F.col("id") % 3).cast("int"))
+    df.repartition(40).write.parquet(path)
+    assert file_metrics(path)["n_files"] >= 40
+
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["after_files"] < stats["before_files"]
+    assert stats["after_files"] <= 2
+    # data survives byte-identically (count + checksum)
+    out = spark.read.parquet(path)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
+
+
+def test_compact_parquet_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.sources.sink import (
+        compact_parquet,
+        file_metrics,
+    )
+
+    path = str(tmp_path / "fragp")
+    df = spark.range(0, 5_000).withColumn("k", (F.col("id") % 2).cast("int"))
+    df.repartition(20).write.partitionBy("k").parquet(path)
+    before = file_metrics(path)["n_files"]
+
+    stats = compact_parquet(spark, path, target_file_mb=128, partition_by=["k"])
+    assert stats["after_files"] < before
+    out = spark.read.parquet(path)
+    assert out.count() == 5_000
+    assert set(r.k for r in out.select("k").distinct().collect()) == {0, 1}
