@@ -96,6 +96,33 @@ class VersionedParquetTable:
             return spark.read.parquet(self.root)
         return spark.read.parquet(self._version_dir(v))
 
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """Time travel: read a specific committed (or current) version.
+
+        Only versions that were actually live qualify — crash orphans
+        (no ``_COMMITTED`` marker, never pointed at) raise the same
+        error as a vacuumed version, so a reader can't observe a
+        half-written snapshot."""
+        vdir = self._version_dir(version)
+        committed = os.path.exists(os.path.join(vdir, _COMMITTED))
+        if not os.path.isdir(vdir) or not (
+            committed or version == self.current_version()
+        ):
+            raise FileNotFoundError(
+                f"version {version} not available (never committed or vacuumed)"
+            )
+        return spark.read.parquet(vdir)
+
+    def versions(self) -> list[int]:
+        """Committed (readable) versions, oldest first."""
+        cur = self.current_version()
+        return [
+            v
+            for v in self._versions_on_disk()
+            if os.path.exists(os.path.join(self._version_dir(v), _COMMITTED))
+            or v == cur
+        ]
+
     # ----------------------------------------------------------- commit
     def commit(self, df: DataFrame) -> int:
         """Write ``df`` as the next version, then swap the pointer.

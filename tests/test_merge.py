@@ -136,3 +136,31 @@ def test_versioned_rejects_remote_uri():
 
     with _pytest.raises(ValueError, match="Delta Lake / Iceberg"):
         VersionedParquetTable("s3://bucket/table")
+
+
+def test_versioned_time_travel(spark, tmp_path):
+    import pytest
+
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    table = VersionedParquetTable(str(tmp_path / "tt"))
+    v1 = table.commit(spark.range(0, 10))
+    v2 = table.commit(spark.range(0, 25))
+    assert table.versions() == [v1, v2]
+    assert table.read_version(spark, v1).count() == 10
+    assert table.read_version(spark, v2).count() == 25
+    assert table.read(spark).count() == 25
+
+    # vacuum with keep_last=1 drops v1; time travel to it now fails
+    table.vacuum(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        table.read_version(spark, v1)
+    assert table.read_version(spark, v2).count() == 25
+
+    # a crash orphan (dir without marker, never pointed at) is not readable
+    orphan = v2 + 1
+    spark.range(3).write.parquet(str(tmp_path / "tt" / f"v{orphan:08d}"))
+    with pytest.raises(FileNotFoundError):
+        table.read_version(spark, orphan)
