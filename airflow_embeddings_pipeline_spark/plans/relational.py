@@ -493,8 +493,11 @@ def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         (
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long"), 1).over(w)
+            # double cast: TIMESTAMP_NTZ → TIMESTAMP (no-op for TIMESTAMP;
+            # session tz is UTC) → epoch seconds (NTZ can't cast to long
+            # directly).
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long"), 1).over(w)
             > 3600
         )
         .cast("int")

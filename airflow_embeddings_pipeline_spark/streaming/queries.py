@@ -32,12 +32,17 @@ def _stream_windowed(
     """Run the events file-source stream (one micro-batch under
     AvailableNow at fixture scale, many at 100 TB via
     maxFilesPerTrigger) through ``windowed_counts`` into a memory
-    sink, and hand back the settled table.  The ns-timestamp fixture
-    column is declared as long (nanosAsLong) and truncated to µs
-    in-stream — same convention as the batch registry
+    sink, and hand back the settled table.  Timestamp physical type is
+    probed per file, not assumed: TIMESTAMP(NANOS) fixtures are
+    declared as long (nanosAsLong) and truncated to µs in-stream, µs
+    fixtures stream as-is — same convention as the batch registry
     (sources/registry.py)."""
+    from ..sources.registry import _nanos_timestamp_columns
+
     path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ns_cols = _nanos_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
 
     # File stream source lists a directory; fixtures are single files
@@ -45,11 +50,12 @@ def _stream_windowed(
     stage_dir = tempfile.mkdtemp(prefix="stream_src_")
     os.symlink(path, os.path.join(stage_dir, "events.parquet"))
 
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stage_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # µs fixtures arrive as TIMESTAMP_NTZ; event-time watermarks require
+    # TIMESTAMP (session tz is UTC, so the cast is value-preserving).
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = windowed_counts(
         stream,
         window_duration=window_duration,
