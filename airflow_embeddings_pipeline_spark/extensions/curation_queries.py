@@ -430,3 +430,189 @@ register(
         tags=("curation", "X4"),
     )
 )
+
+
+# --------------------------------------------------------------- PII scan
+# Email / phone / IPv4 detection battery — the pre-redaction scan a
+# corpus pipeline runs before training.  The synthetic fixture corpus
+# contains no natural PII, so each doc is first AUGMENTED with
+# deterministic doc_id-derived contact strings (disclosed fixture
+# augmentation — the operator itself is the production regex battery).
+# Map-only whole-stage-codegen expressions; the augmented text is
+# materialized in one projection so the five regex passes don't
+# re-derive it.  Patterns stay in the RE2-compatible subset so Spark's
+# Java regex and DuckDB's RE2 count identically.
+_RE_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_RE_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def x_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+                F.lit("."),
+                ((did * 13) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", aug.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", _RE_EMAIL, "[PII]"), _RE_PHONE, "[PII]"
+        ),
+        _RE_IPV4,
+        "[PII]",
+    )
+    counted = staged.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_RE_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_RE_PHONE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all("t", F.lit(_RE_IPV4), 0)).alias("n_ips"),
+        F.length(scrubbed).alias("clean_chars"),
+    )
+    return counted.withColumn(
+        "has_pii",
+        ((F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0).cast("int"),
+    ).orderBy("doc_id")
+
+
+register(
+    Query(
+        name="x_pii_scan",
+        build=x_pii_scan,
+        oracle=f"""
+        WITH aug AS MATERIALIZED (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' call 415-555-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+                                || '.' || CAST(doc_id * 13 % 256 AS VARCHAR)
+                           ELSE '' END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{_RE_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(t, '{_RE_PHONE}')) AS n_phones,
+               len(regexp_extract_all(t, '{_RE_IPV4}')) AS n_ips,
+               len(regexp_replace(regexp_replace(regexp_replace(t,
+                   '{_RE_EMAIL}', '[PII]', 'g'),
+                   '{_RE_PHONE}', '[PII]', 'g'),
+                   '{_RE_IPV4}', '[PII]', 'g')) AS clean_chars,
+               CAST(len(regexp_extract_all(t, '{_RE_EMAIL}'))
+                    + len(regexp_extract_all(t, '{_RE_PHONE}'))
+                    + len(regexp_extract_all(t, '{_RE_IPV4}')) > 0 AS INT)
+                   AS has_pii
+        FROM aug ORDER BY doc_id
+        """,
+        doc=(
+            "PII scan battery: email/phone/IPv4 regex counts + scrubbed "
+            "length over deterministically-augmented fixture text"
+        ),
+        tags=("curation", "X4"),
+    )
+)
+
+
+# ---------------------------------------------------------- mixture plan
+# Data-mixture planning: given per-source token inventories and a global
+# token budget (a fraction of the corpus), compute each source's uniform
+# target share and the deterministic sampling rate that hits it.  The
+# scale shape is two tiny aggregations: one map-side-combined groupBy
+# over the corpus (per-source counts), then a broadcast cross join of
+# the per-source rows against the one-row global total — no second
+# corpus pass, no driver-side math.  Downstream, the rates feed the
+# hash-keyed sampler (x_stratified_sample) so the realized sample is
+# reproducible.
+_MIX_BUDGET_FRAC = 0.5
+
+
+def x_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("available_tokens"),
+    )
+    tot = per.agg(
+        F.sum("available_tokens").alias("__total"),
+        F.count("*").alias("__n_sources"),
+    )
+    target = F.col("__total") * _MIX_BUDGET_FRAC / F.col("__n_sources")
+    rate = F.round(
+        F.least(F.lit(1.0), target / F.col("available_tokens")), 6
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "available_tokens",
+            F.round(target, 2).alias("target_tokens"),
+            rate.alias("sampling_rate"),
+            F.floor(rate * F.col("available_tokens")).cast("long").alias(
+                "expected_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    Query(
+        name="x_mixture_plan",
+        build=x_mixture_plan,
+        oracle=f"""
+        WITH per AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS available_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(sum(available_tokens) AS BIGINT) AS total,
+                   count(*) AS n_sources
+            FROM per
+        )
+        SELECT source, n_docs, available_tokens,
+               round(total * {_MIX_BUDGET_FRAC} / n_sources, 2) AS target_tokens,
+               round(least(1.0, total * {_MIX_BUDGET_FRAC} / n_sources
+                                / available_tokens), 6) AS sampling_rate,
+               CAST(floor(round(least(1.0, total * {_MIX_BUDGET_FRAC} / n_sources
+                                / available_tokens), 6) * available_tokens)
+                    AS BIGINT) AS expected_tokens
+        FROM per CROSS JOIN tot ORDER BY source
+        """,
+        doc=(
+            "data-mixture planner: per-source token inventory → uniform "
+            "target share and deterministic sampling rate under a global "
+            "token budget"
+        ),
+        tags=("curation", "X4"),
+    )
+)

@@ -157,18 +157,25 @@ def lsh_candidate_pairs(
 
     # Stage 1 (one pass, no recompute): shingle hashes materialized,
     # then the signature from them, then band hashes from the
-    # signature.  Each step is a separate projection whose alias is
-    # referenced multiple times downstream, which stops Catalyst from
-    # inlining the expensive subtree into every consumer (no CSE inside
-    # HOF lambdas — the md5 pass would otherwise run once per
-    # permutation).
+    # signature.  A plain aliased projection is NOT enough here:
+    # CollapseProject inlines a single-referenced alias into its
+    # consumer, and inside the banding generator / HOF lambdas the
+    # inlined subtree re-evaluates PER ELEMENT (no CSE in lambdas) —
+    # measured 64× md5 blow-up (≈40 s instead of ≈3 s at sf0.1).  The
+    # ``explode(array(expr))`` wrapper makes the value a *generator
+    # output*, an attribute no optimizer rule can inline, at zero cost:
+    # no shuffle, one row-local Generate node per stage.
     with_hashes = df.select(
         *base_cols,
-        hashed_shingles(shingles(text_col), fast=fast).alias("__hs"),
+        F.explode(
+            F.array(hashed_shingles(shingles(text_col), fast=fast))
+        ).alias("__hs"),
     )
     with_sig = with_hashes.select(
         *base_cols,
-        minhash_from_hashes(F.col("__hs"), num_hashes).alias("__sig"),
+        F.explode(F.array(minhash_from_hashes(F.col("__hs"), num_hashes))).alias(
+            "__sig"
+        ),
     )
     banded = with_sig.select(
         *base_cols,

@@ -660,3 +660,175 @@ register(
         tags=("X3",),
     )
 )
+
+
+# ------------------------------------------------- MaxSim late interaction
+# ColBERT-style late-interaction scoring: a multi-token query (the
+# embeddings of the lowest vec_ids stand in for per-token query
+# vectors) against multi-vector documents (each label group's vectors).
+# score(doc) = Σ_token max_vector cos(token, vector).  Scale shape: the
+# query-token matrix broadcasts, the corpus streams through ONE scan
+# computing all token similarities map-side, and the two-level
+# (label, token)-max → label-sum aggregation is the only shuffle.
+# Per-token maxima are exact (no accumulation); the final 3-value sum
+# goes through exact integer arithmetic (cosines are already rounded to
+# 6dp, so ×1e6 is integral) to stay order-independent across engines.
+_MAXSIM_TOKENS = 3
+
+
+def x_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = emb.filter(F.col("vec_id") < _MAXSIM_TOKENS).select(
+        F.col("vec_id").alias("qt_id"), F.col("embedding").alias("__qv")
+    )
+    scored = emb.join(F.broadcast(qt)).select(
+        "label",
+        "qt_id",
+        F.round(cosine(F.col("__qv"), F.col("embedding")), 6).alias("c"),
+    )
+    per_token = scored.groupBy("label", "qt_id").agg(F.max("c").alias("best"))
+    per_label = per_token.groupBy("label").agg(
+        F.count("*").alias("n_query_tokens"),
+        F.round(
+            F.sum(F.round(F.col("best") * 1_000_000).cast("long")) / 1_000_000.0, 6
+        ).alias("maxsim_score"),
+    )
+    # rank over all labels: label cardinality is tiny post-agg (the
+    # single-partition window runs on ≤ thousands of rows, never the
+    # corpus).
+    w = Window.orderBy(F.desc("maxsim_score"), "label")
+    return per_label.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+register(
+    Query(
+        name="x_maxsim_retrieval",
+        build=x_maxsim_retrieval,
+        oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qt_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {_MAXSIM_TOKENS}
+        ), scored AS (
+            SELECT e.label, q.qt_id,
+                   {_cos_sql('q.qv', 'e.embedding')} AS c
+            FROM embeddings e CROSS JOIN q
+        ), per_token AS (
+            SELECT label, qt_id, max(c) AS best
+            FROM scored GROUP BY label, qt_id
+        ), per_label AS (
+            SELECT label,
+                   count(*) AS n_query_tokens,
+                   round(CAST(sum(CAST(round(best * 1000000) AS BIGINT))
+                              AS DOUBLE) / 1000000.0, 6) AS maxsim_score
+            FROM per_token GROUP BY label
+        )
+        SELECT label, n_query_tokens, maxsim_score,
+               row_number() OVER (ORDER BY maxsim_score DESC, label) AS rank
+        FROM per_label ORDER BY rank
+        """,
+        doc=(
+            "ColBERT-style MaxSim late-interaction retrieval: per-token "
+            "max cosine summed per label-group document"
+        ),
+        tags=("X3",),
+    )
+)
+
+
+# ------------------------------------------------------------- SemDeDup
+# SemDeDup (Abbas et al. 2023): semantic dedup by clustering embeddings
+# (k-means cells) and dropping, within each cell, every vector that has
+# a lower-id cell-mate above the cosine threshold — the lowest id per
+# near-duplicate group survives as canonical.  The cell assignment
+# turns the corpus-wide O(n²) similarity join into per-cell blocks
+# (quadratic only in cell size; production runs use k ~ 10⁴-10⁵ trained
+# cells, here k=4 deterministic seed centroids so the oracle can
+# replicate assignment exactly).  Cross-cell near-dups are missed by
+# design — that recall/cost tradeoff is the algorithm's core idea.
+_SD_THRESHOLD = 0.35
+
+
+def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < _N_CENTS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in cent_rows]
+    cells = assign_ivf_cells(emb, cents).select("vec_id", "label", "embedding", "ivf_cell")
+    a = cells.alias("a")
+    b = cells.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("c"),
+        )
+        .filter(F.col("c") >= _SD_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.col("ivf_cell").alias("cell"),
+            F.coalesce("__dropped", F.lit(0)).alias("dropped"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_SD_CDIST = (
+    f"round({_DOT.format(a='c.cv', b='c.cv')}"
+    f" - 2 * {_DOT.format(a='e.embedding', b='c.cv')}, 6)"
+)
+
+register(
+    Query(
+        name="x_semdedup",
+        build=x_semdedup,
+        oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id < {_N_CENTS}
+        ), d AS (
+            SELECT e.vec_id, c.cid, {_SD_CDIST} AS dist
+            FROM embeddings e CROSS JOIN cents c
+        ), assigned AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d
+        ), cells AS MATERIALIZED (
+            SELECT a.vec_id, e.label, e.embedding, a.cid AS cell
+            FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+            WHERE a.rn = 1
+        ), dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_SD_THRESHOLD}
+        )
+        SELECT c.vec_id, c.label, c.cell,
+               CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
+        FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+        ORDER BY c.vec_id
+        """,
+        doc=(
+            "SemDeDup: cluster-blocked semantic dedup — within-cell "
+            "cosine threshold, lowest id canonical (X2/X3 scale tier)"
+        ),
+        tags=("X3", "X2", "dedup"),
+    )
+)
