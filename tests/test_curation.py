@@ -160,3 +160,46 @@ def test_semantic_join_row_count(spark, sf_dir):
     rows = x_semantic_join(spark, sf_dir).collect()
     assert len(rows) == _SJ_QUERIES * _SJ_K
     assert all(r.snippet for r in rows)
+
+
+def test_pii_scan_planted_patterns(spark, sf_dir):
+    """Augmentation plants email/phone/IP deterministically by doc_id
+    modulus; the scan must find exactly the planted counts and the
+    scrub must shorten (or preserve) the text, never grow it."""
+    from airflow_embeddings_pipeline_spark.extensions.curation_queries import (
+        x_pii_scan,
+    )
+
+    rows = {r.doc_id: r for r in x_pii_scan(spark, sf_dir).collect()}
+    assert rows
+    for did, r in rows.items():
+        assert r.n_emails == (1 if did % 3 == 0 else 0)
+        assert r.n_phones == (1 if did % 5 == 0 else 0)
+        assert r.n_ips == (1 if did % 7 == 0 else 0)
+        assert r.has_pii == (1 if (r.n_emails + r.n_phones + r.n_ips) > 0 else 0)
+    # doc 105 = 3·5·7 carries all three pattern classes
+    if 105 in rows:
+        r = rows[105]
+        assert (r.n_emails, r.n_phones, r.n_ips) == (1, 1, 1)
+
+
+def test_mixture_plan_budget_invariants(spark, sf_dir):
+    """Rates are in (0, 1]; expected tokens never exceed the available
+    inventory; the realized total never exceeds the budget except via
+    sources capped at rate 1.0 (they contribute less than target)."""
+    from airflow_embeddings_pipeline_spark.extensions.curation_queries import (
+        _MIX_BUDGET_FRAC,
+        x_mixture_plan,
+    )
+
+    rows = x_mixture_plan(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.available_tokens for r in rows)
+    budget = total * _MIX_BUDGET_FRAC
+    for r in rows:
+        assert 0.0 < r.sampling_rate <= 1.0
+        assert r.expected_tokens <= r.available_tokens
+        # per-source expectation never exceeds its uniform target unless
+        # the source is abundant enough to hit it exactly
+        assert r.expected_tokens <= r.target_tokens + 1
+    assert sum(r.expected_tokens for r in rows) <= budget + len(rows)

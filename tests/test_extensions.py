@@ -403,3 +403,60 @@ def test_connected_components_chain_and_clique(spark):
     assert got[100] == got[101] == got[102] == 100
     assert got[200] == got[201] == 200
     assert len(got) == 20 + 3 + 2
+
+
+def test_maxsim_scores_bounded_and_ranked(spark, sf_dir):
+    """Each per-token max cosine is ≤ 1, so a label's MaxSim score is
+    bounded by the query-token count; labels owning a query token hit
+    the exact cos=1 bound for that token.  Ranks are a permutation."""
+    from airflow_embeddings_pipeline_spark.extensions.similarity_queries import (
+        _MAXSIM_TOKENS,
+        x_maxsim_retrieval,
+    )
+
+    rows = x_maxsim_retrieval(spark, sf_dir).collect()
+    assert rows
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.n_query_tokens == _MAXSIM_TOKENS
+        assert r.maxsim_score <= _MAXSIM_TOKENS + 1e-9
+    scores = [r.maxsim_score for r in sorted(rows, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_semdedup_lowest_id_canonical(spark, sf_dir):
+    """The lowest vec_id in every cell is never dropped (it has no
+    lower-id cell-mate), and every dropped vector really has a lower-id
+    cell-mate above the cosine threshold."""
+    import numpy as np
+
+    from airflow_embeddings_pipeline_spark.extensions.similarity_queries import (
+        _SD_THRESHOLD,
+        x_semdedup,
+    )
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    out = {r.vec_id: r for r in x_semdedup(spark, sf_dir).collect()}
+    assert out
+    cells = {}
+    for r in out.values():
+        cells.setdefault(r.cell, []).append(r.vec_id)
+    for members in cells.values():
+        assert out[min(members)].dropped == 0
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for r in out.values():
+        if not r.dropped:
+            continue
+        mates = [m for m in cells[r.cell] if m < r.vec_id]
+        best = max(
+            float(
+                emb[m] @ emb[r.vec_id]
+                / (np.linalg.norm(emb[m]) * np.linalg.norm(emb[r.vec_id]))
+            )
+            for m in mates
+        )
+        assert round(best, 6) >= _SD_THRESHOLD
