@@ -616,3 +616,130 @@ register(
         tags=("curation", "X4"),
     )
 )
+
+
+# -------------------------------------------------------- curation funnel
+# End-to-end retention funnel: raw → quality-pass → exact-unique, per
+# source — the accounting view every curation run reports.  ONE corpus
+# pass: the quality rules and the content fingerprint are computed in
+# the same projection, one groupBy rolls up all three stages
+# (conditional count-distinct folds the dedup stage into the same
+# shuffle — no second pass, no join).
+def x_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_wlen = (F.length("text") - (n - 1)) / n
+    sw = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    kept = (
+        (n >= _QF_MIN_TOKENS)
+        & (mean_wlen <= _QF_MAX_MEAN_WLEN)
+        & (sw / n >= _QF_MIN_STOPWORD_FRAC)
+    )
+    staged = docs.select(
+        "source",
+        kept.cast("int").alias("kept"),
+        F.md5("text").alias("fp"),
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum("kept").alias("n_quality"),
+            F.countDistinct(F.when(F.col("kept") == 1, F.col("fp"))).alias(
+                "n_unique"
+            ),
+        )
+        .select(
+            "source",
+            "n_raw",
+            "n_quality",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_raw"), 4).alias("retention"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    Query(
+        name="x_curation_funnel",
+        build=x_curation_funnel,
+        oracle=f"""
+        WITH staged AS (
+            SELECT source,
+                   CAST(len(string_split(text, ' ')) >= {_QF_MIN_TOKENS}
+                        AND (len(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                            / len(string_split(text, ' ')) <= {_QF_MAX_MEAN_WLEN}
+                        AND len(list_filter(string_split(text, ' '),
+                                t -> t IN ({_SW_LIST})))::DOUBLE
+                            / len(string_split(text, ' ')) >= {_QF_MIN_STOPWORD_FRAC}
+                        AS INT) AS kept,
+                   md5(text) AS fp
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_raw,
+               CAST(sum(kept) AS BIGINT) AS n_quality,
+               CAST(count(DISTINCT CASE WHEN kept = 1 THEN fp END) AS BIGINT)
+                   AS n_unique,
+               round(count(DISTINCT CASE WHEN kept = 1 THEN fp END)::DOUBLE
+                     / count(*), 4) AS retention
+        FROM staged GROUP BY source ORDER BY source
+        """,
+        doc=(
+            "curation retention funnel: raw → quality-pass → "
+            "exact-unique per source, one corpus pass"
+        ),
+        tags=("curation", "X4", "X1"),
+    )
+)
+
+
+# ------------------------------------------- fixed-size stratum sampling
+# Fixed-k-per-stratum sampling (the reservoir-sample analog, made
+# deterministic): rank docs inside each language by a content-blind
+# hash of their id and keep the k lowest.  Unlike the rate-based
+# sampler (x_stratified_sample) the output size per stratum is exact,
+# which is what eval-set carving wants.  One shuffle (window by lang);
+# the hash ordering makes the "random" choice reproducible across
+# runs, retries, and engines.
+_FIXED_K = 5
+
+
+def x_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select("doc_id", "lang", h.alias("__h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _FIXED_K)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+register(
+    Query(
+        name="x_fixed_k_sample",
+        build=x_fixed_k_sample,
+        oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents
+        )
+        SELECT doc_id, lang, rk FROM ranked
+        WHERE rk <= {_FIXED_K} ORDER BY lang, rk
+        """,
+        doc=(
+            "deterministic fixed-k-per-stratum sample: hash-ranked "
+            "row_number per language (reservoir-sample analog)"
+        ),
+        tags=("curation", "X4"),
+    )
+)

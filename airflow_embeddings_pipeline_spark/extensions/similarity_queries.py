@@ -832,3 +832,220 @@ register(
         tags=("X3", "X2", "dedup"),
     )
 )
+
+
+# ------------------------------------------- IVF + int8 two-stage search
+# The memory-bound serving tier (IVF-PQ shape, scalar-quantized): IVF
+# cells prune the corpus, the candidate scan scores against int8 codes
+# (4 bytes/dim → 1 byte/dim — at 100 TB the candidate pass reads ¼ the
+# bytes and the integer dot products are exact, hence deterministic),
+# and only the top candidate slice pays the full-precision re-rank.
+# Every stage is reproducible: integer quantized dots, 6dp-rounded
+# ratios, id tiebreaks — so the two-stage approximation itself is
+# oracle-checked, not just the final answer shape.
+_PQ_CAND_MULT = 3  # approximate stage keeps k·3 candidates for re-rank
+
+
+def x_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < _N_CENTS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    base = assign_ivf_cells(emb, centroids)
+
+    v = _as_double(F.col("embedding"))
+    scaled = base.select(
+        "vec_id",
+        "ivf_cell",
+        "embedding",
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "qscale"
+        ),
+    ).filter(F.col("qscale") > 0)
+    # int8 codes as a generator output (explode(array(...)) barrier):
+    # the candidate join references the code array once per pair — an
+    # inlined quantization subtree would re-quantize per candidate.
+    quant = scaled.select(
+        "vec_id",
+        "ivf_cell",
+        "embedding",
+        "qscale",
+        F.explode(
+            F.array(
+                F.transform(
+                    _as_double(F.col("embedding")),
+                    lambda x: F.round(x / F.col("qscale")).cast("long"),
+                )
+            )
+        ).alias("qv"),
+    )
+    quant = quant.select(
+        "*",
+        (
+            F.col("qscale")
+            * F.sqrt(
+                F.aggregate(
+                    "qv", F.lit(0).cast("long"), lambda a, x: a + x * x
+                ).cast("double")
+            )
+        ).alias("qnorm"),
+    )
+
+    # probe cells per query — identical construction to ivf_topk
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in centroids
+        ]
+    )
+    qv_dbl = _as_double(F.col("embedding"))
+    dists = F.transform(cents, lambda c: F.round(dot(c, c) - 2 * dot(qv_dbl, c), 6))
+    order = F.array_sort(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+    probe_cells = F.slice(F.transform(order, lambda s: s["i"]), 1, _NPROBE)
+    q = (
+        quant.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("probe_cell", F.explode(probe_cells))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qe"),
+            F.col("qscale").alias("__qs"),
+            F.col("qv").alias("__qq"),
+            F.col("qnorm").alias("__qn"),
+            "probe_cell",
+        )
+    )
+
+    int_dot = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    cand = (
+        quant.join(
+            F.broadcast(q),
+            (F.col("ivf_cell") == F.col("probe_cell"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "__qe",
+            "embedding",
+            F.round(
+                (F.col("__qs") * F.col("qscale") * int_dot)
+                / (F.col("__qn") * F.col("qnorm")),
+                6,
+            ).alias("approx_cosine"),
+        )
+    )
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), "neighbor_id"
+    )
+    capped = cand.withColumn("arank", F.row_number().over(w_a)).filter(
+        F.col("arank") <= _K * _PQ_CAND_MULT
+    )
+    rer = capped.select(
+        "query_id",
+        "neighbor_id",
+        "approx_cosine",
+        F.round(cosine(F.col("__qe"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w_e = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w_e))
+        .filter(F.col("rank") <= _K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_PQ_IDOT = (
+    "list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i]))"
+)
+
+register(
+    Query(
+        name="x_ann_ivf_int8",
+        build=x_ann_ivf_int8,
+        oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id < {_N_CENTS}
+        ), dists AS (
+            SELECT e.vec_id, c.cid, {_CDIST} AS dist
+            FROM embeddings e CROSS JOIN cents c
+        ), assign AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM dists
+        ), scaled AS MATERIALIZED (
+            SELECT e.vec_id, a.cid AS cell, e.embedding,
+                   list_max(list_transform(e.embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qscale
+            FROM embeddings e JOIN assign a
+              ON a.vec_id = e.vec_id AND a.rn = 1
+            WHERE list_max(list_transform(e.embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) > 0
+        ), quant AS MATERIALIZED (
+            SELECT vec_id, cell, embedding, qscale,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) / qscale) AS BIGINT))
+                       AS qv
+            FROM scaled
+        ), quant2 AS MATERIALIZED (
+            SELECT *, qscale * sqrt(CAST(list_sum(
+                       list_transform(qv, x -> x * x)) AS DOUBLE)) AS qnorm
+            FROM quant
+        ), probes AS (
+            SELECT vec_id AS query_id, cid AS probe_cell FROM assign
+            WHERE vec_id < {_N_QUERIES} AND rn <= {_NPROBE}
+        ), cand AS (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   round(q.qscale * c.qscale * CAST({_PQ_IDOT} AS DOUBLE)
+                         / (q.qnorm * c.qnorm), 6) AS approx_cosine
+            FROM probes p
+            JOIN quant2 c ON c.cell = p.probe_cell
+                         AND c.vec_id <> p.query_id
+            JOIN quant2 q ON q.vec_id = p.query_id
+        ), capped AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY approx_cosine DESC, neighbor_id) AS arank
+            FROM cand
+        ), rer AS (
+            SELECT t.query_id, t.neighbor_id, t.approx_cosine,
+                   {_cos_sql('qe.embedding', 'e.embedding')} AS cosine
+            FROM capped t
+            JOIN embeddings qe ON qe.vec_id = t.query_id
+            JOIN embeddings e ON e.vec_id = t.neighbor_id
+            WHERE t.arank <= {_K * _PQ_CAND_MULT}
+        )
+        SELECT query_id, neighbor_id, approx_cosine, cosine,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM rer
+        QUALIFY rank <= {_K}
+        ORDER BY query_id, rank
+        """,
+        doc=(
+            "IVF + int8 two-stage ANN: quantized-code candidate scoring "
+            "(exact integer dots), full-precision re-rank of the top "
+            "slice (X3 serving tier)"
+        ),
+        tags=("X3", "ann", "quantization"),
+        bench=True,
+    )
+)

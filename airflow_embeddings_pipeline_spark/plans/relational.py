@@ -255,6 +255,55 @@ _q(
 )
 
 
+# ----------------------------------------------------------- RANGE frame
+# Event-time RANGE frame (trailing 1 hour of value per user): unlike a
+# ROWS frame, the frame boundary is a VALUE offset over the order key,
+# so all peers of a tied key are always in-frame — deterministic under
+# ties by construction (no tiebreak column needed).  Ordered by epoch
+# seconds in both engines so the numeric range offsets agree; decimal
+# accumulation keeps the sliding sums order-exact.
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # NTZ-safe epoch seconds (session tz UTC)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select("event_id", "user_id", sec.alias("sec"), "value")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4)
+            .cast("double")
+            .alias("trailing_1h_value"),
+            F.count("*").over(w).alias("trailing_1h_events"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_q(
+    "w_range_frame",
+    w_range_frame,
+    """
+    SELECT event_id, user_id,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+                      OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+                AS DOUBLE) AS trailing_1h_value,
+           count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS trailing_1h_events
+    FROM events ORDER BY event_id
+    """,
+    "event-time RANGE frame: trailing-1h sliding sum per key (value-offset frame, tie-deterministic)",
+    ("W1", "T5"),
+)
+
+
 # ------------------------------------------------------------------- A1/S2
 def a_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

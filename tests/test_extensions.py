@@ -460,3 +460,82 @@ def test_semdedup_lowest_id_canonical(spark, sf_dir):
             for m in mates
         )
         assert round(best, 6) >= _SD_THRESHOLD
+
+
+def test_ann_ivf_int8_recall_vs_exact(spark, sf_dir):
+    """The two-stage quantized tier must agree with the brute-force
+    exact tier on most of the top-k (quantization + IVF pruning lose a
+    little recall, the re-rank wins it back): recall@k ≥ 0.5 per query
+    on the small fixture, and every returned exact cosine must be a
+    true cosine (matches the brute-force value for that pair)."""
+    from airflow_embeddings_pipeline_spark.extensions.similarity_queries import (
+        _K,
+        x_ann_ivf_int8,
+        x_cosine_topk,
+    )
+
+    from airflow_embeddings_pipeline_spark.extensions.similarity_queries import (
+        x_ann_ivf,
+    )
+
+    approx = x_ann_ivf_int8(spark, sf_dir).collect()
+    exact = x_cosine_topk(spark, sf_dir).collect()
+    plain = x_ann_ivf(spark, sf_dir).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    by_q: dict[int, set[int]] = {}
+    for r in exact:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf_hits = {q: 0 for q in by_q}
+    for r in plain:
+        if (r.query_id, r.neighbor_id) in exact_pairs:
+            ivf_hits[r.query_id] += 1
+    hits = {q: 0 for q in by_q}
+    for r in approx:
+        assert abs(r.approx_cosine) <= 1.5  # quantized ratio stays sane
+        if (r.query_id, r.neighbor_id) in exact_pairs:
+            assert r.cosine == exact_pairs[(r.query_id, r.neighbor_id)]
+            hits[r.query_id] += 1
+    # the quantized candidate stage + exact re-rank must not lose more
+    # than one of the plain-IVF tier's true hits (same cell pruning,
+    # quantization can only swap boundary candidates); IVF pruning
+    # itself bounds the absolute recall, not this tier
+    for q in by_q:
+        assert hits[q] >= ivf_hits[q] - 1, (
+            f"query {q}: int8 {hits[q]} vs ivf {ivf_hits[q]}"
+        )
+    assert sum(hits.values()) / (len(by_q) * _K) >= 0.5
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    """Funnel stages only shrink: n_unique ≤ n_quality ≤ n_raw."""
+    from airflow_embeddings_pipeline_spark.extensions.curation_queries import (
+        x_curation_funnel,
+    )
+
+    rows = x_curation_funnel(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_unique <= r.n_quality <= r.n_raw
+        assert 0.0 <= r.retention <= 1.0
+
+
+def test_fixed_k_sample_exact_size(spark, sf_dir):
+    from airflow_embeddings_pipeline_spark.extensions.curation_queries import (
+        _FIXED_K,
+        x_fixed_k_sample,
+    )
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    rows = x_fixed_k_sample(spark, sf_dir).collect()
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    avail = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, n in per_lang.items():
+        assert n == min(_FIXED_K, avail[lang])
