@@ -378,13 +378,24 @@ def x_hyperplane_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dot saves.  JVM-side HOF keeps the verify zero-copy.)
     from .similarity import dot, l2_norm
 
-    unit = F.transform(
-        "__v", lambda x: x / l2_norm(F.col("__v"))
-    )
-    norm_side = lambda out_id, out_v: (  # noqa: E731
-        emb.select(F.col("vec_id").alias(out_id), _as_double(F.col("embedding")).alias("__v"))
-        .select(out_id, unit.alias(out_v))
-    )
+    # Two generator barriers (explode(array(...))) make the scalar norm
+    # and the unit vector REAL attributes: a plain alias here inlines
+    # (single reference), re-evaluating the aggregate norm per element
+    # (O(d²) per vector) and the whole normalization per candidate pair.
+    def norm_side(out_id: str, out_v: str) -> DataFrame:
+        s1 = emb.select(
+            F.col("vec_id").alias(out_id),
+            _as_double(F.col("embedding")).alias("__v"),
+        )
+        s2 = s1.select(
+            out_id, "__v", F.explode(F.array(l2_norm(F.col("__v")))).alias("__n")
+        )
+        return s2.select(
+            out_id,
+            F.explode(
+                F.array(F.transform("__v", lambda x: x / F.col("__n")))
+            ).alias(out_v),
+        )
     a = norm_side("id_a", "__na")
     b = norm_side("id_b", "__nb")
     return (
