@@ -268,3 +268,142 @@ register(
         tags=("set-ops",),
     )
 )
+
+
+# ------------------------------------------------------ cohort retention
+# Weekly cohort retention matrix — the canonical product-analytics
+# rollup: users bucketed by first-activity week, activity counted per
+# week offset.  All time math is integer day/week arithmetic over epoch
+# seconds (no calendar functions), so Spark and the oracle agree
+# exactly and the plan is two hash aggregations: per-user first day
+# (map-side combined), then distinct users per (cohort, offset) — the
+# 100 TB shape, no window over the full event stream.
+def t_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("timestamp").cast("long") / 86400).cast("long")
+    per_event = ev.select("user_id", day.alias("day"))
+    first = per_event.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    joined = per_event.join(first, "user_id").select(
+        "user_id",
+        F.floor(F.col("first_day") / 7).cast("long").alias("cohort_week"),
+        F.floor((F.col("day") - F.col("first_day")) / 7).cast("long").alias(
+            "week_offset"
+        ),
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+register(
+    Query(
+        name="t_cohort_retention",
+        build=t_cohort_retention,
+        oracle="""
+        WITH per_event AS (
+            SELECT user_id,
+                   CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+            FROM events
+        ), first AS (
+            SELECT user_id, min(day) AS first_day
+            FROM per_event GROUP BY user_id
+        )
+        SELECT CAST(floor(f.first_day / 7) AS BIGINT) AS cohort_week,
+               CAST(floor((e.day - f.first_day) / 7.0) AS BIGINT) AS week_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM per_event e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+        """,
+        doc=(
+            "weekly cohort retention matrix: first-activity cohort × "
+            "week offset → distinct active users (integer epoch math)"
+        ),
+        tags=("T5", "analytics"),
+    )
+)
+
+
+# -------------------------------------------------------- ordered funnel
+# Ordered conversion funnel (signup → click → purchase, strictly later
+# steps only): each stage is a per-user conditional MIN over the
+# previous stage's timestamp.  Three tiny per-user aggregates chained
+# by user_id equi-joins — each a map-side-combined shuffle on the same
+# key (co-partitioned, AQE reuses the exchange); no window over the
+# event stream, no self-join explosion.
+def t_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    base = ev.select("user_id", "event_type", sec.alias("sec"))
+    s = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_signup"))
+    )
+    c = (
+        base.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("sec") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_click"))
+    )
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("sec") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_purchase"))
+    )
+    counts = s.agg(F.count("*").alias("n_signup")).crossJoin(
+        c.agg(F.count("*").alias("n_click_after"))
+    ).crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    return counts.select(
+        "n_signup",
+        "n_click_after",
+        "n_purchase_after",
+        F.round(F.col("n_click_after") / F.col("n_signup"), 4).alias("click_rate"),
+        F.round(F.col("n_purchase_after") / F.col("n_click_after"), 4).alias(
+            "purchase_rate"
+        ),
+    )
+
+
+register(
+    Query(
+        name="t_event_funnel",
+        build=t_event_funnel,
+        oracle="""
+        WITH base AS (
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
+            FROM events
+        ), s AS (
+            SELECT user_id, min(sec) AS t_signup
+            FROM base WHERE event_type = 'signup' GROUP BY user_id
+        ), c AS (
+            SELECT b.user_id, min(b.sec) AS t_click
+            FROM base b JOIN s ON b.user_id = s.user_id
+            WHERE b.event_type = 'click' AND b.sec > s.t_signup
+            GROUP BY b.user_id
+        ), p AS (
+            SELECT b.user_id, min(b.sec) AS t_purchase
+            FROM base b JOIN c ON b.user_id = c.user_id
+            WHERE b.event_type = 'purchase' AND b.sec > c.t_click
+            GROUP BY b.user_id
+        )
+        SELECT (SELECT count(*) FROM s) AS n_signup,
+               (SELECT count(*) FROM c) AS n_click_after,
+               (SELECT count(*) FROM p) AS n_purchase_after,
+               round((SELECT count(*) FROM c)::DOUBLE
+                     / (SELECT count(*) FROM s), 4) AS click_rate,
+               round((SELECT count(*) FROM p)::DOUBLE
+                     / (SELECT count(*) FROM c), 4) AS purchase_rate
+        """,
+        doc=(
+            "ordered conversion funnel: per-user conditional-min stage "
+            "chaining (signup → click → purchase, strictly increasing ts)"
+        ),
+        tags=("analytics",),
+    )
+)

@@ -211,3 +211,28 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         exact, approx = r["exact_users"], r["approx_users"]
         assert exact > 0
         assert abs(approx - exact) <= max(1, 0.06 * exact), r
+
+
+def test_event_funnel_monotone(spark, sf_dir):
+    """Each funnel stage can only shrink, and rates stay in (0, 1]."""
+    from airflow_embeddings_pipeline_spark.plans.advanced import t_event_funnel
+
+    r = t_event_funnel(spark, sf_dir).collect()[0]
+    assert r.n_purchase_after <= r.n_click_after <= r.n_signup
+    assert 0.0 < r.click_rate <= 1.0
+    assert 0.0 < r.purchase_rate <= 1.0
+
+
+def test_cohort_retention_week0_covers_cohort(spark, sf_dir):
+    """Offset-0 row of each cohort counts every cohort member (a user
+    is trivially active in their own first week), and retention never
+    exceeds the cohort size at any later offset."""
+    from airflow_embeddings_pipeline_spark.plans.advanced import t_cohort_retention
+
+    rows = t_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    week0 = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    for r in rows:
+        assert r.cohort_week in week0
+        assert r.n_users <= week0[r.cohort_week]
+        assert r.week_offset >= 0
