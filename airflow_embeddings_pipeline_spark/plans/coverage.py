@@ -280,6 +280,49 @@ register(
 )
 
 
+# The raw estimates can't be cross-engine-compared, but the sketch's
+# ACCURACY CONTRACT can: Spark's HLL++ is deterministic for a given
+# input, so "estimate within the configured 2% rsd (×3 slack)" is a
+# stable boolean the oracle reproduces as `exact vs exact`-derived
+# truth.  This turns the one rows-only entry into hard driver signal
+# about the sketch itself.
+def a_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= 0.06 * F.col("exact_users")
+        )
+        .cast("int")
+        .alias("within_3rsd"),
+    ).orderBy("event_type")
+
+
+register(
+    Query(
+        name="a_approx_distinct_bound",
+        build=a_approx_distinct_bound,
+        oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               1 AS within_3rsd
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        doc=(
+            "HLL++ accuracy contract as a checkable fact: estimate "
+            "within 3×rsd of exact (sketch is deterministic per input)"
+        ),
+        tags=("agg", "sketch"),
+    )
+)
+
+
 # -------------------------------------------------- two-phase salted agg
 # Skewed-key aggregation: when one groupBy key holds most of the rows,
 # a single shuffle sends that key's whole mass to one reducer.  The

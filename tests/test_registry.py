@@ -57,3 +57,30 @@ def test_layout_cache_refreshes_on_stale_source(spark, tmp_path, monkeypatch):
     # and the refreshed cache is itself served on the next load
     df3 = registry._with_layout_cache(spark, spark.read.parquet(src), src)
     assert df3.count() == 75
+
+
+def test_sql_and_dataframe_surfaces_agree(spark, sf_dir):
+    """register_all exposes every fixture table as a temp view; a
+    spark.sql query over the views must return exactly what the
+    DataFrame formulation returns (same Catalyst plan underneath)."""
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.sources.registry import register_all
+
+    register_all(spark, sf_dir)
+    via_sql = spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders WHERE o_totalprice > 100000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    ).collect()
+    via_df = (
+        spark.table("orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    assert via_sql == via_df
