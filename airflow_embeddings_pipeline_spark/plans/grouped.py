@@ -62,12 +62,10 @@ def x_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Oracle: mean per dimension via unnest (the SQL formulation of the
-# same math); centroid_norm recomputed from all 128 dims.
-register(
-    Query(
-        name="x_group_centroids",
-        build=x_group_centroids,
-        oracle="""
+# same math); centroid_norm recomputed from all dims.  Shared by the
+# pandas and Arrow grouped-map variants — the point is that both
+# execution modes produce bit-identical results.
+_CENTROID_ORACLE = """
         WITH dims AS (
             SELECT label, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
             FROM embeddings,
@@ -89,9 +87,64 @@ register(
                    AS centroid_norm
         FROM agg a JOIN counts c ON a.label = c.label
         ORDER BY a.label
-        """,
+        """
+
+register(
+    Query(
+        name="x_group_centroids",
+        build=x_group_centroids,
+        oracle=_CENTROID_ORACLE,
         doc="per-label embedding centroid via applyInPandas grouped-map (vectorized numpy mean)",
         tags=("X3", "pandas-udf", "grouped-map"),
+    )
+)
+
+
+# ------------------------------------------- grouped-map, Arrow variant
+# Same computation through ``applyInArrow`` — the zero-pandas grouped
+# map (one pyarrow.Table per group, no Series conversion overhead).
+# Bit-identical output to the pandas variant (same float64 math), so it
+# shares the oracle: the catalog proves both Arrow execution modes
+# agree with SQL.
+def x_group_centroids_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def centroid(tbl: "pa.Table") -> "pa.Table":
+        emb_col = tbl.column("embedding").to_pylist()
+        mat = np.asarray(emb_col, dtype=np.float64)
+        c = mat.mean(axis=0)
+        head = ",".join(f"{x:.6f}" for x in c[:4])
+        return pa.table(
+            {
+                "label": pa.array([tbl.column("label")[0].as_py()], pa.int32()),
+                "n_vectors": pa.array([tbl.num_rows], pa.int64()),
+                "centroid_head": pa.array([head], pa.string()),
+                "centroid_norm": pa.array(
+                    [round(float(np.sqrt((c * c).sum())), 6)], pa.float64()
+                ),
+            }
+        )
+
+    out_schema = (
+        "label int, n_vectors long, centroid_head string, centroid_norm double"
+    )
+    return (
+        emb.select("label", "embedding")
+        .groupBy("label")
+        .applyInArrow(centroid, schema=out_schema)
+        .orderBy("label")
+    )
+
+
+register(
+    Query(
+        name="x_group_centroids_arrow",
+        build=x_group_centroids_arrow,
+        oracle=_CENTROID_ORACLE,
+        doc="per-label embedding centroid via applyInArrow grouped-map (zero-pandas Arrow path)",
+        tags=("X3", "arrow", "grouped-map"),
     )
 )
 

@@ -304,6 +304,67 @@ _q(
 )
 
 
+# ------------------------------------------------------ running distinct
+# COUNT(DISTINCT) OVER is unsupported in Spark SQL; the engine-native
+# formulation is size(collect_set() OVER) — the set dedups inside the
+# running frame, and only its SIZE is projected so the nondeterministic
+# set ordering never reaches the output.  Frame keyed by day (RANGE
+# semantics via pre-aggregated day grain: one row per (type, day) after
+# the inner groupBy, so ROWS == RANGE and the running count is
+# tie-free).  DuckDB supports DISTINCT window aggregates natively —
+# a strong independent oracle for the rewrite.
+def w_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.floor(F.col("ts").cast("timestamp").cast("long") / 86400).cast("long")
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", day.alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.collect_set("user_id").alias("__users"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.size("__users").alias("n_users_today"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("__users").over(w)))
+            ).alias("n_users_cumulative"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_q(
+    "w_running_distinct",
+    w_running_distinct,
+    """
+    WITH dedup AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+               user_id
+        FROM events
+    ), cum AS (
+        SELECT event_type, day, user_id,
+               count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_users
+        FROM dedup
+    )
+    SELECT event_type, day,
+           count(*) AS n_users_today,
+           max(cum_users) AS n_users_cumulative
+    FROM cum GROUP BY event_type, day ORDER BY event_type, day
+    """,
+    "running distinct-user count per event type (COUNT DISTINCT OVER rewrite via windowed set union)",
+    ("W1",),
+)
+
+
 # ------------------------------------------------------------------- A1/S2
 def a_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
