@@ -1060,3 +1060,96 @@ register(
         bench=True,
     )
 )
+
+
+# ---------------------------------------------------- IVF index health
+# The maintenance view behind every IVF deployment decision: per-cell
+# population and distance-to-centroid spread.  Unbalanced cells (one
+# cell holding most of the corpus) are what make nprobe search
+# degenerate — at 100 TB this one aggregate decides when to retrain
+# centroids or split cells.  Distances reuse the assignment expression
+# (already rounded to 6dp), so the whole view is one map stage + one
+# tiny groupBy.
+def x_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _as_double as _dd
+    from .similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < _N_CENTS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    assigned = assign_ivf_cells(emb, centroids)
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in centroids
+        ]
+    )
+    v = _dd(F.col("embedding"))
+    own = F.element_at(cents, (F.col("ivf_cell") + 1).cast("int"))
+    # same quadratic-form distance the assignment ranks on (c·c − 2v·c)
+    d = F.round(dot(own, own) - 2 * dot(v, own), 6)
+    per_vec = assigned.select(F.col("ivf_cell").alias("cell"), d.alias("d"))
+    total = emb.count()
+    return (
+        per_vec.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            # exact decimal sum of the (already 6dp-rounded) distances →
+            # order-independent mean, bit-equal across engines
+            F.round(
+                F.sum(F.col("d").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_dist"),
+            F.round(F.max("d"), 6).alias("max_dist"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.lit(float(total)), 4).alias("share"),
+            "mean_dist",
+            "max_dist",
+        )
+        .orderBy("cell")
+    )
+
+
+register(
+    Query(
+        name="x_ivf_cell_stats",
+        build=x_ivf_cell_stats,
+        oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id < {_N_CENTS}
+        ), dists AS (
+            SELECT e.vec_id, c.cid, {_CDIST} AS dist
+            FROM embeddings e CROSS JOIN cents c
+        ), assign AS (
+            SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM dists
+        ), cells AS (
+            SELECT vec_id, cid AS cell, dist FROM assign WHERE rn = 1
+        ), tot AS (SELECT count(*) AS n FROM embeddings)
+        SELECT cell,
+               count(*) AS n_vectors,
+               round(count(*)::DOUBLE / (SELECT n FROM tot), 4) AS share,
+               round(CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_dist,
+               round(max(dist), 6) AS max_dist
+        FROM cells GROUP BY cell ORDER BY cell
+        """,
+        doc=(
+            "IVF index-health view: per-cell population share and "
+            "distance-to-centroid spread (retrain/split diagnostic)"
+        ),
+        tags=("X3", "ann"),
+    )
+)
