@@ -110,6 +110,50 @@ def extract_features(
     return media.mapInPandas(op, schema=out_schema)
 
 
+def resize_media(
+    media: DataFrame, *, target_bytes: int = 16, use_real_codec: bool = False
+) -> DataFrame:
+    """Resize/resample plumbing: deterministic byte-stride subsample of
+    the payload down to ``target_bytes`` (byte i of the output is byte
+    ``(i·n)//t`` of the input) — the batch shape of an image resize /
+    audio resample, minus the codec (``use_real_codec=True`` raises
+    where PIL.thumbnail / soxr would run).  mapInPandas, map-only, no
+    shuffle; payload bytes never leave the executor."""
+    out_schema = (
+        "doc_id long, media_type string, orig_bytes int, "
+        "resized_bytes int, resized_checksum long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def shrink(payload: bytes) -> tuple[int, int, int]:
+            if use_real_codec:
+                raise NotImplementedError(
+                    "real media resize requires PIL/soxr/av; "
+                    "not available in this environment"
+                )
+            n = len(payload)
+            t = min(target_bytes, n)
+            out = bytes(payload[(i * n) // t] for i in range(t)) if t else b""
+            checksum = int(_hl.md5(out.hex().encode()).hexdigest()[:8], 16)
+            return n, len(out), checksum
+
+        for pdf in batches:
+            r = pdf["payload"].map(shrink)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "orig_bytes": r.map(lambda x: x[0]),
+                    "resized_bytes": r.map(lambda x: x[1]),
+                    "resized_checksum": r.map(lambda x: x[2]),
+                }
+            )
+
+    return media.mapInPandas(op, schema=out_schema)
+
+
 def sample_frames(media: DataFrame, *, every_n_bytes: int = 16) -> DataFrame:
     """Frame sampling for 'video' payloads: slice the byte stream into
     fixed-stride frames and emit one row per sampled frame (explode) —

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import Query, register
 from ..sources.registry import load_table
-from .multimodal import attach_media, extract_features, sample_frames
+from .multimodal import attach_media, extract_features, resize_media, sample_frames
 
 # payload = unhex(md5('0'||text) || md5('1'||text) || md5('2'||text) || md5('3'||text))
 _PAYLOAD_HEX = (
@@ -77,6 +77,48 @@ register(
         ORDER BY doc_id, frame_id
         """,
         doc="video frame sampling over binary payloads (X5; stride slicing)",
+        tags=("X5",),
+    )
+)
+
+
+# --------------------------------------------------------------- resize
+_RESIZE_T = 16
+
+
+def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs)
+    return resize_media(media, target_bytes=_RESIZE_T).orderBy("doc_id")
+
+
+register(
+    Query(
+        name="x_media_resize",
+        build=x_media_resize,
+        oracle=f"""
+        WITH media AS (
+            SELECT doc_id, {_MEDIA_TYPE} AS media_type, {_PAYLOAD_HEX} AS hexp
+            FROM documents
+        ), rs AS (
+            SELECT doc_id, media_type,
+                   CAST(length(hexp) / 2 AS INT) AS orig_bytes,
+                   array_to_string(list_transform(range({_RESIZE_T}),
+                       i -> substring(hexp,
+                            CAST((i * (length(hexp) // 2)) // {_RESIZE_T} AS INT)
+                                * 2 + 1, 2)), '') AS rhex
+            FROM media
+        )
+        SELECT doc_id, media_type, orig_bytes,
+               CAST(length(rhex) / 2 AS INT) AS resized_bytes,
+               CAST(concat('0x', substring(md5(rhex), 1, 8)) AS BIGINT)
+                   AS resized_checksum
+        FROM rs ORDER BY doc_id
+        """,
+        doc=(
+            "media resize/resample plumbing: deterministic byte-stride "
+            "subsample via mapInPandas (X5; codec stubbed)"
+        ),
         tags=("X5",),
     )
 )

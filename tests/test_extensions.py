@@ -539,3 +539,28 @@ def test_fixed_k_sample_exact_size(spark, sf_dir):
     }
     for lang, n in per_lang.items():
         assert n == min(_FIXED_K, avail[lang])
+
+
+def test_resize_media_stride_and_stub(spark, sf_dir):
+    """Resize keeps exactly target_bytes (payload is larger), the
+    checksum is deterministic across runs, and the real-codec path is
+    an explicit stub."""
+    from airflow_embeddings_pipeline_spark.extensions.multimodal import (
+        attach_media,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_media(docs)
+    out1 = {r.doc_id: r for r in resize_media(media, target_bytes=16).collect()}
+    out2 = {r.doc_id: r for r in resize_media(media, target_bytes=16).collect()}
+    assert out1.keys() == out2.keys() and len(out1) == 20
+    for did, r in out1.items():
+        assert r.orig_bytes == 64
+        assert r.resized_bytes == 16
+        assert r.resized_checksum == out2[did].resized_checksum
+    with pytest.raises(Exception) as exc_info:
+        resize_media(media, use_real_codec=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
