@@ -315,3 +315,63 @@ register(
         tags=("X1", "X2", "iterative"),
     )
 )
+
+
+# Contracted form of the same decision path: representatives per
+# DISTINCT fingerprint, pairs + closure over representatives only,
+# members inherit by fingerprint join.  Labels EVERY doc (singletons
+# cluster with their exact duplicates), unlike x_dedup_clusters which
+# only labels paired docs.  The banded pairing is exact for hd ≤ 3
+# (pigeonhole over 4 bands), so the oracle can use the brute-force
+# hamming join over representatives.
+def x_dedup_clusters_contracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import contracted_simhash_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", simhash16("text").alias("sim"))
+    out = contracted_simhash_clusters(
+        fps, id_col="doc_id", simhash_col="sim",
+        max_hamming=3, num_bands=4, band_bits=4,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+register(
+    Query(
+        name="x_dedup_clusters_contracted",
+        build=x_dedup_clusters_contracted,
+        oracle=f"""
+        WITH RECURSIVE s AS MATERIALIZED (
+            SELECT doc_id, {_SH_SQL.format(text='text')} AS sim
+            FROM documents
+        ), reps AS MATERIALIZED (
+            SELECT sim, min(doc_id) AS rep FROM s GROUP BY sim
+        ), pairs AS MATERIALIZED (
+            SELECT l.rep AS id_a, r.rep AS id_b
+            FROM reps l JOIN reps r ON l.rep < r.rep
+            WHERE bit_count(xor(l.sim, r.sim)) <= 3
+        ), edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs
+        ), reach(u, v) AS (
+            SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+        ), comp AS (
+            SELECT u AS rep, min(v) AS cluster FROM reach GROUP BY u
+        )
+        SELECT st.doc_id, COALESCE(c.cluster, rp.rep) AS cluster_id
+        FROM s st JOIN reps rp USING (sim)
+        LEFT JOIN comp c ON c.rep = rp.rep
+        ORDER BY st.doc_id
+        """,
+        doc=(
+            "fingerprint-contracted near-dup clustering: components "
+            "over distinct fingerprints, members inherit by join "
+            "(the corpus-entropy-bounded scale path)"
+        ),
+        tags=("X1", "X2", "iterative"),
+    )
+)

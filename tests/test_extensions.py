@@ -564,3 +564,45 @@ def test_resize_media_stride_and_stub(spark, sf_dir):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_contracted_clusters_match_uncontracted(spark):
+    """Fingerprint contraction must produce the same components as the
+    raw pair→CC path (no caps): exact-duplicate fingerprints are
+    hamming-0 cliques, and band values depend only on the fingerprint."""
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        connected_components,
+        contracted_simhash_clusters,
+        simhash_near_dup_pairs,
+    )
+
+    # three duplicate groups: A={1,2,3} fp 0b111000, B={4,5} fp 0b111001
+    # (hamming 1 from A -> same component), C={6} fp 0b000110 (isolated),
+    # D={7,8} fp 0b000111 (hamming 1 from C -> joins C)
+    rows = [
+        (1, 0b111000), (2, 0b111000), (3, 0b111000),
+        (4, 0b111001), (5, 0b111001),
+        (6, 0b000110),
+        (7, 0b000111), (8, 0b000111),
+    ]
+    fps = spark.createDataFrame(rows, schema="doc_id long, sim long")
+    contracted = {
+        (r.id, r.cluster)
+        for r in contracted_simhash_clusters(
+            fps, max_hamming=3, num_bands=3, band_bits=2
+        ).collect()
+    }
+    raw_pairs = simhash_near_dup_pairs(
+        fps, id_col="doc_id", simhash_col="sim",
+        max_hamming=3, num_bands=3, band_bits=2,
+    ).select("id_a", "id_b")
+    raw = {(r.node, r.cluster) for r in connected_components(raw_pairs).collect()}
+    # raw CC only labels nodes that appear in a pair; contracted labels
+    # every doc.  On the paired subset they must agree exactly.
+    paired_nodes = {n for n, _ in raw}
+    assert {(n, c) for n, c in contracted if n in paired_nodes} == raw
+    # every doc is labeled, exact dups share their group's component
+    assert dict(contracted)[1] == dict(contracted)[2] == dict(contracted)[3]
+    assert dict(contracted)[1] == dict(contracted)[4]  # A-B linked
+    assert dict(contracted)[6] == dict(contracted)[7] == dict(contracted)[8]
+    assert dict(contracted)[1] != dict(contracted)[6]

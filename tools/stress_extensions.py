@@ -159,6 +159,27 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Same decision path through fingerprint contraction: pairs + CC run
+    # over DISTINCT fingerprints (bounded by corpus entropy, not size),
+    # members inherit the representative's cluster by fingerprint join.
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        contracted_simhash_clusters,
+    )
+
+    if only is None or "dedup_clusters_contracted" in only:
+        t0 = time.perf_counter()
+        n_labeled = contracted_simhash_clusters(
+            sims, id_col="doc_id", simhash_col="sim", max_hamming=3,
+            num_bands=4, band_bits=16, max_bucket_size=1024,
+        ).count()
+        timings["dedup_clusters_contracted"] = round(time.perf_counter() - t0, 2)
+        print(
+            f"# dedup_clusters_contracted: "
+            f"{timings['dedup_clusters_contracted']}s "
+            f"({n_labeled} labeled docs)",
+            file=sys.stderr,
+        )
+
     q = get_catalog()["x_group_centroids"]
     run("group_centroids", q.build(spark, staged))
 
