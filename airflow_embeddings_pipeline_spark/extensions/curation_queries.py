@@ -743,3 +743,69 @@ register(
         tags=("curation", "X4"),
     )
 )
+
+
+# --------------------------------------------------- length bucketing
+# Inference/training batch planning: bucket documents by token length
+# (powers-of-two boundaries) and report per-bucket doc and token
+# inventory plus the padding waste a naive pad-to-bucket-max batch
+# would pay.  One map-side-combined groupBy — the corpus-stat pass a
+# batching scheduler runs before dispatch.
+def x_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    # bucket = ceil(log2(n)) band: 0 for n<=16, then 17-32, 33-64, ...
+    bucket = F.when(n <= 16, F.lit(16)).otherwise(
+        F.pow(F.lit(2.0), F.ceil(F.log2(n.cast("double")))).cast("long")
+    )
+    staged = docs.select(n.alias("n_tokens"), bucket.alias("bucket_max"))
+    return (
+        staged.groupBy("bucket_max")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("real_tokens"),
+            (F.count("*") * F.first("bucket_max")).alias("padded_tokens"),
+        )
+        .select(
+            "bucket_max",
+            "n_docs",
+            "real_tokens",
+            "padded_tokens",
+            F.round(
+                (F.col("padded_tokens") - F.col("real_tokens"))
+                / F.col("padded_tokens"),
+                4,
+            ).alias("padding_waste"),
+        )
+        .orderBy("bucket_max")
+    )
+
+
+register(
+    Query(
+        name="x_length_buckets",
+        build=x_length_buckets,
+        oracle="""
+        WITH staged AS (
+            SELECT len(string_split(text, ' ')) AS n_tokens,
+                   CASE WHEN len(string_split(text, ' ')) <= 16 THEN 16
+                        ELSE CAST(pow(2, ceil(log2(
+                            len(string_split(text, ' '))))) AS BIGINT)
+                   END AS bucket_max
+            FROM documents
+        )
+        SELECT bucket_max,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+               CAST(count(*) * bucket_max AS BIGINT) AS padded_tokens,
+               round((count(*) * bucket_max - sum(n_tokens))::DOUBLE
+                     / (count(*) * bucket_max), 4) AS padding_waste
+        FROM staged GROUP BY bucket_max ORDER BY bucket_max
+        """,
+        doc=(
+            "length-bucketed batch planning: power-of-two token buckets "
+            "with doc/token inventory and padding-waste estimate"
+        ),
+        tags=("curation", "X4"),
+    )
+)

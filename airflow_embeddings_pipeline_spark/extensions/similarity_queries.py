@@ -1153,3 +1153,70 @@ register(
         tags=("X3", "ann"),
     )
 )
+
+
+# ------------------------------------------------- hard-negative mining
+# Contrastive-training data op: for each anchor, the highest-cosine
+# neighbors with a DIFFERENT label — the "hard negatives" that make
+# embedding training effective (easy random negatives teach nothing).
+# Same broadcast-anchor single-corpus-scan shape as cosine top-k with
+# a label-mismatch predicate pushed into the join condition, so
+# wrong-label filtering happens before any scoring is kept.
+_HN_ANCHORS = 6
+_HN_K = 3
+
+
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("__al"),
+        F.col("embedding").alias("__av"),
+    )
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("label") != F.col("__al"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round(cosine(F.col("__av"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), "negative_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .orderBy("anchor_id", "rank")
+    )
+
+
+register(
+    Query(
+        name="x_hard_negatives",
+        build=x_hard_negatives,
+        oracle=f"""
+        WITH a AS (
+            SELECT vec_id AS anchor_id, label AS al, embedding AS av
+            FROM embeddings WHERE vec_id < {_HN_ANCHORS}
+        ), scored AS (
+            SELECT a.anchor_id, e.vec_id AS negative_id,
+                   e.label AS negative_label,
+                   {_cos_sql('a.av', 'e.embedding')} AS cosine
+            FROM embeddings e JOIN a ON e.label <> a.al
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+                       ORDER BY cosine DESC, negative_id) AS rank
+            FROM scored
+        )
+        SELECT anchor_id, negative_id, negative_label, cosine, rank
+        FROM ranked WHERE rank <= {_HN_K} ORDER BY anchor_id, rank
+        """,
+        doc=(
+            "hard-negative mining: top-k highest-cosine different-label "
+            "neighbors per anchor (contrastive-training data op)"
+        ),
+        tags=("X3", "curation"),
+    )
+)

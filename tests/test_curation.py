@@ -203,3 +203,23 @@ def test_mixture_plan_budget_invariants(spark, sf_dir):
         # the source is abundant enough to hit it exactly
         assert r.expected_tokens <= r.target_tokens + 1
     assert sum(r.expected_tokens for r in rows) <= budget + len(rows)
+
+
+def test_length_buckets_conservation(spark, sf_dir):
+    """Bucket inventories conserve the corpus: doc and token totals
+    match ungrouped counts; waste fraction stays in [0, 1); every doc's
+    bucket bounds its token count."""
+    from airflow_embeddings_pipeline_spark.extensions.curation_queries import (
+        x_length_buckets,
+    )
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    rows = x_length_buckets(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_tokens = docs.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.real_tokens for r in rows) == n_tokens
+    for r in rows:
+        assert 0.0 <= r.padding_waste < 1.0
+        assert r.real_tokens <= r.padded_tokens

@@ -606,3 +606,29 @@ def test_contracted_clusters_match_uncontracted(spark):
     assert dict(contracted)[1] == dict(contracted)[4]  # A-B linked
     assert dict(contracted)[6] == dict(contracted)[7] == dict(contracted)[8]
     assert dict(contracted)[1] != dict(contracted)[6]
+
+
+def test_hard_negatives_are_wrong_label(spark, sf_dir):
+    """Every mined negative carries a label different from its anchor's,
+    and ranks descend by cosine."""
+    from airflow_embeddings_pipeline_spark.extensions.similarity_queries import (
+        _HN_ANCHORS,
+        _HN_K,
+        x_hard_negatives,
+    )
+
+    emb = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    rows = x_hard_negatives(spark, sf_dir).collect()
+    assert len(rows) == _HN_ANCHORS * _HN_K
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        assert emb[r.negative_id] != emb[r.anchor_id]
+        assert r.negative_label == emb[r.negative_id]
+        by_anchor.setdefault(r.anchor_id, []).append((r.rank, r.cosine))
+    for pairs in by_anchor.values():
+        pairs.sort()
+        cosines = [c for _, c in pairs]
+        assert cosines == sorted(cosines, reverse=True)
