@@ -725,3 +725,56 @@ def contracted_simhash_clusters(
             F.coalesce("cluster", F.col("__rep")).alias("cluster"),
         )
     )
+
+
+def incremental_near_dup_check(
+    new_fps: DataFrame,
+    corpus_fps: DataFrame,
+    id_col: str = "doc_id",
+    simhash_col: str = "sim",
+    *,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Dedup-at-ingest: near-dup candidates between a NEW batch and the
+    EXISTING corpus — the daily-increment shape where re-pairing the
+    whole corpus (O(corpus²)) is never an option.
+
+    Both sides band their fingerprints; the join is new-bands ⨝
+    corpus-bands on (band, value) with the incremental side BROADCAST —
+    the corpus side streams through one scan, nothing shuffles.  At
+    100 TB the corpus banding is a materialized index table written
+    once at ingest (band both sides from the same fingerprint column
+    and the index is just this projection persisted); each daily batch
+    then costs one corpus scan, or a partition-pruned fraction when the
+    index is bucketed by band value.  Exactness: same pigeonhole
+    guarantee as ``simhash_near_dup_pairs`` for ``max_hamming <
+    num_bands``.
+
+    Returns (new_id, old_id, hamming) — every corpus doc the new batch
+    near-duplicates.
+    """
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(simhash_col).alias(f"__s_{out_id}"),
+            F.posexplode(
+                simhash_bands(F.col(simhash_col), num_bands, band_bits)
+            ).alias("band_id", "band_val"),
+        )
+
+    nb = banded(new_fps, "new_id")
+    cb = banded(corpus_fps, "old_id")
+    return (
+        cb.join(F.broadcast(nb), ["band_id", "band_val"])
+        .select(
+            "new_id",
+            "old_id",
+            F.bit_count(
+                F.col("__s_new_id").bitwiseXOR(F.col("__s_old_id"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -375,3 +375,45 @@ register(
         tags=("X1", "X2", "iterative"),
     )
 )
+
+
+# Incremental-ingest check: the "new batch" (every 10th doc) against
+# the remaining corpus.  The production shape behind the reference's
+# incremental pipeline composed with near-dup dedup: each increment
+# broadcasts against the standing band index instead of re-pairing
+# the corpus.
+def x_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import incremental_near_dup_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", simhash16("text").alias("sim"))
+    new = fps.filter(F.col("doc_id") % 10 == 0)
+    corpus = fps.filter(F.col("doc_id") % 10 != 0)
+    return incremental_near_dup_check(
+        new, corpus, max_hamming=3, num_bands=4, band_bits=4
+    ).orderBy("new_id", "old_id")
+
+
+register(
+    Query(
+        name="x_incremental_near_dup",
+        build=x_incremental_near_dup,
+        oracle=f"""
+        WITH s AS MATERIALIZED (
+            SELECT doc_id, {_SH_SQL.format(text='text')} AS sim
+            FROM documents
+        )
+        SELECT n.doc_id AS new_id, c.doc_id AS old_id,
+               bit_count(xor(n.sim, c.sim)) AS hamming
+        FROM s n JOIN s c
+          ON n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        WHERE bit_count(xor(n.sim, c.sim)) <= 3
+        ORDER BY new_id, old_id
+        """,
+        doc=(
+            "incremental near-dup check: new batch banded-joined "
+            "against the standing corpus band index (dedup-at-ingest)"
+        ),
+        tags=("X2", "incremental"),
+    )
+)

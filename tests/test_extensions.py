@@ -632,3 +632,32 @@ def test_hard_negatives_are_wrong_label(spark, sf_dir):
         pairs.sort()
         cosines = [c for _, c in pairs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_incremental_near_dup_complete(spark):
+    """Banded incremental check must find EVERY cross-side pair with
+    hamming <= 3 (same pigeonhole guarantee as the batch path)."""
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        incremental_near_dup_check,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, 0b1010101010101010), (2, 0b0101010101010101), (3, 0b1111000011110000)],
+        schema="doc_id long, sim long",
+    )
+    new = spark.createDataFrame(
+        [(10, 0b1010101010101011), (11, 0b0000111100001111), (12, 0b1111000011110010)],
+        schema="doc_id long, sim long",
+    )
+    got = {
+        (r.new_id, r.old_id, r.hamming)
+        for r in incremental_near_dup_check(new, corpus).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    want = {
+        (n, c, ham(ns, cs))
+        for n, ns in [(10, 0b1010101010101011), (11, 0b0000111100001111), (12, 0b1111000011110010)]
+        for c, cs in [(1, 0b1010101010101010), (2, 0b0101010101010101), (3, 0b1111000011110000)]
+        if ham(ns, cs) <= 3
+    }
+    assert got == want and (10, 1, 1) in got and (12, 3, 1) in got
