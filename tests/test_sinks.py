@@ -104,3 +104,55 @@ def test_compact_parquet_partitioned(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 5_000
     assert set(r.k for r in out.select("k").distinct().collect()) == {0, 1}
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    """CSV source/sink: header write, explicit-schema read back (no
+    inference job), values preserved including nulls."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, -0.25), (3, "c", None)],
+        schema="id long, name string, score double",
+    )
+    out = str(tmp_path / "csv_rt")
+    df.write.option("header", True).csv(out)
+    back = (
+        spark.read.schema("id long, name string, score double")
+        .option("header", True)
+        .csv(out)
+    )
+    assert sorted(back.collect()) == sorted(df.collect())
+    # projection prunes columns even on CSV (no pushed filters, but the
+    # read schema narrows)
+    assert back.select("id").columns == ["id"]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink round trip with predicate applied on read."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "orc_rt")
+    df.write.orc(out)
+    back = spark.read.orc(out).filter(F.col("id") >= 90)
+    assert back.count() == 10
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(i * 2 for i in range(90, 100))
+
+
+def test_parquet_schema_drift_mergeschema(spark, tmp_path):
+    """Schema evolution at ingest: later files add a column; a
+    mergeSchema read surfaces the union schema with nulls backfilled
+    for early files — the drift case a long-running pipeline must
+    absorb without rewriting history."""
+    base = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "x")], schema="id long, a string").write.parquet(
+        base + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "y", 9.5)], schema="id long, a string, b double"
+    ).write.parquet(base + "/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) == {"id", "a", "b", "batch"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].b is None and rows[2].b == 9.5
