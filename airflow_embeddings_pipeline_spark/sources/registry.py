@@ -69,6 +69,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # Epoch arithmetic over TIMESTAMP_NTZ columns (cast ntz → timestamp
+    # → long) is session-timezone-dependent; the DuckDB oracles treat
+    # naive timestamps as-if-UTC.  Pin the session tz here so queries
+    # stay correct under ANY caller's SparkSession (the driver builds
+    # its own, without this engine's session factory).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:
