@@ -22,23 +22,17 @@ from ..plans.catalog import Query, register
 from .structured import windowed_counts
 
 
-def _stream_windowed(
-    spark: SparkSession,
-    sf_dir: str,
-    *,
-    window_duration: str,
-    slide_duration: str | None = None,
-) -> DataFrame:
-    """Run the events file-source stream (one micro-batch under
-    AvailableNow at fixture scale, many at 100 TB via
-    maxFilesPerTrigger) through ``windowed_counts`` into a memory
-    sink, and hand back the settled table.  Timestamp physical type is
-    probed per file, not assumed: TIMESTAMP(NANOS) fixtures are
-    declared as long (nanosAsLong) and truncated to µs in-stream, µs
-    fixtures stream as-is — same convention as the batch registry
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (one micro-batch
+    under AvailableNow at fixture scale, many at 100 TB via
+    maxFilesPerTrigger).  Timestamp physical type is probed per file,
+    not assumed: TIMESTAMP(NANOS) fixtures are declared as long
+    (nanosAsLong) and truncated to µs in-stream, µs fixtures stream
+    as-is — same convention as the batch registry
     (sources/registry.py)."""
     from ..sources.registry import _nanos_timestamp_columns
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:
@@ -55,7 +49,33 @@ def _stream_windowed(
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     # µs fixtures arrive as TIMESTAMP_NTZ; event-time watermarks require
     # TIMESTAMP (session tz is UTC, so the cast is value-preserving).
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _run_to_memory_sink(agg: DataFrame, prefix: str) -> DataFrame:
+    """AvailableNow → complete-mode memory sink → settled batch table."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{prefix}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+def _stream_windowed(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window_duration: str,
+    slide_duration: str | None = None,
+) -> DataFrame:
+    """Windowed counts over the events stream into a memory sink."""
+    stream = _events_stream(spark, sf_dir)
     agg = windowed_counts(
         stream,
         window_duration=window_duration,
@@ -63,19 +83,8 @@ def _stream_windowed(
         slide_duration=slide_duration,
     )
 
-    name = f"t_stream_wc_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_wc_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
     return (
-        spark.table(name)
+        _run_to_memory_sink(agg, "t_stream_wc")
         .select(
             "window_start",
             "window_end",
@@ -141,6 +150,81 @@ register(
         ORDER BY window_start, event_type
         """,
         doc="Structured Streaming sliding-window agg (2h window / 1h slide, overlap fan-out oracle), T5/§2.8",
+        tags=("streaming", "T5"),
+    )
+)
+
+
+# ---------------------------------------------------- stream-static join
+# Stream-static enrichment: the events stream joins a STATIC dimension
+# (per-user activity tier, derived once from the batch table) before
+# the windowed aggregation.  This is the standard serving topology —
+# facts stream, dims sit in the lake — and in Spark the static side is
+# simply re-read per micro-batch with no streaming state; a small dim
+# broadcasts.  Deterministic under AvailableNow, so the whole
+# stream-join-window pipeline gets a full SQL oracle.
+_TIER_MIN_EVENTS = 70  # >= this many events in the batch ⇒ "heavy"
+
+
+def t_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.registry import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    tiers = (
+        batch.groupBy("user_id")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "user_id",
+            F.when(F.col("__n") >= _TIER_MIN_EVENTS, F.lit("heavy"))
+            .otherwise(F.lit("light"))
+            .alias("tier"),
+        )
+    )
+    stream = _events_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(tiers), "user_id")
+    agg = (
+        enriched.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"), "tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("tier_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "tier",
+            "n_events",
+            "tier_value",
+        )
+    )
+    return _run_to_memory_sink(agg, "t_stream_enrich").orderBy(
+        "window_start", "tier"
+    )
+
+
+register(
+    Query(
+        name="t_stream_static_enrich",
+        build=t_stream_static_enrich,
+        oracle=f"""
+        WITH tiers AS (
+            SELECT user_id,
+                   CASE WHEN count(*) >= {_TIER_MIN_EVENTS}
+                        THEN 'heavy' ELSE 'light' END AS tier
+            FROM events GROUP BY user_id
+        )
+        SELECT date_trunc('day', e.ts) AS window_start, t.tier,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE)
+                   AS tier_value
+        FROM events e JOIN tiers t ON e.user_id = t.user_id
+        GROUP BY 1, 2 ORDER BY window_start, tier
+        """,
+        doc=(
+            "stream-static enrichment join: broadcast batch-derived dim "
+            "into the stream before daily windowed agg (T5/§2.8)"
+        ),
         tags=("streaming", "T5"),
     )
 )
