@@ -407,3 +407,64 @@ register(
         tags=("analytics",),
     )
 )
+
+
+# ----------------------------------------------------- event transitions
+# First-order transition mining over per-user event sequences: lag
+# pairs (prev_type → next_type) counted and normalized into transition
+# probabilities — the Markov-chain view behind funnel diagnostics and
+# session path analysis.  One window pass (partition by user, ordered
+# by time) + one groupBy; the window never spans users, so state per
+# partition is one row.
+def t_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paired = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = paired.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    w_tot = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "p_transition",
+            F.round(
+                F.col("n_transitions") / F.sum("n_transitions").over(w_tot), 6
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+register(
+    Query(
+        name="t_event_transitions",
+        build=t_event_transitions,
+        oracle="""
+        WITH paired AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_type,
+                   event_type AS next_type
+            FROM events
+        ), counts AS (
+            SELECT prev_type, next_type, count(*) AS n_transitions
+            FROM paired WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, n_transitions,
+               round(n_transitions::DOUBLE
+                     / sum(n_transitions) OVER (PARTITION BY prev_type), 6)
+                   AS p_transition
+        FROM counts ORDER BY prev_type, next_type
+        """,
+        doc=(
+            "first-order event-type transition matrix (lag pairs → "
+            "counts → per-source transition probabilities)"
+        ),
+        tags=("analytics", "W1"),
+    )
+)
