@@ -417,3 +417,85 @@ register(
         tags=("X2", "incremental"),
     )
 )
+
+
+# The decision artifact: clusters → keep/drop per doc → per-source
+# accounting.  Canonical = min id per component (the contracted path
+# labels every doc, so singletons count as kept); the rollup is what a
+# curation run reports and what the delete/rewrite step consumes.
+def x_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import contracted_simhash_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", simhash16("text").alias("sim"))
+    labeled = contracted_simhash_clusters(
+        fps, id_col="doc_id", simhash_col="sim",
+        max_hamming=3, num_bands=4, band_bits=4,
+    )
+    decided = labeled.select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") != F.col("cluster")).cast("int").alias("dropped"),
+    )
+    return (
+        docs.join(decided, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dropped").alias("n_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            F.round((F.col("n_docs") - F.col("n_dropped")) / F.col("n_docs"), 4)
+            .alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    Query(
+        name="x_dedup_decision",
+        build=x_dedup_decision,
+        oracle=f"""
+        WITH RECURSIVE s AS MATERIALIZED (
+            SELECT doc_id, {_SH_SQL.format(text='text')} AS sim
+            FROM documents
+        ), reps AS MATERIALIZED (
+            SELECT sim, min(doc_id) AS rep FROM s GROUP BY sim
+        ), pairs AS MATERIALIZED (
+            SELECT l.rep AS id_a, r.rep AS id_b
+            FROM reps l JOIN reps r ON l.rep < r.rep
+            WHERE bit_count(xor(l.sim, r.sim)) <= 3
+        ), edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs
+        ), reach(u, v) AS (
+            SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+        ), comp AS (
+            SELECT u AS rep, min(v) AS cluster FROM reach GROUP BY u
+        ), decided AS (
+            SELECT st.doc_id,
+                   CAST(st.doc_id <> COALESCE(c.cluster, rp.rep) AS INT)
+                       AS dropped
+            FROM s st JOIN reps rp USING (sim)
+            LEFT JOIN comp c ON c.rep = rp.rep
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(sum(dec.dropped) AS BIGINT) AS n_dropped,
+               round((count(*) - sum(dec.dropped))::DOUBLE / count(*), 4)
+                   AS keep_rate
+        FROM documents d JOIN decided dec USING (doc_id)
+        GROUP BY d.source ORDER BY d.source
+        """,
+        doc=(
+            "near-dup survivorship decision: contracted clusters → "
+            "keep/drop per doc → per-source keep-rate rollup"
+        ),
+        tags=("X1", "X2", "curation"),
+    )
+)
