@@ -173,19 +173,39 @@ _QF_MIN_STOPWORD_FRAC = 0.02
 _SW_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
 
-def x_quality_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _quality_rules() -> tuple:
+    """The three per-doc rule Columns (too_short, long_words,
+    low_stopword) — single definition shared by the filter battery and
+    the curation funnel so the two can never desynchronize."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     mean_wlen = (F.length("text") - (n - 1)) / n  # sum(len) = chars - separators
-    sw = F.size(
-        F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))
+    sw = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return (
+        n < _QF_MIN_TOKENS,
+        mean_wlen > _QF_MAX_MEAN_WLEN,
+        sw / n < _QF_MIN_STOPWORD_FRAC,
     )
+
+
+# DuckDB mirror of _quality_rules, same single-definition rationale.
+_QF_RULES_SQL = (
+    f"len(string_split(text, ' ')) < {_QF_MIN_TOKENS}",
+    f"(len(text) - (len(string_split(text, ' ')) - 1))::DOUBLE"
+    f" / len(string_split(text, ' ')) > {_QF_MAX_MEAN_WLEN}",
+    f"len(list_filter(string_split(text, ' '), t -> t IN ({_SW_LIST})))::DOUBLE"
+    f" / len(string_split(text, ' ')) < {_QF_MIN_STOPWORD_FRAC}",
+)
+
+
+def x_quality_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    too_short, long_words, low_stopword = _quality_rules()
     flagged = docs.select(
         "source",
-        (n < _QF_MIN_TOKENS).cast("int").alias("too_short"),
-        (mean_wlen > _QF_MAX_MEAN_WLEN).cast("int").alias("long_words"),
-        (sw / n < _QF_MIN_STOPWORD_FRAC).cast("int").alias("low_stopword"),
+        too_short.cast("int").alias("too_short"),
+        long_words.cast("int").alias("long_words"),
+        low_stopword.cast("int").alias("low_stopword"),
     ).withColumn(
         "kept",
         (
@@ -214,15 +234,9 @@ register(
         oracle=f"""
         WITH f AS (
             SELECT source,
-                   CAST(len(string_split(text, ' ')) < {_QF_MIN_TOKENS} AS INT)
-                       AS too_short,
-                   CAST((len(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
-                        / len(string_split(text, ' ')) > {_QF_MAX_MEAN_WLEN} AS INT)
-                       AS long_words,
-                   CAST(len(list_filter(string_split(text, ' '),
-                            t -> t IN ({_SW_LIST})))::DOUBLE
-                        / len(string_split(text, ' ')) < {_QF_MIN_STOPWORD_FRAC}
-                        AS INT) AS low_stopword
+                   CAST({_QF_RULES_SQL[0]} AS INT) AS too_short,
+                   CAST({_QF_RULES_SQL[1]} AS INT) AS long_words,
+                   CAST({_QF_RULES_SQL[2]} AS INT) AS low_stopword
             FROM documents
         )
         SELECT source,
@@ -257,7 +271,6 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % 1000
     )
-    rate = F.lit(None).cast("int")
     expr = None
     for lang, r in _STRATA.items():
         expr = (
@@ -627,15 +640,8 @@ register(
 # shuffle — no second pass, no join).
 def x_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    mean_wlen = (F.length("text") - (n - 1)) / n
-    sw = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
-    kept = (
-        (n >= _QF_MIN_TOKENS)
-        & (mean_wlen <= _QF_MAX_MEAN_WLEN)
-        & (sw / n >= _QF_MIN_STOPWORD_FRAC)
-    )
+    too_short, long_words, low_stopword = _quality_rules()
+    kept = ~too_short & ~long_words & ~low_stopword
     staged = docs.select(
         "source",
         kept.cast("int").alias("kept"),
@@ -668,13 +674,8 @@ register(
         oracle=f"""
         WITH staged AS (
             SELECT source,
-                   CAST(len(string_split(text, ' ')) >= {_QF_MIN_TOKENS}
-                        AND (len(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
-                            / len(string_split(text, ' ')) <= {_QF_MAX_MEAN_WLEN}
-                        AND len(list_filter(string_split(text, ' '),
-                                t -> t IN ({_SW_LIST})))::DOUBLE
-                            / len(string_split(text, ' ')) >= {_QF_MIN_STOPWORD_FRAC}
-                        AS INT) AS kept,
+                   CAST(NOT ({_QF_RULES_SQL[0]}) AND NOT ({_QF_RULES_SQL[1]})
+                        AND NOT ({_QF_RULES_SQL[2]}) AS INT) AS kept,
                    md5(text) AS fp
             FROM documents
         )

@@ -598,7 +598,22 @@ def connected_components(
     rounds, not needed at this diameter.
 
     Returns (node, cluster) — one row per node that appears in a pair.
+
+    Node ids must be integral: the convergence probe sums labels, which
+    on a string column silently nulls out (None == None would declare
+    convergence after one round and return WRONG clusters), so
+    non-integral ids are rejected loudly — hash string ids to longs
+    (``xxhash64``) or assign surrogate ids first.  Sum overflow on huge
+    id spaces fails loudly too (ANSI mode), never silently.
     """
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(pairs.dtypes)
+    for c in (id_a, id_b):
+        if dtypes.get(c) not in integral:
+            raise TypeError(
+                f"connected_components needs integral node ids; column "
+                f"{c!r} is {dtypes.get(c)!r} — hash/assign long ids first"
+            )
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # localCheckpoint (not persist): each round's plan builds on the
     # previous round's, so without truncating the LINEAGE the logical

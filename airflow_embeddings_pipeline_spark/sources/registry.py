@@ -98,26 +98,24 @@ def _with_layout_cache(spark: SparkSession, df: DataFrame, path: str) -> DataFra
     if meta.num_row_groups > 1 or meta.num_rows < _LAYOUT_MIN_ROWS:
         return df
 
+    # Cache dir KEYED BY SOURCE MTIME: a rewritten source maps to a new
+    # directory instead of refreshing the old one in place, so a stale
+    # cache is never renamed away underneath a concurrent reader (two
+    # processes sharing the cache — e.g. bench + oracle check — can
+    # otherwise race between the freshness probe and the scan).  Stale
+    # generations are inert; losing the creation race is fine (the
+    # winner's copy has identical content — drop ours, serve theirs).
     key = path.strip("/").replace("/", "_")
-    cache = os.path.join(LAYOUT_CACHE_DIR, key)
+    cache = os.path.join(
+        LAYOUT_CACHE_DIR, f"{key}.m{int(os.path.getmtime(path) * 1000)}"
+    )
     marker = os.path.join(cache, "_SUCCESS")
-    if not (os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(path)):
+    if not os.path.exists(marker):
         n_parts = max(2, min(int(_DEFAULT_CPUS), meta.num_rows // _ROWS_PER_PARTITION + 1))
         tmp = f"{cache}.tmp.{os.getpid()}"
         df.repartition(n_parts).write.mode("overwrite").parquet(tmp)
         import shutil
 
-        # A stale cache dir (source rewritten since last chunking) blocks
-        # the rename with ENOTEMPTY — move it aside first, then swap the
-        # fresh copy in.  Losing a concurrent race is fine: the winner's
-        # copy has identical content, so we drop ours and serve theirs.
-        if os.path.exists(cache):
-            old = f"{cache}.old.{os.getpid()}"
-            try:
-                os.rename(cache, old)
-                shutil.rmtree(old, ignore_errors=True)
-            except OSError:
-                pass
         try:
             os.rename(tmp, cache)
         except OSError:

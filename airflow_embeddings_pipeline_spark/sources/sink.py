@@ -123,16 +123,25 @@ def compact_parquet(
     ``repartition(partition_keys)`` when partitioned, so each output
     directory is written by tasks that hold only its rows.
 
-    Commits via write-to-tmp + swap (the dataset stays readable until
-    the swap); returns before/after ``file_metrics``.
+    Commits via write-to-tmp + swap.  The swap is two renames, so a
+    crash between them leaves the data in ``<path>.__compact_old__``
+    with no live ``<path>`` — that window is why the MERGE target uses
+    pointer-file commits (``sources/versioned.py``) instead; compaction
+    keeps the in-place contract because its callers own the dataset
+    exclusively (a maintenance window, not a serving path).  The crash
+    state is self-healing: this function restores ``__compact_old__``
+    on entry, so re-running the compaction (the natural retry) recovers
+    the dataset first.  Returns before/after ``file_metrics``.
     """
     import shutil
 
+    old = path.rstrip("/") + ".__compact_old__"
+    if os.path.isdir(old) and not os.path.exists(path):
+        os.rename(old, path)  # recover a swap that crashed mid-rename
     before = file_metrics(path)
     n_files = max(1, round(before["total_mb"] / target_file_mb))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact_tmp__"
-    old = path.rstrip("/") + ".__compact_old__"
     shutil.rmtree(tmp, ignore_errors=True)
     if partition_by:
         from pyspark.sql import functions as F

@@ -90,24 +90,33 @@ class VersionedParquetTable:
     # ------------------------------------------------------------- read
     def read(self, spark: SparkSession) -> DataFrame:
         """Read the live version.  A legacy directory (plain parquet
-        files, no pointer) reads as-is — first commit adopts it."""
+        files, no pointer) reads as-is — first commit adopts it.  If an
+        adoption crashed mid-way (orphan ``v…`` dirs beside legacy
+        files, pointer never written), read only the top-level files:
+        the legacy data stays live and the orphans stay invisible
+        (they're reclaimed by the next commit/vacuum)."""
         v = self.current_version()
-        if v is None:
-            return spark.read.parquet(self.root)
-        return spark.read.parquet(self._version_dir(v))
+        if v is not None:
+            return spark.read.parquet(self._version_dir(v))
+        if self._versions_on_disk():
+            return spark.read.parquet(os.path.join(self.root, "*.parquet"))
+        return spark.read.parquet(self.root)
 
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
         """Time travel: read a specific committed (or current) version.
 
-        Only versions that were actually live qualify — crash orphans
-        (no ``_COMMITTED`` marker, never pointed at) raise the same
-        error as a vacuumed version, so a reader can't observe a
-        half-written snapshot."""
+        Only versions that were actually live qualify: a version is
+        readable when it carries the ``_COMMITTED`` marker AND is at or
+        below the current pointer (a marker above the pointer is a
+        crash orphan whose pointer swap never landed — it was never
+        observable and must not become so retroactively), or when it IS
+        the current pointer (compat with tables committed before the
+        marker-first ordering)."""
         vdir = self._version_dir(version)
+        cur = self.current_version()
         committed = os.path.exists(os.path.join(vdir, _COMMITTED))
-        if not os.path.isdir(vdir) or not (
-            committed or version == self.current_version()
-        ):
+        live_history = committed and cur is not None and version <= cur
+        if not os.path.isdir(vdir) or not (live_history or version == cur):
             raise FileNotFoundError(
                 f"version {version} not available (never committed or vacuumed)"
             )
@@ -116,32 +125,51 @@ class VersionedParquetTable:
     def versions(self) -> list[int]:
         """Committed (readable) versions, oldest first."""
         cur = self.current_version()
+        if cur is None:
+            return []
         return [
             v
             for v in self._versions_on_disk()
-            if os.path.exists(os.path.join(self._version_dir(v), _COMMITTED))
-            or v == cur
+            if v == cur
+            or (
+                v < cur
+                and os.path.exists(os.path.join(self._version_dir(v), _COMMITTED))
+            )
         ]
 
     # ----------------------------------------------------------- commit
     def commit(self, df: DataFrame) -> int:
-        """Write ``df`` as the next version, then swap the pointer.
+        """Write ``df`` as the next version, mark it ``_COMMITTED``,
+        then swap the pointer (the single atomic commit point).
 
-        Crash-window guarantees: dying during the version write or
-        before the pointer swap leaves the previous version live; the
-        orphan directory is skipped by version numbering (next commit
-        takes max-on-disk + 1) and reclaimed by ``vacuum``."""
+        Crash-window guarantees: dying during the version write, after
+        the marker, or before the pointer swap leaves the previous
+        version (or the legacy files) live; the orphan directory is
+        above the pointer so no read path can observe it, and it is
+        reclaimed here (reconcile) or by ``vacuum``.  Marker BEFORE
+        pointer means every version that was ever live carries the
+        marker — a later commit can never make live history look like
+        an orphan."""
+        self._reconcile_orphans()
         versions = self._versions_on_disk()
         next_v = (versions[-1] + 1) if versions else 1
         vdir = self._version_dir(next_v)
         df.write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, _COMMITTED), "w") as f:
+            f.flush()
+            os.fsync(f.fileno())
         self._swap_pointer(next_v)
-        # Lineage marker for vacuum: distinguishes versions that were
-        # actually live from crash orphans.  Written after the swap, so
-        # the current version is treated as committed regardless.
-        with open(os.path.join(vdir, _COMMITTED), "w"):
-            pass
         return next_v
+
+    def _reconcile_orphans(self) -> None:
+        """Delete version dirs a crashed commit left above the pointer
+        (or any version dirs on a pointer-less legacy table — a crashed
+        adoption).  Safe by construction: nothing at or above these
+        paths was ever named by the pointer, so no reader targets them."""
+        cur = self.current_version()
+        for v in self._versions_on_disk():
+            if cur is None or v > cur:
+                shutil.rmtree(self._version_dir(v), ignore_errors=True)
 
     def _swap_pointer(self, version: int) -> None:
         tmp = self._pointer_path() + f".tmp.{os.getpid()}"

@@ -117,15 +117,16 @@ def test_versioned_crash_before_pointer_swap_keeps_old_live(spark, tmp_path, mon
     assert sorted(table.read(spark).collect()) == live
     assert os.path.isdir(os.path.join(path, "v00000002"))  # the orphan
 
-    # retry skips the orphan's number and commits
+    # retry reconciles the orphan (deletes it, reuses its number) and
+    # commits cleanly
     v = merge_upsert_write(path, _source(spark), "main_refco")
-    assert v == 3 and table.current_version() == 3
+    assert v == 2 and table.current_version() == 2
     assert sorted(table.read(spark).collect()) == live  # idempotent replay
-    # vacuum reclaimed the orphan (kept: v3 current + v1 previous-live)
+    # kept: v2 current + v1 previous-live; the orphan is gone
     versions = sorted(
         d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit()
     )
-    assert versions == ["v00000001", "v00000003"]
+    assert versions == ["v00000001", "v00000002"]
 
 
 def test_versioned_rejects_remote_uri():
@@ -164,3 +165,98 @@ def test_versioned_time_travel(spark, tmp_path):
     spark.range(3).write.parquet(str(tmp_path / "tt" / f"v{orphan:08d}"))
     with pytest.raises(FileNotFoundError):
         table.read_version(spark, orphan)
+
+
+def test_versioned_crashed_adoption_keeps_legacy_readable(spark, tmp_path):
+    """A crash between the first version write and the pointer swap on
+    a legacy (pointer-less) table must leave the legacy files readable,
+    and the next commit must reconcile the orphan and succeed."""
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    root = str(tmp_path / "legacy")
+    spark.range(10).toDF("k").write.parquet(root)
+    table = VersionedParquetTable(root)
+    # simulate the crash state: orphan version dir, no pointer
+    spark.range(99).toDF("k").write.parquet(table._version_dir(1))
+    assert table.current_version() is None
+    assert table.read(spark).count() == 10  # legacy rows, orphan invisible
+    v = table.commit(spark.range(5).toDF("k"))
+    assert table.read(spark).count() == 5
+    # the orphan was reconciled away, the committed version is live
+    assert table.versions() == [v]
+
+
+def test_versioned_marker_written_before_pointer(spark, tmp_path):
+    """Every live version carries _COMMITTED (marker-first ordering):
+    after N commits, history survives vacuum and time travel works for
+    all kept versions."""
+    import os
+
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        _COMMITTED,
+        VersionedParquetTable,
+    )
+
+    root = str(tmp_path / "tbl")
+    table = VersionedParquetTable(root)
+    for n in (3, 4, 5):
+        v = table.commit(spark.range(n).toDF("k"))
+        assert os.path.exists(os.path.join(table._version_dir(v), _COMMITTED))
+    assert [table.read_version(spark, v).count() for v in table.versions()] == [
+        3, 4, 5,
+    ]
+
+
+def test_versioned_orphan_above_pointer_not_time_travelable(spark, tmp_path):
+    """A committed-but-never-pointed orphan (crash after marker, before
+    swap) is not readable history and is reconciled by the next commit."""
+    import os
+
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        _COMMITTED,
+        VersionedParquetTable,
+    )
+    import pytest as _pytest
+
+    root = str(tmp_path / "tbl2")
+    table = VersionedParquetTable(root)
+    table.commit(spark.range(3).toDF("k"))
+    # simulate crash-after-marker: v2 written + marked, pointer still v1
+    spark.range(99).toDF("k").write.parquet(table._version_dir(2))
+    open(os.path.join(table._version_dir(2), _COMMITTED), "w").close()
+    assert table.versions() == [1]
+    with _pytest.raises(FileNotFoundError):
+        table.read_version(spark, 2)
+    v = table.commit(spark.range(7).toDF("k"))
+    assert v == 2  # orphan reconciled, number reused
+    assert table.read(spark).count() == 7
+
+
+def test_compact_recovers_crashed_swap(spark, tmp_path):
+    """compact_parquet restores a dataset stranded in __compact_old__
+    by a crash between the two swap renames."""
+    import os
+
+    from airflow_embeddings_pipeline_spark.sources.sink import compact_parquet
+
+    path = str(tmp_path / "ds")
+    spark.range(100).toDF("k").write.parquet(path)
+    os.rename(path, path + ".__compact_old__")  # the crash state
+    metrics = compact_parquet(spark, path)
+    assert metrics["after_files"] >= 1
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_connected_components_rejects_string_ids(spark):
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        connected_components,
+    )
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [("a", "b")], schema="id_a string, id_b string"
+    )
+    with _pytest.raises(TypeError, match="integral node ids"):
+        connected_components(pairs)

@@ -30,7 +30,11 @@ def test_layout_cache_builds_and_serves(spark, tmp_path, monkeypatch):
     assert df.count() == 50
     # re-chunked: more than one file in the cache dir
     key = src.strip("/").replace("/", "_")
-    cache = os.path.join(str(tmp_path / "cache"), key)
+    # cache dirs are keyed by source mtime: <key>.m<millis>
+    cache_root = str(tmp_path / "cache")
+    gens = [d for d in os.listdir(cache_root) if d.startswith(key + ".m")]
+    assert len(gens) == 1
+    cache = os.path.join(cache_root, gens[0])
     parts = [f for f in os.listdir(cache) if f.endswith(".parquet")]
     assert len(parts) >= 2
 

@@ -72,13 +72,12 @@ def main() -> int:
     catalog = get_catalog()
     # default: audit the BENCH set; `--all` audits every catalog query
     args = sys.argv[1:]
+    verbose = "-v" in args
+    args = [a for a in args if a != "-v"]  # strip flags before name logic
     if "--all" in args:
         names = [n for n in args if n != "--all"] or list(catalog)
     else:
         names = args or [n for n, q in catalog.items() if q.bench]
-
-    verbose = "-v" in names
-    names = [n for n in names if n != "-v"]
 
     bad = 0
     for name in names:
