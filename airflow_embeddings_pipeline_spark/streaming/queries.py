@@ -228,3 +228,65 @@ register(
         tags=("streaming", "T5"),
     )
 )
+
+
+# ------------------------------------------------- stateful custom agg
+# applyInPandasWithState as an oracle-checked catalog entry: per-user
+# running (count, exact-integer value sum, max event second) held in
+# the state store, settled under AvailableNow and compared against the
+# plain batch aggregation.  The update-mode memory sink keeps the LAST
+# row per key, which after the final micro-batch is the complete total.
+def t_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .stateful import stateful_user_stats
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "value",
+        F.col("ts").cast("long").alias("sec"),
+    )
+    out = stateful_user_stats(stream)
+
+    name = f"t_stateful_us_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stateful_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per key per batch; the final state is
+    # the last row per key (events-count tiebreak — totals only grow).
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"), F.desc("last_sec"))
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value", "last_sec")
+        .orderBy("user_id")
+    )
+
+
+register(
+    Query(
+        name="t_stateful_user_stats",
+        build=t_stateful_user_stats,
+        oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0, 4) AS total_value,
+               CAST(max(floor(epoch(ts))) AS BIGINT) AS last_sec
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        doc=(
+            "custom stateful aggregation (applyInPandasWithState): "
+            "per-key running totals in the state store, oracled against "
+            "the batch aggregation (T1/T3/§2.8)"
+        ),
+        tags=("streaming", "stateful", "pandas-udf"),
+    )
+)

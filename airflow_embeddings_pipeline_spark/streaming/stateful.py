@@ -60,3 +60,54 @@ def first_seen_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_user_stats(stream: DataFrame, *, key_col: str = "user_id") -> DataFrame:
+    """Per-key running statistics via ``applyInPandasWithState`` —
+    the general custom-stateful-aggregation shape (count / value sum /
+    max event time per key held in the state store across
+    micro-batches, current totals emitted each batch).
+
+    Unlike ``first_seen_dedup`` (whose winner depends on within-batch
+    arrival order) the emitted totals are order-INDEPENDENT — count,
+    sum and max commute — so under ``AvailableNow`` the settled output
+    is deterministic and SQL-oracle-checkable: this is the catalog's
+    proof that the stateful execution mode computes what the equivalent
+    batch aggregation computes.  Value sums are accumulated in integer
+    micro-units (×1e6) so cross-batch accumulation order can't perturb
+    the float result.
+    """
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, micros, max_sec = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += int(len(pdf))
+            # round per VALUE, not per batch sum: the micro-unit total is
+            # then independent of how rows split across batches/chunks
+            micros += int(pdf["value"].mul(1_000_000).round().astype("int64").sum())
+            max_sec = max(max_sec, int(pdf["sec"].max()))
+        state.update((n, micros, max_sec))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(micros / 1_000_000.0, 4)],
+                "last_sec": [max_sec],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, n_events long, total_value double, last_sec long"
+        ),
+        stateStructType="n long, micros long, max_sec long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
