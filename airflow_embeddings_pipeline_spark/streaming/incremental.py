@@ -98,6 +98,7 @@ class IncrementalPipeline:
         transform: Callable[[DataFrame], DataFrame] | None = None,
         sink: Callable[[DataFrame], None],
         fallback: datetime | None = None,
+        partition_col: str | None = None,
     ):
         self.store = store
         self.key_col = key_col
@@ -105,6 +106,13 @@ class IncrementalPipeline:
         self.transform = transform or (lambda df: df)
         self.sink = sink
         self.fallback = fallback
+        # Name of a DATE-typed partition column (the lake layout's
+        # day=... directory key).  Catalyst cannot derive `day >= X`
+        # from `ts > X` on its own — the relationship between the two
+        # columns is data-layout knowledge — so when set, the planner
+        # adds the coarse partition conjunct explicitly and directory
+        # pruning kicks in before any file IO.
+        self.partition_col = partition_col
 
     def plan_incremental_scan(self, source: DataFrame) -> DataFrame:
         """T2/P4: one predicate per key — ``ts > wm(key)`` for known
@@ -119,6 +127,7 @@ class IncrementalPipeline:
         ``JOIN_PATH_MIN_KEYS`` keys the plan switches to a broadcast
         join against the watermark table (see ``_join_scan``)."""
         wms = self.store.load()
+        source = self._with_partition_bound(source, wms)
         if not wms:
             if self.fallback is not None:
                 return source.filter(F.col(self.ts_col) >= F.lit(self.fallback))
@@ -138,6 +147,30 @@ class IncrementalPipeline:
         for p in per_key:
             pred = pred | p
         return source.filter(pred)
+
+    def _with_partition_bound(
+        self, source: DataFrame, wms: dict[str, datetime]
+    ) -> DataFrame:
+        """T2 at lake scale: add ``partition_col >= date(lower bound)``
+        so the scan prunes whole day directories (PartitionFilters in
+        the physical plan) before row-group pruning even starts.  The
+        bound is the earliest timestamp any key might still deliver:
+        min over known watermarks, and the fallback when unseen keys
+        are admitted (no fallback + unseen keys ⇒ full history ⇒ no
+        partition bound is sound unless every key is known)."""
+        if self.partition_col is None:
+            return source
+        candidates = list(wms.values())
+        if self.fallback is not None:
+            candidates.append(self.fallback)
+        elif not wms:
+            return source  # full-history scan: nothing to prune
+        else:
+            # unseen keys need full history — only safe to prune when
+            # the fallback bounds them; otherwise skip the conjunct.
+            return source
+        bound = min(candidates).date()
+        return source.filter(F.col(self.partition_col) >= F.lit(bound))
 
     def _join_scan(self, source: DataFrame, wms: dict[str, datetime]) -> DataFrame:
         """High-key-cardinality incremental scan: broadcast the

@@ -184,3 +184,61 @@ def test_empty_increment_no_sink_call(spark, tmp_path):
     m = pipe.run(_events(spark, [("a", T1, 1)]))
     # P8 guard: nothing newer ⇒ sink not invoked, watermark unchanged
     assert m["records_processed"] == 0 and calls == [] and store.load() == {"a": T3}
+
+
+def test_partition_col_prunes_day_directories(spark, tmp_path):
+    """With partition_col set, the incremental plan carries a partition
+    predicate: PartitionFilters appear in the physical plan and the
+    scan reads only the in-range day directories; results equal the
+    unpruned formulation."""
+    import io
+    from contextlib import redirect_stdout
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.streaming.incremental import (
+        IncrementalPipeline,
+        WatermarkStore,
+    )
+
+    rows = [
+        ("a", datetime(2024, 1, d, 12, 0), float(d)) for d in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, schema="source string, ts timestamp, v double")
+    path = str(tmp_path / "partitioned")
+    df.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(path)
+
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    store.save({"a": datetime(2024, 1, 7, 12, 0)})
+    pipe = IncrementalPipeline(
+        store,
+        key_col="source",
+        ts_col="ts",
+        sink=lambda d: None,
+        fallback=datetime(2024, 1, 6),
+        partition_col="day",
+    )
+    src = spark.read.parquet(path)
+    planned = pipe.plan_incremental_scan(src)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        planned.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "day" in plan
+    # 2024-01-06 bound (min of fallback & watermark) must appear as a
+    # pushed partition filter, not a post-scan filter only
+    assert "19728" in plan or "2024-01-06" in plan  # date literal encoding
+
+    got = {(r.source, r.ts) for r in planned.collect()}
+    # rows strictly after the watermark for 'a' (days 8, 9, 10)
+    assert got == {("a", datetime(2024, 1, d, 12, 0)) for d in (8, 9, 10)}
+
+    # no partition col → same rows, no partition bound
+    pipe2 = IncrementalPipeline(
+        store, key_col="source", ts_col="ts", sink=lambda d: None,
+        fallback=datetime(2024, 1, 6),
+    )
+    got2 = {(r.source, r.ts) for r in pipe2.plan_incremental_scan(src).collect()}
+    assert got2 == got
