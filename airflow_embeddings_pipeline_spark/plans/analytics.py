@@ -547,3 +547,124 @@ register(
         tags=("tpch",),
     )
 )
+
+
+# -------------------------------------------------------- GROUPING SETS
+# Explicit GROUPING SETS beyond ROLLUP/CUBE: an arbitrary set list —
+# (status), (priority), and the grand total — in ONE pass (Catalyst
+# expands to a single Expand + hash aggregate, not three scans).
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS revenue,
+               grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+register(
+    Query(
+        name="a_grouping_sets",
+        build=a_grouping_sets,
+        oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS revenue,
+               grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        doc="explicit GROUPING SETS (arbitrary set list, one Expand pass; beyond ROLLUP/CUBE)",
+        tags=("agg", "grouping-sets"),
+    )
+)
+
+
+# ------------------------------------------------- exact moment statistics
+# Distributed stddev / correlation computed from EXACT decimal moments:
+# Σx, Σy, Σx², Σy², Σxy as decimal sums (order-independent — fixture
+# values carry ≤2 decimals, so the decimal cast is lossless), combined
+# into the closed-form statistics in float only at the very end.  The
+# built-in stddev/corr one-pass aggregates are the right call in
+# isolation, but their float accumulation order makes the low bits
+# partition-count-dependent — unacceptable when bit-stable results
+# must hash-match across engines or reruns.  Same single map-side-
+# combined aggregation shape as any groupBy.
+def a_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    var_y = (syy - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
+        F.round(F.sqrt(var_y), 6).alias("stddev_price"),
+        F.round(cov / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+register(
+    Query(
+        name="a_stats_exact",
+        build=a_stats_exact,
+        oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)^2 / n)
+                          / (n - 1)), 6) AS stddev_qty,
+               round(sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)^2 / n)
+                          / (n - 1)), 6) AS stddev_price,
+               round(((CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1))
+                     / (sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)^2 / n)
+                             / (n - 1))
+                        * sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)^2 / n)
+                               / (n - 1))), 6) AS corr_qty_price
+        FROM m ORDER BY l_returnflag
+        """,
+        doc=(
+            "distributed stddev/correlation from exact decimal moments "
+            "(order-independent, bit-stable across engines and reruns)"
+        ),
+        tags=("agg", "stats"),
+    )
+)
