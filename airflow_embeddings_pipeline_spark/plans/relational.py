@@ -640,3 +640,59 @@ _q(
     "sessionization via lag-gap-cumsum (batch analog of session_window)",
     ("T5",),
 )
+
+
+# ----------------------------------------------- distribution ranks
+# The remaining window-function family: percent_rank / cume_dist
+# (distribution position) and first/last/nth_value (frame navigation).
+# last_value needs the full-partition frame spelled out — the default
+# frame stops at CURRENT ROW, a classic silent-wrong-answer trap this
+# catalog pins with an oracle.
+def w_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.first_value("o_totalprice").over(w_full), 2).alias(
+                "cheapest_in_priority"
+            ),
+            F.round(F.last_value("o_totalprice").over(w_full), 2).alias(
+                "priciest_in_priority"
+            ),
+            F.round(F.nth_value("o_totalprice", 2).over(w_full), 2).alias(
+                "second_cheapest"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_q(
+    "w_distribution_ranks",
+    w_distribution_ranks,
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(o_totalprice, 2) AS price,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(first_value(o_totalprice) OVER wf, 2) AS cheapest_in_priority,
+           round(last_value(o_totalprice) OVER wf, 2) AS priciest_in_priority,
+           round(nth_value(o_totalprice, 2) OVER wf, 2) AS second_cheapest
+    FROM orders WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey),
+           wf AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+    "distribution ranks + frame navigation (percent_rank/cume_dist/first/last/nth_value, explicit full frame)",
+    ("W1", "O1"),
+)
