@@ -376,3 +376,82 @@ register(
         tags=("agg", "skew"),
     )
 )
+
+
+# ----------------------------------------------------------- map type
+# MapType end-to-end: parse JSON into map<string,string>, then the map
+# function family — size, key/value arrays (sorted for determinism:
+# map iteration order is undefined in both engines), direct key access,
+# and map construction from arrays.  The one core Spark container type
+# the rest of the catalog didn't yet touch.
+def f_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    staged = ev.filter(F.col("event_id") < 2000).select("event_id", m.alias("m"))
+    built = F.map_from_arrays(
+        F.array(F.lit("id"), F.lit("k")),
+        F.array(F.col("event_id").cast("string"), F.element_at(F.col("m"), "k")),
+    )
+    return staged.select(
+        "event_id",
+        F.size("m").alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+        F.element_at(F.col("m"), "k").cast("long").alias("k_value"),
+        F.element_at(built, "id").cast("long").alias("roundtrip_id"),
+    ).orderBy("event_id")
+
+
+register(
+    Query(
+        name="f_map_battery",
+        build=f_map_battery,
+        oracle="""
+        SELECT event_id,
+               len(json_keys(props)) AS n_entries,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+               event_id AS roundtrip_id
+        FROM events WHERE event_id < 2000 ORDER BY event_id
+        """,
+        doc="MapType battery: JSON→map parse, size/keys/element access, map construction (core container-type coverage)",
+        tags=("P6", "map"),
+    )
+)
+
+
+# ------------------------------------------------------ explode_outer
+# Null-preserving explode: rows whose array is EMPTY survive with a
+# NULL element (plain explode silently drops them — a row-count bug
+# waiting to happen in per-document pipelines).  The filter keeps only
+# long tokens, so many docs genuinely produce empty arrays.
+def f_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    long_toks = F.array_sort(
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda t: F.length(t) >= 8)
+        )
+    )
+    return (
+        docs.filter(F.col("doc_id") < 200)
+        .select("doc_id", F.explode_outer(long_toks).alias("token"))
+        .orderBy("doc_id", "token")
+    )
+
+
+register(
+    Query(
+        name="f_explode_outer",
+        build=f_explode_outer,
+        oracle="""
+        SELECT d.doc_id, u.token
+        FROM documents d
+        LEFT JOIN LATERAL unnest(list_sort(list_distinct(
+                 list_filter(string_split(d.text, ' '),
+                             t -> len(t) >= 8)))) AS u(token) ON TRUE
+        WHERE d.doc_id < 200
+        ORDER BY doc_id, token
+        """,
+        doc="null-preserving explode_outer: empty arrays keep their row (vs plain explode's silent drop)",
+        tags=("P6", "lateral"),
+    )
+)
