@@ -468,3 +468,91 @@ register(
         tags=("analytics", "W1"),
     )
 )
+
+
+# ---------------------------------------------------------------- unpivot
+# UNPIVOT (wide → long), the inverse of a_pivot_status: three metric
+# columns melt into (metric, value) rows.  Spark's native unpivot()
+# keeps this one Expand node — no union-of-three-scans.
+def a_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum(dec), 2).cast("double").alias("revenue"),
+        F.round(F.min(dec), 2).cast("double").alias("min_price"),
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=["n_orders", "revenue", "min_price"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("o_orderpriority", "metric")
+    )
+
+
+register(
+    Query(
+        name="a_unpivot_metrics",
+        build=a_unpivot_metrics,
+        oracle="""
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS DOUBLE) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS revenue,
+                   CAST(round(min(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS min_price
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, metric, value
+        FROM wide UNPIVOT (value FOR metric IN (n_orders, revenue, min_price))
+        ORDER BY o_orderpriority, metric
+        """,
+        doc="UNPIVOT wide→long (inverse of pivot; one Expand node, no union-of-scans)",
+        tags=("agg", "unpivot"),
+    )
+)
+
+
+# ---------------------------------------------------------- null-safe join
+# Null-safe equality (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+# each other instead of silently dropping — the semantic corner that
+# separates "join on possibly-absent attribute" from an inner join
+# that quietly loses every null-keyed row.
+def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # color is NULL for English docs (the reference's nullable attr)
+    d = docs.select("doc_id", F.nullif("lang", F.lit("en")).alias("color"))
+    color_dim = (
+        d.groupBy("color")
+        .agg(F.count("*").alias("n_docs_with_color"))
+        .withColumnRenamed("color", "__dim_color")  # break self-join lineage
+    )
+    return (
+        d.join(color_dim, F.col("color").eqNullSafe(F.col("__dim_color")))
+        .select("doc_id", "color", "n_docs_with_color")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    Query(
+        name="j_null_safe_join",
+        build=j_null_safe_join,
+        oracle="""
+        WITH d AS (
+            SELECT doc_id, nullif(lang, 'en') AS color FROM documents
+        ), dim AS (
+            SELECT color, count(*) AS n_docs_with_color FROM d GROUP BY color
+        )
+        SELECT d.doc_id, d.color, dim.n_docs_with_color
+        FROM d JOIN dim ON d.color IS NOT DISTINCT FROM dim.color
+        ORDER BY d.doc_id
+        """,
+        doc="null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match instead of dropping",
+        tags=("join", "null-safe"),
+    )
+)
