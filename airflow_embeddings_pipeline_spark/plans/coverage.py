@@ -455,3 +455,65 @@ register(
         tags=("P6", "lateral"),
     )
 )
+
+
+# ------------------------------------------------------ datetime battery
+# Scalar date arithmetic battery — the cross-engine trap zone: Spark's
+# dayofweek is 1=Sunday while DuckDB's dow is 0=Sunday and isodow is
+# 1=Monday, so the ISO day lands via explicit arithmetic on the Spark
+# side and isodow on the oracle side; everything else (extract family,
+# date_add, last_day, month truncation, day diffs) maps 1:1 once both
+# sides speak DATE.
+def f_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        orders.filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            d.cast("string").alias("order_date"),
+            F.year(d).alias("y"),
+            F.quarter(d).alias("q"),
+            F.month(d).alias("m"),
+            F.dayofmonth(d).alias("dom"),
+            # ISO day-of-week, Monday=1 (Spark dayofweek is Sunday=1)
+            (((F.dayofweek(d) + 5) % 7) + 1).alias("iso_dow"),
+            F.date_add(d, 30).cast("string").alias("plus_30d"),
+            F.last_day(d).cast("string").alias("month_end"),
+            F.trunc(d, "month").cast("string").alias("month_start"),
+            F.datediff(F.lit("1998-01-01").cast("date"), d).alias(
+                "days_to_1998"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+register(
+    Query(
+        name="f_datetime_battery",
+        build=f_datetime_battery,
+        oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS VARCHAR) AS order_date,
+               CAST(year(o_orderdate) AS INT) AS y,
+               CAST(quarter(o_orderdate) AS INT) AS q,
+               CAST(month(o_orderdate) AS INT) AS m,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+               CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR)
+                   AS plus_30d,
+               CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+               CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+                   AS month_start,
+               CAST(date_diff('day', o_orderdate, DATE '1998-01-01') AS INT)
+                   AS days_to_1998
+        FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+        """,
+        doc=(
+            "datetime scalar battery: extract family, ISO day-of-week "
+            "(convention-bridged), date_add/last_day/trunc/datediff"
+        ),
+        tags=("scalar", "datetime"),
+    )
+)
