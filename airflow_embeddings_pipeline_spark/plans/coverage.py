@@ -517,3 +517,78 @@ register(
         tags=("scalar", "datetime"),
     )
 )
+
+
+# --------------------------------------------------------- LIKE battery
+# Pattern-match family: %, _, ESCAPE'd literal wildcards, case-
+# insensitive ILIKE, and NOT LIKE — semantics identical across engines
+# but easy to get subtly wrong (escape handling especially), so pinned.
+def f_like_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") <= 1000)
+        .select(
+            "p_partkey",
+            F.col("p_name").like("%green%").alias("has_green"),
+            F.col("p_name").like("s_o%").alias("s_blank_o_prefix"),
+            F.col("p_type").ilike("%BRUSHED%").alias("brushed_any_case"),
+            (~F.col("p_brand").like("Brand#1%")).alias("not_brand1x"),
+            F.expr("p_type LIKE '%50!%%' ESCAPE '!'").alias("has_literal_pct"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+register(
+    Query(
+        name="f_like_battery",
+        build=f_like_battery,
+        oracle="""
+        SELECT p_partkey,
+               p_name LIKE '%green%' AS has_green,
+               p_name LIKE 's_o%' AS s_blank_o_prefix,
+               p_type ILIKE '%BRUSHED%' AS brushed_any_case,
+               p_brand NOT LIKE 'Brand#1%' AS not_brand1x,
+               p_type LIKE '%50!%%' ESCAPE '!' AS has_literal_pct
+        FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey
+        """,
+        doc="LIKE/ILIKE/NOT LIKE/ESCAPE pattern battery (wildcard + escape semantics pinned)",
+        tags=("scalar", "string"),
+    )
+)
+
+
+# ------------------------------------------------------ bitwise aggregates
+# bit_and / bit_or / bit_xor aggregate family over per-type event ids —
+# commutative-associative integer aggregates (order-independent by
+# construction, no decimal trick needed).
+def a_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("bit_and(event_id)").alias("ids_and"),
+            F.expr("bit_or(event_id)").alias("ids_or"),
+            F.expr("bit_xor(event_id)").alias("ids_xor"),
+            F.expr("bit_count(bit_or(event_id))").alias("or_popcount"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    Query(
+        name="a_bitwise_agg",
+        build=a_bitwise_agg,
+        oracle="""
+        SELECT event_type,
+               bit_and(event_id) AS ids_and,
+               bit_or(event_id) AS ids_or,
+               bit_xor(event_id) AS ids_xor,
+               bit_count(bit_or(event_id)) AS or_popcount
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        doc="bitwise aggregate family (bit_and/or/xor + popcount; commutative, order-independent)",
+        tags=("agg", "bitwise"),
+    )
+)

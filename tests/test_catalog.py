@@ -57,50 +57,36 @@ def test_engine_facade(spark, sf_dir):
 
 
 def test_every_oracle_parses_in_duckdb():
-    """Syntax-check every oracle against DuckDB (PREPARE over empty
-    views, no execution): a typo in an oracle string should fail here,
-    not in the driver's correctness gate."""
+    """Syntax-check every oracle against DuckDB (EXPLAIN over empty
+    views derived from the REAL fixture schemas): a typo or a
+    non-existent column in an oracle string fails here, not in the
+    driver's correctness gate."""
     import duckdb
+    import pyarrow.parquet as pq
+
+    def duck_type(t) -> str:
+        s = str(t)
+        if s.startswith("timestamp"):
+            return "TIMESTAMP"
+        if s.startswith("list<"):
+            return "FLOAT[]"
+        return {
+            "int32": "INT", "int64": "BIGINT", "double": "DOUBLE",
+            "float": "FLOAT", "string": "VARCHAR", "date32[day]": "DATE",
+        }[s]
 
     con = duckdb.connect()
-    tables = {
-        "region": "r_regionkey BIGINT, r_name VARCHAR, r_comment VARCHAR",
-        "nation": "n_nationkey BIGINT, n_name VARCHAR, n_regionkey BIGINT, n_comment VARCHAR",
-        "customer": (
-            "c_custkey BIGINT, c_name VARCHAR, c_address VARCHAR, c_nationkey BIGINT,"
-            " c_phone VARCHAR, c_acctbal DOUBLE, c_mktsegment VARCHAR, c_comment VARCHAR"
-        ),
-        "supplier": (
-            "s_suppkey BIGINT, s_name VARCHAR, s_address VARCHAR, s_nationkey BIGINT,"
-            " s_phone VARCHAR, s_acctbal DOUBLE, s_comment VARCHAR"
-        ),
-        "part": (
-            "p_partkey BIGINT, p_name VARCHAR, p_mfgr VARCHAR, p_brand VARCHAR,"
-            " p_type VARCHAR, p_size INT, p_container VARCHAR, p_retailprice DOUBLE,"
-            " p_comment VARCHAR"
-        ),
-        "orders": (
-            "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR,"
-            " o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority VARCHAR,"
-            " o_clerk VARCHAR, o_shippriority INT, o_comment VARCHAR"
-        ),
-        "lineitem": (
-            "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
-            " l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE,"
-            " l_discount DOUBLE, l_tax DOUBLE, l_returnflag VARCHAR,"
-            " l_linestatus VARCHAR, l_shipdate DATE, l_commitdate DATE,"
-            " l_receiptdate DATE, l_shipinstruct VARCHAR, l_shipmode VARCHAR,"
-            " l_comment VARCHAR"
-        ),
-        "events": (
-            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type VARCHAR,"
-            " value DOUBLE, props VARCHAR"
-        ),
-        "documents": "doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT",
-        "embeddings": "vec_id BIGINT, embedding FLOAT[], label INT",
-    }
-    for t, cols in tables.items():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM (SELECT {cols_to_nulls(cols)}) WHERE FALSE")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        schema = pq.read_schema(f"/root/testdata/sf0.01/{t}.parquet")
+        cols = ", ".join(
+            f"CAST(NULL AS {duck_type(f.type)}) AS {f.name}" for f in schema
+        )
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM (SELECT {cols}) WHERE FALSE"
+        )
 
     bad = {}
     for name, sql in entrymod.oracle_sql().items():
@@ -111,10 +97,3 @@ def test_every_oracle_parses_in_duckdb():
     assert not bad, f"oracles failed DuckDB syntax check: {bad}"
 
 
-def cols_to_nulls(cols: str) -> str:
-    """'a BIGINT, b VARCHAR' → 'CAST(NULL AS BIGINT) AS a, ...'"""
-    parts = []
-    for spec in cols.split(","):
-        name, typ = spec.strip().split(" ", 1)
-        parts.append(f"CAST(NULL AS {typ}) AS {name}")
-    return ", ".join(parts)
