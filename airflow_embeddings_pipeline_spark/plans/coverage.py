@@ -592,3 +592,65 @@ register(
         tags=("agg", "bitwise"),
     )
 )
+
+
+# -------------------------------------------------- map HOF battery
+# Higher-order map functions over a constructed map: transform_values,
+# map_filter, map_concat, and entry serialization.  Output is the
+# sorted entries string so undefined map iteration order never reaches
+# the comparator; the oracle computes the same strings directly from
+# the base columns (the map's keys are statically known).
+def f_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("id"), F.col("event_id").cast("string"),
+        F.lit("type"), F.col("event_type"),
+    )
+    upper_m = F.transform_values(m, lambda k, v: F.upper(v))
+    no_id = F.map_filter(m, lambda k, v: k != F.lit("id"))
+    with_extra = F.map_concat(no_id, F.create_map(F.lit("extra"), F.lit("1")))
+
+    def entries_str(mp):
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(mp),
+                    lambda e: F.concat_ws("=", e["key"], e["value"]),
+                )
+            ),
+            ",",
+        )
+
+    return (
+        ev.filter(F.col("event_id") < 1000)
+        .select(
+            "event_id",
+            entries_str(upper_m).alias("upper_entries"),
+            entries_str(with_extra).alias("filtered_plus_extra"),
+            F.size(with_extra).alias("n_after"),
+        )
+        .orderBy("event_id")
+    )
+
+
+register(
+    Query(
+        name="f_map_hof",
+        build=f_map_hof,
+        oracle="""
+        SELECT event_id,
+               array_to_string(list_sort([
+                   'id=' || upper(CAST(event_id AS VARCHAR)),
+                   'type=' || upper(event_type)
+               ]), ',') AS upper_entries,
+               array_to_string(list_sort([
+                   'type=' || event_type,
+                   'extra=1'
+               ]), ',') AS filtered_plus_extra,
+               2 AS n_after
+        FROM events WHERE event_id < 1000 ORDER BY event_id
+        """,
+        doc="higher-order map functions: transform_values/map_filter/map_concat, order-safe entry serialization",
+        tags=("scalar", "map"),
+    )
+)
