@@ -556,3 +556,79 @@ register(
         tags=("join", "null-safe"),
     )
 )
+
+
+# ------------------------------------------------------------- gap fill
+# Calendar densification: a user × day spine (sequence + explode) LEFT
+# joins the daily activity so silent days materialize as zeros — the
+# prerequisite for any rolling metric over regular time steps (a gap
+# in the raw events would silently shrink a moving average's window).
+# The spine is generated, not scanned: |users| × |days| rows from two
+# tiny aggregates.
+def t_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("timestamp").cast("long") / 86400).cast("long")
+    base = ev.filter(F.col("user_id") < 5).select(
+        "user_id", day.alias("day"), "value"
+    )
+    bounds = base.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    users = base.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = base.groupBy("user_id", "day").agg(
+        F.count("*").alias("__n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("__v"),
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("__n", F.lit(0)).alias("n_events"),
+            F.coalesce("__v", F.lit(0.0)).alias("day_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+register(
+    Query(
+        name="t_gap_fill",
+        build=t_gap_fill,
+        oracle="""
+        WITH base AS (
+            SELECT user_id,
+                   CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+                   value
+            FROM events WHERE user_id < 5
+        ), bounds AS (
+            SELECT min(day) AS d0, max(day) AS d1 FROM base
+        ), spine AS (
+            -- list-form generate_series (the table-function form cannot
+            -- take lateral column args in DuckDB)
+            SELECT u.user_id,
+                   CAST(unnest(generate_series(b.d0, b.d1)) AS BIGINT) AS day
+            FROM (SELECT DISTINCT user_id FROM base) u CROSS JOIN bounds b
+        ), daily AS (
+            SELECT user_id, day, count(*) AS n,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS v
+            FROM base GROUP BY user_id, day
+        )
+        SELECT s.user_id, s.day,
+               COALESCE(d.n, 0) AS n_events,
+               COALESCE(d.v, 0.0) AS day_value
+        FROM spine s LEFT JOIN daily d USING (user_id, day)
+        ORDER BY s.user_id, s.day
+        """,
+        doc=(
+            "calendar gap-fill: generated user × day spine LEFT-joined "
+            "to daily activity, silent days as zeros (densification)"
+        ),
+        tags=("analytics", "T5"),
+    )
+)

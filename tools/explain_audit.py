@@ -37,6 +37,7 @@ EXPECTED_BNLJ = {
     "x_maxsim_retrieval",  # 3-row broadcast query-token cross join
     "t_event_funnel",  # 1-row-per-side stage-count cross joins
     "x_hard_negatives",  # tiny broadcast anchor set × streamed corpus (label != predicate)
+    "t_gap_fill",  # 1-row broadcast bounds cross join generating the spine
 }
 
 
