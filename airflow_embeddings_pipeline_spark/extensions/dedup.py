@@ -582,6 +582,7 @@ def connected_components(
     id_b: str = "id_b",
     *,
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate PAIRS into components — the step that
     turns a pair list into a dedup decision (keep one doc per cluster).
@@ -605,6 +606,13 @@ def connected_components(
     non-integral ids are rejected loudly — hash string ids to longs
     (``xxhash64``) or assign surrogate ids first.  Sum overflow on huge
     id spaces fails loudly too (ANSI mode), never silently.
+
+    ``checkpoint_dir``: when set, round snapshots go to RELIABLE
+    checkpoints on that (shared) path via ``sc.setCheckpointDir`` +
+    ``.checkpoint()`` — the fault-tolerant mode for long 100 TB jobs
+    where losing an executor mid-loop must not fail the run.  Default
+    (None) uses ``localCheckpoint`` (executor block store): faster,
+    restart-safe, not executor-loss-tolerant.
     """
     integral = {"tinyint", "smallint", "int", "bigint"}
     dtypes = dict(pairs.dtypes)
@@ -615,25 +623,34 @@ def connected_components(
                 f"{c!r} is {dtypes.get(c)!r} — hash/assign long ids first"
             )
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    # localCheckpoint (not persist): each round's plan builds on the
+    # Checkpoint (not persist): each round's plan builds on the
     # previous round's, so without truncating the LINEAGE the logical
     # plan doubles per iteration and Catalyst chokes on a gigabyte-size
     # plan string by round ~15.  Checkpointing makes every round start
     # from a materialized leaf — the standard shape for iterative
-    # DataFrame algorithms.  Caveat for a real cluster: localCheckpoint
-    # stores blocks on executors, so losing an executor mid-loop fails
-    # the job (restart-safe, not fault-tolerant); for long-running
-    # 100 TB jobs switch to sc.setCheckpointDir + .checkpoint() so
-    # round snapshots live on the shared store.
-    edges = (
+    # DataFrame algorithms.  Mode per `checkpoint_dir` (docstring):
+    # reliable .checkpoint() to the shared store, or localCheckpoint
+    # on executor block storage.
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _snap(df: DataFrame, *, eager: bool) -> DataFrame:
+            return df.checkpoint(eager=eager)
+
+    else:
+
+        def _snap(df: DataFrame, *, eager: bool) -> DataFrame:
+            return df.localCheckpoint(eager=eager)
+
+    edges = _snap(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        eager=True,
     )
-    labels = (
+    labels = _snap(
         edges.select("src").distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("cluster"))
-        .localCheckpoint(eager=True)
+        .select(F.col("src").alias("node"), F.col("src").alias("cluster")),
+        eager=True,
     )
     prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
     for _ in range(max_iter):
@@ -655,7 +672,7 @@ def connected_components(
         # path compression turns O(diameter) rounds into O(log d).
         # Every label is itself a node id, so the self-join resolves.
         x, y = stepped.alias("x"), stepped.alias("y")
-        labels = (
+        labels = _snap(
             x.join(y, F.col("x.cluster") == F.col("y.node"), "left")
             .select(
                 F.col("x.node").alias("node"),
@@ -663,11 +680,11 @@ def connected_components(
                     F.col("x.cluster"),
                     F.coalesce(F.col("y.cluster"), F.col("x.cluster")),
                 ).alias("cluster"),
-            )
+            ),
             # lazy checkpoint: the convergence probe below is the one
             # action per round — it materializes the checkpoint AND
             # reads the sum, instead of paying two jobs per round
-            .localCheckpoint(eager=False)
+            eager=False,
         )
         new_sum = labels.agg(F.sum("cluster")).collect()[0][0]
         if new_sum == prev_sum:  # fixed point: no label moved

@@ -2,13 +2,23 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 operators.
 
-Container note: no image/audio codecs ship in this environment, so the
-actual byte→pixels/samples decode is STUBBED — ``use_real_codec=True``
-raises ``NotImplementedError`` where PIL/ffmpeg would be called.  All
-Spark-side plumbing is real and tested: schema (binary payload +
-metadata struct), partition-sized Arrow batches, UDF signatures, and
-deterministic fake features derived from the payload bytes so tests
-and oracles have stable values.
+Two tiers, selected by ``use_real_codec``:
+
+* **fake tier (default, oracle path)** — deterministic features derived
+  from the payload bytes so tests and DuckDB oracles have stable values.
+  All Spark-side plumbing (schema, Arrow batch shape, UDF signatures,
+  zero-shuffle map-only plan) is identical to the real tier.
+* **real tier** — PIL (images) / soundfile (audio) decode, selected
+  when the codec libraries are importable.  Availability is probed at
+  OP-BUILD TIME on the driver (``probe_codecs``); if the needed codec
+  is absent the builder raises :class:`CodecUnavailable` immediately —
+  a clear driver-side signal, never a mid-job executor crash.  Rows
+  whose bytes fail to decode yield NULL feature columns (quarantine
+  semantics, E1) rather than failing the batch.
+
+This container ships no codecs, so CI exercises the probe + the
+detected-absent path; the real decode functions are plain library calls
+that run unmodified in a full container.
 
 Scale design: payloads stay opaque bytes end-to-end (no base64 inflation,
 no driver round-trip); feature extraction is a map-only stage —
@@ -29,6 +39,41 @@ MEDIA_SCHEMA = (
     "doc_id long, media_type string, payload binary, "
     "meta struct<format:string, width:int, height:int, n_frames:int>"
 )
+
+
+class CodecUnavailable(RuntimeError):
+    """Raised at op-build time when ``use_real_codec=True`` but the
+    required codec library is not importable in this environment."""
+
+
+def probe_codecs() -> dict[str, bool]:
+    """Driver-side availability probe for the real-decode tier.
+
+    Returns ``{"PIL": bool, "soundfile": bool, "av": bool}``.  Called at
+    op-build time so a missing codec surfaces as an immediate, clear
+    :class:`CodecUnavailable` on the driver instead of a serialized
+    ImportError from inside an executor task."""
+    import importlib
+
+    out: dict[str, bool] = {}
+    for mod in ("PIL", "soundfile", "av"):
+        try:
+            importlib.import_module(mod)
+            out[mod] = True
+        except Exception:
+            out[mod] = False
+    return out
+
+
+def _require_codecs(*mods: str) -> None:
+    avail = probe_codecs()
+    missing = [m for m in mods if not avail.get(m)]
+    if missing:
+        raise CodecUnavailable(
+            f"real media decode requires {missing} (detected absent at "
+            "op-build probe); install the codec libraries or use the "
+            "deterministic fake tier (use_real_codec=False)"
+        )
 
 
 def attach_media(docs: DataFrame, *, payload_repeat: int = 4) -> DataFrame:
@@ -75,7 +120,16 @@ def extract_features(
     The batch function is fully self-contained (stdlib imports inside)
     so cloudpickle ships it by value: executor workers never need this
     package importable, which is exactly the situation when a driver
-    process imports the engine from an arbitrary cwd."""
+    process imports the engine from an arbitrary cwd.
+
+    Real tier (``use_real_codec=True``; probed at build time): images
+    decode via PIL (``mean_byte`` = mean grayscale pixel, ``checksum``
+    = md5 over the pixel buffer), audio via soundfile (``mean_byte`` =
+    mean |amplitude| scaled to byte range, ``checksum`` over the sample
+    buffer).  Undecodable rows (wrong bytes, unknown media_type) yield
+    NULL features instead of failing the Arrow batch."""
+    if use_real_codec:
+        _require_codecs("PIL", "soundfile")
     out_schema = (
         "doc_id long, media_type string, n_bytes int, checksum long, mean_byte double"
     )
@@ -83,27 +137,46 @@ def extract_features(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
-        def decode(payload: bytes) -> tuple[int, int, float]:
+        def fake_decode(payload: bytes, media_type: str) -> tuple:
             checksum = int(_hl.md5(payload.hex().encode()).hexdigest()[:8], 16)
             mean_byte = sum(payload) / len(payload) if payload else 0.0
             return len(payload), checksum, round(mean_byte, 6)
 
+        def real_decode(payload: bytes, media_type: str) -> tuple:
+            import io
+
+            try:
+                if media_type == "image":
+                    from PIL import Image
+
+                    pix = Image.open(io.BytesIO(payload)).convert("L").tobytes()
+                    checksum = int(_hl.md5(pix.hex().encode()).hexdigest()[:8], 16)
+                    mean = (sum(pix) / len(pix)) if pix else 0.0
+                    return len(payload), checksum, round(mean, 6)
+                if media_type == "audio":
+                    import soundfile as sf
+
+                    data, _rate = sf.read(io.BytesIO(payload))
+                    buf = data.tobytes()
+                    checksum = int(_hl.md5(buf.hex().encode()).hexdigest()[:8], 16)
+                    mean = float(abs(data).mean() * 255.0) if data.size else 0.0
+                    return len(payload), checksum, round(mean, 6)
+                return None, None, None
+            except Exception:
+                return None, None, None
+
+        decode = real_decode if use_real_codec else fake_decode
         for pdf in batches:
-            if use_real_codec:
-                # Real path: PIL.Image.open(io.BytesIO(b)) / soundfile /
-                # av frame iteration — codecs absent in this container.
-                raise NotImplementedError(
-                    "real media decode requires PIL/soundfile/av; "
-                    "not available in this environment"
-                )
-            feats = pdf["payload"].map(decode)
+            feats = [
+                decode(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": feats.map(lambda t: t[0]),
-                    "checksum": feats.map(lambda t: t[1]),
-                    "mean_byte": feats.map(lambda t: t[2]),
+                    "n_bytes": [t[0] for t in feats],
+                    "checksum": [t[1] for t in feats],
+                    "mean_byte": [t[2] for t in feats],
                 }
             )
 
@@ -116,9 +189,14 @@ def resize_media(
     """Resize/resample plumbing: deterministic byte-stride subsample of
     the payload down to ``target_bytes`` (byte i of the output is byte
     ``(i·n)//t`` of the input) — the batch shape of an image resize /
-    audio resample, minus the codec (``use_real_codec=True`` raises
-    where PIL.thumbnail / soxr would run).  mapInPandas, map-only, no
-    shuffle; payload bytes never leave the executor."""
+    audio resample.  mapInPandas, map-only, no shuffle; payload bytes
+    never leave the executor.
+
+    Real tier (``use_real_codec=True``; probed at build time): images
+    are PIL-thumbnailed so the longest side is ``target_bytes`` pixels
+    and re-encoded to PNG; undecodable rows yield NULL outputs."""
+    if use_real_codec:
+        _require_codecs("PIL")
     out_schema = (
         "doc_id long, media_type string, orig_bytes int, "
         "resized_bytes int, resized_checksum long"
@@ -127,12 +205,22 @@ def resize_media(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
-        def shrink(payload: bytes) -> tuple[int, int, int]:
+        def shrink(payload: bytes) -> tuple:
             if use_real_codec:
-                raise NotImplementedError(
-                    "real media resize requires PIL/soxr/av; "
-                    "not available in this environment"
-                )
+                import io
+
+                try:
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(payload))
+                    img.thumbnail((target_bytes, target_bytes))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out = buf.getvalue()
+                except Exception:
+                    return len(payload), None, None
+                checksum = int(_hl.md5(out.hex().encode()).hexdigest()[:8], 16)
+                return len(payload), len(out), checksum
             n = len(payload)
             t = min(target_bytes, n)
             out = bytes(payload[(i * n) // t] for i in range(t)) if t else b""

@@ -34,8 +34,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_CURRENT"
 _COMMITTED = "_COMMITTED"
+_LOCK = "_COMMIT_LOCK"
 _VERSION_RE = re.compile(r"^v(\d{8})$")
 _REMOTE_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A second writer attempted to commit while another commit was in
+    flight.  Mirrors the reference's ``max_active_runs=1`` run
+    serialization (T7, embeddings-pipeline.py:92): overlapping writers
+    are a configuration error and must fail loudly, not interleave."""
+
+
+def _pid_alive(pid: int) -> bool:
+    """Is `pid` a live process on this host?  (The table contract is
+    local-filesystem, so the lock holder is by definition local.)"""
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
 
 
 def _check_local(path: str) -> str:
@@ -99,6 +119,17 @@ class VersionedParquetTable:
         if v is not None:
             return spark.read.parquet(self._version_dir(v))
         if self._versions_on_disk():
+            import glob
+
+            if not glob.glob(os.path.join(self.root, "*.parquet")):
+                # Version dirs exist but no pointer and no legacy files:
+                # a first commit crashed before its pointer swap.  Say
+                # so, instead of Spark's generic path-not-found.
+                raise FileNotFoundError(
+                    f"{self.root}: no committed version (version dirs "
+                    "exist but the pointer was never written — crashed "
+                    "first commit?); re-run the commit or vacuum"
+                )
             return spark.read.parquet(os.path.join(self.root, "*.parquet"))
         return spark.read.parquet(self.root)
 
@@ -149,17 +180,69 @@ class VersionedParquetTable:
         reclaimed here (reconcile) or by ``vacuum``.  Marker BEFORE
         pointer means every version that was ever live carries the
         marker — a later commit can never make live history look like
-        an orphan."""
-        self._reconcile_orphans()
-        versions = self._versions_on_disk()
-        next_v = (versions[-1] + 1) if versions else 1
-        vdir = self._version_dir(next_v)
-        df.write.mode("overwrite").parquet(vdir)
-        with open(os.path.join(vdir, _COMMITTED), "w") as f:
-            f.flush()
-            os.fsync(f.fileno())
-        self._swap_pointer(next_v)
-        return next_v
+        an orphan.
+
+        Single-writer guard: the whole commit runs under an exclusive
+        lock file (``O_CREAT|O_EXCL`` — atomic on POSIX).  A second
+        in-flight writer raises :class:`ConcurrentCommitError` loudly
+        instead of interleaving version numbers / racing the pointer
+        swap.  A lock left by a CRASHED committer (its pid no longer
+        alive on this host) is stolen; a live holder is never."""
+        self._acquire_lock()
+        try:
+            self._reconcile_orphans()
+            versions = self._versions_on_disk()
+            next_v = (versions[-1] + 1) if versions else 1
+            vdir = self._version_dir(next_v)
+            df.write.mode("overwrite").parquet(vdir)
+            with open(os.path.join(vdir, _COMMITTED), "w") as f:
+                f.flush()
+                os.fsync(f.fileno())
+            self._swap_pointer(next_v)
+            return next_v
+        finally:
+            self._release_lock()
+
+    def _lock_path(self) -> str:
+        return os.path.join(self.root, _LOCK)
+
+    def _acquire_lock(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        for _ in range(2):  # second pass only after stale-lock steal
+            try:
+                fd = os.open(
+                    self._lock_path(), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                with os.fdopen(fd, "w") as f:
+                    f.write(str(os.getpid()))
+                return
+            except FileExistsError:
+                try:
+                    with open(self._lock_path()) as f:
+                        holder = int(f.read().strip() or 0)
+                except (OSError, ValueError):
+                    holder = 0
+                if holder and holder != os.getpid() and not _pid_alive(holder):
+                    # crashed committer: steal exactly once, then retry
+                    try:
+                        os.unlink(self._lock_path())
+                    except OSError:
+                        pass
+                    continue
+                raise ConcurrentCommitError(
+                    f"{self.root}: commit already in flight (lock held by "
+                    f"pid {holder or '?'}); serialize writers — this table "
+                    "contract is single-writer (reference max_active_runs=1)"
+                )
+        raise ConcurrentCommitError(
+            f"{self.root}: could not acquire commit lock after stale steal"
+        )
+
+    def _release_lock(self) -> None:
+        try:
+            os.unlink(self._lock_path())
+        except OSError:
+            pass
 
     def _reconcile_orphans(self) -> None:
         """Delete version dirs a crashed commit left above the pointer

@@ -101,19 +101,60 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert all(r["count"] == 5 for r in counts)
 
 
-def test_multimodal_features_and_stub(spark, sf_dir):
+def test_multimodal_features_and_real_tier(spark, sf_dir):
+    from airflow_embeddings_pipeline_spark.extensions.multimodal import (
+        CodecUnavailable,
+        probe_codecs,
+    )
+
     docs = load_table(spark, sf_dir, "documents").limit(30)
     media = attach_media(docs)
     feats = extract_features(media).collect()
     assert len(feats) == 30
     assert all(r["n_bytes"] == 64 for r in feats)
     assert all(0 <= r["mean_byte"] <= 255 for r in feats)
-    # real-codec path is an explicit stub in this container
-    with pytest.raises(Exception) as exc_info:
-        extract_features(media, use_real_codec=True).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+    avail = probe_codecs()
+    if avail["PIL"] and avail["soundfile"]:
+        # Real tier: fake payloads aren't decodable media, so the
+        # quarantine semantics yield NULL features (not a crash).
+        real = extract_features(media, use_real_codec=True).collect()
+        assert len(real) == 30
+        assert all(r["checksum"] is None for r in real)
+    else:
+        # Detected-absent marker: the probe fails LOUDLY at op-build
+        # time on the driver, never inside an executor task.
+        with pytest.raises(CodecUnavailable, match="detected absent"):
+            extract_features(media, use_real_codec=True)
+
+
+def test_real_codec_roundtrip_if_pil_present(spark):
+    """End-to-end real decode on a genuine PNG — runs wherever PIL is
+    installed; skips with a detected-absent marker here."""
+    from airflow_embeddings_pipeline_spark.extensions.multimodal import (
+        extract_features,
+        probe_codecs,
+        resize_media,
     )
+
+    if not probe_codecs()["PIL"]:
+        pytest.skip("PIL detected absent at probe; real tier exercised "
+                    "only via the CodecUnavailable path in this container")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 6), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), ("png", 8, 6, 1))],
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<format:string, width:int, height:int, n_frames:int>",
+    )
+    feats = extract_features(media, use_real_codec=True).collect()
+    assert feats[0]["mean_byte"] == 128.0
+    resized = resize_media(media, target_bytes=4, use_real_codec=True).collect()
+    assert resized[0]["resized_bytes"] is not None
 
 
 def test_frame_sample_only_video(spark, sf_dir):
@@ -405,6 +446,38 @@ def test_connected_components_chain_and_clique(spark):
     assert len(got) == 20 + 3 + 2
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches localCheckpoint -> reliable
+    .checkpoint() on a shared path; clusters must be identical and the
+    checkpoint dir must actually receive round snapshots."""
+    import os
+
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    pairs = (
+        [(i, i + 1) for i in range(1, 20)]
+        + [(100, 101), (100, 102), (101, 102)]
+        + [(200, 201)]
+    )
+    df = spark.createDataFrame(pairs, schema="id_a long, id_b long")
+    ckpt = str(tmp_path / "cc_ckpt")
+    local = {
+        (r["node"], r["cluster"])
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    reliable = {
+        (r["node"], r["cluster"])
+        for r in connected_components(
+            df, "id_a", "id_b", checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert reliable == local
+    # snapshots really landed on the shared-store path
+    assert any(files for _, _, files in os.walk(ckpt))
+
+
 def test_maxsim_scores_bounded_and_ranked(spark, sf_dir):
     """Each per-token max cosine is ≤ 1, so a label's MaxSim score is
     bounded by the query-token count; labels owning a query token hit
@@ -541,12 +614,14 @@ def test_fixed_k_sample_exact_size(spark, sf_dir):
         assert n == min(_FIXED_K, avail[lang])
 
 
-def test_resize_media_stride_and_stub(spark, sf_dir):
+def test_resize_media_stride_and_real_tier(spark, sf_dir):
     """Resize keeps exactly target_bytes (payload is larger), the
-    checksum is deterministic across runs, and the real-codec path is
-    an explicit stub."""
+    checksum is deterministic across runs, and the real-codec tier
+    either runs (PIL present) or fails loudly at build time."""
     from airflow_embeddings_pipeline_spark.extensions.multimodal import (
+        CodecUnavailable,
         attach_media,
+        probe_codecs,
         resize_media,
     )
 
@@ -559,11 +634,13 @@ def test_resize_media_stride_and_stub(spark, sf_dir):
         assert r.orig_bytes == 64
         assert r.resized_bytes == 16
         assert r.resized_checksum == out2[did].resized_checksum
-    with pytest.raises(Exception) as exc_info:
-        resize_media(media, use_real_codec=True).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
-    )
+    if probe_codecs()["PIL"]:
+        real = resize_media(media, use_real_codec=True).collect()
+        # fake payloads aren't PNGs: quarantine semantics -> NULLs
+        assert all(r.resized_bytes is None for r in real)
+    else:
+        with pytest.raises(CodecUnavailable, match="detected absent"):
+            resize_media(media, use_real_codec=True)
 
 
 def test_contracted_clusters_match_uncontracted(spark):

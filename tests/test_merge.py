@@ -139,6 +139,99 @@ def test_versioned_rejects_remote_uri():
         VersionedParquetTable("s3://bucket/table")
 
 
+def test_versioned_concurrent_commit_one_wins(spark, tmp_path):
+    """Two simultaneous commits: exactly one wins, the loser fails
+    LOUDLY with ConcurrentCommitError, and no version is lost or
+    interleaved (reference max_active_runs=1 serialization, T7)."""
+    import threading
+
+    import pytest as _pytest
+
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        ConcurrentCommitError,
+        VersionedParquetTable,
+    )
+
+    root = str(tmp_path / "concurrent")
+    table = VersionedParquetTable(root)
+    df = spark.range(5).withColumnRenamed("id", "k")
+
+    started = threading.Event()
+    release = threading.Event()
+    real_swap = VersionedParquetTable._swap_pointer
+
+    def slow_swap(self, version):
+        started.set()
+        assert release.wait(30)
+        real_swap(self, version)
+
+    results: dict[str, object] = {}
+    VersionedParquetTable._swap_pointer = slow_swap
+    try:
+        t = threading.Thread(
+            target=lambda: results.update(a=table.commit(df))
+        )
+        t.start()
+        assert started.wait(60)  # writer A inside the locked region
+        with _pytest.raises(ConcurrentCommitError, match="single-writer"):
+            table.commit(df)
+        release.set()
+        t.join(60)
+    finally:
+        VersionedParquetTable._swap_pointer = real_swap
+        release.set()
+    assert results["a"] == 1 and table.current_version() == 1
+    # loser retried after the lock cleared -> clean v2, nothing lost
+    assert table.commit(df) == 2
+    assert table.read(spark).count() == 5
+
+
+def test_versioned_stale_lock_stolen_live_lock_respected(spark, tmp_path):
+    """A lock left by a dead pid is stolen; a lock held by a live pid
+    is not."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        ConcurrentCommitError,
+        VersionedParquetTable,
+    )
+
+    root = str(tmp_path / "stale")
+    table = VersionedParquetTable(root)
+    df = spark.range(3).withColumnRenamed("id", "k")
+    _os.makedirs(root, exist_ok=True)
+    lock = _os.path.join(root, "_COMMIT_LOCK")
+    with open(lock, "w") as f:
+        f.write("999999999")  # beyond pid_max: guaranteed-dead holder
+    assert table.commit(df) == 1  # stale lock stolen, commit proceeds
+    with open(lock, "w") as f:
+        f.write(str(_os.getpid()))  # "live holder" (our own pid)
+    with _pytest.raises(ConcurrentCommitError):
+        table.commit(df)
+    _os.unlink(lock)
+
+
+def test_versioned_crashed_first_commit_clear_error(spark, tmp_path):
+    """A fresh table whose first commit died before the pointer swap
+    must raise a clear 'no committed version' signal on read, not
+    Spark's generic path-not-found."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    root = str(tmp_path / "crashed_first")
+    _os.makedirs(_os.path.join(root, "v00000001"))  # orphan, no pointer
+    table = VersionedParquetTable(root)
+    with _pytest.raises(FileNotFoundError, match="no committed version"):
+        table.read(spark)
+
+
 def test_versioned_time_travel(spark, tmp_path):
     import pytest
 
