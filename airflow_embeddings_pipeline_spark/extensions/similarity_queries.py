@@ -458,7 +458,190 @@ register(
         WHERE round({_DOT.format(a='a.u', b='b.u')}, 6) >= {_HP_THRESHOLD}
         ORDER BY id_a, id_b
         """,
-        doc="cosine-LSH near-dup: 16 deterministic hyperplanes, 4x4-bit banded buckets, exact-cosine verify on candidates (X3 scale tier)",
+        doc=(
+            "cosine-LSH near-dup STRESS configuration: threshold 0.3 "
+            "(~72deg, near-no-signal regime admitting ~20% of pairs) "
+            "deliberately floods the verify stage; production parameters "
+            "live in x_hyperplane_lsh_near_dup_t08 (the benched entry)"
+        ),
+        tags=("X2", "X3", "ann", "stress"),
+    )
+)
+
+
+# ---------------------------------- hyperplane-LSH, production threshold
+# The benched sign-LSH configuration: threshold 0.8 with matched
+# selectivity (32 planes, 4 bands x 8 bits — a random pair matches a
+# band with p=0.5^8, so ~1.6% of noise pairs become candidates, vs ~20%
+# in the 4x4-bit stress entry above).  The raw fixtures are random
+# unit vectors (max pairwise cosine ~0.51), so a 0.8-threshold query
+# over them alone is vacuously empty; real dedup corpora contain real
+# near-duplicates.  We PLANT them deterministically: every STRIDE-th
+# vector gets a copy perturbed by an exact-integer-arithmetic epsilon
+# (~cosine 0.95 to its original), reproducible bit-for-bit in the SQL
+# oracle — so candidate generation, recall, and verify all run at
+# production parameters against known ground truth.
+_HP8_PLANES = 32
+_HP8_BANDS = 4
+_HP8_BAND_BITS = 8
+_HP8_THRESHOLD = 0.8
+_HP8_STRIDE = 5
+_HP8_ID_OFFSET = 10_000_000
+_HP8_AMP = 0.02
+
+
+def _hp8_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture embeddings plus planted near-duplicates.
+
+    Perturbation eps_i = AMP * (((vec_id*31 + i) % 7) - 3): pure
+    integer arithmetic scaled by one double literal, so Spark and
+    DuckDB compute identical IEEE values (no transcendentals)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    # The original id is renamed __orig BEFORE the offset alias exists:
+    # Spark resolves a bare `vec_id` inside a HOF lambda to the LATERAL
+    # alias from the same select list (the +offset output), not the
+    # child column — verified behavior on 4.1 — which would silently
+    # shift the epsilon pattern off the oracle's.
+    planted = (
+        emb.filter(F.col("vec_id") % _HP8_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("__orig"),
+            _as_double(F.col("embedding")).alias("__vd"),
+        )
+        .select(
+            (F.col("__orig") + _HP8_ID_OFFSET).alias("vec_id"),
+            F.transform(
+                "__vd",
+                lambda x, i: x
+                + F.lit(_HP8_AMP) * (((F.col("__orig") * 31 + i) % 7) - 3),
+            ).alias("v"),
+        )
+    )
+    # Generator barrier: v must be a runtime attribute, or the planted
+    # transform inlines through PushProjectionThroughUnion into every
+    # downstream HOF consumer (32 signature dots, norms) — see
+    # extensions/dedup.py lsh_candidate_pairs stage-1 note.
+    return base.union(planted).select(
+        "vec_id", F.explode(F.array("v")).alias("v")
+    )
+
+
+def _hp8_corpus_sql() -> str:
+    return f"""
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        UNION ALL
+        -- e.vec_id qualification matters: DuckDB's lateral alias rules
+        -- would otherwise bind the bare name inside the lambda to the
+        -- vec_id+offset OUTPUT alias, shifting the epsilon pattern
+        SELECT e.vec_id + {_HP8_ID_OFFSET} AS vec_id,
+               list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE)
+                        + {_HP8_AMP} * (((e.vec_id * 31 + (i - 1)) % 7) - 3)) AS v
+        FROM embeddings e WHERE e.vec_id % {_HP8_STRIDE} = 0
+    """
+
+
+def x_hyperplane_lsh_near_dup_t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import simhash_near_dup_pairs
+    from .similarity import dot, hyperplane_planes, hyperplane_signature, l2_norm
+
+    corpus = _hp8_corpus(spark, sf_dir)
+    planes = hyperplane_planes(_HP8_PLANES, _HP_DIM)
+    sigs = corpus.select(
+        "vec_id", hyperplane_signature(F.col("v"), planes).alias("sim")
+    )
+    cands = simhash_near_dup_pairs(
+        sigs, id_col="vec_id", simhash_col="sim",
+        max_hamming=_HP8_PLANES,  # no hamming prune: pure shared-band LSH
+        num_bands=_HP8_BANDS, band_bits=_HP8_BAND_BITS,
+        pair_mode="join",
+    )
+
+    # normalize once per vector below the candidate join (planted rows
+    # are not unit-norm); generator barriers as in the stress entry.
+    def norm_side(out_id: str, out_v: str) -> DataFrame:
+        s1 = corpus.select(
+            F.col("vec_id").alias(out_id), F.col("v").alias("__v")
+        )
+        s2 = s1.select(
+            out_id, "__v", F.explode(F.array(l2_norm(F.col("__v")))).alias("__n")
+        )
+        return s2.select(
+            out_id,
+            F.explode(
+                F.array(F.transform("__v", lambda x: x / F.col("__n")))
+            ).alias(out_v),
+        )
+
+    a = norm_side("id_a", "__na")
+    b = norm_side("id_b", "__nb")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _HP8_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _hp8_sig_sql() -> str:
+    from .similarity import hyperplane_planes
+
+    planes = hyperplane_planes(_HP8_PLANES, _HP_DIM)
+    terms = []
+    for j, plane in enumerate(planes):
+        # fully unrolled scalar dot: a `({lit})[i]` lambda re-builds the
+        # 64-element literal list per element per row in DuckDB (O(d^2)
+        # per plane) — unrolling keeps the oracle sub-second.  Addition
+        # order matches the Spark left-fold exactly.
+        d = " + ".join(f"v[{i + 1}] * ({plane[i]!r})" for i in range(len(plane)))
+        terms.append(f"(CASE WHEN {d} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+register(
+    Query(
+        name="x_hyperplane_lsh_near_dup_t08",
+        build=x_hyperplane_lsh_near_dup_t08,
+        oracle=f"""
+        WITH corpus AS MATERIALIZED ({_hp8_corpus_sql()}),
+        sig AS MATERIALIZED (
+            SELECT vec_id, {_hp8_sig_sql()} AS sim FROM corpus
+        ), banded AS (
+            SELECT vec_id, sim, band,
+                   (sim >> (band * {_HP8_BAND_BITS})) & {(1 << _HP8_BAND_BITS) - 1} AS val
+            FROM sig, unnest(range({_HP8_BANDS})) AS t(band)
+        ), cand AS (
+            SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+                   bit_count(xor(l.sim, r.sim)) AS hamming
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.val = r.val AND l.vec_id < r.vec_id
+        ), nv AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(v, x -> x / {_NORM.format(a='v')}) AS u
+            FROM corpus
+        )
+        SELECT c.id_a, c.id_b, c.hamming,
+               round({_DOT.format(a='a.u', b='b.u')}, 6) AS cosine
+        FROM cand c
+        JOIN nv a ON a.vec_id = c.id_a
+        JOIN nv b ON b.vec_id = c.id_b
+        WHERE round({_DOT.format(a='a.u', b='b.u')}, 6) >= {_HP8_THRESHOLD}
+        ORDER BY id_a, id_b
+        """,
+        doc=(
+            "cosine-LSH near-dup at PRODUCTION parameters: threshold 0.8, "
+            "32 planes, 4x8-bit bands (noise-pair candidate rate ~1.6%), "
+            "planted deterministic near-duplicates as ground truth "
+            "(X2/X3 scale tier; the benched sign-LSH entry)"
+        ),
         tags=("X2", "X3", "ann"),
         bench=True,
     )

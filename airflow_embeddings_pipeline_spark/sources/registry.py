@@ -71,10 +71,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     # Epoch arithmetic over TIMESTAMP_NTZ columns (cast ntz → timestamp
     # → long) is session-timezone-dependent; the DuckDB oracles treat
-    # naive timestamps as-if-UTC.  Pin the session tz here so queries
-    # stay correct under ANY caller's SparkSession (the driver builds
-    # its own, without this engine's session factory).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # naive timestamps as-if-UTC.  Pin the session tz so queries stay
+    # correct under ANY caller's SparkSession (the driver builds its
+    # own, without this engine's session factory).  NOTE: this is a
+    # deliberate, documented session-wide side effect — every engine
+    # query assumes UTC; a caller needing another timezone for its own
+    # work must set it around engine calls.  Guarded so an already-UTC
+    # session sees no redundant conf write.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:
@@ -120,7 +125,23 @@ def _with_layout_cache(spark: SparkSession, df: DataFrame, path: str) -> DataFra
             os.rename(tmp, cache)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+        _gc_stale_generations(key, keep=cache)
     return spark.read.parquet(cache)
+
+
+def _gc_stale_generations(key: str, *, keep: str) -> None:
+    """Best-effort reclaim of older ``<key>.m*`` cache generations once
+    a fresh one is committed — regenerated sources would otherwise
+    accumulate unbounded copies.  A stale generation can still be
+    mid-scan by a concurrent reader of the OLD source file, so losing
+    this race only costs that reader a retry (same contract as the
+    creation race above); directory entries vanish atomically."""
+    import glob
+    import shutil
+
+    for d in glob.glob(os.path.join(LAYOUT_CACHE_DIR, f"{key}.m*")):
+        if d != keep and not d.startswith(f"{keep}.tmp"):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def scan_glob(spark: SparkSession, directory: str, pattern: str) -> DataFrame:

@@ -155,6 +155,58 @@ register(
 )
 
 
+# ------------------------------------------- streaming dedup (T5 / W1)
+def t_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming dedup: ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type) — the reference's duplicate suppression
+    (embeddings-pipeline.py:323) under streaming delivery, with state
+    BOUNDED by the watermark instead of growing forever like a plain
+    ``dropDuplicates``.
+
+    Determinism contract: which physical row survives per key depends
+    on arrival order, so only the KEY columns are projected — the key
+    set is exact and SQL-expressible.  Under AvailableNow the staged
+    single-file source is one micro-batch, state never expires
+    mid-batch, so the output is exactly the distinct key set."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"t_stream_ddww_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ddww_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "event_type")
+
+
+register(
+    Query(
+        name="t_stream_dedup_watermark",
+        build=t_stream_dedup_watermark,
+        oracle="""
+        SELECT user_id, event_type
+        FROM events
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+        """,
+        doc=(
+            "streaming dedup via dropDuplicatesWithinWatermark: "
+            "watermark-bounded key state, keys-only deterministic "
+            "projection (T5/W1, embeddings-pipeline.py:323)"
+        ),
+        tags=("streaming", "T5", "W1"),
+    )
+)
+
+
 # ---------------------------------------------------- stream-static join
 # Stream-static enrichment: the events stream joins a STATIC dimension
 # (per-user activity tier, derived once from the batch table) before

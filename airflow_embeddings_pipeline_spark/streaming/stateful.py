@@ -89,8 +89,17 @@ def stateful_user_stats(stream: DataFrame, *, key_col: str = "user_id") -> DataF
                 continue
             n += int(len(pdf))
             # round per VALUE, not per batch sum: the micro-unit total is
-            # then independent of how rows split across batches/chunks
-            micros += int(pdf["value"].mul(1_000_000).round().astype("int64").sum())
+            # then independent of how rows split across batches/chunks.
+            # Half-UP via floor(x+0.5) on the absolute value: pandas
+            # .round() is banker's (half-to-even) while the DuckDB
+            # oracle's round() is half-away-from-zero — they only agree
+            # while fixture values carry <=6dp (x*1e6 integral); this
+            # makes exact-.5 micro-units match on any future fixture.
+            import numpy as np
+
+            scaled = pdf["value"].mul(1_000_000.0)
+            half_up = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+            micros += int(half_up.astype("int64").sum())
             max_sec = max(max_sec, int(pdf["sec"].max()))
         state.update((n, micros, max_sec))
         yield pd.DataFrame(

@@ -199,13 +199,25 @@ def test_lsh_max_bucket_size_caps_degenerate_buckets(spark):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    """The catalog's one rows-only query (HLL sketches differ across
-    engines, so no DuckDB oracle): bound the estimate locally instead —
+    """Strict HLL++ accuracy (raw sketch values are engine-specific, so
+    no DuckDB oracle; the catalog gate uses a loose 25% sanity bound):
     approx_count_distinct at rsd=0.02 must sit within 3x the target
-    relative error of the exact count for every group."""
-    from airflow_embeddings_pipeline_spark.plans import get_catalog
+    relative error of the exact count for every group.  This is the
+    fixture-sensitive assertion — a regenerated fixture tripping it is
+    sketch variance to examine here, not a driver-gate failure."""
+    from pyspark.sql import functions as F
 
-    rows = get_catalog()["a_approx_distinct"].build(spark, sf_dir).collect()
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    )
     assert rows
     for r in rows:
         exact, approx = r["exact_users"], r["approx_users"]

@@ -478,6 +478,34 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert any(files for _, _, files in os.walk(ckpt))
 
 
+def test_hyperplane_t08_planted_recall(spark, sf_dir):
+    """Production-threshold sign-LSH (t=0.8, 32 planes, 4x8-bit bands):
+    every returned pair must be a planted (original, perturbed-copy)
+    pair — raw fixture vectors max out near cosine 0.5 — and banded
+    LSH must recover >=70% of the planted ground truth."""
+    from airflow_embeddings_pipeline_spark.extensions.similarity_queries import (
+        _HP8_ID_OFFSET,
+        _HP8_STRIDE,
+        x_hyperplane_lsh_near_dup_t08,
+    )
+
+    from pyspark.sql import functions as F
+
+    planted_ids = [
+        r.vec_id
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _HP8_STRIDE == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    expected = {(i, i + _HP8_ID_OFFSET) for i in planted_ids}
+    got = x_hyperplane_lsh_near_dup_t08(spark, sf_dir).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert all(r.cosine >= 0.8 for r in got)
+    assert pairs <= expected  # nothing but planted pairs clears 0.8
+    assert len(pairs) / len(expected) >= 0.7  # banded-LSH recall
+
+
 def test_maxsim_scores_bounded_and_ranked(spark, sf_dir):
     """Each per-token max cosine is ≤ 1, so a label's MaxSim score is
     bounded by the query-token count; labels owning a query token hit
