@@ -1,0 +1,464 @@
+"""Retrieval operators: BM25 lexical scoring, hybrid rank fusion, and
+product-quantization ANN.
+
+The reference stores embeddings for downstream retrieval
+(embeddings-pipeline.py:248-255, CONFIGURATION.md:100-112); this module
+supplies the retrieval stack a training-data platform runs on top of
+that table: sparse lexical ranking (BM25), sparse+dense reciprocal-rank
+fusion, and the memory-compressed ANN tier (PQ/ADC) that complements
+the IVF family in similarity_queries.py.
+
+Determinism for the DuckDB oracles: every floating intermediate is
+rounded before ranking, all folds are left-to-right over double-cast
+floats, and every ORDER BY carries an id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import Query, register
+from ..sources.registry import load_table
+from .similarity import _as_double, cosine
+
+_BM25_TERMS = ("vector", "join", "stream", "hash")
+_K1 = 1.2
+_B = 0.75
+_TOPN = 20
+
+# PQ layout: 64-d fixture vectors → 8 subspaces × 8 dims, 16 centroids
+# per subspace (4-bit codes, one byte holds two) taken from the lowest
+# vec_ids (deterministic, like the IVF tiers — which makes the
+# approximation itself oracle-checkable).  The fixture vectors are
+# near-isotropic (PQ's worst case — real embedding corpora cluster), so
+# the ADC stage keeps k×10 candidates for the exact re-rank; recall@5
+# at these settings is asserted in tests/test_changes.py.
+_PQ_M = 8
+_PQ_SUBDIM = 8
+_PQ_NCENTS = 16
+_PQ_NQUERIES = 8
+_PQ_K = 5
+_PQ_CAND = 50  # ADC stage keeps k*10 candidates for the exact re-rank
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM = (
+    "sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round({_DOT.format(a=a, b=b)} / "
+        f"({_NORM.format(a=a)} * {_NORM.format(a=b)}), 6)"
+    )
+
+
+def _tf(term: str):
+    """Per-document term frequency without an explode: filter the token
+    array in place (codegen'd higher-order function, map-only)."""
+    return F.size(F.filter(F.split("text", " "), lambda x: x == F.lit(term)))
+
+
+def _tf_sql(term: str) -> str:
+    return f"len(list_filter(string_split(text, ' '), x -> x = '{term}'))"
+
+
+# ------------------------------------------------------------------ BM25
+# Okapi BM25 over the documents table.  Scale shape: tf is computed
+# per-document with a higher-order array filter (no corpus explode —
+# the posting-list shuffle only materializes per query term when you
+# build an inverted index); df/N/avgdl are a single tiny aggregate
+# broadcast below the scoring map.  One global top-k via sort+limit
+# (TakeOrdered — no single-partition window at corpus scale).
+def x_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+        *[_tf(t).cast("double").alias(f"tf_{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    contrib = []
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}")
+        denom = tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        contrib.append(idf * tf * (_K1 + 1.0) / denom)
+    score = F.round(sum(contrib[1:], contrib[0]), 6)
+    top = (
+        scored.select("doc_id", F.col("dl").cast("long").alias("dl"), score.alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_TOPN)
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n                   ".join(
+        f"CAST({_tf_sql(t)} AS DOUBLE) AS tf_{i}" for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n                   ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1.0 ELSE 0.0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = " + ".join(
+        f"(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * ({_K1} + 1.0)"
+        f" / (tf_{i} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+                   {tf_cols}
+            FROM documents
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+                   {df_cols}
+            FROM base
+        ), scored AS (
+            SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+                   round({contribs}, 6) AS bm25
+            FROM base CROSS JOIN stats
+        ), top AS (
+            SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+            FROM scored WHERE bm25 > 0
+        )
+        SELECT doc_id, dl, bm25, rank FROM top
+        WHERE rank <= {_TOPN} ORDER BY rank
+        """
+
+
+register(
+    Query(
+        name="x_bm25_retrieval",
+        build=x_bm25_retrieval,
+        oracle=_bm25_oracle(),
+        doc="Okapi BM25 lexical top-k: HOF term frequencies (no explode), broadcast corpus stats",
+        tags=("X4", "retrieval"),
+        bench=True,
+    )
+)
+
+
+# --------------------------------------------- reciprocal rank fusion
+# Hybrid retrieval: fuse a sparse (term-count) ranking and a dense
+# (cosine vs a query embedding) ranking with RRF
+# (score = Σ 1/(60 + rank)).  Each leg produces a bounded top-50 list;
+# the fuse is a full outer join of two tiny lists — at 100 TB only the
+# two leg scans touch the corpus.  Integer ranks make fusion exactly
+# reproducible: FP only enters through 1/(60+r) sums of two terms.
+_RRF_C = 60
+_RRF_LEG = 50
+
+
+def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex_score = F.round(
+        sum(
+            (_tf(t).cast("double") for t in _BM25_TERMS[1:]),
+            _tf(_BM25_TERMS[0]).cast("double"),
+        ),
+        6,
+    )
+    lex = (
+        docs.select("doc_id", lex_score.alias("lex"))
+        .filter(F.col("lex") > 0)
+        .orderBy(F.col("lex").desc(), "doc_id")
+        .limit(_RRF_LEG)
+    )
+    lex = lex.withColumn(
+        "lex_rank", F.row_number().over(Window.orderBy(F.col("lex").desc(), "doc_id"))
+    )
+
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(_as_double(F.col("embedding")), _as_double(F.col("qv"))), 6
+            ).alias("sem"),
+        )
+        .orderBy(F.col("sem").desc(), "doc_id")
+        .limit(_RRF_LEG)
+    )
+    sem = sem.withColumn(
+        "sem_rank", F.row_number().over(Window.orderBy(F.col("sem").desc(), "doc_id"))
+    )
+
+    fused = (
+        lex.select("doc_id", "lex_rank")
+        .join(sem.select("doc_id", "sem_rank"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).alias("sem_rank"),
+            F.round(
+                F.when(
+                    F.col("lex_rank").isNotNull(),
+                    F.lit(1.0) / (F.lit(float(_RRF_C)) + F.col("lex_rank")),
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.col("sem_rank").isNotNull(),
+                    F.lit(1.0) / (F.lit(float(_RRF_C)) + F.col("sem_rank")),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPN)
+        .orderBy("rank")
+    )
+
+
+def _rrf_oracle() -> str:
+    lex_terms = " + ".join(f"CAST({_tf_sql(t)} AS DOUBLE)" for t in _BM25_TERMS)
+    return f"""
+        WITH lex_scored AS (
+            SELECT doc_id, round({lex_terms}, 6) AS lex FROM documents
+        ), lex_top AS (
+            SELECT doc_id, row_number() OVER (ORDER BY lex DESC, doc_id) AS lex_rank
+            FROM lex_scored WHERE lex > 0
+            ORDER BY lex DESC, doc_id LIMIT {_RRF_LEG}
+        ), q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ), sem_scored AS (
+            SELECT e.vec_id AS doc_id, {_cos_sql('e.embedding', 'q.qv')} AS sem
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+        ), sem_top AS (
+            SELECT doc_id, row_number() OVER (ORDER BY sem DESC, doc_id) AS sem_rank
+            FROM sem_scored ORDER BY sem DESC, doc_id LIMIT {_RRF_LEG}
+        ), fused AS (
+            SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                   coalesce(l.lex_rank, 0) AS lex_rank,
+                   coalesce(s.sem_rank, 0) AS sem_rank,
+                   round(
+                     (CASE WHEN l.lex_rank IS NOT NULL
+                           THEN 1.0 / ({_RRF_C} + l.lex_rank) ELSE 0.0 END)
+                     + (CASE WHEN s.sem_rank IS NOT NULL
+                             THEN 1.0 / ({_RRF_C} + s.sem_rank) ELSE 0.0 END),
+                   9) AS rrf
+            FROM lex_top l FULL OUTER JOIN sem_top s ON l.doc_id = s.doc_id
+        )
+        SELECT doc_id, lex_rank, sem_rank, rrf,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused QUALIFY rank <= {_TOPN} ORDER BY rank
+        """
+
+
+register(
+    Query(
+        name="x_rrf_fusion",
+        build=x_rrf_fusion,
+        oracle=_rrf_oracle(),
+        doc="hybrid sparse+dense retrieval via reciprocal rank fusion of two bounded top-N legs",
+        tags=("X3", "X4", "retrieval"),
+    )
+)
+
+
+# -------------------------------------------------- product quantization
+# The memory-compression ANN tier: each vector is coded as m=8 one-byte
+# centroid ids (64 floats → 8 bytes, 32×), and query scoring is
+# asymmetric-distance computation — a broadcast lookup table of
+# (query × subspace × centroid) partial dots, summed per candidate via
+# an equi-join on the tiny (subspace, code) key.  No full-width vector
+# math touches the corpus at query time; the exact re-rank reads only
+# k×10 candidates per query.  Deterministic centroids (subvectors of the
+# lowest vec_ids, like IVF) make codes, ADC scores, and ranks
+# bit-reproducible in the DuckDB oracle.
+def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < _PQ_NCENTS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in cent_rows]
+
+    def sub(vec_col, s: int):
+        return _as_double(F.slice(vec_col, s * _PQ_SUBDIM + 1, _PQ_SUBDIM))
+
+    # --- encode: per-subspace nearest centroid (codegen'd fold, map-only)
+    code_cols = []
+    for s in range(_PQ_M):
+        dists = []
+        for c in range(_PQ_NCENTS):
+            cv = F.array(
+                *[
+                    F.lit(float(v))
+                    for v in cents[c][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+                ]
+            )
+            d = F.aggregate(
+                F.zip_with(sub(F.col("embedding"), s), cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dists.append(F.round(d, 6))
+        arr = F.array(*dists)
+        code_cols.append(
+            (F.array_position(arr, F.array_min(arr)) - 1).cast("int").alias(f"c{s}")
+        )
+    codes = emb.select("vec_id", *code_cols)
+    codes_long = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.col(f"c{s}").alias("code"))
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("sc"),
+    ).select("vec_id", F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
+
+    # --- ADC lookup table: left-fold partial dots, rounded like the oracle
+    q_rows = (
+        emb.filter(F.col("vec_id") < _PQ_NQUERIES)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    lut_rows = []
+    for qid, qv in ((int(r[0]), [float(x) for x in r[1]]) for r in q_rows):
+        for s in range(_PQ_M):
+            for c in range(_PQ_NCENTS):
+                acc = 0.0
+                for i in range(_PQ_SUBDIM):
+                    acc += qv[s * _PQ_SUBDIM + i] * cents[c][s * _PQ_SUBDIM + i]
+                lut_rows.append((qid, s, c, round(acc, 6)))
+    lut = spark.createDataFrame(
+        lut_rows, "query_id int, s int, code int, partial double"
+    )
+
+    adc = (
+        codes_long.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("partial"), 6).alias("adc"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "vec_id")
+    cands = adc.withColumn("crank", F.row_number().over(wq)).filter(
+        F.col("crank") <= _PQ_CAND
+    )
+
+    # --- exact re-rank on the surviving candidates only
+    nb = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    qe = emb.filter(F.col("vec_id") < _PQ_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    rer = (
+        cands.join(nb, cands.vec_id == nb.nid)
+        .join(F.broadcast(qe), cands.query_id == qe.qid)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc",
+            F.round(cosine(_as_double(F.col("qv")), _as_double(F.col("nv"))), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _PQ_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pq_oracle() -> str:
+    sq = (
+        "(CAST(e.embedding[sp.s * {sd} + i] AS DOUBLE)"
+        " - CAST(c.cv[sp.s * {sd} + i] AS DOUBLE))"
+    ).format(sd=_PQ_SUBDIM)
+    qdot = (
+        "CAST(q.embedding[sp.s * {sd} + i] AS DOUBLE)"
+        " * CAST(c.cv[sp.s * {sd} + i] AS DOUBLE)"
+    ).format(sd=_PQ_SUBDIM)
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id < {_PQ_NCENTS}
+        ), subs AS (
+            SELECT unnest(range(0, {_PQ_M})) AS s
+        ), dists AS (
+            SELECT e.vec_id, sp.s, c.cid,
+                   round(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+                         i -> {sq} * {sq})), 6) AS dist
+            FROM embeddings e CROSS JOIN subs sp CROSS JOIN cents c
+        ), codes AS (
+            SELECT vec_id, s, cid AS code,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, cid) AS rn
+            FROM dists
+        ), lut AS (
+            SELECT q.vec_id AS query_id, sp.s, c.cid AS code,
+                   round(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+                         i -> {qdot})), 6) AS partial
+            FROM embeddings q CROSS JOIN subs sp CROSS JOIN cents c
+            WHERE q.vec_id < {_PQ_NQUERIES}
+        ), adc AS (
+            SELECT l.query_id, k.vec_id, round(sum(l.partial), 6) AS adc
+            FROM codes k JOIN lut l ON l.s = k.s AND l.code = k.code
+            WHERE k.rn = 1 AND k.vec_id <> l.query_id
+            GROUP BY l.query_id, k.vec_id
+        ), cands AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc DESC, vec_id) AS crank
+            FROM adc
+        ), rer AS (
+            SELECT ca.query_id, ca.vec_id AS neighbor_id, ca.adc,
+                   {_cos_sql('qe.embedding', 'ne.embedding')} AS cosine
+            FROM cands ca
+            JOIN embeddings ne ON ne.vec_id = ca.vec_id
+            JOIN embeddings qe ON qe.vec_id = ca.query_id
+            WHERE ca.crank <= {_PQ_CAND}
+        )
+        SELECT query_id, neighbor_id, adc, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM rer QUALIFY rank <= {_PQ_K} ORDER BY query_id, rank
+        """
+
+
+register(
+    Query(
+        name="x_ann_pq",
+        build=x_ann_pq,
+        oracle=_pq_oracle(),
+        doc="product-quantization ANN: 8×8-dim codebooks, broadcast ADC lookup table, exact re-rank on k×10 candidates",
+        tags=("X3", "ann"),
+        bench=True,
+    )
+)

@@ -40,6 +40,7 @@ def get_catalog() -> dict[str, Query]:
     from . import (  # noqa: F401
         advanced,
         analytics,
+        changes,
         coverage,
         flagship,
         grouped,
@@ -52,6 +53,7 @@ def get_catalog() -> dict[str, Query]:
         curation_queries,
         dedup_queries,
         multimodal_queries,
+        retrieval_queries,
         similarity_queries,
         text_queries,
     )

@@ -38,6 +38,9 @@ EXPECTED_BNLJ = {
     "t_event_funnel",  # 1-row-per-side stage-count cross joins
     "x_hard_negatives",  # tiny broadcast anchor set × streamed corpus (label != predicate)
     "t_gap_fill",  # 1-row broadcast bounds cross join generating the spine
+    "a_key_skew_stats",  # 1-row broadcast global-dispersion cross join
+    "x_bm25_retrieval",  # 1-row broadcast corpus-stats (N/df/avgdl) cross join
+    "x_rrf_fusion",  # 1-row broadcast query-vector cross join in the dense leg
 }
 
 
