@@ -297,39 +297,49 @@ register(
 # bit-reproducible in the DuckDB oracle.
 def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.filter(F.col("vec_id") < _PQ_NCENTS)
+    # one bounded collect feeds both the codebooks and the ADC LUT
+    head = (
+        emb.filter(F.col("vec_id") < max(_PQ_NCENTS, _PQ_NQUERIES))
         .orderBy("vec_id")
-        .select("embedding")
+        .select("vec_id", "embedding")
         .collect()
     )
-    cents = [[float(x) for x in r[0]] for r in cent_rows]
+    cents = [[float(x) for x in r[1]] for r in head[:_PQ_NCENTS]]
 
-    def sub(vec_col, s: int):
-        return _as_double(F.slice(vec_col, s * _PQ_SUBDIM + 1, _PQ_SUBDIM))
+    # --- encode: per-subspace nearest centroid (codegen'd fold, map-only).
+    # The expressions are generated as SQL text — one F.expr per subspace
+    # instead of ~1000 py4j column-builder round trips, which dominated
+    # plan-construction time in the column-API version.  Each subvector
+    # slice is computed once per subspace and shared by all 16 distances.
+    def cent_sql(s: int, c: int) -> str:
+        vals = ", ".join(
+            repr(float(v)) + "D"
+            for v in cents[c][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+        )
+        return f"array({vals})"
 
-    # --- encode: per-subspace nearest centroid (codegen'd fold, map-only)
+    sub_cols = [
+        F.expr(
+            f"transform(slice(embedding, {s * _PQ_SUBDIM + 1}, {_PQ_SUBDIM}), "
+            "x -> CAST(x AS DOUBLE))"
+        ).alias(f"sub{s}")
+        for s in range(_PQ_M)
+    ]
+    sliced = emb.select("vec_id", *sub_cols)
     code_cols = []
     for s in range(_PQ_M):
-        dists = []
-        for c in range(_PQ_NCENTS):
-            cv = F.array(
-                *[
-                    F.lit(float(v))
-                    for v in cents[c][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
-                ]
-            )
-            d = F.aggregate(
-                F.zip_with(sub(F.col("embedding"), s), cv, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            dists.append(F.round(d, 6))
-        arr = F.array(*dists)
-        code_cols.append(
-            (F.array_position(arr, F.array_min(arr)) - 1).cast("int").alias(f"c{s}")
+        dists = ", ".join(
+            f"round(aggregate(zip_with(sub{s}, {cent_sql(s, c)}, "
+            "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 6)"
+            for c in range(_PQ_NCENTS)
         )
-    codes = emb.select("vec_id", *code_cols)
+        code_cols.append(
+            F.expr(
+                f"CAST(array_position(array({dists}), "
+                f"array_min(array({dists}))) - 1 AS INT)"
+            ).alias(f"c{s}")
+        )
+    codes = sliced.select("vec_id", *code_cols)
     codes_long = codes.select(
         "vec_id",
         F.explode(
@@ -343,14 +353,10 @@ def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
 
     # --- ADC lookup table: left-fold partial dots, rounded like the oracle
-    q_rows = (
-        emb.filter(F.col("vec_id") < _PQ_NQUERIES)
-        .orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .collect()
-    )
     lut_rows = []
-    for qid, qv in ((int(r[0]), [float(x) for x in r[1]]) for r in q_rows):
+    for qid, qv in (
+        (int(r[0]), [float(x) for x in r[1]]) for r in head[:_PQ_NQUERIES]
+    ):
         for s in range(_PQ_M):
             for c in range(_PQ_NCENTS):
                 acc = 0.0

@@ -50,6 +50,7 @@ def get_catalog() -> dict[str, Query]:
     )
     from ..streaming import queries as streaming_queries  # noqa: F401
     from ..extensions import (  # noqa: F401
+        corpus_stats_queries,
         curation_queries,
         dedup_queries,
         multimodal_queries,

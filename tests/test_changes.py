@@ -130,7 +130,7 @@ def test_rrf_fusion_bounds(spark, sf_dir):
 
 
 def test_pq_recall_vs_bruteforce(spark, sf_dir):
-    """PQ+ADC with an exact re-rank over k*3 candidates should keep
+    """PQ+ADC with an exact re-rank over k*10 candidates should keep
     recall@5 well above chance; assert >= 0.5 on the fixture corpus
     (deterministic codebooks, so this is a stable bound, not a flake)."""
     from airflow_embeddings_pipeline_spark.extensions.similarity_queries import (
@@ -156,3 +156,65 @@ def test_pq_codes_are_compact(spark, sf_dir):
     assert rq._PQ_M * rq._PQ_SUBDIM == 64
     assert 0 <= rq._PQ_NCENTS <= 256  # one byte per code
     assert emb.select(F.min(F.size("embedding"))).first()[0] == 64
+
+
+# ---------------------- corpus_stats_queries (budget/mixture/outliers/drift)
+
+
+def test_token_budget_cut_matches_naive_global_window(spark, sf_dir):
+    """The two-phase bucketed running total must equal the naive
+    single-partition global-window plan exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.extensions.corpus_stats_queries import (
+        _BUDGET,
+        x_token_budget_cut,
+    )
+
+    out = x_token_budget_cut(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("quality"),
+    )
+    w = Window.orderBy(F.col("quality").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _BUDGET)
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, naive.collect()))
+    assert out.agg({"cum_tokens": "max"}).first()[0] <= _BUDGET
+
+
+def test_temperature_mixture_flattens(spark, sf_dir):
+    rows = _q("x_temperature_mixture").build(spark, sf_dir).collect()
+    assert abs(sum(r["temp_weight"] for r in rows) - 1.0) < 1e-3
+    by_share = sorted(rows, key=lambda r: r["share"])
+    ups = [r["upsample_factor"] for r in by_share]
+    # smaller share => larger (or equal) upsampling under temperature < 1
+    assert all(a >= b - 1e-9 for a, b in zip(ups, ups[1:]))
+
+
+def test_outlier_filter_bounds_sane(spark, sf_dir):
+    rows = _q("x_outlier_filter").build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["lo"] <= r["hi"]
+        assert 0 <= r["n_outliers"] <= r["n_docs"]
+
+
+def test_embedding_drift_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    row = _q("x_embedding_drift").build(spark, sf_dir).first()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert row["n_a"] + row["n_b"] == emb.count()
+    assert row["l2_mean_shift"] >= 0
+    assert -1.0 <= row["mean_cosine"] <= 1.0
+    assert row["mean_norm_a"] > 0 and row["mean_norm_b"] > 0
