@@ -353,7 +353,7 @@ def x_hyperplane_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double-cast vector materialized once; 16 dot products read it
     vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     sigs = vecs.select(
-        "vec_id", hyperplane_signature(F.col("v"), planes).alias("sim")
+        "vec_id", hyperplane_signature("v", planes).alias("sim")
     )
     cands = simhash_near_dup_pairs(
         sigs, id_col="vec_id", simhash_col="sim",
@@ -550,7 +550,7 @@ def x_hyperplane_lsh_near_dup_t08(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus = _hp8_corpus(spark, sf_dir)
     planes = hyperplane_planes(_HP8_PLANES, _HP_DIM)
     sigs = corpus.select(
-        "vec_id", hyperplane_signature(F.col("v"), planes).alias("sim")
+        "vec_id", hyperplane_signature("v", planes).alias("sim")
     )
     cands = simhash_near_dup_pairs(
         sigs, id_col="vec_id", simhash_col="sim",
