@@ -499,3 +499,152 @@ register(
         tags=("X1", "X2", "curation"),
     )
 )
+
+
+# ----------------------------- prefix-filtered set-similarity join
+# PPJoin-style exact Jaccard join: order each document's shingle set by
+# global rarity (document frequency asc), keep only the PREFIX that a
+# >=t match cannot avoid sharing (|s| - ceil(t*|s|) + 1 rarest
+# shingles), and generate candidates from an equi-join on prefix
+# shingles — the inverted index touches ~half the postings, and rare-
+# first ordering keeps posting lists short.  Exact verification runs on
+# candidates only; the prefix filter is LOSSLESS for Jaccard >= t
+# (completeness vs the brute-force all-pairs join is unit-tested).
+# Fixture documents are mutually dissimilar, so near-duplicates are
+# PLANTED deterministically (every STRIDE-th doc copied with one
+# appended token — Jaccard ~ |s|/(|s|+3) ~ 0.94), same pattern as the
+# t08 sign-LSH entry.
+_SSJ_T = 0.5
+_SSJ_STRIDE = 5
+_SSJ_ID_OFFSET = 10_000_000
+
+
+def _ssj_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % _SSJ_STRIDE == 0).select(
+        (F.col("doc_id") + _SSJ_ID_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq0")).alias("text"),
+    )
+    return docs.union(planted)
+
+
+_SSJ_CORPUS_SQL = f"""
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_SSJ_ID_OFFSET} AS doc_id, text || ' zq0' AS text
+            FROM documents WHERE doc_id % {_SSJ_STRIDE} = 0
+"""
+
+
+def setsim_prefix_join(
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = _SSJ_T,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via prefix filtering."""
+    from .dedup import shingles
+
+    sh = corpus.select(id_col, shingles(text_col).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    ex = sh.select(id_col, F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    ordered = (
+        ex.join(dfreq, "s")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "s"))), lambda x: x["s"]
+            ).alias("oset")
+        )
+        .withColumn(
+            "prefix",
+            F.slice(
+                "oset",
+                1,
+                (
+                    F.size("oset")
+                    - F.ceil(F.lit(threshold) * F.size("oset"))
+                    + 1
+                ).cast("int"),
+            ),
+        )
+    )
+    pre = ordered.select(id_col, F.explode("prefix").alias("s"))
+    cand = (
+        pre.alias("a")
+        .join(pre.alias("b"), "s")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = ordered.select(id_col, "oset")
+    return (
+        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("oset").alias("sa")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("oset").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def x_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setsim_prefix_join(_ssj_corpus(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+register(
+    Query(
+        name="x_setsim_prefix_join",
+        build=x_setsim_prefix_join,
+        oracle=f"""
+        WITH corpus AS MATERIALIZED ({_SSJ_CORPUS_SQL}),
+        sh AS MATERIALIZED (
+            SELECT doc_id, {_SH} AS sh FROM corpus WHERE len({_SH}) > 0
+        ), ex AS (
+            SELECT doc_id, unnest(sh) AS s FROM sh
+        ), dfreq AS (
+            SELECT s, count(*) AS df FROM ex GROUP BY s
+        ), ordered AS MATERIALIZED (
+            SELECT e.doc_id, list(e.s ORDER BY d.df, e.s) AS oset
+            FROM ex e JOIN dfreq d USING (s) GROUP BY e.doc_id
+        ), pre AS (
+            SELECT doc_id, unnest(oset[1 : len(oset)
+                   - CAST(ceil({_SSJ_T} * len(oset)) AS INTEGER) + 1]) AS s
+            FROM ordered
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               round(CAST(len(list_filter(x.oset, v -> list_contains(y.oset, v)))
+                          AS DOUBLE)
+                     / len(list_distinct(list_concat(x.oset, y.oset))), 6)
+                   AS jaccard
+        FROM cand c
+        JOIN ordered x ON x.doc_id = c.id_a
+        JOIN ordered y ON y.doc_id = c.id_b
+        WHERE round(CAST(len(list_filter(x.oset, v -> list_contains(y.oset, v)))
+                         AS DOUBLE)
+                    / len(list_distinct(list_concat(x.oset, y.oset))), 6)
+              >= {_SSJ_T}
+        ORDER BY id_a, id_b
+        """,
+        doc=(
+            "PPJoin-style prefix-filtered exact Jaccard join: rare-first "
+            "shingle ordering, lossless prefix candidate generation, "
+            "verify on candidates only (X2 scale tier)"
+        ),
+        tags=("X2", "similarity-join"),
+    )
+)

@@ -382,3 +382,235 @@ register(
         tags=("agg", "skew"),
     )
 )
+
+
+# ---------------------------------------------------- z-order layout
+# Multi-dimensional clustering: interleave the bits of two scan keys so
+# that sorting by the combined z-value co-locates rows that are close
+# in BOTH dimensions — a z-ordered parquet write gives row-group
+# min/max skipping for predicates on either key (the Delta/Iceberg
+# OPTIMIZE ZORDER shape, built from plain bit arithmetic).  The output
+# groups by the top 6 z-bits and reports each group's key ranges: the
+# guarantee that every z-prefix confines BOTH keys' high bits (asserted
+# as *_hi columns and in tests) IS the data-skipping property.
+_Z_BITS = 8
+
+
+def _z_expr(a: str, b: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"shiftleft(shiftright({a}, {i}) & 1, {2 * i + 1})")
+        terms.append(f"shiftleft(shiftright({b}, {i}) & 1, {2 * i})")
+    return " + ".join(terms)
+
+
+def _z_expr_duck(a: str, b: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def o_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_custkey") % 256).cast("int").alias("cb"),
+        (F.datediff("o_orderdate", F.lit("1992-01-01")) % 256).cast("int").alias(
+            "db"
+        ),
+    ).withColumn("z", F.expr(_z_expr("cb", "db")))
+    return (
+        keyed.groupBy(F.shiftright("z", 10).alias("z_prefix"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cb").alias("min_cb"),
+            F.max("cb").alias("max_cb"),
+            F.min("db").alias("min_db"),
+            F.max("db").alias("max_db"),
+            # the clustering guarantee: one 6-bit z-prefix pins the top
+            # 3 bits of BOTH keys — each group spans <=32 of 256 values
+            F.shiftright(F.min("cb"), 5).alias("cb_hi"),
+            F.shiftright(F.min("db"), 5).alias("db_hi"),
+        )
+        .orderBy("z_prefix")
+    )
+
+
+register(
+    Query(
+        name="o_zorder_layout",
+        build=o_zorder_layout,
+        oracle=f"""
+        WITH keyed AS (
+            SELECT CAST(o_custkey % 256 AS INTEGER) AS cb,
+                   CAST(datediff('day', DATE '1992-01-01', o_orderdate) % 256
+                        AS INTEGER) AS db
+            FROM orders
+        ), z AS (
+            SELECT cb, db, {_z_expr_duck('cb', 'db')} AS z FROM keyed
+        )
+        SELECT z >> 10 AS z_prefix, count(*) AS n_rows,
+               min(cb) AS min_cb, max(cb) AS max_cb,
+               min(db) AS min_db, max(db) AS max_db,
+               min(cb) >> 5 AS cb_hi, min(db) >> 5 AS db_hi
+        FROM z GROUP BY z >> 10 ORDER BY z_prefix
+        """,
+        doc="z-order clustering key: bit-interleaved two-dim layout; per-prefix key ranges show both-dim data skipping",
+        tags=("layout", "pruning"),
+    )
+)
+
+
+# ------------------------------------------------- equi-width histogram
+# Distribution profiling: global [min, max] split into fixed-width bins
+# (two scans: a 2-scalar agg broadcast under the binning map — the same
+# runtime-scalar shape as j_runtime_range_prune).  Equi-DEPTH profiling
+# is a_percentiles; this is the equi-WIDTH complement.
+_HIST_BINS = 20
+
+
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ext = orders.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count("*").alias("n_total"),
+    )
+    binned = orders.crossJoin(F.broadcast(ext)).withColumn(
+        "bin",
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / _HIST_BINS)
+            ),
+            F.lit(_HIST_BINS - 1),
+        ).cast("int"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.count("*") / F.first("n_total"), 6).alias("share"),
+            F.round(
+                F.first("lo") + F.col("bin") * ((F.first("hi") - F.first("lo")) / _HIST_BINS),
+                4,
+            ).alias("bin_lo"),
+        )
+        .orderBy("bin")
+    )
+
+
+register(
+    Query(
+        name="a_histogram",
+        build=a_histogram,
+        oracle=f"""
+        WITH ext AS (
+            SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+                   count(*) AS n_total
+            FROM orders
+        ), binned AS (
+            SELECT CAST(least(floor((o_totalprice - lo)
+                                    / ((hi - lo) / {_HIST_BINS})),
+                              {_HIST_BINS - 1}) AS INTEGER) AS bin,
+                   lo, hi, n_total
+            FROM orders CROSS JOIN ext
+        )
+        SELECT bin, count(*) AS n_rows,
+               round(CAST(count(*) AS DOUBLE) / any_value(n_total), 6) AS share,
+               round(any_value(lo) + bin * ((any_value(hi) - any_value(lo))
+                     / {_HIST_BINS}), 4) AS bin_lo
+        FROM binned GROUP BY bin ORDER BY bin
+        """,
+        doc="equi-width histogram: 2-scalar extent broadcast under the binning map",
+        tags=("agg", "profiling"),
+    )
+)
+
+
+# --------------------------------------- reconciliation checksum diff
+# Table-diff without a row-level join: both sides reduce to one
+# arithmetic checksum row per bucket (key-modulo), and only mismatching
+# buckets surface.  At 100 TB this is two scans + a 64-row compare —
+# the anti-entropy pattern for verifying a MERGE target against its
+# source (the reference trusts MERGE blindly; embeddings-pipeline.py:
+# 300-340).  The 'replica' here is the same table with a deterministic
+# planted corruption so the expected mismatch set is oracle-checkable.
+_CK_BUCKETS = 64
+_CK_CORRUPT_EVERY = 997  # orderkeys divisible by this get +0.01
+
+
+def j_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def bucket_sums(df: DataFrame, price_col) -> DataFrame:
+        row_h = (
+            F.col("o_orderkey") * F.lit(1_000_003)
+            + F.round(price_col * 100).cast("long")
+        ) % F.lit(2_147_483_647)
+        return (
+            df.select(
+                (F.col("o_orderkey") % _CK_BUCKETS).cast("int").alias("bucket"),
+                row_h.alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(F.sum("h").alias("checksum"), F.count("*").alias("n_rows"))
+        )
+
+    src = bucket_sums(orders, F.col("o_totalprice"))
+    replica_price = F.when(
+        F.col("o_orderkey") % _CK_CORRUPT_EVERY == 0, F.col("o_totalprice") + 0.01
+    ).otherwise(F.col("o_totalprice"))
+    dst = bucket_sums(orders, replica_price)
+    return (
+        src.alias("s")
+        .join(dst.alias("d"), "bucket")
+        .filter(
+            (F.col("s.checksum") != F.col("d.checksum"))
+            | (F.col("s.n_rows") != F.col("d.n_rows"))
+        )
+        .select(
+            "bucket",
+            F.col("s.checksum").alias("src_checksum"),
+            F.col("d.checksum").alias("dst_checksum"),
+            F.col("s.n_rows").alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )
+
+
+register(
+    Query(
+        name="j_checksum_reconcile",
+        build=j_checksum_reconcile,
+        oracle=f"""
+        WITH src AS (
+            SELECT CAST(o_orderkey % {_CK_BUCKETS} AS INTEGER) AS bucket,
+                   sum((o_orderkey * 1000003
+                        + CAST(round(o_totalprice * 100) AS BIGINT))
+                       % 2147483647) AS checksum,
+                   count(*) AS n_rows
+            FROM orders GROUP BY 1
+        ), dst AS (
+            SELECT CAST(o_orderkey % {_CK_BUCKETS} AS INTEGER) AS bucket,
+                   sum((o_orderkey * 1000003
+                        + CAST(round((CASE WHEN o_orderkey % {_CK_CORRUPT_EVERY} = 0
+                                           THEN o_totalprice + 0.01
+                                           ELSE o_totalprice END) * 100) AS BIGINT))
+                       % 2147483647) AS checksum,
+                   count(*) AS n_rows
+            FROM orders GROUP BY 1
+        )
+        SELECT s.bucket,
+               CAST(s.checksum AS BIGINT) AS src_checksum,
+               CAST(d.checksum AS BIGINT) AS dst_checksum,
+               s.n_rows
+        FROM src s JOIN dst d USING (bucket)
+        WHERE s.checksum <> d.checksum OR s.n_rows <> d.n_rows
+        ORDER BY s.bucket
+        """,
+        doc="anti-entropy reconciliation: per-bucket arithmetic checksums, mismatching buckets only (no row-level join)",
+        tags=("join", "reconcile"),
+    )
+)

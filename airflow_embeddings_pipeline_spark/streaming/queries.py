@@ -342,3 +342,91 @@ register(
         tags=("streaming", "stateful", "pandas-udf"),
     )
 )
+
+
+# transformWithStateInPandas (Spark 4 arbitrary-state API) as an
+# oracle-checked catalog entry: the same order-independent per-user
+# totals as t_stateful_user_stats, held in named RocksDB state
+# variables.  The RocksDB provider is required by transformWithState;
+# it is set only for this query's lifetime and restored after.
+#
+# Dependency probe (same pattern as the multimodal codec tier): the
+# transformWithState Python worker speaks a protobuf protocol to the
+# JVM state server, so the entry only registers when google.protobuf
+# is importable — this container ships without it, in which case the
+# operator stays available as library code (tws_user_stats) and the
+# applyInPandasWithState entry (t_stateful_user_stats) carries the
+# stateful-streaming oracle.
+try:  # pragma: no cover - environment probe
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:  # pragma: no cover
+    _HAS_PROTOBUF = False
+
+
+def t_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .stateful import tws_user_stats
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "value",
+        F.col("ts").cast("long").alias("sec"),
+    )
+    out = tws_user_stats(stream)
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = f"t_tws_us_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_tws_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"), F.desc("last_sec"))
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value", "last_sec")
+        .orderBy("user_id")
+    )
+
+
+if _HAS_PROTOBUF:
+    register(
+        Query(
+            name="t_tws_user_stats",
+            build=t_tws_user_stats,
+            oracle="""
+            SELECT user_id,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                         / 1000000.0, 4) AS total_value,
+                   CAST(max(floor(epoch(ts))) AS BIGINT) AS last_sec
+            FROM events GROUP BY user_id ORDER BY user_id
+            """,
+            doc=(
+                "Spark 4 transformWithStateInPandas: named RocksDB state "
+                "variables, per-key running totals oracled against the "
+                "batch aggregation (T1/T3/§2.8 successor API)"
+            ),
+            tags=("streaming", "stateful", "pandas-udf"),
+        )
+    )

@@ -120,3 +120,63 @@ def stateful_user_stats(stream: DataFrame, *, key_col: str = "user_id") -> DataF
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_user_stats(stream: DataFrame, *, key_col: str = "user_id") -> DataFrame:
+    """Per-key running statistics via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state API (SPARK-49214), the successor to
+    ``applyInPandasWithState``: named state variables on a
+    ``StatefulProcessorHandle`` instead of one packed tuple, RocksDB
+    state store required.  Same order-independent totals contract as
+    ``stateful_user_stats`` (count/sum/max commute; micro-unit integer
+    accumulation), so the settled AvailableNow output is
+    SQL-oracle-checkable against the batch aggregation.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, micros long, max_sec long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            n, micros, max_sec = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0, 0)
+            )
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += int(len(pdf))
+                # half-UP per value (see stateful_user_stats: pandas
+                # .round is banker's, the oracle's round() is half-away)
+                scaled = pdf["value"].mul(1_000_000.0)
+                half_up = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+                micros += int(half_up.astype("int64").sum())
+                max_sec = max(max_sec, int(pdf["sec"].max()))
+            self._totals.update((n, micros, max_sec))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(micros / 1_000_000.0, 4)],
+                    "last_sec": [max_sec],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_RunningStats(),
+        outputStructType=(
+            "user_id long, n_events long, total_value double, last_sec long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

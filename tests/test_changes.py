@@ -218,3 +218,85 @@ def test_embedding_drift_invariants(spark, sf_dir):
     assert row["l2_mean_shift"] >= 0
     assert -1.0 <= row["mean_cosine"] <= 1.0
     assert row["mean_norm_a"] > 0 and row["mean_norm_b"] > 0
+
+
+# ------------------- batch 3: z-order / histogram / checksum / setsim
+
+
+def test_zorder_prefix_confines_both_dims(spark, sf_dir):
+    """The data-skipping guarantee: one 6-bit z-prefix pins the top 3
+    bits of BOTH interleaved keys, so every group spans <=32 values per
+    dimension."""
+    rows = _q("o_zorder_layout").build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_cb"] >> 5 == r["min_cb"] >> 5 == r["cb_hi"]
+        assert r["max_db"] >> 5 == r["min_db"] >> 5 == r["db_hi"]
+        assert r["max_cb"] - r["min_cb"] <= 31
+        assert r["max_db"] - r["min_db"] <= 31
+
+
+def test_histogram_conservation(spark, sf_dir):
+    rows = _q("a_histogram").build(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert sum(r["n_rows"] for r in rows) == orders.count()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    los = [r["bin_lo"] for r in rows]
+    assert los == sorted(los)
+
+
+def test_checksum_reconcile_finds_exactly_corrupted_buckets(spark, sf_dir):
+    from airflow_embeddings_pipeline_spark.plans.changes import (
+        _CK_BUCKETS,
+        _CK_CORRUPT_EVERY,
+    )
+
+    out = _q("j_checksum_reconcile").build(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    expected = {
+        r[0]
+        for r in orders.filter(F.col("o_orderkey") % _CK_CORRUPT_EVERY == 0)
+        .select((F.col("o_orderkey") % _CK_BUCKETS).cast("int"))
+        .distinct()
+        .collect()
+    }
+    assert {r["bucket"] for r in out} == expected
+    # row counts agree everywhere — corruption is value-level, not row-level
+    assert all(r["src_checksum"] != r["dst_checksum"] for r in out)
+
+
+def test_setsim_prefix_filter_is_lossless(spark, sf_dir):
+    """PPJoin completeness: the prefix-filtered join must return exactly
+    the brute-force all-pairs Jaccard >= t result."""
+    from airflow_embeddings_pipeline_spark.extensions.dedup import shingles
+    from airflow_embeddings_pipeline_spark.extensions.dedup_queries import (
+        _SSJ_T,
+        _ssj_corpus,
+    )
+
+    corpus = _ssj_corpus(spark, sf_dir)
+    fast = (
+        _q("x_setsim_prefix_join")
+        .build(spark, sf_dir)
+        .select("id_a", "id_b", "jaccard")
+    )
+    sh = corpus.select("doc_id", shingles("text").alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _SSJ_T)
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, brute.collect()))

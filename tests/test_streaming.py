@@ -223,3 +223,26 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     rows = spark.sql("SELECT * FROM ddww_out").collect()
     assert {r["source"] for r in rows} == {"a", "b"}
     assert len(rows) == 2  # the within-window repeat of 'a' suppressed
+
+
+def test_tws_user_stats_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas totals == batch aggregation.  The
+    tws Python worker needs google.protobuf (absent in this container)
+    — skip cleanly when the probe fails, run fully where it exists."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.streaming.queries import t_tws_user_stats
+
+    out = t_tws_user_stats(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).cast("double") / 1e6, 4
+        ).alias("total_value"),
+        F.max(F.col("ts").cast("long")).alias("last_sec"),
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))

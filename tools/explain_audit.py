@@ -41,6 +41,7 @@ EXPECTED_BNLJ = {
     "a_key_skew_stats",  # 1-row broadcast global-dispersion cross join
     "x_bm25_retrieval",  # 1-row broadcast corpus-stats (N/df/avgdl) cross join
     "x_rrf_fusion",  # 1-row broadcast query-vector cross join in the dense leg
+    "a_histogram",  # 1-row broadcast min/max-extent cross join under the binning map
 }
 
 

@@ -195,6 +195,27 @@ def main() -> None:
     ):
         run(name, get_catalog()[name].build(spark, staged))
 
+    # Prefix-filtered exact Jaccard join over the post-exact-dedup
+    # mutated corpus: ~7-variant near-dup clusters (every pair a true
+    # match) — heavy TRUE-pair load, the regime where candidate
+    # generation cost is irreducible.  Rare-first prefixes keep posting
+    # lists short despite the 40-word fixture vocabulary.
+    from airflow_embeddings_pipeline_spark.extensions.dedup_queries import (
+        setsim_prefix_join,
+    )
+
+    run(
+        "setsim_prefix_join_post_exact",
+        setsim_prefix_join(distinct_docs, threshold=0.8),
+    )
+
+    # Retrieval + curation tier over the staged corpus/embeddings:
+    # BM25 (posting-free HOF term frequencies), PQ-ANN (encode 100×
+    # the vectors + broadcast-ADC query), and the bucketed token
+    # budget cut (the no-global-sort running total).
+    for name in ("x_bm25_retrieval", "x_ann_pq", "x_token_budget_cut"):
+        run(name, get_catalog()[name].build(spark, staged))
+
     print(
         json.dumps(
             {"n_documents": n, "scale_x": scale, "timings_sec": timings}
