@@ -311,3 +311,52 @@ register(
         tags=("X3", "monitoring"),
     )
 )
+
+
+# -------------------------------------- weighted sampling (A-ES keys)
+# Efraimidis–Spirakis weighted sampling without replacement: every row
+# gets key = ln(u)/w (u uniform, w its weight) and the top-k keys form
+# the sample — one map + one top-k, no per-stratum loops, mergeable
+# across partitions (take the global top-k of per-partition top-ks).
+# u derives from a deterministic integer mix (Knuth multiplicative
+# hash) instead of an RNG so the sample — and the DuckDB oracle — are
+# exactly reproducible.
+_WS_K = 20
+
+
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + 1
+    ) / F.lit(4294967297.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    top = (
+        docs.select("doc_id", "source", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(_WS_K)
+    )
+    w = Window.orderBy(F.col("es_key").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+register(
+    Query(
+        name="x_weighted_sample",
+        build=x_weighted_sample,
+        oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   round(ln(((doc_id * 2654435761) % 4294967296 + 1)
+                            / 4294967297.0) / n_chars, 12) AS es_key
+            FROM documents
+        ), top AS (
+            SELECT *, row_number() OVER (ORDER BY es_key DESC, doc_id) AS rank
+            FROM keyed
+        )
+        SELECT doc_id, source, n_chars, es_key, rank
+        FROM top WHERE rank <= {_WS_K} ORDER BY rank
+        """,
+        doc="Efraimidis-Spirakis weighted sample without replacement: deterministic ln(u)/w keys, global top-k",
+        tags=("X4", "sampling"),
+    )
+)

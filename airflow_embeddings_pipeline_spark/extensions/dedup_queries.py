@@ -648,3 +648,87 @@ register(
         tags=("X2", "similarity-join"),
     )
 )
+
+
+# --------------------------------- SymSpell deletion-neighborhood join
+# Fuzzy string matching at scale: instead of an edit-distance theta-join
+# (O(n²) levenshtein calls), each clean name indexes its single-DELETION
+# variants and corrupted strings join that index by EXACT equality — the
+# SymSpell trick: if B = A minus one character, then B ∈ deletions(A).
+# Candidate generation is an equi-join on a string key (broadcastable /
+# shuffle-hash — never a cross join); levenshtein runs only on
+# candidates.  Corrupted variants are PLANTED deterministically (delete
+# the (c_custkey mod len)-th character), so ground truth is exact.
+_SYM_ID_OFFSET = 10_000_000
+
+
+def x_symspell_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    corrupted = cust.select(
+        (F.col("c_custkey") + _SYM_ID_OFFSET).alias("corrupt_id"),
+        F.expr(
+            "concat(substring(c_name, 1, cast(c_custkey % length(c_name) as int)),"
+            " substring(c_name, cast(c_custkey % length(c_name) as int) + 2,"
+            " length(c_name)))"
+        ).alias("corrupt_name"),
+    )
+    deletions = cust.select(
+        F.col("c_custkey").alias("orig_id"),
+        F.col("c_name").alias("orig_name"),
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, length(c_name)),"
+                " i -> concat(substring(c_name, 1, i - 1),"
+                " substring(c_name, i + 1, length(c_name)))))"
+            )
+        ).alias("variant"),
+    )
+    return (
+        deletions.join(corrupted, deletions.variant == corrupted.corrupt_name)
+        .select(
+            "orig_id",
+            "corrupt_id",
+            "orig_name",
+            "corrupt_name",
+            F.levenshtein("orig_name", "corrupt_name").alias("distance"),
+        )
+        .filter(F.col("distance") <= 1)
+        .distinct()
+        .orderBy("orig_id", "corrupt_id")
+    )
+
+
+register(
+    Query(
+        name="x_symspell_fuzzy_join",
+        build=x_symspell_fuzzy_join,
+        oracle=f"""
+        WITH corrupted AS (
+            SELECT c_custkey + {_SYM_ID_OFFSET} AS corrupt_id,
+                   substr(c_name, 1, CAST(c_custkey % len(c_name) AS INTEGER))
+                   || substr(c_name,
+                             CAST(c_custkey % len(c_name) AS INTEGER) + 2,
+                             len(c_name)) AS corrupt_name
+            FROM customer
+        ), deletions AS (
+            SELECT c_custkey AS orig_id, c_name AS orig_name,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(c_name) + 1),
+                       i -> substr(c_name, 1, i - 1)
+                            || substr(c_name, i + 1, len(c_name))))) AS variant
+            FROM customer
+        )
+        SELECT DISTINCT d.orig_id, c.corrupt_id, d.orig_name, c.corrupt_name,
+               levenshtein(d.orig_name, c.corrupt_name) AS distance
+        FROM deletions d JOIN corrupted c ON d.variant = c.corrupt_name
+        WHERE levenshtein(d.orig_name, c.corrupt_name) <= 1
+        ORDER BY orig_id, corrupt_id
+        """,
+        doc=(
+            "SymSpell deletion-neighborhood fuzzy join: exact equi-join on "
+            "single-deletion variants replaces the O(n²) edit-distance "
+            "theta-join; levenshtein verifies candidates only (X2 tier)"
+        ),
+        tags=("X2", "fuzzy-join"),
+    )
+)

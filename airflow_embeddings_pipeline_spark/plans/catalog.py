@@ -46,6 +46,7 @@ def get_catalog() -> dict[str, Query]:
         grouped,
         pipeline,
         relational,
+        timeseries,
         tpch_extra,
     )
     from ..streaming import queries as streaming_queries  # noqa: F401

@@ -300,3 +300,78 @@ def test_setsim_prefix_filter_is_lossless(spark, sf_dir):
         .filter(F.col("jaccard") >= _SSJ_T)
     )
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, brute.collect()))
+
+
+# ------------------- batch 4: time series / symspell / weighted sample
+
+
+def test_interpolation_fills_between_anchors(spark, sf_dir):
+    rows = _q("t_interpolate_linear").build(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    some_interp = 0
+    for series in by_user.values():
+        series.sort(key=lambda r: r["d"])
+        # contiguous day spine
+        assert [r["d"] for r in series] == list(
+            range(series[0]["d"], series[-1]["d"] + 1)
+        )
+        for i, r in enumerate(series):
+            if r["src"] == "interp":
+                some_interp += 1
+                # interpolated value must lie between its anchors
+                prev = next(
+                    s for s in reversed(series[:i]) if s["src"] == "actual"
+                )
+                nxt = next(s for s in series[i + 1 :] if s["src"] == "actual")
+                lo, hi = sorted((prev["value_filled"], nxt["value_filled"]))
+                assert lo - 1e-6 <= r["value_filled"] <= hi + 1e-6
+    assert some_interp > 0, "fixture has no gaps — test is vacuous"
+
+
+def test_ohlc_bars_bounds(spark, sf_dir):
+    rows = _q("t_ohlc_bars").build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+
+
+def test_anomaly_zscore_warmup_and_flags(spark, sf_dir):
+    rows = _q("t_anomaly_zscore").build(spark, sf_dir).collect()
+    assert rows
+    first_days = [r for r in rows if r["d"] == min(x["d"] for x in rows)]
+    assert all(r["z"] is None and r["is_anomaly"] == 0 for r in first_days)
+    flagged = [r for r in rows if r["is_anomaly"] == 1]
+    for r in flagged:
+        assert r["z"] is not None and abs(r["z"]) > 2.0
+
+
+def test_symspell_finds_every_planted_corruption(spark, sf_dir):
+    from airflow_embeddings_pipeline_spark.extensions.dedup_queries import (
+        _SYM_ID_OFFSET,
+    )
+
+    rows = _q("x_symspell_fuzzy_join").build(spark, sf_dir).collect()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n_cust = cust.count()
+    # completeness: each planted corruption (id+offset) is recovered by
+    # its own original (distance <= 1 by construction)
+    self_pairs = {
+        (r["orig_id"], r["corrupt_id"])
+        for r in rows
+        if r["corrupt_id"] == r["orig_id"] + _SYM_ID_OFFSET
+    }
+    assert len(self_pairs) == n_cust
+    assert all(r["distance"] <= 1 for r in rows)
+
+
+def test_weighted_sample_is_deterministic_topk(spark, sf_dir):
+    a = _q("x_weighted_sample").build(spark, sf_dir).collect()
+    b = _q("x_weighted_sample").build(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    keys = [r["es_key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+    assert all(k < 0 for k in keys)  # ln(u)/w is negative
