@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query, register
@@ -550,5 +550,282 @@ register(
         ),
         tags=("X4", "curation"),
         bench=True,
+    )
+)
+
+
+# --------------------------------------------------- word PMI pairs
+# Doc-level co-occurrence statistics → pointwise mutual information
+# (the embedding-training prep signal): pairs of DISTINCT tokens per
+# document, counts reduced globally, PMI = ln(c_ab·N / (c_a·c_b)) from
+# exact integer counts (deterministic doubles).  The per-doc pair
+# expansion is O(distinct_tokens²) — bounded by document length, the
+# standard trade; posting-list co-occurrence (explode + self-join per
+# doc_id) keeps it one shuffle.
+_PMI_MIN_PAIRS = 25
+_PMI_TOPK = 30
+
+
+def x_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
+    )
+    n_docs = docs.count()
+    uni = toks.groupBy("t").agg(F.count("*").alias("c"))
+    pairs = (
+        toks.alias("a")
+        .join(toks.alias("b"), "doc_id")
+        .filter(F.col("a.t") < F.col("b.t"))
+        .groupBy(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_PAIRS)
+    )
+    scored = (
+        pairs.join(F.broadcast(uni.select(F.col("t").alias("ta"), F.col("c").alias("c_a"))), "ta")
+        .join(F.broadcast(uni.select(F.col("t").alias("tb"), F.col("c").alias("c_b"))), "tb")
+        .select(
+            "ta",
+            "tb",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * n_docs
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "ta", "tb")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PMI_TOPK)
+        .orderBy("rank")
+    )
+
+
+register(
+    Query(
+        name="x_word_pmi",
+        build=x_word_pmi,
+        oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+            FROM documents
+        ), uni AS (
+            SELECT t, count(*) AS c FROM toks GROUP BY t
+        ), pairs AS (
+            SELECT a.t AS ta, b.t AS tb, count(*) AS c_ab
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.t < b.t
+            GROUP BY a.t, b.t
+            HAVING count(*) >= {_PMI_MIN_PAIRS}
+        ), scored AS (
+            SELECT p.ta, p.tb, p.c_ab,
+                   round(ln(CAST(p.c_ab AS DOUBLE)
+                            * (SELECT count(*) FROM documents)
+                            / (CAST(ua.c AS DOUBLE) * ub.c)), 6) AS pmi
+            FROM pairs p
+            JOIN uni ua ON ua.t = p.ta
+            JOIN uni ub ON ub.t = p.tb
+        )
+        SELECT ta, tb, c_ab, pmi,
+               row_number() OVER (ORDER BY pmi DESC, ta, tb) AS rank
+        FROM scored QUALIFY rank <= {_PMI_TOPK} ORDER BY rank
+        """,
+        doc="doc-level word co-occurrence PMI from exact integer counts (embedding-training prep; X4)",
+        tags=("X4", "statistics"),
+    )
+)
+
+
+# ----------------------------------------------- character entropy
+# Shannon entropy of each document's character distribution — the
+# classic gibberish/encoding-artifact quality signal (random noise
+# scores high, repeated filler scores low).  One explode + two hash
+# aggs; per-character terms are identical doubles in both engines, and
+# the cross-engine sum-order difference is absorbed by rounding.
+def x_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    with_n = per_char.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    per_doc = with_n.groupBy("doc_id").agg(
+        F.first("n").alias("n_chars"),
+        F.count("*").alias("distinct_chars"),
+        F.sum(
+            F.round(
+                -(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")), 12
+            )
+        ).alias("h_raw"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars",
+        "distinct_chars",
+        F.round("h_raw", 6).alias("entropy"),
+    ).orderBy("doc_id")
+
+
+register(
+    Query(
+        name="x_char_entropy",
+        build=x_char_entropy,
+        oracle="""
+        WITH chars AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(text) + 1),
+                                  i -> text[i])) AS ch
+            FROM documents
+        ), per_char AS (
+            SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+        ), with_n AS (
+            SELECT *, sum(c) OVER (PARTITION BY doc_id) AS n FROM per_char
+        )
+        SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_chars,
+               count(*) AS distinct_chars,
+               round(sum(round(-(CAST(c AS DOUBLE) / n)
+                               * ln(CAST(c AS DOUBLE) / n), 12)), 6) AS entropy
+        FROM with_n GROUP BY doc_id ORDER BY doc_id
+        """,
+        doc="per-document character-distribution Shannon entropy (gibberish/encoding quality signal; X4)",
+        tags=("X4", "quality"),
+    )
+)
+
+
+# ------------------------------------------------- BPE merge statistics
+# The first step of byte-pair-encoding vocabulary induction: count
+# adjacent character pairs inside words across the corpus and rank the
+# merge candidates.  Pure HOF expansion (no per-word Python), two hash
+# aggs; at 100 TB the pair alphabet stays tiny so the reduce side is
+# trivially bounded.
+_BPE_TOPK = 30
+
+
+def x_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(
+            # filter len<2 words FIRST: Spark's sequence(1, 0) counts
+            # DOWN ([1, 0]), it is not empty like DuckDB's range(1, 1)
+            F.expr(
+                "flatten(transform(filter(split(text, ' '), w -> length(w) >= 2), "
+                "w -> transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2))))"
+            )
+        ).alias("pair")
+    )
+    total = pairs.count()
+    w = Window.orderBy(F.col("c").desc(), "pair")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("c"))
+        .withColumn("share", F.round(F.col("c") / F.lit(total), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BPE_TOPK)
+        .select("rank", "pair", "c", "share")
+        .orderBy("rank")
+    )
+
+
+register(
+    Query(
+        name="x_bpe_pair_stats",
+        build=x_bpe_pair_stats,
+        oracle=f"""
+        WITH pairs AS (
+            SELECT unnest(flatten(list_transform(
+                       list_filter(string_split(text, ' '), w -> len(w) >= 2),
+                       w -> list_transform(range(1, len(w)),
+                                           i -> w[i:i+1])))) AS pair
+            FROM documents
+        ), counted AS (
+            SELECT pair, count(*) AS c,
+                   round(CAST(count(*) AS DOUBLE)
+                         / (SELECT count(*) FROM pairs), 6) AS share
+            FROM pairs GROUP BY pair
+        )
+        SELECT row_number() OVER (ORDER BY c DESC, pair) AS rank, pair, c, share
+        FROM counted QUALIFY rank <= {_BPE_TOPK} ORDER BY rank
+        """,
+        doc="BPE vocabulary-induction step: adjacent in-word character-pair merge statistics (X4)",
+        tags=("X4", "tokenizer"),
+    )
+)
+
+
+# ------------------------------------------- leakage-safe train split
+# Train/valid/test assignment keyed by CONTENT fingerprint, not doc id:
+# exact duplicates land in the same split by construction, so no
+# training document leaks into evaluation as a verbatim copy.  The
+# query also PROVES the property — leaked_groups counts fingerprint
+# groups spanning >1 split (0 by construction).  Near-dup-safe splits
+# compose the same way with the simhash cluster id in place of the
+# fingerprint (x_dedup_clusters).
+def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    bucket = (
+        F.conv(F.substring(F.md5(fp), 1, 8), 16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    assigned = docs.select(fp.alias("fp"), split.alias("split"))
+    leaked = (
+        assigned.groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_groups"),
+            (F.count("*") - F.countDistinct("fp")).alias("n_dup_docs"),
+        )
+        .withColumn("leaked_groups", F.lit(leaked))
+        .orderBy("split")
+    )
+
+
+register(
+    Query(
+        name="x_leakage_safe_split",
+        build=x_leakage_safe_split,
+        oracle="""
+        WITH assigned AS (
+            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                   CASE WHEN CAST(concat('0x', substring(md5(md5(lower(
+                             regexp_replace(trim(text), '\\s+', ' ', 'g')))), 1, 8))
+                             AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST(concat('0x', substring(md5(md5(lower(
+                             regexp_replace(trim(text), '\\s+', ' ', 'g')))), 1, 8))
+                             AS BIGINT) % 100 < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
+        ), leaked AS (
+            SELECT count(*) AS leaked_groups FROM (
+                SELECT fp FROM assigned GROUP BY fp
+                HAVING count(DISTINCT split) > 1
+            )
+        )
+        SELECT split, count(*) AS n_docs,
+               count(DISTINCT fp) AS n_groups,
+               count(*) - count(DISTINCT fp) AS n_dup_docs,
+               (SELECT leaked_groups FROM leaked) AS leaked_groups
+        FROM assigned GROUP BY split ORDER BY split
+        """,
+        doc="content-fingerprint-keyed train/valid/test split: duplicates cannot span splits (leakage check emitted; X4)",
+        tags=("X4", "sampling"),
     )
 )

@@ -375,3 +375,43 @@ def test_weighted_sample_is_deterministic_topk(spark, sf_dir):
     keys = [r["es_key"] for r in a]
     assert keys == sorted(keys, reverse=True)
     assert all(k < 0 for k in keys)  # ln(u)/w is negative
+
+
+# ------------------- batch 5: PMI / entropy / BPE pairs / leakage split
+
+
+def test_word_pmi_shape(spark, sf_dir):
+    import math
+
+    rows = _q("x_word_pmi").build(spark, sf_dir).collect()
+    assert rows
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["ta"] < r["tb"]
+        assert math.isfinite(r["pmi"])
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    import math
+
+    rows = _q("x_char_entropy").build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 0 <= H <= ln(k) for k distinct symbols
+        assert -1e-9 <= r["entropy"] <= math.log(r["distinct_chars"]) + 1e-9
+        assert r["distinct_chars"] <= r["n_chars"]
+
+
+def test_bpe_pairs_are_bigrams(spark, sf_dir):
+    rows = _q("x_bpe_pair_stats").build(spark, sf_dir).collect()
+    assert rows
+    assert all(len(r["pair"]) == 2 for r in rows)
+    assert 0 < sum(r["share"] for r in rows) <= 1.0
+
+
+def test_leakage_safe_split_has_zero_leaks(spark, sf_dir):
+    rows = _q("x_leakage_safe_split").build(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert all(r["leaked_groups"] == 0 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert all(r["n_dup_docs"] >= 0 for r in rows)
