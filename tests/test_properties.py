@@ -136,3 +136,69 @@ def test_iso_roundtrip(spark, ts_list):
         [i for _, i in sorted(zip(keys, isos), key=lambda p: p[0])]
         == sorted(isos)
     )
+
+
+# ---------------------- round-3 operators: randomized semantic models
+
+_TOK = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+_DOC = st.lists(_TOK, min_size=3, max_size=10)
+
+
+def _py_shingles(text: str, n: int = 3) -> set:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_DOC, min_size=2, max_size=10))
+def test_setsim_prefix_join_lossless_on_random_corpora(spark, docs):
+    """PPJoin completeness/soundness against a pure-Python brute force
+    on hypothesis-generated corpora — the lossless-prefix argument must
+    hold for ANY token distribution, not just the fixtures."""
+    from airflow_embeddings_pipeline_spark.extensions.dedup_queries import (
+        setsim_prefix_join,
+    )
+
+    t = 0.5
+    texts = [" ".join(d) for d in docs]
+    corpus = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], schema="doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in setsim_prefix_join(corpus, threshold=t).collect()
+    }
+    want = set()
+    sh = [_py_shingles(s) for s in texts]
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if not sh[a] or not sh[b]:
+                continue
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if round(j, 6) >= t:
+                want.add((a, b, round(j, 6)))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_zorder_interleave_bijective(spark, pairs):
+    """The z-value must decode back to exactly (cb, db) — bit
+    interleaving is a bijection on 8-bit x 8-bit."""
+    from airflow_embeddings_pipeline_spark.plans.changes import _z_expr
+
+    df = spark.createDataFrame(pairs, schema="cb int, db int")
+    got = [r[0] for r in df.select(F.expr(_z_expr("cb", "db")).alias("z")).collect()]
+    for (cb, db), z in zip(pairs, got):
+        dec_cb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+        dec_db = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+        assert (dec_cb, dec_db) == (cb, db)
