@@ -732,3 +732,140 @@ register(
         tags=("X2", "fuzzy-join"),
     )
 )
+
+
+# ------------------------------- asymmetric containment (quote) join
+# Quote/excerpt detection: containment(Q→D) = |sh(Q) ∩ sh(D)| / |sh(Q)|
+# — asymmetric, so a short quote inside a long document scores ~1 where
+# Jaccard would vanish.  Prefix filtering stays lossless on the QUOTE
+# side only (pigeonhole: >= ceil(t·|Q|) shared shingles cannot all
+# avoid a (|Q| - ceil(t·|Q|) + 1)-element prefix), so candidates come
+# from quote-prefix postings joined against the documents' FULL posting
+# index; verification touches candidates only.  Quotes are PLANTED
+# (first 12 tokens of every 7th document), giving exact ground truth.
+_CONT_T = 0.8
+_CONT_STRIDE = 7
+_CONT_TOKENS = 12
+_CONT_ID_OFFSET = 20_000_000
+
+
+def x_quote_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") % _CONT_STRIDE == 0).select(
+        (F.col("doc_id") + _CONT_ID_OFFSET).alias("quote_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1, _CONT_TOKENS), " "
+        ).alias("qtext"),
+    )
+    qsh = quotes.select(
+        "quote_id", shingles("qtext").alias("qsh")
+    ).filter(F.size("qsh") > 0)
+    dsh = docs.select("doc_id", shingles("text").alias("dsh")).filter(
+        F.size("dsh") > 0
+    )
+
+    qprefix_len = (
+        F.size("qsh") - F.ceil(F.lit(_CONT_T) * F.size("qsh")) + 1
+    ).cast("int")
+    # rare-first ordering of the quote prefix (shortest postings)
+    qex = qsh.select("quote_id", F.explode("qsh").alias("s"))
+    dex = dsh.select("doc_id", F.explode("dsh").alias("s"))
+    dfreq = dex.groupBy("s").agg(F.count("*").alias("df"))
+    qordered = (
+        qex.join(dfreq, "s", "left")
+        .fillna({"df": 0})
+        .groupBy("quote_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "s"))), lambda x: x["s"]
+            ).alias("oset")
+        )
+        .join(qsh, "quote_id")
+        .select(
+            "quote_id",
+            "qsh",
+            F.slice(
+                "oset",
+                1,
+                (
+                    F.size("oset") - F.ceil(F.lit(_CONT_T) * F.size("oset")) + 1
+                ).cast("int"),
+            ).alias("prefix"),
+        )
+    )
+    cand = (
+        qordered.select("quote_id", F.explode("prefix").alias("s"))
+        .join(dex, "s")
+        .select("quote_id", "doc_id")
+        .distinct()
+    )
+    return (
+        cand.join(qordered.select("quote_id", "qsh"), "quote_id")
+        .join(dsh, "doc_id")
+        .select(
+            "quote_id",
+            "doc_id",
+            F.round(
+                F.size(F.array_intersect("qsh", "dsh")) / F.size("qsh"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONT_T)
+        .orderBy("quote_id", "doc_id")
+    )
+
+
+register(
+    Query(
+        name="x_quote_containment_join",
+        build=x_quote_containment_join,
+        oracle=f"""
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        quotes AS (
+            SELECT doc_id + {_CONT_ID_OFFSET} AS quote_id,
+                   array_to_string(string_split(text, ' ')[1:{_CONT_TOKENS}], ' ')
+                       AS qtext
+            FROM docs WHERE doc_id % {_CONT_STRIDE} = 0
+        ), qsh AS MATERIALIZED (
+            SELECT quote_id, {shingles_sql("qtext")} AS qsh FROM quotes
+            WHERE len({shingles_sql("qtext")}) > 0
+        ), dsh AS MATERIALIZED (
+            SELECT doc_id, {_SH} AS dsh FROM docs WHERE len({_SH}) > 0
+        ), dex AS (
+            SELECT doc_id, unnest(dsh) AS s FROM dsh
+        ), dfreq AS (
+            SELECT s, count(*) AS df FROM dex GROUP BY s
+        ), qordered AS MATERIALIZED (
+            SELECT q.quote_id,
+                   list(q.s ORDER BY coalesce(d.df, 0), q.s) AS oset
+            FROM (SELECT quote_id, unnest(qsh) AS s FROM qsh) q
+            LEFT JOIN dfreq d USING (s)
+            GROUP BY q.quote_id
+        ), cand AS (
+            SELECT DISTINCT p.quote_id, dex.doc_id
+            FROM (SELECT quote_id,
+                         unnest(oset[1 : len(oset)
+                                - CAST(ceil({_CONT_T} * len(oset)) AS INTEGER)
+                                + 1]) AS s
+                  FROM qordered) p
+            JOIN dex USING (s)
+        )
+        SELECT c.quote_id, c.doc_id,
+               round(CAST(len(list_filter(q.qsh, v -> list_contains(d.dsh, v)))
+                          AS DOUBLE) / len(q.qsh), 6) AS containment
+        FROM cand c
+        JOIN qsh q ON q.quote_id = c.quote_id
+        JOIN dsh d ON d.doc_id = c.doc_id
+        WHERE round(CAST(len(list_filter(q.qsh, v -> list_contains(d.dsh, v)))
+                         AS DOUBLE) / len(q.qsh), 6) >= {_CONT_T}
+        ORDER BY c.quote_id, c.doc_id
+        """,
+        doc=(
+            "asymmetric containment join (quote/excerpt detection): "
+            "lossless prefix on the quote side vs full document posting "
+            "index, verify on candidates only (X2 tier)"
+        ),
+        tags=("X2", "similarity-join"),
+    )
+)

@@ -262,3 +262,154 @@ register(
         tags=("timeseries", "window"),
     )
 )
+
+
+# ------------------------------------------------ grouped regression
+# Per-series OLS (value ~ day) from the five sufficient statistics
+# (n, Σx, Σy, Σxy, Σx², Σy²) — each an exact integer/decimal sum, so
+# the whole fit is one hash aggregate with map-side combine and the
+# slope/intercept/r² doubles are bit-identical in both engines.  This
+# is the distributed-regression shape: sufficient statistics are
+# mergeable, the model solve is O(1) per group.
+def a_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+    y = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * x).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+register(
+    Query(
+        name="a_grouped_regression",
+        build=a_grouped_regression,
+        oracle="""
+        WITH stats AS (
+            SELECT event_type, count(*) AS n,
+                   sum(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS sx,
+                   sum(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       * datediff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS sxx,
+                   sum(CAST(value AS DECIMAL(18,6))) AS sy,
+                   sum(CAST(value AS DECIMAL(18,6))
+                       * datediff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS sxy,
+                   sum(CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6))) AS syy
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        FROM stats ORDER BY event_type
+        """,
+        doc="per-group OLS from mergeable sufficient statistics (one hash agg; exact sums, O(1) solve)",
+        tags=("timeseries", "agg", "regression"),
+    )
+)
+
+
+# ------------------------------------- rolling distinct-user cardinality
+# Sliding COUNT DISTINCT has no native window form (distinct state is
+# not mergeable along a frame), so the scalable rewrite: reduce to
+# distinct (user, day) pairs once, fan each pair out to the <=7 window
+# END days it contributes to (generator explode, map-side), and count
+# distinct per end day — one extra 7x map fan-out instead of a per-day
+# rescans or an O(days²) self-join.
+_ROLL_DAYS = 7
+
+
+def t_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).distinct()
+    bounds = pairs.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    fanned = pairs.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "d",
+        F.explode(
+            F.sequence(
+                F.greatest("d", F.col("lo")),
+                F.least(F.col("d") + (_ROLL_DAYS - 1), F.col("hi")),
+            )
+        ).alias("end_day"),
+    )
+    daily = pairs.groupBy("d").agg(F.countDistinct("user_id").alias("users_1d"))
+    return (
+        fanned.groupBy("end_day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .join(daily, fanned.end_day == daily.d)
+        .select(F.col("end_day").alias("d"), "users_1d", "users_7d")
+        .orderBy("d")
+    )
+
+
+register(
+    Query(
+        name="t_rolling_distinct_users",
+        build=t_rolling_distinct_users,
+        oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+            FROM events
+        ), bounds AS (
+            SELECT min(d) AS lo, max(d) AS hi FROM pairs
+        ), fanned AS (
+            SELECT p.user_id, t.end_day
+            FROM pairs p CROSS JOIN bounds b,
+                 unnest(range(greatest(p.d, b.lo),
+                              least(p.d + {_ROLL_DAYS - 1}, b.hi) + 1))
+                     AS t(end_day)
+        ), daily AS (
+            SELECT d, count(DISTINCT user_id) AS users_1d FROM pairs GROUP BY d
+        )
+        SELECT f.end_day AS d, daily.users_1d,
+               count(DISTINCT f.user_id) AS users_7d
+        FROM fanned f JOIN daily ON daily.d = f.end_day
+        GROUP BY f.end_day, daily.users_1d
+        ORDER BY d
+        """,
+        doc="trailing 7-day distinct users: generator fan-out rewrite of the non-mergeable sliding COUNT DISTINCT",
+        tags=("timeseries", "agg"),
+    )
+)

@@ -415,3 +415,66 @@ def test_leakage_safe_split_has_zero_leaks(spark, sf_dir):
     assert all(r["leaked_groups"] == 0 for r in rows)
     assert sum(r["n_docs"] for r in rows) == docs.count()
     assert all(r["n_dup_docs"] >= 0 for r in rows)
+
+
+# ------- batch 6: regression / rolling distinct / containment join
+
+
+def test_grouped_regression_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = _q("a_grouped_regression").build(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pdf = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"),
+        "value",
+    ).toPandas()
+    for r in rows:
+        g = pdf[pdf.event_type == r["event_type"]]
+        slope, intercept = np.polyfit(g.x, g.value, 1)
+        assert abs(r["slope"] - slope) < 1e-4
+        assert abs(r["intercept"] - intercept) < 1e-4
+        assert 0 <= r["r2"] <= 1
+
+
+def test_rolling_distinct_matches_direct(spark, sf_dir):
+    rows = _q("t_rolling_distinct_users").build(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = ev.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    )
+    for r in rows[:5] + rows[-3:]:
+        direct = (
+            days.filter(
+                (F.col("d") >= r["d"] - 6) & (F.col("d") <= r["d"])
+            )
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert r["users_7d"] == direct, r
+        assert r["users_1d"] <= r["users_7d"]
+
+
+def test_containment_finds_every_planted_quote(spark, sf_dir):
+    from airflow_embeddings_pipeline_spark.extensions.dedup_queries import (
+        _CONT_ID_OFFSET,
+        _CONT_STRIDE,
+    )
+
+    rows = _q("x_quote_containment_join").build(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_quotes = docs.filter(F.col("doc_id") % _CONT_STRIDE == 0).count()
+    self_hits = {
+        r["quote_id"]
+        for r in rows
+        if r["doc_id"] == r["quote_id"] - _CONT_ID_OFFSET
+    }
+    # each planted quote's shingles are a subset of its source doc's:
+    # containment must be exactly 1.0 there
+    assert len(self_hits) == n_quotes
+    for r in rows:
+        if r["doc_id"] == r["quote_id"] - _CONT_ID_OFFSET:
+            assert r["containment"] == 1.0
+        assert r["containment"] >= 0.8

@@ -43,6 +43,7 @@ EXPECTED_BNLJ = {
     "x_rrf_fusion",  # 1-row broadcast query-vector cross join in the dense leg
     "a_histogram",  # 1-row broadcast min/max-extent cross join under the binning map
     "t_interpolate_linear",  # 1-row broadcast day-bounds cross join generating the spine
+    "t_rolling_distinct_users",  # 1-row broadcast day-bounds cross join clamping the fan-out
 }
 
 
