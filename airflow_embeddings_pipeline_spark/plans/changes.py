@@ -614,3 +614,54 @@ register(
         tags=("join", "reconcile"),
     )
 )
+
+
+# ---------------------------------------------- heavy-hitters sketch
+# Approximate frequent items (Karp-Papadimitriou-Shenker via
+# DataFrame.stat.freqItems): single-pass, mergeable, guaranteed
+# SUPERSET of every item with support > s.  Like the HLL and
+# approx_percentile entries, the sketch's raw output is
+# engine-specific (it admits false positives), so the catalog query
+# applies the contract: intersect the sketch superset with exact
+# counts and emit the exactly-frequent items — which the superset
+# guarantee makes equal to the exact answer, turning the sketch
+# itself into an oracle-checkable operator.
+_FREQ_SUPPORT = 0.009  # key-bucket share cutoff (uniform share is ~1%)
+
+
+def a_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    superset_rows = (
+        orders.select((F.col("o_custkey") % 100).alias("k"))
+        .stat.freqItems(["k"], _FREQ_SUPPORT)
+        .collect()[0][0]
+    )
+    exact = orders.groupBy((F.col("o_custkey") % 100).alias("k")).agg(
+        F.count("*").alias("cnt")
+    )
+    total = orders.count()
+    return (
+        exact.filter(F.col("k").isin([int(x) for x in superset_rows]))
+        .filter(F.col("cnt") > _FREQ_SUPPORT * total)
+        .select("k", "cnt", F.round(F.col("cnt") / F.lit(total), 6).alias("support"))
+        .orderBy("k")
+    )
+
+
+register(
+    Query(
+        name="a_freq_items_sketch",
+        build=a_freq_items_sketch,
+        oracle=f"""
+        WITH counts AS (
+            SELECT o_custkey % 100 AS k, count(*) AS cnt FROM orders GROUP BY 1
+        ), tot AS (SELECT count(*) AS n FROM orders)
+        SELECT k, cnt, round(CAST(cnt AS DOUBLE) / n, 6) AS support
+        FROM counts CROSS JOIN tot
+        WHERE cnt > {_FREQ_SUPPORT} * n
+        ORDER BY k
+        """,
+        doc="heavy hitters via the freqItems sketch + superset contract: sketch ∩ exact == exact frequent set",
+        tags=("agg", "sketch"),
+    )
+)

@@ -44,6 +44,8 @@ EXPECTED_BNLJ = {
     "a_histogram",  # 1-row broadcast min/max-extent cross join under the binning map
     "t_interpolate_linear",  # 1-row broadcast day-bounds cross join generating the spine
     "t_rolling_distinct_users",  # 1-row broadcast day-bounds cross join clamping the fan-out
+    "x_temperature_mixture",  # 1-row broadcast total/normalizer cross joins over a 20-row rollup
+    "x_embedding_drift",  # 1-row x 1-row cross join of the two half-corpus mean vectors
 }
 
 
