@@ -542,8 +542,20 @@ def setsim_prefix_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = _SSJ_T,
+    encode_ids: bool = False,
 ) -> DataFrame:
-    """Exact Jaccard >= threshold pairs via prefix filtering."""
+    """Exact Jaccard >= threshold pairs via prefix filtering.
+
+    Verification never builds a union array: |A∪B| = |A|+|B|-|A∩B|
+    from precomputed sizes, so each candidate pair costs one
+    intersect.  ``encode_ids=True`` is the scale tier: the verify
+    joins ship arrays of xxhash64 shingle ids (8 bytes/element)
+    instead of the shingle strings (~25 bytes) — at x100 stress the
+    string arrays dominate the verify shuffle.  A 64-bit collision
+    between a shingle of A and a different shingle of B would inflate
+    one intersection by 1 (P ~ |A|·|B|/2^64 per pair — negligible,
+    and excluded from the oracle tier which keeps strings).
+    """
     from .dedup import shingles
 
     sh = corpus.select(id_col, shingles(text_col).alias("sh")).filter(
@@ -582,16 +594,42 @@ def setsim_prefix_join(
         )
         .distinct()
     )
-    sets = ordered.select(id_col, "oset")
+    vset = F.col("oset")
+    if encode_ids:
+        vset = F.transform("oset", lambda s: F.xxhash64(s))
+    sets = ordered.select(
+        id_col, vset.alias("vset"), F.size("oset").alias("nsh")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
     return (
-        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("oset").alias("sa")), "id_a")
-        .join(sets.select(F.col(id_col).alias("id_b"), F.col("oset").alias("sb")), "id_b")
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("vset").alias("sa"),
+                F.col("nsh").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("vset").alias("sb"),
+                F.col("nsh").alias("nb"),
+            ),
+            "id_b",
+        )
+        # generator barrier (see lsh_candidate_pairs): CollapseProject
+        # would re-inline a plain projected alias into both references,
+        # re-evaluating the intersect — explode(array(...)) blocks it
+        .select(
+            "id_a", "id_b", "na", "nb",
+            F.explode(F.array(inter)).alias("inter"),
+        )
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.size(F.array_intersect("sa", "sb"))
-                / F.size(F.array_union("sa", "sb")),
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
                 6,
             ).alias("jaccard"),
         )

@@ -206,7 +206,7 @@ def main() -> None:
 
     run(
         "setsim_prefix_join_post_exact",
-        setsim_prefix_join(distinct_docs, threshold=0.8),
+        setsim_prefix_join(distinct_docs, threshold=0.8, encode_ids=True),
     )
 
     # Retrieval + curation tier over the staged corpus/embeddings:
