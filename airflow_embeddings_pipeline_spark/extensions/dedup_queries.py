@@ -842,11 +842,18 @@ def x_quote_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(qordered.select("quote_id", "qsh"), "quote_id")
         .join(dsh, "doc_id")
+        # generator barrier: the pushed-down filter below would otherwise
+        # re-inline the intersect and evaluate it twice per candidate
         .select(
             "quote_id",
             "doc_id",
-            F.round(
-                F.size(F.array_intersect("qsh", "dsh")) / F.size("qsh"), 6
+            F.explode(
+                F.array(
+                    F.round(
+                        F.size(F.array_intersect("qsh", "dsh")) / F.size("qsh"),
+                        6,
+                    )
+                )
             ).alias("containment"),
         )
         .filter(F.col("containment") >= _CONT_T)
