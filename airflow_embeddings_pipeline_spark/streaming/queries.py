@@ -430,3 +430,85 @@ if _HAS_PROTOBUF:
             tags=("streaming", "stateful", "pandas-udf"),
         )
     )
+
+
+# Stream-stream inner interval join as an oracle-checked catalog entry:
+# views joined to same-user purchases within the following hour, both
+# sides event-time-watermarked so each side's join state purges once
+# the watermark passes the interval (the ONLY way Structured Streaming
+# admits an unbounded two-stream join).  Under AvailableNow on bounded
+# fixtures the appended result is the exact batch interval join, so the
+# DuckDB oracle is the plain SQL join.
+def t_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("vts"),
+        )
+        .withWatermark("vts", "1 hour")
+    )
+    buys = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("bts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("bts", "1 hour")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("bts") >= F.col("vts"))
+        & (F.col("bts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "buy_id",
+        (F.unix_micros("bts") - F.unix_micros("vts")).alias("gap_us"),
+        F.round("amount", 6).alias("amount"),
+    )
+
+    name = f"t_ss_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ssjoin_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "view_id", "buy_id")
+
+
+register(
+    Query(
+        name="t_stream_stream_join",
+        build=t_stream_stream_join,
+        oracle="""
+        SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id,
+               CAST(epoch_us(b.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us,
+               round(b.value, 6) AS amount
+        FROM events v
+        JOIN events b
+          ON v.event_type = 'view' AND b.event_type = 'purchase'
+         AND b.user_id = v.user_id
+         AND b.ts >= v.ts
+         AND b.ts <= v.ts + INTERVAL 1 HOUR
+        ORDER BY v.user_id, view_id, buy_id
+        """,
+        doc=(
+            "stream-stream inner interval join with two-sided event-time "
+            "watermarks (bounded join state); AvailableNow result == the "
+            "batch interval join (T5/T6, embeddings-pipeline.py:150-180 "
+            "generalized to two live streams)"
+        ),
+        tags=("streaming", "join"),
+    )
+)

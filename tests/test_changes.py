@@ -478,3 +478,37 @@ def test_containment_finds_every_planted_quote(spark, sf_dir):
         if r["doc_id"] == r["quote_id"] - _CONT_ID_OFFSET:
             assert r["containment"] == 1.0
         assert r["containment"] >= 0.8
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from airflow_embeddings_pipeline_spark.streaming.queries import (
+        t_stream_stream_join,
+    )
+
+    out = t_stream_stream_join(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"), F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("bts"), F.col("value").alias("amount"),
+    )
+    batch = (
+        v.join(
+            b,
+            (F.col("u") == F.col("bu"))
+            & (F.col("bts") >= F.col("vts"))
+            & (F.col("bts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("u").alias("user_id"), "view_id", "buy_id",
+            (
+                F.unix_micros(F.col("bts").cast("timestamp"))
+                - F.unix_micros(F.col("vts").cast("timestamp"))
+            ).alias("gap_us"),
+            F.round("amount", 6).alias("amount"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
