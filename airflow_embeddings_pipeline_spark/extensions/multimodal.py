@@ -264,3 +264,30 @@ def sample_frames(media: DataFrame, *, every_n_bytes: int = 16) -> DataFrame:
         .select("doc_id", F.explode(frames).alias("f"))
         .select("doc_id", F.col("f.frame_id").alias("frame_id"), F.col("f.frame_hex").alias("frame_hex"))
     )
+
+
+def embed_media(media: DataFrame, *, dim: int = 8) -> DataFrame:
+    """Media embedding plumbing: mapInPandas emits a ``dim``-float
+    feature vector per payload — the batch shape of a vision/audio
+    encoder.  The fake tier reads the first ``dim`` payload bytes as
+    doubles (deterministic, SQL-replicable); a real tier would run the
+    encoder model here with the identical schema and batch shape.
+    Map-only, zero shuffle; payload bytes never leave the executor."""
+    out_schema = "doc_id long, media_type string, mvec array<double>"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = [
+                [float(b) for b in (p[:dim] if p is not None else b"")]
+                + [0.0] * max(0, dim - (len(p) if p is not None else 0))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "mvec": vecs,
+                }
+            )
+
+    return media.mapInPandas(op, schema=out_schema)

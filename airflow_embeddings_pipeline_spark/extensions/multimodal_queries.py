@@ -122,3 +122,119 @@ register(
         tags=("X5",),
     )
 )
+
+
+# ------------------------------------------------- cross-modal match
+# Cross-modal retrieval mechanics: media feature vectors (mapInPandas
+# encoder plumbing, fake tier = first 8 payload bytes) matched by
+# cosine against per-label centroids of the text-embedding space
+# (first 8 dims, exact-mean rounded).  The centroid set is bounded
+# (one row per label) and ships as literals under a single generated
+# expression — assignment is a map-only argmax, no similarity join.
+# A real deployment swaps the fake encoder for a model in embed_media
+# and keeps every schema and the plan shape.
+_XM_DIM = 8
+
+
+def x_crossmodal_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import embed_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    media = embed_media(attach_media(docs), dim=_XM_DIM)
+
+    cent_rows = (
+        emb.groupBy("label")
+        .agg(
+            *[
+                F.round(F.avg(F.col("embedding")[i].cast("double")), 9).alias(
+                    f"m{i}"
+                )
+                for i in range(_XM_DIM)
+            ]
+        )
+        .orderBy("label")
+        .collect()
+    )
+    labels = [int(r["label"]) for r in cent_rows]
+
+    def lit(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    mnorm = "sqrt(" + " + ".join(
+        f"mvec[{i}] * mvec[{i}]" for i in range(_XM_DIM)
+    ) + ")"
+    coss = []
+    for r in cent_rows:
+        c = [float(r[f"m{i}"]) for i in range(_XM_DIM)]
+        dot = " + ".join(f"mvec[{i}] * {lit(c[i])}" for i in range(_XM_DIM))
+        cnorm = 0.0
+        for x in c:
+            cnorm += x * x
+        import math
+
+        coss.append(f"round(({dot}) / ({mnorm} * {lit(math.sqrt(cnorm))}), 6)")
+    arr = ", ".join(coss)
+    label_arr = ", ".join(str(l) for l in labels)
+    best = F.expr(
+        f"element_at(array({label_arr}), "
+        f"CAST(array_position(array({arr}), array_max(array({arr}))) AS INT))"
+    )
+    return (
+        media.select("media_type", best.alias("label"))
+        .groupBy("media_type", "label")
+        .agg(F.count("*").alias("n"))
+        .orderBy("media_type", "label")
+    )
+
+
+def _xm_oracle() -> str:
+    mcols = ",\n                   ".join(
+        f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 9) AS m{i}"
+        for i in range(_XM_DIM)
+    )
+    dot = " + ".join(f"mvec[{i + 1}] * c.m{i}" for i in range(_XM_DIM))
+    mnorm = "sqrt(" + " + ".join(
+        f"mvec[{i + 1}] * mvec[{i + 1}]" for i in range(_XM_DIM)
+    ) + ")"
+    cnorm = "sqrt(" + " + ".join(f"c.m{i} * c.m{i}" for i in range(_XM_DIM)) + ")"
+    return f"""
+        WITH media AS (
+            SELECT doc_id, {_MEDIA_TYPE} AS media_type, {_PAYLOAD_HEX} AS hexp
+            FROM documents
+        ), mv AS (
+            SELECT doc_id, media_type,
+                   list_transform(range(1, {_XM_DIM} + 1),
+                       i -> CAST(CAST(concat('0x', substring(hexp, i*2-1, 2))
+                                      AS INT) AS DOUBLE)) AS mvec
+            FROM media
+        ), cents AS (
+            SELECT label, {mcols} FROM embeddings GROUP BY label
+        ), scored AS (
+            SELECT mv.doc_id, mv.media_type, c.label,
+                   round(({dot}) / ({mnorm} * {cnorm}), 6) AS cos
+            FROM mv CROSS JOIN cents c
+        ), best AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cos DESC, label) AS rn
+            FROM scored
+        )
+        SELECT media_type, label, count(*) AS n
+        FROM best WHERE rn = 1
+        GROUP BY media_type, label ORDER BY media_type, label
+        """
+
+
+register(
+    Query(
+        name="x_crossmodal_match",
+        build=x_crossmodal_match,
+        oracle=_xm_oracle(),
+        doc=(
+            "cross-modal matching: mapInPandas media feature vectors vs "
+            "per-label text-embedding centroids, map-only literal argmax "
+            "(X5 retrieval plumbing; encoder stubbed deterministically)"
+        ),
+        tags=("X5", "X3", "retrieval"),
+    )
+)

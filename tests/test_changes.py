@@ -512,3 +512,13 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_crossmodal_match_covers_every_media_row(spark, sf_dir):
+    rows = _q("x_crossmodal_match").build(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r[0] for r in emb.select("label").distinct().collect()}
+    assert sum(r["n"] for r in rows) == docs.count()
+    assert {r["media_type"] for r in rows} <= {"image", "audio", "video"}
+    assert all(r["label"] in labels for r in rows)
