@@ -1403,3 +1403,100 @@ register(
         tags=("X3", "curation"),
     )
 )
+
+
+# -------------------------------------- incremental IVF maintenance
+# Index-maintenance-at-ingest, the ANN counterpart of
+# incremental_near_dup_check: a new embedding batch is assigned to the
+# STANDING centroids (map-only, batch-sized scan) and merged into the
+# per-cell statistics — the corpus is never re-assigned, and the
+# per-cell growth/balance report is what triggers re-training
+# (x_ann_ivf_trained) when a cell drifts hot.  Here the batch is
+# simulated as the lowest vec_ids arriving into an index over the rest.
+_IVFI_BATCH = 50
+
+
+def x_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(
+            (F.col("vec_id") >= _IVFI_BATCH)
+            & (F.col("vec_id") < _IVFI_BATCH + _N_CENTS)
+        )
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+
+    standing = assign_ivf_cells(
+        emb.filter(F.col("vec_id") >= _IVFI_BATCH), centroids
+    )
+    batch = assign_ivf_cells(emb.filter(F.col("vec_id") < _IVFI_BATCH), centroids)
+    old = standing.groupBy("ivf_cell").agg(F.count("*").alias("n_standing"))
+    new = batch.groupBy("ivf_cell").agg(F.count("*").alias("n_new"))
+    return (
+        old.join(new, "ivf_cell", "full_outer")
+        .select(
+            F.col("ivf_cell").cast("int").alias("ivf_cell"),
+            F.coalesce("n_standing", F.lit(0)).alias("n_standing"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (
+                F.coalesce("n_new", F.lit(0))
+                + F.coalesce("n_standing", F.lit(0))
+            ).alias("n_total"),
+            F.round(
+                F.coalesce("n_new", F.lit(0))
+                / F.greatest(F.coalesce("n_standing", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("growth"),
+        )
+        .orderBy("ivf_cell")
+    )
+
+
+register(
+    Query(
+        name="x_ann_ivf_incremental",
+        build=x_ann_ivf_incremental,
+        oracle=f"""
+        WITH cents AS (
+            SELECT vec_id - {_IVFI_BATCH} AS cid, embedding AS cv
+            FROM embeddings
+            WHERE vec_id >= {_IVFI_BATCH} AND vec_id < {_IVFI_BATCH + _N_CENTS}
+        ), dists AS (
+            SELECT e.vec_id, c.cid,
+                   round({_DOT.format(a='c.cv', b='c.cv')}
+                         - 2 * {_DOT.format(a='e.embedding', b='c.cv')}, 6) AS dist
+            FROM embeddings e CROSS JOIN cents c
+        ), assign AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM dists
+        ), cells AS (
+            SELECT vec_id, cid AS cell FROM assign WHERE rn = 1
+        ), old AS (
+            SELECT cell, count(*) AS n_standing FROM cells
+            WHERE vec_id >= {_IVFI_BATCH} GROUP BY cell
+        ), new AS (
+            SELECT cell, count(*) AS n_new FROM cells
+            WHERE vec_id < {_IVFI_BATCH} GROUP BY cell
+        )
+        SELECT CAST(coalesce(o.cell, n.cell) AS INTEGER) AS ivf_cell,
+               coalesce(o.n_standing, 0) AS n_standing,
+               coalesce(n.n_new, 0) AS n_new,
+               coalesce(o.n_standing, 0) + coalesce(n.n_new, 0) AS n_total,
+               round(CAST(coalesce(n.n_new, 0) AS DOUBLE)
+                     / greatest(coalesce(o.n_standing, 0), 1), 6) AS growth
+        FROM old o FULL OUTER JOIN new n ON o.cell = n.cell
+        ORDER BY ivf_cell
+        """,
+        doc=(
+            "incremental IVF index maintenance: new batch assigned to "
+            "standing centroids (map-only, no corpus re-assignment), "
+            "per-cell growth report feeds the re-train decision (X3)"
+        ),
+        tags=("X3", "ann", "incremental"),
+    )
+)

@@ -665,3 +665,37 @@ register(
         tags=("agg", "sketch"),
     )
 )
+
+
+# -------------------------------------------------- approx top-k items
+# Spark 4's approx_top_k sketch.  Below sketch capacity
+# (maxItemsTracked, default 10k) the counts are EXACT, so over a
+# bounded-cardinality column the operator is fully oracle-checkable —
+# the honest framing of every sketch in this catalog: prove exactness
+# where the sketch guarantees it, unit-test the approximation regime.
+def a_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), "event_type")
+    )
+
+
+register(
+    Query(
+        name="a_approx_top_k",
+        build=a_approx_top_k,
+        oracle="""
+        SELECT event_type, count(*) AS cnt
+        FROM events GROUP BY event_type
+        ORDER BY cnt DESC, event_type
+        """,
+        doc="approx_top_k sketch, exact below tracked capacity — oracled against the exact group counts",
+        tags=("agg", "sketch"),
+    )
+)
