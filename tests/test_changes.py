@@ -1,7 +1,11 @@
-"""Unit coverage for plans/changes.py and extensions/retrieval_queries.py
-beyond the DuckDB oracle: semantic invariants the hash comparison can't
-express (equivalence of the incremental path to a full recompute, PQ
-recall vs the exact tier, CDC delete semantics)."""
+"""Unit coverage for the round-3 operator surface (plans/changes.py,
+plans/timeseries.py, extensions/retrieval_queries.py,
+extensions/corpus_stats_queries.py, and the round-3 additions to
+dedup_queries/text_queries/multimodal_queries/streaming) beyond the
+DuckDB oracle: semantic invariants the hash comparison can't express —
+incremental-path == full-recompute equivalences, PQ/PPJoin recall and
+losslessness, CDC delete semantics, leakage and interpolation bounds,
+stream-stream == batch join equivalence."""
 
 from __future__ import annotations
 
