@@ -400,28 +400,34 @@ def simhash_wide_agg(
     produce no row (nothing to vote); the HOF tier gives them
     fingerprint 0.
     """
-    one = F.lit(1).cast("long")
     if pre_exploded:
         tok = df.select(*keys, F.col(hashes_col).alias("__h"))
     else:
         tok = df.select(*keys, F.explode(hashes_col).alias("__h"))
+    # expressions generated as SQL text (one py4j call per column /
+    # one for the whole fingerprint): the per-column column-API builds
+    # cost ~1.4 s of driver time per plan at width=60 — same trick as
+    # hyperplane_signature, byte-identical plan
     sums = [
-        F.sum(F.shiftrightunsigned("__h", j).bitwiseAND(one)).alias(f"__b{j}")
+        F.expr(f"sum(shiftrightunsigned(__h, {j}) & CAST(1 AS BIGINT))").alias(
+            f"__b{j}"
+        )
         for j in range(width)
     ]
     agg = tok.groupBy(*keys).agg(F.count("*").alias("__n"), *sums)
-    fp = F.lit(0).cast("long")
+    terms = []
     for j in range(width):
-        bit = (
-            F.lit(-(1 << 63)).cast("long")
-            if j == 63
-            else F.lit(1 << j).cast("long")
-        )
         # vote = 2*popcount - n; set the bit when vote > 0
-        fp = fp + F.when(
-            F.col(f"__b{j}") * 2 > F.col("__n"), bit
-        ).otherwise(F.lit(0).cast("long"))
-    return agg.select(*keys, fp.alias("sim"))
+        bit = (
+            "(CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT))"
+            if j == 63
+            else f"CAST({1 << j} AS BIGINT)"
+        )
+        terms.append(
+            f"(CASE WHEN __b{j} * 2 > __n THEN {bit} "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    return agg.select(*keys, F.expr(" + ".join(terms)).alias("sim"))
 
 
 def simhash_wide_sql(text_expr: str, width: int = 60) -> str:
