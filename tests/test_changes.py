@@ -526,3 +526,18 @@ def test_crossmodal_match_covers_every_media_row(spark, sf_dir):
     assert sum(r["n"] for r in rows) == docs.count()
     assert {r["media_type"] for r in rows} <= {"image", "audio", "video"}
     assert all(r["label"] in labels for r in rows)
+
+
+def test_minhash_estimator_statistics(spark, sf_dir):
+    """Aggregate statistical contract for the k=32 estimator.  The
+    affine permutation family is only approximately min-wise
+    independent (see the catalog docstring), so individual pairs can
+    exceed the iid 5-sigma envelope — the contract is aggregate: mean
+    absolute error <= 0.1 and >= 90% of pairs within 0.25."""
+    rows = _q("x_minhash_jaccard_estimate").build(spark, sf_dir).collect()
+    assert rows
+    errs = [abs(r["minhash_estimate"] - r["exact_jaccard"]) for r in rows]
+    assert sum(errs) / len(errs) <= 0.1
+    within = sum(r["within_gate"] for r in rows)
+    assert within / len(rows) >= 0.9
+    assert all(0.0 <= r["minhash_estimate"] <= 1.0 for r in rows)
