@@ -8,17 +8,23 @@ Two tiers, selected by ``use_real_codec``:
   from the payload bytes so tests and DuckDB oracles have stable values.
   All Spark-side plumbing (schema, Arrow batch shape, UDF signatures,
   zero-shuffle map-only plan) is identical to the real tier.
-* **real tier** — PIL (images) / soundfile (audio) decode, selected
-  when the codec libraries are importable.  Availability is probed at
-  OP-BUILD TIME on the driver (``probe_codecs``); if the needed codec
-  is absent the builder raises :class:`CodecUnavailable` immediately —
-  a clear driver-side signal, never a mid-job executor crash.  Rows
-  whose bytes fail to decode yield NULL feature columns (quarantine
-  semantics, E1) rather than failing the batch.
+* **real tier** — PIL (images) / soundfile (audio) decode when the
+  codec libraries are importable, with a pure-stdlib fallback codec
+  (``zlib`` + ``struct`` PNG decode/encode, ``wave`` + numpy WAV
+  decode) so the real tier executes END-TO-END even in containers that
+  ship no codec libraries.  Availability is probed at OP-BUILD TIME on
+  the driver (``probe_codecs``); pass ``allow_stdlib_fallback=False``
+  to demand the full libraries, in which case absence raises
+  :class:`CodecUnavailable` immediately — a clear driver-side signal,
+  never a mid-job executor crash.  Rows whose bytes fail to decode
+  yield NULL feature columns (quarantine semantics, E1) rather than
+  failing the batch.
 
-This container ships no codecs, so CI exercises the probe + the
-detected-absent path; the real decode functions are plain library calls
-that run unmodified in a full container.
+The stdlib codec handles non-interlaced 8-bit PNG (gray / RGB / LA /
+RGBA, all five scanline filters) and PCM WAV; its grayscale conversion
+uses PIL's exact ITU-R 601-2 integer formula so checksums agree with
+the PIL path on the shared subset.  Formats outside that subset NULL
+out (quarantine) unless PIL/soundfile are present.
 
 Scale design: payloads stay opaque bytes end-to-end (no base64 inflation,
 no driver round-trip); feature extraction is a map-only stage —
@@ -65,15 +71,161 @@ def probe_codecs() -> dict[str, bool]:
     return out
 
 
-def _require_codecs(*mods: str) -> None:
+def _require_codecs(*mods: str, allow_stdlib_fallback: bool = True) -> None:
+    """Raise :class:`CodecUnavailable` when a required codec library is
+    absent AND the caller refused the stdlib fallback.  With the default
+    ``allow_stdlib_fallback=True`` the real tier always builds — the
+    stdlib PNG/WAV codec covers the container-no-codecs case, and rows
+    in formats outside its subset quarantine to NULL."""
     avail = probe_codecs()
     missing = [m for m in mods if not avail.get(m)]
-    if missing:
+    if missing and not allow_stdlib_fallback:
         raise CodecUnavailable(
             f"real media decode requires {missing} (detected absent at "
-            "op-build probe); install the codec libraries or use the "
-            "deterministic fake tier (use_real_codec=False)"
+            "op-build probe) and allow_stdlib_fallback=False; install "
+            "the codec libraries, allow the stdlib PNG/WAV fallback, or "
+            "use the deterministic fake tier (use_real_codec=False)"
         )
+
+
+def _make_stdlib_codec():
+    """Build the pure-stdlib codec functions.
+
+    Defined inside a factory so the returned functions are CLOSURES —
+    cloudpickle ships them by value into the mapInPandas batch function,
+    keeping executors free of any dependency on this package (the same
+    self-containment contract as the rest of the module).
+    """
+    import struct
+    import zlib
+
+    def _to_gray(raw: bytes, width: int, height: int, channels: int) -> bytes:
+        # PIL convert("L") parity: ITU-R 601-2 integer luma
+        # L = (R*19595 + G*38470 + B*7471 + 0x8000) >> 16; LA/RGBA drop
+        # alpha (PIL's convert("L") composites nothing — it drops).
+        if channels == 1:
+            return raw
+        out = bytearray(width * height)
+        if channels == 2:  # gray + alpha
+            out[:] = raw[0::2]
+            return bytes(out)
+        for i in range(width * height):
+            o = i * channels
+            r, g, b = raw[o], raw[o + 1], raw[o + 2]
+            out[i] = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+        return bytes(out)
+
+    def png_decode(data: bytes) -> tuple[int, int, bytes]:
+        """Decode a non-interlaced 8-bit PNG to (width, height, gray
+        pixel bytes).  Raises ValueError on anything outside that
+        subset — callers map that to NULL-quarantine."""
+        if data[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG")
+        pos, width, height, bit_depth, color_type = 8, 0, 0, 0, 0
+        idat = bytearray()
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            ctype = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", body)
+                )
+                if bit_depth != 8 or interlace != 0:
+                    raise ValueError("unsupported PNG (need 8-bit, non-interlaced)")
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            raise ValueError(f"unsupported PNG color type {color_type}")
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG scanline size mismatch")
+        out = bytearray(stride * height)
+        prev = bytes(stride)
+        for y in range(height):
+            rowstart = y * (stride + 1)
+            filt = raw[rowstart]
+            line = bytearray(raw[rowstart + 1 : rowstart + 1 + stride])
+            if filt == 1:  # Sub
+                for i in range(channels, stride):
+                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            elif filt == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif filt == 3:  # Average
+                for i in range(stride):
+                    left = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif filt == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    b = prev[i]
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            elif filt != 0:
+                raise ValueError(f"bad PNG filter {filt}")
+            out[y * stride : (y + 1) * stride] = line
+            prev = bytes(line)
+        return width, height, _to_gray(bytes(out), width, height, channels)
+
+    def png_encode_gray(width: int, height: int, pixels: bytes) -> bytes:
+        """Encode 8-bit grayscale pixels as a minimal valid PNG
+        (filter-0 scanlines, single IDAT)."""
+        if len(pixels) != width * height:
+            raise ValueError("pixel buffer size mismatch")
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+            return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        scan = b"".join(
+            b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan, 9))
+            + chunk(b"IEND", b"")
+        )
+
+    def wav_decode(data: bytes):
+        """Decode a PCM WAV to a float64 numpy array in [-1, 1) with
+        soundfile parity (int16 / 32768, int32 / 2**31, uint8 shifted),
+        mono-flattened exactly as soundfile returns 1-D for mono."""
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(data), "rb") as w:
+            n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+            frames = w.readframes(w.getnframes())
+        if sampwidth == 2:
+            arr = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+        elif sampwidth == 4:
+            arr = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+        elif sampwidth == 1:
+            arr = (np.frombuffer(frames, dtype="u1").astype(np.float64) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported WAV sample width {sampwidth}")
+        if n_ch > 1:
+            arr = arr.reshape(-1, n_ch)
+        return arr, rate
+
+    return png_decode, png_encode_gray, wav_decode
+
+
+# Driver-side handles for tests and fixture construction.
+png_decode_gray, png_encode_gray, wav_decode_f64 = _make_stdlib_codec()
 
 
 def attach_media(docs: DataFrame, *, payload_repeat: int = 4) -> DataFrame:
@@ -112,7 +264,10 @@ def _fake_decode_features(payload: bytes) -> tuple[int, int, float]:
 
 
 def extract_features(
-    media: DataFrame, *, use_real_codec: bool = False
+    media: DataFrame,
+    *,
+    use_real_codec: bool = False,
+    allow_stdlib_fallback: bool = True,
 ) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas`` —
     one Arrow batch in, one feature frame out, no shuffle.
@@ -123,13 +278,21 @@ def extract_features(
     process imports the engine from an arbitrary cwd.
 
     Real tier (``use_real_codec=True``; probed at build time): images
-    decode via PIL (``mean_byte`` = mean grayscale pixel, ``checksum``
-    = md5 over the pixel buffer), audio via soundfile (``mean_byte`` =
-    mean |amplitude| scaled to byte range, ``checksum`` over the sample
-    buffer).  Undecodable rows (wrong bytes, unknown media_type) yield
-    NULL features instead of failing the Arrow batch."""
+    decode via PIL when importable, else the stdlib PNG codec
+    (``mean_byte`` = mean grayscale pixel, ``checksum`` = md5 over the
+    pixel buffer — identical on both paths for 8-bit PNGs); audio via
+    soundfile when importable, else stdlib ``wave`` (``mean_byte`` =
+    mean |amplitude| scaled to byte range, ``checksum`` over the
+    float64 sample buffer).  Undecodable rows (wrong bytes, unknown
+    media_type, formats outside the active codec's subset) yield NULL
+    features instead of failing the Arrow batch."""
     if use_real_codec:
-        _require_codecs("PIL", "soundfile")
+        _require_codecs(
+            "PIL", "soundfile", allow_stdlib_fallback=allow_stdlib_fallback
+        )
+    avail = probe_codecs()
+    has_pil, has_sf = avail["PIL"], avail["soundfile"]
+    std_png_decode, _std_png_encode, std_wav_decode = _make_stdlib_codec()
     out_schema = (
         "doc_id long, media_type string, n_bytes int, checksum long, mean_byte double"
     )
@@ -147,16 +310,22 @@ def extract_features(
 
             try:
                 if media_type == "image":
-                    from PIL import Image
+                    if has_pil:
+                        from PIL import Image
 
-                    pix = Image.open(io.BytesIO(payload)).convert("L").tobytes()
+                        pix = Image.open(io.BytesIO(payload)).convert("L").tobytes()
+                    else:
+                        _w, _h, pix = std_png_decode(bytes(payload))
                     checksum = int(_hl.md5(pix.hex().encode()).hexdigest()[:8], 16)
                     mean = (sum(pix) / len(pix)) if pix else 0.0
                     return len(payload), checksum, round(mean, 6)
                 if media_type == "audio":
-                    import soundfile as sf
+                    if has_sf:
+                        import soundfile as sf
 
-                    data, _rate = sf.read(io.BytesIO(payload))
+                        data, _rate = sf.read(io.BytesIO(payload))
+                    else:
+                        data, _rate = std_wav_decode(bytes(payload))
                     buf = data.tobytes()
                     checksum = int(_hl.md5(buf.hex().encode()).hexdigest()[:8], 16)
                     mean = float(abs(data).mean() * 255.0) if data.size else 0.0
@@ -184,7 +353,11 @@ def extract_features(
 
 
 def resize_media(
-    media: DataFrame, *, target_bytes: int = 16, use_real_codec: bool = False
+    media: DataFrame,
+    *,
+    target_bytes: int = 16,
+    use_real_codec: bool = False,
+    allow_stdlib_fallback: bool = True,
 ) -> DataFrame:
     """Resize/resample plumbing: deterministic byte-stride subsample of
     the payload down to ``target_bytes`` (byte i of the output is byte
@@ -194,9 +367,14 @@ def resize_media(
 
     Real tier (``use_real_codec=True``; probed at build time): images
     are PIL-thumbnailed so the longest side is ``target_bytes`` pixels
-    and re-encoded to PNG; undecodable rows yield NULL outputs."""
+    and re-encoded to PNG; without PIL the stdlib codec decodes 8-bit
+    PNGs, nearest-neighbor downscales the grayscale plane, and
+    re-encodes via the stdlib PNG writer.  Undecodable rows yield NULL
+    outputs."""
     if use_real_codec:
-        _require_codecs("PIL")
+        _require_codecs("PIL", allow_stdlib_fallback=allow_stdlib_fallback)
+    has_pil = probe_codecs()["PIL"]
+    std_png_decode, std_png_encode, _std_wav = _make_stdlib_codec()
     out_schema = (
         "doc_id long, media_type string, orig_bytes int, "
         "resized_bytes int, resized_checksum long"
@@ -210,13 +388,27 @@ def resize_media(
                 import io
 
                 try:
-                    from PIL import Image
+                    if has_pil:
+                        from PIL import Image
 
-                    img = Image.open(io.BytesIO(payload))
-                    img.thumbnail((target_bytes, target_bytes))
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    out = buf.getvalue()
+                        img = Image.open(io.BytesIO(payload))
+                        img.thumbnail((target_bytes, target_bytes))
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        out = buf.getvalue()
+                    else:
+                        w, h, pix = std_png_decode(bytes(payload))
+                        scale = max(w, h) / target_bytes
+                        if scale > 1:
+                            nw = max(1, round(w / scale))
+                            nh = max(1, round(h / scale))
+                            pix = bytes(
+                                pix[((y * h) // nh) * w + (x * w) // nw]
+                                for y in range(nh)
+                                for x in range(nw)
+                            )
+                            w, h = nw, nh
+                        out = std_png_encode(w, h, pix)
                 except Exception:
                     return len(payload), None, None
                 checksum = int(_hl.md5(out.hex().encode()).hexdigest()[:8], 16)

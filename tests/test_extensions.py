@@ -113,48 +113,131 @@ def test_multimodal_features_and_real_tier(spark, sf_dir):
     assert len(feats) == 30
     assert all(r["n_bytes"] == 64 for r in feats)
     assert all(0 <= r["mean_byte"] <= 255 for r in feats)
+    # Real tier always builds (stdlib PNG/WAV fallback): fake payloads
+    # aren't decodable media, so quarantine semantics yield NULL
+    # features (not a crash) regardless of which codec backend is live.
+    real = extract_features(media, use_real_codec=True).collect()
+    assert len(real) == 30
+    assert all(r["checksum"] is None for r in real)
     avail = probe_codecs()
-    if avail["PIL"] and avail["soundfile"]:
-        # Real tier: fake payloads aren't decodable media, so the
-        # quarantine semantics yield NULL features (not a crash).
-        real = extract_features(media, use_real_codec=True).collect()
-        assert len(real) == 30
-        assert all(r["checksum"] is None for r in real)
-    else:
-        # Detected-absent marker: the probe fails LOUDLY at op-build
-        # time on the driver, never inside an executor task.
+    if not (avail["PIL"] and avail["soundfile"]):
+        # Strict mode still fails LOUDLY at op-build time on the
+        # driver, never inside an executor task.
         with pytest.raises(CodecUnavailable, match="detected absent"):
-            extract_features(media, use_real_codec=True)
+            extract_features(
+                media, use_real_codec=True, allow_stdlib_fallback=False
+            )
 
 
-def test_real_codec_roundtrip_if_pil_present(spark):
-    """End-to-end real decode on a genuine PNG — runs wherever PIL is
-    installed; skips with a detected-absent marker here."""
+def test_real_codec_roundtrip(spark):
+    """End-to-end real decode on genuine PNG + WAV payloads — runs in
+    EVERY container: PIL/soundfile when installed, the stdlib zlib/wave
+    codec otherwise (same checksums on the shared 8-bit subset)."""
+    import io
+    import wave as _wave
+
     from airflow_embeddings_pipeline_spark.extensions.multimodal import (
         extract_features,
+        png_encode_gray,
         probe_codecs,
         resize_media,
     )
 
-    if not probe_codecs()["PIL"]:
-        pytest.skip("PIL detected absent at probe; real tier exercised "
-                    "only via the CodecUnavailable path in this container")
-    import io
+    if probe_codecs()["PIL"]:
+        from PIL import Image
 
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("L", (8, 6), color=128).save(buf, format="PNG")
-    png = buf.getvalue()
+        buf = io.BytesIO()
+        Image.new("L", (8, 6), color=128).save(buf, format="PNG")
+        png = buf.getvalue()
+    else:
+        png = png_encode_gray(8, 6, bytes([128]) * 48)
+    wav_buf = io.BytesIO()
+    with _wave.open(wav_buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x40" * 100)  # constant +16384 = 0.5 amplitude
     media = spark.createDataFrame(
-        [(1, "image", bytearray(png), ("png", 8, 6, 1))],
+        [
+            (1, "image", bytearray(png), ("png", 8, 6, 1)),
+            (2, "audio", bytearray(wav_buf.getvalue()), ("wav", 0, 0, 1)),
+        ],
         "doc_id long, media_type string, payload binary, "
         "meta struct<format:string, width:int, height:int, n_frames:int>",
     )
-    feats = extract_features(media, use_real_codec=True).collect()
-    assert feats[0]["mean_byte"] == 128.0
+    feats = {r["doc_id"]: r for r in extract_features(media, use_real_codec=True).collect()}
+    assert feats[1]["mean_byte"] == 128.0
+    assert feats[1]["checksum"] is not None
+    assert feats[2]["mean_byte"] == pytest.approx(0.5 * 255.0, abs=1e-6)
     resized = resize_media(media, target_bytes=4, use_real_codec=True).collect()
-    assert resized[0]["resized_bytes"] is not None
+    by_id = {r["doc_id"]: r for r in resized}
+    assert by_id[1]["resized_bytes"] is not None  # PNG re-encoded smaller
+    assert by_id[2]["resized_checksum"] is None  # WAV isn't an image: NULL
+
+
+def test_stdlib_png_codec_roundtrip_and_filters():
+    """The stdlib PNG codec round-trips its own encoder output and
+    correctly un-filters Sub/Up/Average/Paeth scanlines (checked by
+    re-filtering a decoded zlib stream by hand)."""
+    import struct
+    import zlib
+
+    from airflow_embeddings_pipeline_spark.extensions.multimodal import (
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    pix = bytes((x * 7 + y * 13) % 256 for y in range(5) for x in range(9))
+    w, h, back = png_decode_gray(png_encode_gray(9, 5, pix))
+    assert (w, h, back) == (9, 5, pix)
+
+    # Hand-build an RGB PNG with every filter type, one per scanline.
+    width, height, ch = 4, 5, 3
+    raw = bytes((x * 31 + y * 17 + c * 11) % 256
+                for y in range(height) for x in range(width) for c in range(ch))
+    stride = width * ch
+    rows = [raw[y * stride:(y + 1) * stride] for y in range(height)]
+
+    def filt_row(y, ftype):
+        cur, prev = rows[y], rows[y - 1] if y else bytes(stride)
+        out = bytearray()
+        for i in range(stride):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((cur[i] - pred) & 0xFF)
+        return bytes([ftype]) + bytes(out)
+
+    scan = b"".join(filt_row(y, y % 5) for y in range(height))
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(scan))
+           + chunk(b"IEND", b""))
+    dw, dh, gray = png_decode_gray(png)
+    assert (dw, dh) == (width, height)
+    # PIL ITU-R 601-2 integer luma parity on the decoded RGB plane.
+    expect = bytes(
+        (raw[i * 3] * 19595 + raw[i * 3 + 1] * 38470 + raw[i * 3 + 2] * 7471 + 0x8000) >> 16
+        for i in range(width * height)
+    )
+    assert gray == expect
 
 
 def test_frame_sample_only_video(spark, sf_dir):
@@ -662,13 +745,13 @@ def test_resize_media_stride_and_real_tier(spark, sf_dir):
         assert r.orig_bytes == 64
         assert r.resized_bytes == 16
         assert r.resized_checksum == out2[did].resized_checksum
-    if probe_codecs()["PIL"]:
-        real = resize_media(media, use_real_codec=True).collect()
-        # fake payloads aren't PNGs: quarantine semantics -> NULLs
-        assert all(r.resized_bytes is None for r in real)
-    else:
+    # Real tier always builds (stdlib PNG fallback): fake payloads
+    # aren't PNGs, so quarantine semantics -> NULLs on either backend.
+    real = resize_media(media, use_real_codec=True).collect()
+    assert all(r.resized_bytes is None for r in real)
+    if not probe_codecs()["PIL"]:
         with pytest.raises(CodecUnavailable, match="detected absent"):
-            resize_media(media, use_real_codec=True)
+            resize_media(media, use_real_codec=True, allow_stdlib_fallback=False)
 
 
 def test_contracted_clusters_match_uncontracted(spark):
