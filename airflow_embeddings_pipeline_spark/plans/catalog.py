@@ -48,6 +48,7 @@ def get_catalog() -> dict[str, Query]:
         relational,
         timeseries,
         tpch_extra,
+        tpch_partsupp,
     )
     from ..streaming import queries as streaming_queries  # noqa: F401
     from ..extensions import (  # noqa: F401

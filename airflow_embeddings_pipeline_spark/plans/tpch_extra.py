@@ -1,8 +1,8 @@
 """TPC-H breadth pack: Q8, Q12, Q13, Q14, Q15, Q19, Q21, Q22.
 
-Together with plans/analytics.py (Q1/3/4/5/6/7/10/17/18) this covers
-all 17 TPC-H queries expressible over the fixture schema (Q2/9/11/16/20
-need the ``partsupp`` table, which the fixtures do not ship).
+Together with plans/analytics.py (Q1/3/4/5/6/7/10/17/18) and
+plans/tpch_partsupp.py (Q2/9/11/16/20 over a deterministically
+synthesized ``partsupp``) this covers all 22 TPC-H query shapes.
 
 The fixture schema trims some TPC-H columns; where a query's textbook
 predicate needs a missing column the predicate is adapted but the

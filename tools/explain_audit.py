@@ -46,6 +46,14 @@ EXPECTED_BNLJ = {
     "t_rolling_distinct_users",  # 1-row broadcast day-bounds cross join clamping the fan-out
     "x_temperature_mixture",  # 1-row broadcast total/normalizer cross joins over a 20-row rollup
     "x_embedding_drift",  # 1-row x 1-row cross join of the two half-corpus mean vectors
+    # synthesized-partsupp pack: the generator's 1-row broadcast
+    # supplier-count cross join (plans/tpch_partsupp.py synth_partsupp);
+    # q11 additionally crosses the 1-row broadcast national total.
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_part_promotion",
 }
 
 
