@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import Query, register
 from ..sources.registry import load_table
+from ..functions.ranking import single_group
 
 _DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
 _BUDGET = 10_000  # token budget for the cut (spans sf: ~50% at sf0.01)
@@ -47,7 +48,8 @@ def x_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("bucket", F.floor(F.col("quality") * 1000).cast("int"))
 
     per_bucket = base.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
-    wb = Window.orderBy(F.col("bucket").desc())  # ≤1001 rows — tiny window
+    # ≤1001 bucket rows — tiny; lit(0) partition = one explicit group
+    wb = Window.partitionBy(single_group("bucket")).orderBy(F.col("bucket").desc())
     offsets = per_bucket.withColumn(
         "bucket_start",
         F.coalesce(
@@ -335,7 +337,9 @@ def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(_WS_K)
     )
-    w = Window.orderBy(F.col("es_key").desc(), "doc_id")
+    w = Window.partitionBy(single_group("es_key")).orderBy(
+        F.col("es_key").desc(), "doc_id"
+    )
     return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import Query, register
 from ..sources.registry import load_table
+from ..functions.ranking import single_group
 from .similarity import _as_double, cosine
 
 _BM25_TERMS = ("vector", "join", "stream", "hash")
@@ -107,7 +108,11 @@ def x_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_TOPN)
     )
-    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    # rank the ≤_TOPN survivors; lit(0) partition = one tiny explicit
+    # group (no WindowExec single-partition warning path).
+    w = Window.partitionBy(single_group("bm25")).orderBy(
+        F.col("bm25").desc(), "doc_id"
+    )
     return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
@@ -189,7 +194,12 @@ def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_LEG)
     )
     lex = lex.withColumn(
-        "lex_rank", F.row_number().over(Window.orderBy(F.col("lex").desc(), "doc_id"))
+        "lex_rank",
+        F.row_number().over(
+            Window.partitionBy(single_group("lex")).orderBy(
+                F.col("lex").desc(), "doc_id"
+            )
+        ),
     )
 
     qv = emb.filter(F.col("vec_id") == 0).select(
@@ -208,7 +218,12 @@ def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_LEG)
     )
     sem = sem.withColumn(
-        "sem_rank", F.row_number().over(Window.orderBy(F.col("sem").desc(), "doc_id"))
+        "sem_rank",
+        F.row_number().over(
+            Window.partitionBy(single_group("sem")).orderBy(
+                F.col("sem").desc(), "doc_id"
+            )
+        ),
     )
 
     fused = (
@@ -231,7 +246,12 @@ def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rrf"),
         )
     )
-    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    # fused is the union of two ≤_RRF_LEG legs — bounded by
+    # construction, so the single-group rank window never sees more than
+    # 2×_RRF_LEG rows.
+    w = Window.partitionBy(single_group("rrf")).orderBy(
+        F.col("rrf").desc(), "doc_id"
+    )
     return (
         fused.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOPN)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import Query, register
 from ..sources.registry import load_table
+from ..functions.ranking import single_group
 from .similarity import (
     _as_double,
     assign_ivf_cells,
@@ -892,7 +893,9 @@ def x_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank over all labels: label cardinality is tiny post-agg (the
     # single-partition window runs on ≤ thousands of rows, never the
     # corpus).
-    w = Window.orderBy(F.desc("maxsim_score"), "label")
+    w = Window.partitionBy(single_group("maxsim_score")).orderBy(
+        F.desc("maxsim_score"), "label"
+    )
     return per_label.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import Query, register
 from ..sources.registry import load_table
+from ..functions.ranking import single_group
 from .text import (
     EN_STOPWORDS,
     bpe_ish_tokens,
@@ -598,12 +599,14 @@ def x_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.col("pmi").desc(), "ta", "tb")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _PMI_TOPK)
-        .orderBy("rank")
+    # Global top-k as TakeOrderedAndProject, then rank the ≤k survivors
+    # (lit(0) partition = one tiny explicit group, no WindowExec
+    # single-partition warning).
+    top = scored.orderBy(F.col("pmi").desc(), "ta", "tb").limit(_PMI_TOPK)
+    w = Window.partitionBy(single_group("pmi")).orderBy(
+        F.col("pmi").desc(), "ta", "tb"
     )
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
 register(
@@ -704,9 +707,11 @@ register(
 # ------------------------------------------------- BPE merge statistics
 # The first step of byte-pair-encoding vocabulary induction: count
 # adjacent character pairs inside words across the corpus and rank the
-# merge candidates.  Pure HOF expansion (no per-word Python), two hash
-# aggs; at 100 TB the pair alphabet stays tiny so the reduce side is
-# trivially bounded.
+# merge candidates.  Pure HOF expansion (no per-word Python), ONE scan:
+# the corpus-wide occurrence total comes from summing the aggregated
+# pair table (1-row broadcast), not a second count() pass over the
+# explode; at 100 TB the pair alphabet stays tiny so everything after
+# the first agg is bounded.
 _BPE_TOPK = 30
 
 
@@ -723,15 +728,21 @@ def x_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pair")
     )
-    total = pairs.count()
-    w = Window.orderBy(F.col("c").desc(), "pair")
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("c"))
+    # The aggregated pair alphabet is bounded (order hundreds of rows),
+    # so total + rank both come from one explicit single-group window
+    # over it — the explode scan runs exactly once, no separate count()
+    # action and no second traversal for the 1-row total.
+    w0 = Window.partitionBy(single_group("c"))
+    w = w0.orderBy(F.col("c").desc(), "pair")
     return (
-        pairs.groupBy("pair")
-        .agg(F.count("*").alias("c"))
-        .withColumn("share", F.round(F.col("c") / F.lit(total), 6))
-        .withColumn("rank", F.row_number().over(w))
+        counted.select(
+            F.row_number().over(w).alias("rank"),
+            "pair",
+            "c",
+            F.round(F.col("c") / F.sum("c").over(w0), 6).alias("share"),
+        )
         .filter(F.col("rank") <= _BPE_TOPK)
-        .select("rank", "pair", "c", "share")
         .orderBy("rank")
     )
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
+from ..functions.ranking import single_group
 from .catalog import Query, register
 
 
@@ -335,10 +336,15 @@ def a_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_rows"),
         F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("o_custkey"))
-    top = counts.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 10
+    # Global top-10 as TakeOrderedAndProject (distributed partial
+    # top-k), then rank over the ≤10 survivors — the lit(0) partition
+    # keeps WindowExec off its all-data-to-one-partition path warning
+    # while being semantically the single global frame.
+    top10 = counts.orderBy(F.col("cnt").desc(), "o_custkey").limit(10)
+    w = Window.partitionBy(single_group("cnt")).orderBy(
+        F.col("cnt").desc(), F.col("o_custkey")
     )
+    top = top10.withColumn("rank", F.row_number().over(w))
     return (
         top.crossJoin(F.broadcast(globals_))
         .select(

@@ -114,3 +114,26 @@ def test_iso_z_suffix(spark):
     df = spark.createDataFrame([("2024-01-01T00:00:05Z",)], schema="s string")
     got = df.select(iso_to_timestamp(F.col("s")).alias("v")).collect()[0]["v"]
     assert got is not None and got.second == 5
+
+
+def test_single_group_is_one_partition_for_any_numeric(spark):
+    """single_group must map EVERY row — double fractions, negatives,
+    NULLs — to the same partition key, so a global rank window ranks
+    across all rows (the double%1-is-fractional-part regression)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.functions.ranking import single_group
+
+    df = spark.createDataFrame(
+        [(1, 0.25), (2, -3.75), (3, None), (4, 1e9 + 0.5)],
+        "id long, score double",
+    )
+    w = Window.partitionBy(single_group("score")).orderBy(
+        F.col("score").desc_nulls_last(), "id"
+    )
+    ranks = {
+        r["id"]: r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert ranks == {4: 1, 1: 2, 2: 3, 3: 4}
