@@ -307,35 +307,40 @@ register(
 
 # -------------------------------------------------- product quantization
 # The memory-compression ANN tier: each vector is coded as m=8 one-byte
-# centroid ids (64 floats → 8 bytes, 32×), and query scoring is
-# asymmetric-distance computation — a broadcast lookup table of
-# (query × subspace × centroid) partial dots, summed per candidate via
+# centroid ids (64 floats -> 8 bytes, 32x), and query scoring is
+# asymmetric-distance computation -- a broadcast lookup table of
+# (query x subspace x centroid) partial dots, summed per candidate via
 # an equi-join on the tiny (subspace, code) key.  No full-width vector
 # math touches the corpus at query time; the exact re-rank reads only
-# k×10 candidates per query.  Deterministic centroids (subvectors of the
-# lowest vec_ids, like IVF) make codes, ADC scores, and ranks
-# bit-reproducible in the DuckDB oracle.
-def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    # one bounded collect feeds both the codebooks and the ADC LUT
-    head = (
-        emb.filter(F.col("vec_id") < max(_PQ_NCENTS, _PQ_NQUERIES))
-        .orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cents = [[float(x) for x in r[1]] for r in head[:_PQ_NCENTS]]
+# k x 10 candidates per query.  Deterministic codebooks (subvectors of
+# the lowest vec_ids, optionally refined by one exact-integer Lloyd
+# step) make codes, ADC scores, and ranks bit-reproducible in the
+# DuckDB oracle.  Codebooks are ``books[s][c]`` = the c-th codeword of
+# subspace s (subdim floats).
 
-    # --- encode: per-subspace nearest centroid (codegen'd fold, map-only).
-    # The expressions are generated as SQL text — one F.expr per subspace
-    # instead of ~1000 py4j column-builder round trips, which dominated
-    # plan-construction time in the column-API version.  Each subvector
-    # slice is computed once per subspace and shared by all 16 distances.
+
+def _pq_seed_books(cents: list[list[float]]) -> list[list[list[float]]]:
+    """Subspace slices of the seed vectors: books[s][c]."""
+    return [
+        [
+            cents[c][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+            for c in range(_PQ_NCENTS)
+        ]
+        for s in range(_PQ_M)
+    ]
+
+
+def _pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """vec_id + per-subspace double subvectors (sub{s}) + nearest-codeword
+    ids (c{s}) -- codegen'd folds, map-only.
+
+    The expressions are generated as SQL text -- one F.expr per subspace
+    instead of ~1000 py4j column-builder round trips, which dominated
+    plan-construction time in the column-API version.  Each subvector
+    slice is computed once per subspace and shared by all 16 distances."""
+
     def cent_sql(s: int, c: int) -> str:
-        vals = ", ".join(
-            repr(float(v)) + "D"
-            for v in cents[c][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
-        )
+        vals = ", ".join(repr(float(v)) + "D" for v in books[s][c])
         return f"array({vals})"
 
     sub_cols = [
@@ -359,8 +364,78 @@ def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"array_min(array({dists}))) - 1 AS INT)"
             ).alias(f"c{s}")
         )
-    codes = sliced.select("vec_id", *code_cols)
-    codes_long = codes.select(
+    return sliced.select(
+        "vec_id", *[F.col(f"sub{s}") for s in range(_PQ_M)], *code_cols
+    )
+
+
+def train_pq_books(
+    emb: DataFrame,
+    seed_books: list[list[list[float]]],
+    *,
+    scale: int = 1_000_000,
+    round_to: int = 6,
+) -> list[list[list[float]]]:
+    """One deterministic Lloyd refinement per subspace: assign every
+    subvector to its nearest seed codeword, then recompute codewords as
+    exact-integer component means (the ``recompute_centroids`` scaling
+    trick -- sums of ``round(x * scale)`` longs are order-independent,
+    so the refined books are bit-reproducible by the SQL oracle).  One
+    distributed pass; only m x ncents x subdim means reach the driver.
+    Codewords whose cell is empty (possible when two seed slices
+    coincide) keep their seed values."""
+    enc = _pq_encode(emb, seed_books)
+    sc = enc.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.col(f"c{s}").alias("code"),
+                        F.col(f"sub{s}").alias("sub"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("x")
+    )
+    comp = sc.select(
+        F.col("x.s").alias("s"),
+        F.col("x.code").alias("code"),
+        F.posexplode("x.sub").alias("pos", "val"),
+    )
+    rows = (
+        comp.groupBy("s", "code", "pos")
+        .agg(
+            F.sum(F.round(F.col("val") * scale).cast("long")).alias("v"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "s",
+            "code",
+            "pos",
+            F.round(
+                F.col("v").cast("double") / (F.col("n") * float(scale)), round_to
+            ).alias("m"),
+        )
+        .collect()
+    )
+    out = [[list(cw) for cw in sb] for sb in seed_books]
+    got: dict[tuple[int, int], dict[int, float]] = {}
+    for r in rows:
+        got.setdefault((int(r["s"]), int(r["code"])), {})[int(r["pos"])] = float(
+            r["m"]
+        )
+    for (s, c), comps in got.items():
+        out[s][c] = [comps[i] for i in range(len(comps))]
+    return out
+
+
+def _pq_run(spark: SparkSession, emb: DataFrame, books, queries_head) -> DataFrame:
+    """Encode -> broadcast-ADC score -> exact re-rank, shared by the
+    seed-codebook and trained-codebook entries."""
+    enc = _pq_encode(emb, books)
+    codes_long = enc.select(
         "vec_id",
         F.explode(
             F.array(
@@ -374,14 +449,12 @@ def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- ADC lookup table: left-fold partial dots, rounded like the oracle
     lut_rows = []
-    for qid, qv in (
-        (int(r[0]), [float(x) for x in r[1]]) for r in head[:_PQ_NQUERIES]
-    ):
+    for qid, qv in ((int(r[0]), [float(x) for x in r[1]]) for r in queries_head):
         for s in range(_PQ_M):
             for c in range(_PQ_NCENTS):
                 acc = 0.0
                 for i in range(_PQ_SUBDIM):
-                    acc += qv[s * _PQ_SUBDIM + i] * cents[c][s * _PQ_SUBDIM + i]
+                    acc += qv[s * _PQ_SUBDIM + i] * books[s][c][i]
                 lut_rows.append((qid, s, c, round(acc, 6)))
     lut = spark.createDataFrame(
         lut_rows, "query_id int, s int, code int, partial double"
@@ -410,9 +483,9 @@ def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "adc",
-            F.round(cosine(_as_double(F.col("qv")), _as_double(F.col("nv"))), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                cosine(_as_double(F.col("qv")), _as_double(F.col("nv"))), 6
+            ).alias("cosine"),
         )
     )
     wf = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
@@ -421,6 +494,31 @@ def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQ_K)
         .orderBy("query_id", "rank")
     )
+
+
+def _pq_head(emb: DataFrame):
+    """One bounded collect feeds codebook seeds and the ADC LUT."""
+    head = (
+        emb.filter(F.col("vec_id") < max(_PQ_NCENTS, _PQ_NQUERIES))
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r[1]] for r in head[:_PQ_NCENTS]]
+    return cents, head[:_PQ_NQUERIES]
+
+
+def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, qhead = _pq_head(emb)
+    return _pq_run(spark, emb, _pq_seed_books(cents), qhead)
+
+
+def x_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, qhead = _pq_head(emb)
+    books = train_pq_books(emb, _pq_seed_books(cents))
+    return _pq_run(spark, emb, books, qhead)
 
 
 def _pq_oracle() -> str:
@@ -486,5 +584,110 @@ register(
         doc="product-quantization ANN: 8×8-dim codebooks, broadcast ADC lookup table, exact re-rank on k×10 candidates",
         tags=("X3", "ann"),
         bench=True,
+    )
+)
+
+
+def _pq_trained_oracle() -> str:
+    """Replicates train_pq_books + _pq_run bit-for-bit: seed books from
+    the head vectors, ordered-fold subspace distances (list_sum of
+    list_transform == Spark's left-fold aggregate), exact-integer
+    component means for the one Lloyd step, then the same ADC + exact
+    re-rank tail as the seed-codebook oracle."""
+    sd, m, nc, nq = _PQ_SUBDIM, _PQ_M, _PQ_NCENTS, _PQ_NQUERIES
+    dist0 = (
+        f"round(list_sum(list_transform(range(1, {sd} + 1), "
+        f"i -> (CAST(e.embedding[b.s * {sd} + i] AS DOUBLE) - b.bv[i]) "
+        f"* (CAST(e.embedding[b.s * {sd} + i] AS DOUBLE) - b.bv[i]))), 6)"
+    )
+    qdot = (
+        f"round(list_sum(list_transform(range(1, {sd} + 1), "
+        f"i -> CAST(q.embedding[b.s * {sd} + i] AS DOUBLE) * b.bv[i])), 6)"
+    )
+    return f"""
+        WITH subs AS (
+            SELECT unnest(range(0, {m})) AS s
+        ), book0 AS MATERIALIZED (
+            SELECT sp.s, c.vec_id AS code,
+                   list_transform(range(1, {sd} + 1),
+                       i -> CAST(c.embedding[sp.s * {sd} + i] AS DOUBLE)) AS bv
+            FROM embeddings c CROSS JOIN subs sp
+            WHERE c.vec_id < {nc}
+        ), d0 AS (
+            SELECT e.vec_id, b.s, b.code, {dist0} AS dist
+            FROM embeddings e CROSS JOIN book0 b
+        ), codes0 AS (
+            SELECT vec_id, s, code,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, code) AS rn
+            FROM d0
+        ), comp AS (
+            -- exact integer component sums: same scaling the Spark
+            -- trainer uses, so means are order-independent
+            SELECT k.s, k.code, i AS pos,
+                   CAST(round(CAST(e.embedding[k.s * {sd} + i + 1] AS DOUBLE)
+                              * 1000000) AS BIGINT) AS v
+            FROM codes0 k
+            JOIN embeddings e ON e.vec_id = k.vec_id,
+                 unnest(range(0, {sd})) AS t(i)
+            WHERE k.rn = 1
+        ), means AS (
+            SELECT s, code, pos,
+                   round(CAST(sum(v) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mval
+            FROM comp GROUP BY s, code, pos
+        ), book1 AS MATERIALIZED (
+            -- empty cells (coinciding seed slices) keep their seed codeword
+            SELECT b0.s, b0.code, coalesce(mm.mv, b0.bv) AS bv
+            FROM book0 b0
+            LEFT JOIN (SELECT s, code, list(mval ORDER BY pos) AS mv
+                       FROM means GROUP BY s, code) mm
+              ON mm.s = b0.s AND mm.code = b0.code
+        ), d1 AS (
+            SELECT e.vec_id, b.s, b.code, {dist0.replace("book0", "book1")} AS dist
+            FROM embeddings e CROSS JOIN book1 b
+        ), codes1 AS (
+            SELECT vec_id, s, code,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, code) AS rn
+            FROM d1
+        ), lut AS (
+            SELECT q.vec_id AS query_id, b.s, b.code, {qdot} AS partial
+            FROM embeddings q CROSS JOIN book1 b
+            WHERE q.vec_id < {nq}
+        ), adc AS (
+            SELECT l.query_id, k.vec_id, round(sum(l.partial), 6) AS adc
+            FROM codes1 k JOIN lut l ON l.s = k.s AND l.code = k.code
+            WHERE k.rn = 1 AND k.vec_id <> l.query_id
+            GROUP BY l.query_id, k.vec_id
+        ), cands AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc DESC, vec_id) AS crank
+            FROM adc
+        ), rer AS (
+            SELECT ca.query_id, ca.vec_id AS neighbor_id, ca.adc,
+                   {_cos_sql('qe.embedding', 'ne.embedding')} AS cosine
+            FROM cands ca
+            JOIN embeddings ne ON ne.vec_id = ca.vec_id
+            JOIN embeddings qe ON qe.vec_id = ca.query_id
+            WHERE ca.crank <= {_PQ_CAND}
+        )
+        SELECT query_id, neighbor_id, adc, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM rer QUALIFY rank <= {_PQ_K} ORDER BY query_id, rank
+        """
+
+
+register(
+    Query(
+        name="x_ann_pq_trained",
+        build=x_ann_pq_trained,
+        oracle=_pq_trained_oracle(),
+        doc=(
+            "product-quantization ANN with codebooks refined by one "
+            "exact-integer Lloyd step per subspace; oracle replicates the "
+            "training bit-for-bit"
+        ),
+        tags=("X3", "ann"),
     )
 )

@@ -149,6 +149,23 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
     assert hit / total >= 0.5, f"PQ recall@5 {hit}/{total}"
 
 
+def test_pq_trained_recall_at_least_untrained(spark, sf_dir):
+    """One deterministic Lloyd refinement of the codebooks must not
+    lose recall@5 vs the seed codebooks (measured 0.725 → 0.825 at
+    sf0.01; deterministic training makes this a stable bound)."""
+    exact = _q("x_cosine_topk").build(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    total = exact.count()
+    assert total > 0
+
+    def recall(name: str) -> float:
+        approx = _q(name).build(spark, sf_dir).select("query_id", "neighbor_id")
+        return approx.join(exact, ["query_id", "neighbor_id"]).count() / total
+
+    assert recall("x_ann_pq_trained") >= recall("x_ann_pq")
+
+
 def test_pq_codes_are_compact(spark, sf_dir):
     """Every vector must encode to m codes in [0, ncents) — the 32x
     compression invariant (64 floats -> 8 byte-codes)."""
