@@ -88,3 +88,44 @@ def test_sql_and_dataframe_surfaces_agree(spark, sf_dir):
         .collect()
     )
     assert via_sql == via_df
+
+
+def test_gc_stale_generation_under_concurrent_reader(spark, tmp_path, monkeypatch):
+    """The documented GC contract (_gc_stale_generations): a reader
+    mid-scan of a STALE generation when GC reclaims it fails that one
+    action — and a plain retry through the registry serves the fresh
+    generation.  This proves "losing the race only costs a retry" is
+    real, not aspirational."""
+    import pytest
+
+    monkeypatch.setattr(registry, "_LAYOUT_MIN_ROWS", 10)
+    monkeypatch.setattr(registry, "_ROWS_PER_PARTITION", 20)
+    monkeypatch.setattr(registry, "LAYOUT_CACHE_DIR", str(tmp_path / "cache"))
+    src = str(tmp_path / "t.parquet")
+    _write_single_row_group(src, list(range(50)))
+
+    # Reader A plans (and proves it can scan) against generation 1.
+    old_reader = registry._with_layout_cache(spark, spark.read.parquet(src), src)
+    assert old_reader.count() == 50
+
+    # The source is regenerated; the next load builds generation 2 and
+    # GCs generation 1 out from under reader A.
+    time.sleep(0.05)
+    _write_single_row_group(src, list(range(75)))
+    os.utime(src)
+    fresh = registry._with_layout_cache(spark, spark.read.parquet(src), src)
+    assert fresh.count() == 75
+    cache_root = str(tmp_path / "cache")
+    key = src.strip("/").replace("/", "_")
+    gens = [d for d in os.listdir(cache_root) if d.startswith(key + ".m")]
+    assert len(gens) == 1  # stale generation reclaimed
+
+    # Reader A's next action hits the vanished directory: one failed
+    # action, not silent wrong data.  (Disable Spark's file-index cache
+    # effects by forcing a fresh scan via a new action.)
+    with pytest.raises(Exception):
+        old_reader.distinct().count()
+
+    # The retry path: re-resolve through the registry → fresh data.
+    retried = registry._with_layout_cache(spark, spark.read.parquet(src), src)
+    assert retried.count() == 75

@@ -59,11 +59,15 @@ def scale_corpus(sf_dir: str, factor: int) -> str:
     out = os.path.join(tempfile.gettempdir(), f"refbench_{key}_x{factor}")
     if all(
         os.path.exists(os.path.join(out, f"{n}.parquet"))
-        for n in ("documents", "embeddings")
+        for n in ("documents", "embeddings", "customer")
     ):
         return out
     os.makedirs(out, exist_ok=True)
-    for name, id_col in (("documents", "doc_id"), ("embeddings", "vec_id")):
+    for name, id_col in (
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("customer", "c_custkey"),
+    ):
         t = pq.read_table(f"{sf_dir}/{name}.parquet")
         n = t.num_rows
         parts = []
@@ -73,6 +77,18 @@ def scale_corpus(sf_dir: str, factor: int) -> str:
                 id_col,
                 pc.add(t[id_col], i * n),
             )
+            if name == "customer":
+                # keep names DISTINCT across replicas (suffix per copy):
+                # replicated identical names would collide every deletion
+                # variant across all copies — an n² join no real fuzzy-
+                # match corpus exhibits.
+                shifted = shifted.set_column(
+                    shifted.schema.get_field_index("c_name"),
+                    "c_name",
+                    pc.binary_join_element_wise(
+                        shifted["c_name"].cast(pa.string()), f"r{i}", "_"
+                    ),
+                )
             parts.append(shifted)
         final = f"{out}/{name}.parquet"
         pq.write_table(pa.concat_tables(parts), final + ".tmp")

@@ -216,6 +216,69 @@ def main() -> None:
     for name in ("x_bm25_retrieval", "x_ann_pq", "x_token_budget_cut"):
         run(name, get_catalog()[name].build(spark, staged))
 
+    # r4 additions: trained PQ (adds the one-Lloyd-step training pass
+    # over the full staged vector corpus before encode+ADC) and the
+    # SymSpell deletion-neighborhood fuzzy join (posting-list equi-join
+    # over the replicated-with-distinct-names customer table).
+    for name in ("x_ann_pq_trained", "x_symspell_fuzzy_join"):
+        run(name, get_catalog()[name].build(spark, staged))
+
+    # Sign-LSH at the production 0.8 threshold, in the realistic
+    # pipeline order (same rationale as the MinHash stress above): the
+    # replicated corpus is exact-duplicate clusters of ~`scale` copies,
+    # whose O(scale²) bucket pairs belong to the CHEAP exact pass —
+    # running banded LSH straight over them floods the verify join by
+    # design (measured: >80 GB spill at ×100).  So: jitter each copy
+    # into one of 7 deterministic near-dup variants, exact-dedup on the
+    # vector (one shuffle over the full corpus), THEN sign-LSH + exact
+    # cosine verify over the ~7-variant clusters at production params.
+    if only is None or "signlsh_t08_post_exact" in only:
+        from airflow_embeddings_pipeline_spark.extensions.dedup import (
+            simhash_near_dup_pairs as _sh_pairs,
+        )
+        from airflow_embeddings_pipeline_spark.extensions.similarity import (
+            _as_double,
+            dot,
+            hyperplane_planes,
+            hyperplane_signature,
+            l2_norm,
+        )
+
+        emb = load_table(spark, staged, "embeddings")
+        jit = emb.select(
+            "vec_id",
+            F.transform(
+                _as_double(F.col("embedding")),
+                lambda x, i: x
+                + 0.02 * ((((F.col("vec_id") % 7) * 31 + i) % 7) - 3),
+            ).alias("v"),
+        )
+        survivors = jit.dropDuplicates(["v"])  # exact pass: ~7 variants/base
+        planes = hyperplane_planes(32, 64)
+        sigs = survivors.select(
+            "vec_id", hyperplane_signature("v", planes).alias("sim")
+        )
+        cands = _sh_pairs(
+            sigs, id_col="vec_id", simhash_col="sim",
+            max_hamming=32, num_bands=4, band_bits=8, pair_mode="join",
+        )
+        normed = survivors.select(
+            "vec_id",
+            F.transform("v", lambda x: x / l2_norm(F.col("v"))).alias("u"),
+        )
+        a = normed.select(F.col("vec_id").alias("id_a"), F.col("u").alias("ua"))
+        b = normed.select(F.col("vec_id").alias("id_b"), F.col("u").alias("ub"))
+        verified = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a", "id_b",
+                F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= 0.8)
+        )
+        run("signlsh_t08_post_exact", verified)
+
     print(
         json.dumps(
             {"n_documents": n, "scale_x": scale, "timings_sec": timings}
