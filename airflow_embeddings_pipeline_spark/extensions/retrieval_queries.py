@@ -353,15 +353,22 @@ def _pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     sliced = emb.select("vec_id", *sub_cols)
     code_cols = []
     for s in range(_PQ_M):
-        dists = ", ".join(
-            f"round(aggregate(zip_with(sub{s}, {cent_sql(s, c)}, "
-            "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 6)"
+        # single-pass argmin fold over (dist, idx) structs: each of the
+        # 16 distances is evaluated ONCE (the array_position(array(d...),
+        # array_min(array(d...))) form builds the distance array twice —
+        # measured 7.3 s vs 6.2 s per 200k vectors).  First-min tie
+        # break (strict <) matches array_position's first-match and the
+        # oracle's ORDER BY dist, code.
+        pairs = ", ".join(
+            f"named_struct('d', round(aggregate(zip_with(sub{s}, {cent_sql(s, c)}, "
+            f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 6), 'i', {c})"
             for c in range(_PQ_NCENTS)
         )
         code_cols.append(
             F.expr(
-                f"CAST(array_position(array({dists}), "
-                f"array_min(array({dists}))) - 1 AS INT)"
+                f"CAST(aggregate(array({pairs}), "
+                "named_struct('d', CAST('Infinity' AS DOUBLE), 'i', -1), "
+                "(acc, x) -> IF(x.d < acc.d, x, acc)).i AS INT)"
             ).alias(f"c{s}")
         )
     return sliced.select(
