@@ -555,6 +555,114 @@ register(
 )
 
 
+# ----------------------------------------------- bigram LM perplexity
+# The KenLM-shaped quality filter one tier above the unigram score:
+# add-one-smoothed conditional bigram log-probs with capped count
+# tables.  Scale shape: the bigram/history tables are top-K capped
+# (rare bigrams fall through to the smoothing floor, exactly what a
+# pruned LM does), so both joins stay broadcasts no matter the corpus
+# size; the only corpus-wide work is the pair explode + two hash aggs.
+# Exact-integer counts + one rounded ln per row keep both engines
+# bit-identical; the `size >= 2` guard matters because Spark's
+# sequence(1, 0) counts DOWN while DuckDB's range(1, 1) is empty.
+_LM2_TOP = 4000  # bigram-table cap
+_LM2_HIST = 1000  # history-table cap
+
+
+def x_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> named_struct('a', split(text, ' ')[i - 1], "
+                "'b', split(text, ' ')[i])) "
+                "ELSE array() END"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    hist = (
+        bi.groupBy("a")
+        .agg(F.count("*").alias("c_a"))
+        .orderBy(F.desc("c_a"), "a")
+        .limit(_LM2_HIST)
+    )
+    pairs = (
+        bi.groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .orderBy(F.desc("c_ab"), "a", "b")
+        .limit(_LM2_TOP)
+    )
+    vsize = bi.agg(F.countDistinct("b").alias("v"))
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("c_ab"), F.lit(0)) + 1)
+            / (F.coalesce(F.col("c_a"), F.lit(0)) + F.col("v"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    scored = (
+        bi.join(F.broadcast(vsize))
+        .join(F.broadcast(hist), "a", "left")
+        .join(F.broadcast(pairs), ["a", "b"], "left")
+        .select("doc_id", lp.alias("lp"))
+    )
+    mean_lp = F.sum("lp").cast("double") / F.count("*")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(mean_lp, 6).alias("mean_logprob"),
+            F.round(F.exp(-mean_lp), 4).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    Query(
+        name="x_bigram_lm_logprob",
+        build=x_bigram_lm_logprob,
+        oracle=f"""
+        WITH bi AS MATERIALIZED (
+            SELECT doc_id, t[i] AS a, t[i + 1] AS b
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 unnest(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2
+        ), hist AS MATERIALIZED (
+            SELECT a, count(*) AS c_a FROM bi GROUP BY a
+            ORDER BY c_a DESC, a LIMIT {_LM2_HIST}
+        ), pairs AS MATERIALIZED (
+            SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b
+            ORDER BY c_ab DESC, a, b LIMIT {_LM2_TOP}
+        ), vsize AS (
+            SELECT count(DISTINCT b) AS v FROM bi
+        ), scored AS (
+            SELECT bi.doc_id,
+                   CAST(round(ln((COALESCE(p.c_ab, 0) + 1)
+                                 / CAST(COALESCE(h.c_a, 0) + vsize.v AS DOUBLE)),
+                              9) AS DECIMAL(18,9)) AS lp
+            FROM bi CROSS JOIN vsize
+            LEFT JOIN hist h ON bi.a = h.a
+            LEFT JOIN pairs p ON bi.a = p.a AND bi.b = p.b
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob,
+               round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS perplexity
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        doc=(
+            "bigram-LM perplexity filter (KenLM-shaped): add-one-smoothed "
+            "conditional log-probs over top-K-capped count tables, "
+            "decimal-exact per-doc mean"
+        ),
+        tags=("X4", "curation"),
+    )
+)
+
+
 # --------------------------------------------------- word PMI pairs
 # Doc-level co-occurrence statistics → pointwise mutual information
 # (the embedding-training prep signal): pairs of DISTINCT tokens per

@@ -512,3 +512,86 @@ register(
         tags=("streaming", "join"),
     )
 )
+
+
+# --------------------------------------- streaming session windows (T5)
+# Native session_window aggregation — the merging-window state shape
+# tumbling/sliding windows don't exercise (sessions EXTEND and MERGE as
+# events arrive, so state is per-session, not per-fixed-window).
+# Complete mode (Spark 4 supports it for session windows; update is
+# rejected): every trigger emits the full settled session table, and
+# under AvailableNow the fixture is one micro-batch, so the sink holds
+# each final session exactly once and the result equals batch gap-merge
+# sessionization — fully SQL-expressible.  Boundary semantics: an event at exactly
+# last_event + gap starts a NEW session (session windows are
+# end-exclusive), hence the oracle's `>= 3600`, unlike t_sessionize's
+# strictly-greater lag-gap convention.
+_SESSION_GAP = "1 hour"
+
+
+def t_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", _SESSION_GAP), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"t_stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sess_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+register(
+    Query(
+        name="t_stream_session_counts",
+        build=t_stream_session_counts,
+        oracle="""
+        WITH gapped AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                               OVER (PARTITION BY user_id ORDER BY ts)
+                             >= 3600
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sessioned AS (
+            SELECT *,
+                   sum(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM gapped
+        )
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 1 HOUR AS session_end,
+               user_id,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM sessioned GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+        """,
+        doc=(
+            "Structured Streaming session_window agg (merging-window state, "
+            "complete mode → memory sink), oracled against batch gap-merge "
+            "sessionization, T5/§2.8"
+        ),
+        tags=("streaming", "T5"),
+    )
+)

@@ -33,6 +33,7 @@ EXPECTED_BNLJ = {
     "x_semantic_join",  # same broadcast top-k core as x_cosine_topk
     "q22_sales_opportunity",
     "x_unigram_logprob",  # 1-row broadcast total-count cross join
+    "x_bigram_lm_logprob",  # 1-row broadcast vocab-size cross join
     "x_mixture_plan",  # 1-row broadcast global-budget cross join
     "x_maxsim_retrieval",  # 3-row broadcast query-token cross join
     "t_event_funnel",  # 1-row-per-side stage-count cross joins
