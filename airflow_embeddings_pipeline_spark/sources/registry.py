@@ -42,6 +42,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LAYOUT_CACHE_DIR = os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "/tmp/spark_graft_layout")
 _LAYOUT_MIN_ROWS = 1_000
 _ROWS_PER_PARTITION = 160
+_LAYOUT_MAX_BYTES = 2_000_000_000  # never duplicate files bigger than this locally
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
@@ -100,7 +101,20 @@ def _with_layout_cache(spark: SparkSession, df: DataFrame, path: str) -> DataFra
         meta = pq.ParquetFile(path).metadata
     except Exception:
         return df
-    if meta.num_row_groups > 1 or meta.num_rows < _LAYOUT_MIN_ROWS:
+    if meta.num_rows < _LAYOUT_MIN_ROWS:
+        return df
+    # Re-chunk when the file's row groups are too COARSE to parallelize,
+    # not only when it's a single group: parquet splits at row-group
+    # granularity, so a 1.5M-row file with 5 fat row groups caps every
+    # downstream map stage at 5 tasks (measured: a 37M-row explode over
+    # it ran 5-wide on 32 cores).  Already-fine files and files too big
+    # to duplicate locally are served as-is.
+    n_target = max(
+        2, min(int(_DEFAULT_CPUS), meta.num_rows // _ROWS_PER_PARTITION + 1)
+    )
+    if meta.num_row_groups >= max(2, n_target // 2):
+        return df
+    if os.path.getsize(path) > _LAYOUT_MAX_BYTES:
         return df
 
     # Cache dir KEYED BY SOURCE MTIME: a rewritten source maps to a new

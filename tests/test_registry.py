@@ -129,3 +129,34 @@ def test_gc_stale_generation_under_concurrent_reader(spark, tmp_path, monkeypatc
     # The retry path: re-resolve through the registry → fresh data.
     retried = registry._with_layout_cache(spark, spark.read.parquet(src), src)
     assert retried.count() == 75
+
+
+def test_layout_cache_rechunks_coarse_row_groups(spark, tmp_path, monkeypatch):
+    """Multi-row-group files are NOT automatically fine-grained: parquet
+    splits at row-group granularity, so a file with a few fat row groups
+    still caps map parallelism (the symspell-stress 5-tasks-on-32-cores
+    regression).  Coarse files must re-chunk; already-fine files must be
+    served as-is (no pointless local copy)."""
+    monkeypatch.setattr(registry, "_LAYOUT_MIN_ROWS", 10)
+    monkeypatch.setattr(registry, "_ROWS_PER_PARTITION", 20)
+    monkeypatch.setattr(registry, "LAYOUT_CACHE_DIR", str(tmp_path / "cache"))
+
+    values = list(range(2000))
+    coarse = str(tmp_path / "coarse.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array(values, pa.int64())}), coarse, row_group_size=500
+    )  # 4 fat groups < target/2 -> re-chunk
+    df = registry._with_layout_cache(spark, spark.read.parquet(coarse), coarse)
+    assert df.count() == 2000
+    key = coarse.strip("/").replace("/", "_")
+    cache_root = str(tmp_path / "cache")
+    assert any(d.startswith(key + ".m") for d in os.listdir(cache_root))
+
+    fine = str(tmp_path / "fine.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array(values, pa.int64())}), fine, row_group_size=64
+    )  # ~32 groups >= target/2 -> served as-is
+    df2 = registry._with_layout_cache(spark, spark.read.parquet(fine), fine)
+    assert df2.count() == 2000
+    fkey = fine.strip("/").replace("/", "_")
+    assert not any(d.startswith(fkey + ".m") for d in os.listdir(cache_root))
