@@ -202,3 +202,33 @@ def test_zorder_interleave_bijective(spark, pairs):
         dec_cb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
         dec_db = sum(((z >> (2 * i)) & 1) << i for i in range(8))
         assert (dec_cb, dec_db) == (cb, db)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.randoms(use_true_random=False),
+)
+def test_stdlib_png_codec_roundtrips_arbitrary_gray_images(w, h, rnd):
+    """Pure-Python property: encode→decode is the identity for every
+    8-bit grayscale image (driver-side codec functions, no Spark)."""
+    from airflow_embeddings_pipeline_spark.extensions.multimodal import (
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    pix = bytes(rnd.randrange(256) for _ in range(w * h))
+    png = png_encode_gray(w, h, pix)
+    dw, dh, back = png_decode_gray(png)
+    assert (dw, dh, back) == (w, h, pix)
+    # cross-codec parity wherever PIL is installed: the stdlib encoder's
+    # output decodes to the same pixels through PIL too
+    from airflow_embeddings_pipeline_spark.extensions.multimodal import probe_codecs
+
+    if probe_codecs()["PIL"]:
+        import io
+
+        from PIL import Image
+
+        assert Image.open(io.BytesIO(png)).convert("L").tobytes() == pix
