@@ -571,14 +571,19 @@ _LM2_HIST = 1000  # history-table cap
 
 def x_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bi = docs.select(
+    # tokenize ONCE behind a generator barrier — CollapseProject would
+    # otherwise re-inline the split into each of its 4 uses below (the
+    # explode(array(...)) trick used by the winnowing/LSH stages)
+    toks = docs.select(
+        "doc_id", F.explode(F.array(F.split("text", " "))).alias("t")
+    )
+    bi = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> named_struct('a', split(text, ' ')[i - 1], "
-                "'b', split(text, ' ')[i])) "
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "i -> named_struct('a', t[i - 1], 'b', t[i])) "
                 "ELSE array() END"
             )
         ).alias("p"),
