@@ -810,3 +810,91 @@ register(
         tags=("curation", "X4"),
     )
 )
+
+
+# ------------------------------------ cross-doc boilerplate removal
+# The C4 cleaning step the per-doc quality battery can't do: spans that
+# recur across MANY documents (nav bars, license footers, template
+# text) are removed from EVERY document, and the text is reconstructed
+# from the surviving spans in order.  Spans here are consecutive
+# 2-token chunks (the fixture's word-soup analog of C4's
+# three-sentence spans).  Scale shape: one explode + one count shuffle;
+# the boilerplate set is heavy-hitter-bounded (≤ total_spans / K
+# entries can appear in ≥ K docs) so it broadcasts back under the
+# map-side anti filter; reconstruction is a per-doc sort of its own
+# surviving spans, never a global sort.
+_BP_CHUNK = 2  # tokens per span
+_BP_K = 25  # spans in >= K distinct docs are boilerplate
+
+
+def x_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(split(text, ' ')) + 1) div {_BP_CHUNK} - 1), "
+                f"i -> array_join(slice(split(text, ' '), i * {_BP_CHUNK} + 1, {_BP_CHUNK}), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    boiler = (
+        exploded.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= _BP_K)
+        .select(F.col("chunk").alias("bchunk"))
+    )
+    joined = exploded.join(
+        F.broadcast(boiler), exploded["chunk"] == F.col("bchunk"), "left"
+    )
+    kept_struct = F.when(
+        F.col("bchunk").isNull(), F.struct("pos", "chunk")
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("bchunk").isNull().cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    Query(
+        name="x_boilerplate_removal",
+        build=x_boilerplate_removal,
+        oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), chunks AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(w[i * {_BP_CHUNK} + 1 : i * {_BP_CHUNK} + {_BP_CHUNK}], ' ') AS chunk
+            FROM t, unnest(range(0, (len(w) + 1) // {_BP_CHUNK})) AS u(i)
+        ), boiler AS (
+            SELECT chunk FROM chunks GROUP BY chunk
+            HAVING count(DISTINCT doc_id) >= {_BP_K}
+        )
+        SELECT c.doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN b.chunk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               coalesce(string_agg(CASE WHEN b.chunk IS NULL THEN c.chunk END,
+                                   ' ' ORDER BY c.pos), '') AS cleaned_text
+        FROM chunks c LEFT JOIN boiler b ON c.chunk = b.chunk
+        GROUP BY c.doc_id ORDER BY c.doc_id
+        """,
+        doc=(
+            "C4-style cross-document boilerplate span removal: recurring "
+            "2-token spans (>= K distinct docs) dropped everywhere, text "
+            "reconstructed from surviving spans in order"
+        ),
+        tags=("curation", "X4"),
+    )
+)
