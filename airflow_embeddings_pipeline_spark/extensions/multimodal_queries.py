@@ -238,3 +238,121 @@ register(
         tags=("X5", "X3", "retrieval"),
     )
 )
+
+
+# ------------------------------------ perceptual-hash image near-dup
+# Image dedup without decoding: a 60-bit aHash (byte > corpus-free
+# per-payload mean threshold, integer-exact b*64 > sum compare) over
+# the opaque payload bytes, then the SAME banded-hamming machinery the
+# text SimHash tier uses (4×15-bit bands, exact for hamming ≤ 3 by
+# pigeonhole).  Near-duplicate images are PLANTED deterministically
+# (every 30th doc's image payload re-appears with two bytes bumped —
+# ≤ 2 threshold bits can differ), so candidate generation and verify
+# run against known ground truth and the oracle is a full self-join.
+# The real-codec tier swaps payload bytes for decoded gray pixels
+# (extract_features) with the identical downstream plan.  Scale shape:
+# map-only hashing, one bucket shuffle, no all-pairs join.
+_PH_ID_OFFSET = 10_000_000
+_PH_BUMP = 7
+
+_PH_BARR_SPARK = (
+    "transform(sequence(0, 63), i -> "
+    "CAST(conv(substring(hx, i * 2 + 1, 2), 16, 10) AS BIGINT))"
+)
+_PH_AHASH_SPARK = (
+    "CAST(aggregate(sequence(0, 59), CAST(0 AS BIGINT), (a, i) -> "
+    "a + IF(element_at(barr, i + 1) * 64 > total, "
+    "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))) AS BIGINT)"
+)
+
+
+def x_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    images = attach_media(docs).filter(F.col("media_type") == "image")
+    base = images.select("doc_id", F.lower(F.hex("payload")).alias("hx"))
+    bump = (
+        f"concat(substring(hx, 1, 6), "
+        f"lower(lpad(hex((conv(substring(hx, 7, 2), 16, 10) + {_PH_BUMP}) % 256), 2, '0')), "
+        f"substring(hx, 9, 26), "
+        f"lower(lpad(hex((conv(substring(hx, 35, 2), 16, 10) + {_PH_BUMP}) % 256), 2, '0')), "
+        f"substring(hx, 37, 92))"
+    )
+    planted = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _PH_ID_OFFSET).alias("doc_id"),
+        F.expr(bump).alias("hx"),
+    )
+    corpus = base.union(planted)
+    # generator barriers between the three projections: CollapseProject
+    # would otherwise re-inline the 64-conv byte array into both the
+    # total and each of the 60 bit terms
+    with_bytes = corpus.select(
+        "doc_id", F.explode(F.array(F.expr(_PH_BARR_SPARK))).alias("barr")
+    )
+    with_total = with_bytes.select(
+        "doc_id",
+        "barr",
+        F.explode(
+            F.array(F.expr("aggregate(barr, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        ).alias("total"),
+    )
+    hashed = with_total.select("doc_id", F.expr(_PH_AHASH_SPARK).alias("ahash"))
+    return simhash_near_dup_pairs(
+        hashed, id_col="doc_id", simhash_col="ahash",
+        max_hamming=3, num_bands=4, band_bits=15, pair_mode="join",
+    ).orderBy("id_a", "id_b")
+
+
+def _phash_oracle() -> str:
+    # payload hex replicated from attach_media's md5-chain construction
+    hx = "md5('0' || text) || md5('1' || text) || md5('2' || text) || md5('3' || text)"
+    bump = (
+        f"substr(hx, 1, 6) || "
+        f"lower(printf('%02x', CAST((CAST('0x' || substr(hx, 7, 2) AS BIGINT) + {_PH_BUMP}) % 256 AS INTEGER))) || "
+        f"substr(hx, 9, 26) || "
+        f"lower(printf('%02x', CAST((CAST('0x' || substr(hx, 35, 2) AS BIGINT) + {_PH_BUMP}) % 256 AS INTEGER))) || "
+        f"substr(hx, 37, 92)"
+    )
+    return f"""
+        WITH img AS (
+            SELECT doc_id, {hx} AS hx FROM documents WHERE doc_id % 3 = 0
+        ), corpus AS (
+            SELECT doc_id, hx FROM img
+            UNION ALL
+            SELECT doc_id + {_PH_ID_OFFSET} AS doc_id, {bump} AS hx
+            FROM img WHERE doc_id % 10 = 0
+        ), withb AS MATERIALIZED (
+            SELECT doc_id,
+                   list_transform(range(0, 64),
+                       i -> CAST('0x' || substr(hx, i * 2 + 1, 2) AS BIGINT)) AS barr
+            FROM corpus
+        ), hashed AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 60),
+                       i -> CASE WHEN barr[i + 1] * 64 > list_sum(barr)
+                                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+                        AS BIGINT) AS ahash
+            FROM withb
+        )
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               bit_count(xor(l.ahash, r.ahash)) AS hamming
+        FROM hashed l JOIN hashed r ON l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.ahash, r.ahash)) <= 3
+        ORDER BY id_a, id_b
+        """
+
+
+register(
+    Query(
+        name="x_media_phash_near_dup",
+        build=x_media_phash_near_dup,
+        oracle=_phash_oracle(),
+        doc=(
+            "perceptual-aHash image near-dup: 60-bit payload-byte hash, "
+            "4×15-bit banded hamming buckets (exact ≤ 3), planted "
+            "perturbed copies as ground truth; oracled vs full self-join"
+        ),
+        tags=("X5", "X2", "multimodal"),
+    )
+)

@@ -849,3 +849,27 @@ def test_incremental_near_dup_complete(spark):
         if ham(ns, cs) <= 3
     }
     assert got == want and (10, 1, 1) in got and (12, 3, 1) in got
+
+
+def test_media_phash_finds_every_planted_pair(spark, sf_dir):
+    """Every planted perturbed image (2 bumped bytes → ≤ 2 threshold
+    bits) must pair with its original; no unrelated pair sneaks in at
+    hamming ≤ 3 on 60-bit pseudo-random hashes."""
+    from airflow_embeddings_pipeline_spark.extensions.multimodal_queries import (
+        _PH_ID_OFFSET,
+        x_media_phash_near_dup,
+    )
+
+    rows = x_media_phash_near_dup(spark, sf_dir).collect()
+    planted = {
+        (r.id_a, r.id_b)
+        for r in rows
+        if r.id_b == r.id_a + _PH_ID_OFFSET
+    }
+    n_expected = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 10 == 0))
+        .count()
+    )
+    assert len(planted) == n_expected
+    assert all(r.hamming <= 3 for r in rows)
