@@ -638,3 +638,137 @@ register(
         tags=("scalar", "map"),
     )
 )
+
+
+# --------------------------------------------- data-quality assertions
+# The dbt-test / Great-Expectations surface as ONE query: each rule is
+# a named aggregate over its table, union-all'd into a (rule, table,
+# violations, checked) report — null rates, key uniqueness, referential
+# integrity (orphaned FKs via anti-join semantics), and value-range
+# contracts.  Every rule is a single agg or one broadcast-dim anti
+# count; nothing scans a fact table twice, and the whole report is one
+# job.  At 100 TB this is the post-load gate a warehouse pipeline runs
+# before publishing a snapshot (the reference publishes MERGE results
+# with no such gate — this is the missing guardrail).
+def a_dq_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+
+    rules = [
+        # key uniqueness: duplicates of the primary key
+        orders.groupBy("o_orderkey")
+        .count()
+        .agg(
+            F.lit("unique_key").alias("rule"),
+            F.lit("orders").alias("table_name"),
+            F.sum((F.col("count") > 1).cast("long")).alias("violations"),
+            F.count("*").alias("checked"),
+        ),
+        # not-null contract
+        orders.agg(
+            F.lit("not_null_custkey").alias("rule"),
+            F.lit("orders").alias("table_name"),
+            F.sum(F.col("o_custkey").isNull().cast("long")).alias("violations"),
+            F.count("*").alias("checked"),
+        ),
+        # referential integrity: orders.o_custkey ⊆ customer.c_custkey
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        ).agg(
+            F.lit("fk_orders_customer").alias("rule"),
+            F.lit("orders").alias("table_name"),
+            F.sum(F.col("c_custkey").isNull().cast("long")).alias("violations"),
+            F.count("*").alias("checked"),
+        ),
+        # accepted range: discounts within [0, 0.1]
+        li.agg(
+            F.lit("range_discount").alias("rule"),
+            F.lit("lineitem").alias("table_name"),
+            F.sum(
+                (~F.col("l_discount").between(0.0, 0.1)).cast("long")
+            ).alias("violations"),
+            F.count("*").alias("checked"),
+        ),
+        # cross-column contract: extendedprice positive when quantity > 0
+        li.agg(
+            F.lit("positive_price").alias("rule"),
+            F.lit("lineitem").alias("table_name"),
+            F.sum(
+                ((F.col("l_quantity") > 0) & (F.col("l_extendedprice") <= 0))
+                .cast("long")
+            ).alias("violations"),
+            F.count("*").alias("checked"),
+        ),
+        # freshness-ish: documents must be non-empty strings
+        docs.agg(
+            F.lit("non_empty_text").alias("rule"),
+            F.lit("documents").alias("table_name"),
+            F.sum(
+                (F.col("text").isNull() | (F.length("text") == 0)).cast("long")
+            ).alias("violations"),
+            F.count("*").alias("checked"),
+        ),
+    ]
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out.withColumn(
+        "passed", (F.col("violations") == 0).cast("int")
+    ).orderBy("rule")
+
+
+register(
+    Query(
+        name="a_dq_assertions",
+        build=a_dq_assertions,
+        oracle="""
+        WITH r AS (
+            SELECT 'unique_key' AS rule, 'orders' AS table_name,
+                   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+                   count(*) AS checked
+            FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY o_orderkey)
+            UNION ALL
+            SELECT 'not_null_custkey', 'orders',
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(*)
+            FROM orders
+            UNION ALL
+            SELECT 'fk_orders_customer', 'orders',
+                   CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(*)
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            UNION ALL
+            SELECT 'range_discount', 'lineitem',
+                   CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   count(*)
+            FROM lineitem
+            UNION ALL
+            SELECT 'positive_price', 'lineitem',
+                   CAST(sum(CASE WHEN l_quantity > 0 AND l_extendedprice <= 0
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   count(*)
+            FROM lineitem
+            UNION ALL
+            SELECT 'non_empty_text', 'documents',
+                   CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   count(*)
+            FROM documents
+        )
+        SELECT rule, table_name, violations, checked,
+               CASE WHEN violations = 0 THEN 1 ELSE 0 END AS passed
+        FROM r ORDER BY rule
+        """,
+        doc=(
+            "data-quality assertion battery (dbt-test shape): uniqueness, "
+            "not-null, referential integrity, range and cross-column "
+            "contracts as one union-all report"
+        ),
+        tags=("dq", "aggregation"),
+    )
+)
