@@ -332,6 +332,106 @@ register(
 )
 
 
+# ---------------------------------------- k-means convergence report
+# The training-health signal next to the trained tiers: the centered
+# k-means objective Σ(‖c‖² − 2 v·c) over nearest-centroid assignments
+# (‖v‖² is a per-vector constant, so this surrogate has the same
+# minimizer and the same monotone descent as the true inertia), before
+# and after the one exact-integer Lloyd step.  Per-vector min distances
+# are rounded then summed as DECIMAL(18,6) so both engines produce the
+# identical total regardless of aggregation order.  A unit test asserts
+# descent; the oracle replicates both iterations bit-for-bit.
+def x_kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _as_double, dot, train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < _N_CENTS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    seeds = [[float(x) for x in r[0]] for r in cent_rows]
+    trained = train_ivf_centroids(emb, seeds, iters=1)
+
+    def inertia(cents: list[list[float]], iteration: int) -> DataFrame:
+        carr = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+                for c in cents
+            ]
+        )
+        v = _as_double(F.col("embedding"))
+        dists = F.transform(carr, lambda c: F.round(dot(c, c) - 2 * dot(v, c), 6))
+        return emb.select(
+            F.array_min(dists).cast("decimal(18,6)").alias("d")
+        ).agg(
+            F.lit(iteration).alias("iteration"),
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum("d"), 4).cast("double").alias("inertia"),
+        )
+
+    return inertia(seeds, 0).unionByName(inertia(trained, 1)).orderBy("iteration")
+
+
+register(
+    Query(
+        name="x_kmeans_convergence",
+        build=x_kmeans_convergence,
+        oracle=f"""
+        WITH cents0 AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id < {_N_CENTS}
+        ), d0 AS (
+            SELECT e.vec_id, c.cid, {_CDIST1} AS dist
+            FROM embeddings e CROSS JOIN cents0 c
+        ), a0 AS (
+            SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d0
+        ), cells0 AS (
+            SELECT vec_id, cid AS cell FROM a0 WHERE rn = 1
+        ), comp AS (
+            SELECT c0.cell, i AS pos,
+                   CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+            FROM cells0 c0
+            JOIN embeddings e ON e.vec_id = c0.vec_id,
+                 unnest(range(1, len(e.embedding) + 1)) AS t(i)
+        ), means AS (
+            SELECT cell, pos,
+                   round(CAST(sum(v) AS DOUBLE) / (count(*) * 1000000.0), 6) AS m
+            FROM comp GROUP BY cell, pos
+        ), cents1 AS MATERIALIZED (
+            SELECT cell AS cid, list(m ORDER BY pos) AS cv
+            FROM means GROUP BY cell
+        ), d1 AS (
+            SELECT e.vec_id, c.cid, {_CDIST1} AS dist
+            FROM embeddings e CROSS JOIN cents1 c
+        ), a1 AS (
+            SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d1
+        )
+        SELECT 0 AS iteration, count(*) AS n_vectors,
+               CAST(round(sum(CAST(dist AS DECIMAL(18,6))), 4) AS DOUBLE) AS inertia
+        FROM a0 WHERE rn = 1
+        UNION ALL
+        SELECT 1, count(*),
+               CAST(round(sum(CAST(dist AS DECIMAL(18,6))), 4) AS DOUBLE)
+        FROM a1 WHERE rn = 1
+        ORDER BY iteration
+        """,
+        doc=(
+            "k-means training convergence: centered-objective inertia before/"
+            "after the exact-integer Lloyd step, decimal-exact totals"
+        ),
+        tags=("X3", "ann", "training"),
+    )
+)
+
+
 # ------------------------------------------- hyperplane-LSH near-dup
 # The 100 TB similarity-join tier: sign-LSH signatures (16 random
 # hyperplanes), banded 4×4-bit bucketing — candidates are pairs sharing

@@ -873,3 +873,14 @@ def test_media_phash_finds_every_planted_pair(spark, sf_dir):
     )
     assert len(planted) == n_expected
     assert all(r.hamming <= 3 for r in rows)
+
+
+def test_kmeans_step_descends(spark, sf_dir):
+    """One Lloyd step must not increase the (centered) k-means
+    objective — the monotone-descent property, on exact decimal sums."""
+    from airflow_embeddings_pipeline_spark.extensions.similarity_queries import (
+        x_kmeans_convergence,
+    )
+
+    rows = {r.iteration: r.inertia for r in x_kmeans_convergence(spark, sf_dir).collect()}
+    assert rows[1] <= rows[0] + 1e-3  # rounding slack on the 6-dp dists
