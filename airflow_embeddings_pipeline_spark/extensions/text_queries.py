@@ -953,3 +953,64 @@ register(
         tags=("X4", "sampling"),
     )
 )
+
+
+# ------------------------------------------------- feature hashing
+# The hashing-trick vectorizer (Weinberger 2009): tokens hash straight
+# into a fixed-dim count vector — no vocabulary build, no fit step, no
+# driver state, which is why it's THE featurizer that survives 100 TB
+# (vocab-based vectorizers need a broadcast dictionary; this needs a
+# hash call).  One explode + one shuffle; the 64 bucket counts are
+# conditional sums in a single aggregation pass.  md5-derived bucket
+# ids are engine-portable, so the whole vector is oracle-exact.
+_FH_DIM = 64
+
+
+def x_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    bucket = F.expr(f"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % {_FH_DIM}")
+    counted = toks.select("doc_id", bucket.alias("b"))
+    return (
+        counted.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array(
+                *[
+                    F.sum((F.col("b") == i).cast("long")).alias(f"f{i}")
+                    for i in range(_FH_DIM)
+                ]
+            ).alias("fvec"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    Query(
+        name="x_feature_hashing",
+        build=x_feature_hashing,
+        oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_FH_DIM} AS b
+            FROM toks
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               list_transform(range(0, {_FH_DIM}),
+                   i -> CAST(coalesce(map_extract(histogram(b), i)[1], 0)
+                             AS BIGINT)) AS fvec
+        FROM b GROUP BY doc_id ORDER BY doc_id
+        """,
+        doc=(
+            "hashing-trick featurizer: tokens → fixed-64-dim count vector, "
+            "no vocabulary state, single aggregation pass"
+        ),
+        tags=("X4", "featurization"),
+    )
+)
