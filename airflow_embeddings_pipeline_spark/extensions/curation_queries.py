@@ -898,3 +898,100 @@ register(
         tags=("curation", "X4"),
     )
 )
+
+
+# ------------------------------------ corpus refresh, one-plan e2e
+# The curation DAG a training-data refresh actually runs — exact dedup
+# (canonical = min doc_id per content fingerprint), quality gate,
+# token accounting, packing estimate — composed as ONE Catalyst plan:
+# a single window pass marks canonicals, per-doc flags replace
+# intermediate materializations, and one aggregation emits the whole
+# per-source funnel.  At 100 TB this is one shuffle on the fingerprint
+# + one on source — no staging tables between stages, no second corpus
+# scan per stage (the flags trick is what makes stage composition
+# free).
+_CR_MIN_TOKENS = 20
+_CR_MIN_DISTINCT = 0.5
+_CR_SEQ_LEN = 512
+
+
+def x_corpus_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    toks = F.split("text", " ")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = (
+        docs.select(
+            "doc_id",
+            "source",
+            fp.alias("fp"),
+            F.size(toks).alias("n_tokens"),
+            (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio"),
+        )
+        .withColumn("is_canonical", (F.row_number().over(w) == 1).cast("long"))
+        .withColumn(
+            "passes_quality",
+            (
+                (F.col("n_tokens") >= _CR_MIN_TOKENS)
+                & (F.col("distinct_ratio") >= _CR_MIN_DISTINCT)
+            ).cast("long"),
+        )
+    )
+    kept = F.col("is_canonical") * F.col("passes_quality")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_raw"),
+            F.sum("is_canonical").alias("n_after_dedup"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(kept * F.col("n_tokens")).alias("tokens_kept"),
+            F.ceil(F.sum(kept * F.col("n_tokens")) / _CR_SEQ_LEN).alias(
+                "n_sequences"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    Query(
+        name="x_corpus_refresh_e2e",
+        build=x_corpus_refresh_e2e,
+        oracle=rf"""
+        WITH flagged AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' ')))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                            ORDER BY doc_id) = 1
+                        THEN 1 ELSE 0 END AS is_canonical
+            FROM documents
+        ), scored AS (
+            SELECT *,
+                   CASE WHEN n_tokens >= {_CR_MIN_TOKENS}
+                             AND distinct_ratio >= {_CR_MIN_DISTINCT}
+                        THEN 1 ELSE 0 END AS passes_quality
+            FROM flagged
+        )
+        SELECT source,
+               count(*) AS n_docs_raw,
+               CAST(sum(is_canonical) AS BIGINT) AS n_after_dedup,
+               CAST(sum(is_canonical * passes_quality) AS BIGINT) AS n_kept,
+               CAST(sum(is_canonical * passes_quality * n_tokens) AS BIGINT)
+                   AS tokens_kept,
+               CAST(ceil(sum(is_canonical * passes_quality * n_tokens)
+                         / {_CR_SEQ_LEN}.0) AS BIGINT) AS n_sequences
+        FROM scored GROUP BY source ORDER BY source
+        """,
+        doc=(
+            "corpus-refresh funnel in one Catalyst plan: exact dedup + "
+            "quality gate + token accounting + packing estimate via "
+            "per-doc flags, no inter-stage materialization"
+        ),
+        tags=("curation", "X1", "X4", "pipeline"),
+    )
+)
