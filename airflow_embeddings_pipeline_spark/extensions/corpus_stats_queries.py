@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..plans.catalog import Query, register
 from ..sources.registry import load_table
 from ..functions.ranking import single_group
+from .text import EN_STOPWORDS
 
 _DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
 _BUDGET = 10_000  # token budget for the cut (spans sf: ~50% at sf0.01)
@@ -362,5 +363,89 @@ register(
         """,
         doc="Efraimidis-Spirakis weighted sample without replacement: deterministic ln(u)/w keys, global top-k",
         tags=("X4", "sampling"),
+    )
+)
+
+
+# ----------------------------------------------------- dataset card
+# The per-source summary a data team publishes with every corpus
+# snapshot (HuggingFace dataset-card statistics): volume, token
+# inventory, exact-duplicate rate, language mix, quality means, and
+# exact token-length quantiles — ONE pass over documents (a window for
+# the dup flag + one grouped aggregation; the quantiles use the same
+# exact interpolated-percentile contract as a_percentiles, mergeable
+# sketch variants exist under a_approx_percentiles for the 100 TB
+# path).
+def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    sw = F.array(*[F.lit(x) for x in EN_STOPWORDS])
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        fp.alias("fp"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+            / F.size(toks)
+            >= 0.04
+        ).cast("long").alias("is_en"),
+    ).withColumn("is_dup", (F.row_number().over(w) > 1).cast("long"))
+    pct = lambda q: F.round(F.expr(f"percentile(n_tokens, {q})"), 2)  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_rate"),
+            F.round(F.sum("is_en") / F.count("*"), 6).alias("en_share"),
+            F.round(F.avg("distinct_ratio"), 6).alias("mean_distinct_ratio"),
+            pct(0.5).alias("p50_tokens"),
+            pct(0.9).alias("p90_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_CARD_SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+register(
+    Query(
+        name="x_dataset_card",
+        build=x_dataset_card,
+        oracle=rf"""
+        WITH flagged AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' ')))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                                             t -> t IN ({_CARD_SW})))
+                             / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.04
+                        THEN 1 ELSE 0 END AS is_en,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                            ORDER BY doc_id) > 1
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+               round(sum(is_en) / CAST(count(*) AS DOUBLE), 6) AS en_share,
+               round(avg(distinct_ratio), 6) AS mean_distinct_ratio,
+               round(quantile_cont(n_tokens, 0.5), 2) AS p50_tokens,
+               round(quantile_cont(n_tokens, 0.9), 2) AS p90_tokens
+        FROM flagged GROUP BY source ORDER BY source
+        """,
+        doc=(
+            "per-source dataset card: volume, tokens, dup rate, language "
+            "mix, quality mean, exact length quantiles in one pass"
+        ),
+        tags=("curation", "X4", "reporting"),
     )
 )
