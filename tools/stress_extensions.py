@@ -192,6 +192,16 @@ def main() -> None:
         "x_unigram_logprob",
         "x_sequence_pack",
         "x_quality_filter_battery",
+        # r4: cross-doc boilerplate removal (explode + count + anti),
+        # bigram LM (pair explode + 2 hash aggs), hashing-trick
+        # featurizer (explode + 64 conditional sums), one-plan corpus
+        # funnel (window + agg), dataset card (window + agg + exact
+        # percentiles)
+        "x_boilerplate_removal",
+        "x_bigram_lm_logprob",
+        "x_feature_hashing",
+        "x_corpus_refresh_e2e",
+        "x_dataset_card",
     ):
         run(name, get_catalog()[name].build(spark, staged))
 
