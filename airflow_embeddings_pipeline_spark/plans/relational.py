@@ -696,3 +696,56 @@ _q(
     "distribution ranks + frame navigation (percent_rank/cume_dist/first/last/nth_value, explicit full frame)",
     ("W1", "O1"),
 )
+
+
+# --------------------------------------------- custom-source scan (S1)
+# The reference's actual source connector shape — a MongoDB collection
+# scanned by paginated cursor with server-side $match
+# (embeddings-pipeline.py:166-177) — as a Spark 4 custom Python
+# DataSource: block-organized JSONL store, one input partition per
+# block (parallel reads replace the cursor), and doc_id predicates
+# pushed through pushFilters prune whole blocks from the manifest
+# before any file opens.  The query filters doc_id >= 400 (pushed:
+# only 2 of 8 blocks are read — asserted in tests/test_registry.py)
+# and aggregates per source; the oracle runs the same relational query
+# over the parquet table, proving the connector is value-transparent.
+def s_document_store_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.document_store import (
+        register_document_store,
+        stage_document_store,
+    )
+
+    path = stage_document_store(sf_dir)
+    register_document_store(spark)
+    docs = spark.read.format("document_store").option("path", path).load()
+    return (
+        docs.filter(F.col("doc_id") >= 400)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    Query(
+        name="s_document_store_scan",
+        build=s_document_store_scan,
+        oracle="""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(doc_id) AS min_id
+        FROM documents WHERE doc_id >= 400
+        GROUP BY source ORDER BY source
+        """,
+        doc=(
+            "custom Python DataSource scan (Mongo-collection analog): "
+            "block-parallel JSONL store with manifest-pruned doc_id "
+            "pushdown, oracled against the parquet table"
+        ),
+        tags=("S1", "source", "connector"),
+    )
+)

@@ -1,0 +1,187 @@
+"""Custom Python DataSource: a block-organized JSONL document store —
+the reference's MongoDB-collection source surface
+(embeddings-pipeline.py:166-177: paginated cursor scan with `$match`
+pushed server-side) rebuilt on Spark 4's DataSource API.
+
+Spark-first mapping of the reference's connector behaviors:
+
+- the paginated cursor (LIMIT/SKIP batches, reference O2) becomes
+  PARALLEL input partitions — one per store block, all read at once;
+- `$match` pushdown becomes :meth:`DocumentStoreReader.pushFilters`:
+  range/equality predicates on the indexed ``doc_id`` prune whole
+  blocks via the store manifest's per-block [min_id, max_id] BEFORE any
+  file is opened, and the residual predicate is re-applied per row
+  (rows inside a surviving block can still fail it);
+- the schemaless-document defensiveness (``doc.get(k, default)``)
+  becomes explicit: missing JSON fields surface as NULLs.
+
+At 100 TB the same reader fans out to one task per block and prunes by
+manifest exactly like parquet partition pruning — the Python row parse
+is the slow path (documented; the parquet scan is the engine's fast
+path, this source exists for Mongo-shaped stores where parquet isn't
+an option).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+STORE_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+class _Block(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class DocumentStoreReader(DataSourceReader):
+    """Manifest-pruned block reader with doc_id predicate pushdown."""
+
+    _PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+
+    def __init__(self, schema: StructType, options: dict):
+        self.root = options["path"]
+        self.fields = [f.name for f in schema.fields]
+        with open(os.path.join(self.root, "manifest.json")) as fh:
+            self.manifest = json.load(fh)
+        # (op, value) bounds accepted for doc_id block pruning
+        self.pushed: list[tuple[str, int]] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept doc_id range/equality filters; everything else is
+        returned to Spark for post-scan evaluation.  Accepted filters
+        are ALSO re-applied row-level in :meth:`read` — block pruning
+        alone is necessarily coarse."""
+        for f in filters:
+            if isinstance(f, self._PUSHABLE) and tuple(f.attribute) == ("doc_id",):
+                self.pushed.append((type(f).__name__, f.value))
+            else:
+                yield f
+
+    def _block_survives(self, lo: int, hi: int) -> bool:
+        for op, v in self.pushed:
+            if op == "EqualTo" and not (lo <= v <= hi):
+                return False
+            if op == "GreaterThan" and hi <= v:
+                return False
+            if op == "GreaterThanOrEqual" and hi < v:
+                return False
+            if op == "LessThan" and lo >= v:
+                return False
+            if op == "LessThanOrEqual" and lo > v:
+                return False
+        return True
+
+    def _row_passes(self, doc_id: int) -> bool:
+        for op, v in self.pushed:
+            if op == "EqualTo" and doc_id != v:
+                return False
+            if op == "GreaterThan" and doc_id <= v:
+                return False
+            if op == "GreaterThanOrEqual" and doc_id < v:
+                return False
+            if op == "LessThan" and doc_id >= v:
+                return False
+            if op == "LessThanOrEqual" and doc_id > v:
+                return False
+        return True
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _Block(os.path.join(self.root, b["file"]))
+            for b in self.manifest["blocks"]
+            if self._block_survives(b["min_id"], b["max_id"])
+        ]
+
+    def read(self, partition: _Block) -> Iterator[tuple]:
+        with open(partition.path) as fh:
+            for line in fh:
+                doc = json.loads(line)
+                if not self._row_passes(doc.get("doc_id")):
+                    continue
+                # schemaless defensiveness: absent fields -> NULL
+                yield tuple(doc.get(k) for k in self.fields)
+
+
+class DocumentStoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "document_store"
+
+    def schema(self) -> str:
+        return STORE_SCHEMA
+
+    def reader(self, schema: StructType) -> DocumentStoreReader:
+        return DocumentStoreReader(schema, self.options)
+
+
+def stage_document_store(
+    sf_dir: str, *, n_blocks: int = 8, cache_root: str = "/tmp/spark_graft_docstore"
+) -> str:
+    """Materialize the fixture documents table as a block-organized
+    JSONL store + manifest (the fake Mongo collection).  Keyed by
+    source mtime like the layout cache: regenerated fixtures get a new
+    store, reruns reuse it."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = src.strip("/").replace("/", "_")
+    out = os.path.join(
+        cache_root, f"{key}.m{int(os.path.getmtime(src) * 1000)}"
+    )
+    if os.path.exists(os.path.join(out, "manifest.json")):
+        return out
+    os.makedirs(out + ".tmp", exist_ok=True)
+    tbl = pq.read_table(src).sort_by("doc_id").to_pylist()
+    per = (len(tbl) + n_blocks - 1) // n_blocks
+    blocks = []
+    for i in range(n_blocks):
+        rows = tbl[i * per : (i + 1) * per]
+        if not rows:
+            continue
+        fname = f"block-{i:04d}.jsonl"
+        with open(os.path.join(out + ".tmp", fname), "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        blocks.append(
+            {"file": fname, "min_id": rows[0]["doc_id"], "max_id": rows[-1]["doc_id"]}
+        )
+    with open(os.path.join(out + ".tmp", "manifest.json"), "w") as fh:
+        json.dump({"blocks": blocks}, fh)
+    try:
+        os.rename(out + ".tmp", out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(out + ".tmp", ignore_errors=True)
+    return out
+
+
+def register_document_store(spark) -> None:
+    """Idempotent per-session registration of the custom source.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime
+    conf, default false in Spark 4.1): without it Spark REFUSES any
+    reader that implements pushFilters rather than silently skipping
+    pushdown.  Set here rather than in the session factory so the
+    source works under ANY caller's session (the driver builds its
+    own)."""
+    if not getattr(spark, "_docstore_registered", False):
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(DocumentStoreDataSource)
+        spark._docstore_registered = True

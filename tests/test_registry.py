@@ -160,3 +160,63 @@ def test_layout_cache_rechunks_coarse_row_groups(spark, tmp_path, monkeypatch):
     assert df2.count() == 2000
     fkey = fine.strip("/").replace("/", "_")
     assert not any(d.startswith(fkey + ".m") for d in os.listdir(cache_root))
+
+
+def test_document_store_source_parity_pruning_and_nulls(spark, sf_dir, tmp_path):
+    """Custom Python DataSource (the Mongo-collection analog): full
+    scan is value-identical to the parquet table, doc_id pushdown
+    prunes whole blocks via the manifest, unsupported filters are
+    handed back to Spark, and absent JSON fields surface as NULLs
+    (the reference's doc.get(k, default) defensiveness)."""
+    import json
+
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+    from pyspark.sql.types import _parse_datatype_string
+
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        STORE_SCHEMA,
+        DocumentStoreReader,
+        register_document_store,
+        stage_document_store,
+    )
+
+    path = stage_document_store(sf_dir)
+    register_document_store(spark)
+    via_store = (
+        spark.read.format("document_store").option("path", path).load()
+    )
+    direct = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sorted(map(tuple, via_store.collect())) == sorted(
+        map(tuple, direct.select(*via_store.columns).collect())
+    )
+
+    schema = _parse_datatype_string(STORE_SCHEMA)
+    r = DocumentStoreReader(schema, {"path": path})
+    n_all = len(r.partitions())
+    assert n_all >= 2
+    leftovers = list(
+        r.pushFilters([GreaterThanOrEqual(("doc_id",), 10**9), EqualTo(("source",), "x")])
+    )
+    # source-equality is NOT pushable -> returned; doc_id bound is kept
+    assert len(leftovers) == 1
+    assert len(r.partitions()) == 0  # bound beyond every block: all pruned
+
+    # schemaless row: drop a field from one line of a private store copy
+    store2 = tmp_path / "store2"
+    store2.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "a b", "source": "s"},  # lang, n_chars absent
+    ]
+    with open(store2 / "block-0000.jsonl", "w") as fh:
+        for x in rows:
+            fh.write(json.dumps(x) + "\n")
+    (store2 / "manifest.json").write_text(
+        json.dumps({"blocks": [{"file": "block-0000.jsonl", "min_id": 1, "max_id": 1}]})
+    )
+    row = (
+        spark.read.format("document_store")
+        .option("path", str(store2))
+        .load()
+        .collect()[0]
+    )
+    assert row["doc_id"] == 1 and row["lang"] is None and row["n_chars"] is None
