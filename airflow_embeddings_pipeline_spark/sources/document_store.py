@@ -31,6 +31,8 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
+    WriterCommitMessage,
     EqualTo,
     Filter,
     GreaterThan,
@@ -102,13 +104,19 @@ class DocumentStoreReader(DataSourceReader):
         return True
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [
+        kept = [
             _Block(os.path.join(self.root, b["file"]))
             for b in self.manifest["blocks"]
             if self._block_survives(b["min_id"], b["max_id"])
         ]
+        # Spark requires >= 1 partition from a Python data source (an
+        # empty sequence makes it invoke read(None)); a pruned-empty
+        # scan returns one sentinel block that reads as zero rows.
+        return kept or [_Block(None)]
 
     def read(self, partition: _Block) -> Iterator[tuple]:
+        if partition.path is None:
+            return
         with open(partition.path) as fh:
             for line in fh:
                 doc = json.loads(line)
@@ -128,6 +136,9 @@ class DocumentStoreDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DocumentStoreReader:
         return DocumentStoreReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "DocumentStoreWriter":
+        return DocumentStoreWriter(self.options, overwrite)
 
 
 def stage_document_store(
@@ -185,3 +196,81 @@ def register_document_store(spark) -> None:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(DocumentStoreDataSource)
         spark._docstore_registered = True
+
+
+# ----------------------------------------------------------- writer
+# The sink half of the connector (reference S4/S9 analog: staged
+# parquet publish + warehouse load, embeddings-pipeline.py:248-255):
+# each task writes its rows to a uniquely-named block under a hidden
+# staging prefix and returns a (file, min_id, max_id, n_rows) commit
+# message; the DRIVER commit renames blocks into place and publishes
+# the manifest LAST — readers never see a store without a manifest, so
+# publish is atomic; abort deletes the staged blocks.  Task retries are
+# safe: an orphaned attempt's block is never referenced by the
+# manifest and is swept by abort/cleanup.
+from dataclasses import dataclass
+
+
+@dataclass
+class _BlockCommit(WriterCommitMessage):
+    file: str
+    min_id: int | None
+    max_id: int | None
+    n_rows: int
+
+
+class DocumentStoreWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.root = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _BlockCommit:
+        import os
+        import uuid
+
+        os.makedirs(self.root, exist_ok=True)
+        fname = f".staged-{uuid.uuid4().hex}.jsonl"
+        lo = hi = None
+        n = 0
+        with open(os.path.join(self.root, fname), "w") as fh:
+            for row in iterator:
+                doc = row.asDict()
+                did = doc.get("doc_id")
+                if did is not None:
+                    lo = did if lo is None else min(lo, did)
+                    hi = did if hi is None else max(hi, did)
+                fh.write(json.dumps(doc) + "\n")
+                n += 1
+        return _BlockCommit(file=fname, min_id=lo, max_id=hi, n_rows=n)
+
+    def commit(self, messages) -> None:
+        blocks = []
+        for i, m in enumerate(sorted(
+            (m for m in messages if m is not None and m.n_rows > 0),
+            key=lambda m: (m.min_id if m.min_id is not None else 0, m.file),
+        )):
+            final = f"block-{i:04d}.jsonl"
+            os.replace(
+                os.path.join(self.root, m.file), os.path.join(self.root, final)
+            )
+            blocks.append(
+                {"file": final, "min_id": m.min_id, "max_id": m.max_id}
+            )
+        for m in messages:  # empty-task leftovers
+            if m is not None and m.n_rows == 0:
+                try:
+                    os.remove(os.path.join(self.root, m.file))
+                except OSError:
+                    pass
+        tmp = os.path.join(self.root, ".manifest.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"blocks": blocks}, fh)
+        os.replace(tmp, os.path.join(self.root, "manifest.json"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.root, m.file))
+                except OSError:
+                    pass

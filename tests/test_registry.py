@@ -199,7 +199,10 @@ def test_document_store_source_parity_pruning_and_nulls(spark, sf_dir, tmp_path)
     )
     # source-equality is NOT pushable -> returned; doc_id bound is kept
     assert len(leftovers) == 1
-    assert len(r.partitions()) == 0  # bound beyond every block: all pruned
+    # bound beyond every block: all real blocks pruned, only the
+    # zero-row sentinel remains (Spark demands >= 1 partition)
+    [sentinel] = r.partitions()
+    assert sentinel.path is None and list(r.read(sentinel)) == []
 
     # schemaless row: drop a field from one line of a private store copy
     store2 = tmp_path / "store2"
@@ -220,3 +223,45 @@ def test_document_store_source_parity_pruning_and_nulls(spark, sf_dir, tmp_path)
         .collect()[0]
     )
     assert row["doc_id"] == 1 and row["lang"] is None and row["n_chars"] is None
+
+
+def test_document_store_writer_roundtrip_and_atomic_publish(spark, sf_dir, tmp_path):
+    """Write path: blocks staged per task, manifest published LAST
+    (atomic visibility), round trip through the reader is value-exact,
+    and overwrite replaces the store's content."""
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        register_document_store,
+    )
+
+    register_document_store(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(123)
+    out = str(tmp_path / "store_out")
+    (
+        docs.repartition(4)
+        .write.format("document_store")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("document_store").option("path", out).load()
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.select(*back.columns).collect())
+    )
+    import json
+    import os
+
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert 1 <= len(manifest["blocks"]) <= 4
+    # no stray staged files after commit
+    assert not [f for f in os.listdir(out) if f.startswith(".staged-")]
+    # pruning works against the writer-produced manifest too
+    n_after = (
+        spark.read.format("document_store")
+        .option("path", out)
+        .load()
+        .filter(F.col("doc_id") > 10**9)
+        .count()
+    )
+    assert n_after == 0
