@@ -140,6 +140,9 @@ class DocumentStoreDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "DocumentStoreWriter":
         return DocumentStoreWriter(self.options, overwrite)
 
+    def streamReader(self, schema: StructType) -> "DocumentStoreStreamReader":
+        return DocumentStoreStreamReader(schema, self.options)
+
 
 def stage_document_store(
     sf_dir: str, *, n_blocks: int = 8, cache_root: str = "/tmp/spark_graft_docstore"
@@ -244,12 +247,17 @@ class DocumentStoreWriter(DataSourceWriter):
         return _BlockCommit(file=fname, min_id=lo, max_id=hi, n_rows=n)
 
     def commit(self, messages) -> None:
-        blocks = []
+        manifest_path = os.path.join(self.root, "manifest.json")
+        existing: list[dict] = []
+        if not self.overwrite and os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                existing = json.load(fh)["blocks"]
+        blocks = list(existing)
         for i, m in enumerate(sorted(
             (m for m in messages if m is not None and m.n_rows > 0),
             key=lambda m: (m.min_id if m.min_id is not None else 0, m.file),
         )):
-            final = f"block-{i:04d}.jsonl"
+            final = f"block-{len(existing) + i:04d}.jsonl"
             os.replace(
                 os.path.join(self.root, m.file), os.path.join(self.root, final)
             )
@@ -265,7 +273,16 @@ class DocumentStoreWriter(DataSourceWriter):
         tmp = os.path.join(self.root, ".manifest.tmp")
         with open(tmp, "w") as fh:
             json.dump({"blocks": blocks}, fh)
-        os.replace(tmp, os.path.join(self.root, "manifest.json"))
+        os.replace(tmp, manifest_path)
+        if self.overwrite:
+            # old generations are unreferenced after the swap; sweep them
+            live = {b["file"] for b in blocks} | {"manifest.json"}
+            for f in os.listdir(self.root):
+                if f.endswith(".jsonl") and f not in live:
+                    try:
+                        os.remove(os.path.join(self.root, f))
+                    except OSError:
+                        pass
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -274,3 +291,51 @@ class DocumentStoreWriter(DataSourceWriter):
                     os.remove(os.path.join(self.root, m.file))
                 except OSError:
                     pass
+
+
+# --------------------------------------------------- streaming reader
+# The reference's incremental pull — "fetch documents newer than the
+# stored watermark" (embeddings-pipeline.py:107-130, per-source
+# timestamp state) — as a NATIVE streaming source: the offset is the
+# count of published manifest blocks, each micro-batch reads exactly
+# the blocks appended since the last committed offset, and Spark's
+# checkpoint replaces the hand-rolled watermark JSON.  Blocks are
+# immutable once referenced by the manifest (the writer only appends),
+# which is what makes block-count a valid monotonic offset.
+from pyspark.sql.datasource import DataSourceStreamReader
+
+
+class DocumentStoreStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.root = options["path"]
+        self.fields = [f.name for f in schema.fields]
+
+    def _blocks(self) -> list[dict]:
+        try:
+            with open(os.path.join(self.root, "manifest.json")) as fh:
+                return json.load(fh)["blocks"]
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"block": 0}
+
+    def latestOffset(self) -> dict:
+        return {"block": len(self._blocks())}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        blocks = self._blocks()[start["block"] : end["block"]]
+        return [
+            _Block(os.path.join(self.root, b["file"])) for b in blocks
+        ] or [_Block(None)]
+
+    def read(self, partition: _Block) -> Iterator[tuple]:
+        if partition.path is None:
+            return
+        with open(partition.path) as fh:
+            for line in fh:
+                doc = json.loads(line)
+                yield tuple(doc.get(k) for k in self.fields)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in Spark's checkpoint, nothing external

@@ -246,3 +246,65 @@ def test_tws_user_stats_matches_batch(spark, sf_dir):
         F.max(F.col("ts").cast("long")).alias("last_sec"),
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_document_store_stream_reads_only_appended_blocks(spark, tmp_path):
+    """Custom streaming source: the block-count offset makes each
+    micro-batch read exactly the blocks appended since the checkpoint
+    — the reference's watermark-driven incremental pull
+    (embeddings-pipeline.py:107-130) with Spark's checkpoint replacing
+    the hand-rolled watermark JSON."""
+    import json
+    import os
+
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        register_document_store,
+    )
+
+    register_document_store(spark)
+    store = tmp_path / "stream_store"
+    store.mkdir()
+
+    def add_block(idx: int, ids: list[int]) -> None:
+        fname = f"block-{idx:04d}.jsonl"
+        with open(store / fname, "w") as fh:
+            for i in ids:
+                fh.write(json.dumps({
+                    "doc_id": i, "text": f"doc {i}", "lang": "en",
+                    "source": "s", "n_chars": 5,
+                }) + "\n")
+        mpath = store / "manifest.json"
+        blocks = (json.load(open(mpath))["blocks"]
+                  if os.path.exists(mpath) else [])
+        blocks.append({"file": fname, "min_id": min(ids), "max_id": max(ids)})
+        tmp = store / ".manifest.tmp"
+        tmp.write_text(json.dumps({"blocks": blocks}))
+        os.replace(tmp, mpath)
+
+    add_block(0, [1, 2])
+    add_block(1, [3])
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("document_store")
+            .option("path", str(store))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert got == {1, 2, 3}
+
+    add_block(2, [4, 5])
+    drain()  # restart from checkpoint: ONLY block 2 is new
+    rows = spark.read.parquet(sink).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3, 4, 5}
+    assert len(rows) == 5  # nothing re-read, nothing duplicated
