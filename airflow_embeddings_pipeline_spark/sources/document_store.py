@@ -160,7 +160,11 @@ def stage_document_store(
     )
     if os.path.exists(os.path.join(out, "manifest.json")):
         return out
-    os.makedirs(out + ".tmp", exist_ok=True)
+    # pid-suffixed staging dir: two processes staging concurrently
+    # (bench + oracle check) each build their own copy; the rename
+    # loser just drops its identical bytes — the layout-cache contract.
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
     tbl = pq.read_table(src).sort_by("doc_id").to_pylist()
     per = (len(tbl) + n_blocks - 1) // n_blocks
     blocks = []
@@ -169,20 +173,20 @@ def stage_document_store(
         if not rows:
             continue
         fname = f"block-{i:04d}.jsonl"
-        with open(os.path.join(out + ".tmp", fname), "w") as fh:
+        with open(os.path.join(tmp, fname), "w") as fh:
             for r in rows:
                 fh.write(json.dumps(r) + "\n")
         blocks.append(
             {"file": fname, "min_id": rows[0]["doc_id"], "max_id": rows[-1]["doc_id"]}
         )
-    with open(os.path.join(out + ".tmp", "manifest.json"), "w") as fh:
+    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump({"blocks": blocks}, fh)
     try:
-        os.rename(out + ".tmp", out)
+        os.rename(tmp, out)
     except OSError:
         import shutil
 
-        shutil.rmtree(out + ".tmp", ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
