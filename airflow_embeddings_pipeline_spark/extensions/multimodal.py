@@ -26,6 +26,12 @@ uses PIL's exact ITU-R 601-2 integer formula so checksums agree with
 the PIL path on the shared subset.  Formats outside that subset NULL
 out (quarantine) unless PIL/soundfile are present.
 
+Reference behavior generalized: opaque binary columns moving through
+columnar interchange (parquet snappy staging,
+embeddings-pipeline.py:248-255) — this module adds the decode /
+feature / resize surface a multimodal training corpus needs on top of
+that interchange.
+
 Scale design: payloads stay opaque bytes end-to-end (no base64 inflation,
 no driver round-trip); feature extraction is a map-only stage —
 ``spark.sql.files.maxPartitionBytes`` bounds the Arrow batch footprint,
