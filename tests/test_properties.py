@@ -232,3 +232,19 @@ def test_stdlib_png_codec_roundtrips_arbitrary_gray_images(w, h, rnd):
         from PIL import Image
 
         assert Image.open(io.BytesIO(png)).convert("L").tobytes() == pix
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=4, max_value=12000),
+    st.integers(min_value=1, max_value=5_000_000),
+)
+def test_partsupp_assignment_yields_four_distinct_suppliers(S, p):
+    """The additive dbgen-variant formula — (p + i*(S div 4) +
+    (p-1) div S) mod S + 1 — must yield 4 DISTINCT suppliers in [1, S]
+    for EVERY supplier count S >= 4 and part key p (the multiplicative
+    spec formula collides at the sf0.001 fixture's S=10; this property
+    is why the additive form replaced it)."""
+    ks = {(p + i * (S // 4) + (p - 1) // S) % S + 1 for i in range(4)}
+    assert len(ks) == 4
+    assert all(1 <= k <= S for k in ks)
