@@ -202,6 +202,9 @@ def main() -> None:
         "x_feature_hashing",
         "x_corpus_refresh_e2e",
         "x_dataset_card",
+        # perceptual-hash image near-dup: map-only hashing + banded
+        # bucket shuffle over N× the payloads
+        "x_media_phash_near_dup",
     ):
         run(name, get_catalog()[name].build(spark, staged))
 
