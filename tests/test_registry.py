@@ -265,3 +265,44 @@ def test_document_store_writer_roundtrip_and_atomic_publish(spark, sf_dir, tmp_p
         .count()
     )
     assert n_after == 0
+
+
+def test_document_store_writer_overwrite_and_abort(spark, sf_dir, tmp_path):
+    """Overwrite mode replaces content and sweeps unreferenced blocks;
+    abort removes staged files so a failed job leaves no partial
+    store."""
+    import json
+    import os
+
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        DocumentStoreWriter,
+        _BlockCommit,
+        register_document_store,
+    )
+
+    register_document_store(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "ow_store")
+    for n in (40, 7):  # second write OVERWRITES the first
+        (
+            docs.limit(n)
+            .repartition(2)
+            .write.format("document_store")
+            .option("path", out)
+            .mode("overwrite")
+            .save()
+        )
+    back = spark.read.format("document_store").option("path", out).load()
+    assert back.count() == 7
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    live = {b["file"] for b in manifest["blocks"]}
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert on_disk == live  # stale generations swept
+
+    # abort path: staged blocks vanish, the published store is untouched
+    w = DocumentStoreWriter({"path": out}, overwrite=False)
+    staged = os.path.join(out, ".staged-deadbeef.jsonl")
+    open(staged, "w").write("{}\n")
+    w.abort([_BlockCommit(file=".staged-deadbeef.jsonl", min_id=1, max_id=1, n_rows=1), None])
+    assert not os.path.exists(staged)
+    assert spark.read.format("document_store").option("path", out).load().count() == 7
