@@ -884,3 +884,43 @@ def test_kmeans_step_descends(spark, sf_dir):
 
     rows = {r.iteration: r.inertia for r in x_kmeans_convergence(spark, sf_dir).collect()}
     assert rows[1] <= rows[0] + 1e-3  # rounding slack on the 6-dp dists
+
+
+def test_phash_over_real_decoded_pixels(spark):
+    """The perceptual-hash pipeline over REAL image bytes: stdlib PNG
+    decode → gray-plane aHash (same integer-threshold formula the
+    catalog entry applies to payload bytes) → the shared banded-hamming
+    machinery finds the perturbed copy and not the unrelated image."""
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        simhash_near_dup_pairs,
+    )
+    from airflow_embeddings_pipeline_spark.extensions.multimodal import (
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    def ahash60(pix: bytes) -> int:
+        total = sum(pix[:64])
+        return sum(
+            (1 << i) for i in range(60) if pix[i] * 64 > total
+        )
+
+    base = bytes((x * 7 + y * 13) % 256 for y in range(8) for x in range(8))
+    near = bytearray(base)
+    near[3] = (near[3] + 7) % 256  # one pixel bumped
+    other = bytes((x * 31 + y * 3 + 97) % 256 for y in range(8) for x in range(8))
+    rows = []
+    for i, img in enumerate([base, bytes(near), other]):
+        _w, _h, pix = png_decode_gray(png_encode_gray(8, 8, img))
+        assert pix == img  # real decode feeds the hash
+        rows.append((i, ahash60(pix)))
+    df = spark.createDataFrame(rows, "doc_id long, ahash long")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(
+            df, id_col="doc_id", simhash_col="ahash",
+            max_hamming=3, num_bands=4, band_bits=15, pair_mode="join",
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
