@@ -38,6 +38,7 @@ def merge_upsert(
     key: str,
     *,
     update_columns: Sequence[str] | None = None,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Relational MERGE: upsert ``source`` into ``target`` on ``key``.
 
@@ -45,6 +46,13 @@ def merge_upsert(
     updates 8 of its 10 columns, keeping the target's ``cleaned_ref``
     (absent from the UPDATE SET at embeddings-pipeline.py:329-338) and
     the key itself; None ⇒ all non-key columns present in both sides.
+
+    ``schema_evolution`` — Delta's ``mergeSchema`` analog: columns that
+    exist only in the source are APPENDED to the output (typed from the
+    source schema); pre-existing target rows carry NULL there, exactly
+    the backfill a warehouse column-add performs.  Off by default —
+    unknown source columns are ignored, so a malformed batch can't
+    silently widen the table.
     """
     tcols = target.columns
     scols = set(source.columns)
@@ -73,6 +81,11 @@ def merge_upsert(
         else:
             expr = F.col(f"t.{c}")
         out_cols.append(expr.alias(c))
+    if schema_evolution:
+        for c in source.columns:
+            if c not in tcols:
+                # outer join already yields NULL for target-only rows
+                out_cols.append(F.col(f"s.{c}").alias(c))
     return joined.select(*out_cols)
 
 
@@ -95,6 +108,7 @@ def merge_upsert_write(
     key: str,
     *,
     update_columns: Sequence[str] | None = None,
+    schema_evolution: bool = False,
     vacuum_keep_last: int | None = 2,
 ) -> int:
     """Parquet-table MERGE with a versioned pointer-file commit.
@@ -116,7 +130,10 @@ def merge_upsert_write(
     spark = source.sparkSession
     table = VersionedParquetTable(target_path)
     target = table.read(spark)
-    merged = merge_upsert(target, source, key, update_columns=update_columns)
+    merged = merge_upsert(
+        target, source, key,
+        update_columns=update_columns, schema_evolution=schema_evolution,
+    )
     version = table.commit(merged)
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)

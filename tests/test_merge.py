@@ -353,3 +353,45 @@ def test_connected_components_rejects_string_ids(spark):
     )
     with _pytest.raises(TypeError, match="integral node ids"):
         connected_components(pairs)
+
+
+def test_merge_schema_evolution_appends_and_backfills(spark, tmp_path):
+    """mergeSchema analog: a source batch with a NEW column widens the
+    table — matched/inserted rows take the source value, untouched
+    target rows backfill NULL — and versioned commits make the widened
+    schema the live one while old versions stay readable."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_write,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 0.5), (3, "C", 0.9)], "k long, v string, score double"
+    )
+    # default: unknown column ignored, schema unchanged
+    flat = merge_upsert(target, source, "k")
+    assert flat.columns == ["k", "v"]
+
+    widened = merge_upsert(target, source, "k", schema_evolution=True)
+    assert widened.columns == ["k", "v", "score"]
+    rows = {r["k"]: (r["v"], r["score"]) for r in widened.collect()}
+    assert rows == {1: ("a", None), 2: ("B", 0.5), 3: ("C", 0.9)}
+
+    # through the versioned table: widened schema becomes the live one
+    path = str(tmp_path / "tbl")
+    target.write.parquet(path)
+    merge_upsert_write(path, source, "k", schema_evolution=True,
+                       vacuum_keep_last=None)
+    live = VersionedParquetTable(path).read(spark)
+    assert "score" in live.columns and live.count() == 3
+    # idempotent replay with the same batch: identical table
+    merge_upsert_write(path, source, "k", schema_evolution=True,
+                       vacuum_keep_last=None)
+    again = VersionedParquetTable(path).read(spark)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, live.collect()))
