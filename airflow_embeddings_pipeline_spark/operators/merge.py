@@ -39,6 +39,7 @@ def merge_upsert(
     *,
     update_columns: Sequence[str] | None = None,
     schema_evolution: bool = False,
+    delete_when=None,
 ) -> DataFrame:
     """Relational MERGE: upsert ``source`` into ``target`` on ``key``.
 
@@ -53,6 +54,13 @@ def merge_upsert(
     the backfill a warehouse column-add performs.  Off by default —
     unknown source columns are ignored, so a malformed batch can't
     silently widen the table.
+
+    ``delete_when`` — the WHEN MATCHED ... THEN DELETE clause: a Column
+    predicate over SOURCE columns (reference them as ``s.<col>``); a
+    matched target row whose source row satisfies it is dropped instead
+    of updated.  Source-only rows satisfying it are suppressed too (a
+    tombstone for an absent key inserts nothing), which is exactly CDC
+    delete semantics.  Unmatched target rows are never deleted.
     """
     tcols = target.columns
     scols = set(source.columns)
@@ -63,6 +71,12 @@ def merge_upsert(
     t = target.alias("t")
     s = source.alias("s")
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    if delete_when is not None:
+        # drop matched-and-tombstoned rows AND tombstone-only inserts;
+        # target-only rows (s.key NULL ⇒ predicate NULL ⇒ kept) survive
+        joined = joined.filter(
+            F.col(f"s.{key}").isNull() | ~F.coalesce(delete_when, F.lit(False))
+        )
     matched_or_insert = F.col(f"s.{key}").isNotNull()
 
     out_cols = []

@@ -749,3 +749,69 @@ register(
         tags=("S1", "source", "connector"),
     )
 )
+
+
+# ----------------------------------------------- MERGE with DELETE (J3)
+# The WHEN MATCHED ... THEN DELETE clause over the same profile-merge
+# shape as j_merge_upsert: source rows whose post-cutoff activity is
+# pure error-noise (every event an 'error') act as TOMBSTONES — their
+# target profile is removed, tombstones for unseen users insert
+# nothing, everything else upserts normally.  CDC delete semantics
+# through one full-outer join.
+def j_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+
+    def profile(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max("ts").alias("last_seen"),
+            F.count("*").alias("n_events"),
+        )
+
+    target = profile(ev.filter(F.col("ts") < cutoff))
+    source = profile(ev.filter(F.col("ts") >= cutoff)).join(
+        ev.filter(F.col("ts") >= cutoff)
+        .groupBy("user_id")
+        .agg(
+            (F.sum((F.col("event_type") != "error").cast("long")) == 0).alias(
+                "all_errors"
+            )
+        ),
+        "user_id",
+    )
+    return merge_upsert(
+        target,
+        source,
+        "user_id",
+        update_columns=["last_seen", "n_events"],
+        delete_when=F.col("s.all_errors"),
+    ).orderBy("user_id")
+
+
+_q(
+    "j_merge_delete",
+    j_merge_delete,
+    f"""
+    WITH target AS (
+        SELECT user_id, max(ts) AS last_seen, count(*) AS n_events
+        FROM events WHERE ts < TIMESTAMP '{_CUTOFF}' GROUP BY user_id
+    ), source AS (
+        SELECT user_id, max(ts) AS last_seen, count(*) AS n_events,
+               (sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) = 0)
+                   AS all_errors
+        FROM events WHERE ts >= TIMESTAMP '{_CUTOFF}' GROUP BY user_id
+    )
+    SELECT coalesce(t.user_id, s.user_id) AS user_id,
+           CASE WHEN s.user_id IS NOT NULL THEN s.last_seen
+                ELSE t.last_seen END AS last_seen,
+           CASE WHEN s.user_id IS NOT NULL THEN s.n_events
+                ELSE t.n_events END AS n_events
+    FROM target t FULL OUTER JOIN source s ON t.user_id = s.user_id
+    WHERE s.user_id IS NULL OR NOT coalesce(s.all_errors, FALSE)
+    ORDER BY user_id
+    """,
+    "MERGE with WHEN MATCHED DELETE: tombstoned source rows remove their target match (J3/CDC)",
+    ("J3", "merge", "cdc"),
+)

@@ -395,3 +395,39 @@ def test_merge_schema_evolution_appends_and_backfills(spark, tmp_path):
                        vacuum_keep_last=None)
     again = VersionedParquetTable(path).read(spark)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, live.collect()))
+
+
+def test_merge_delete_clause_applies_tombstones(spark):
+    """WHEN MATCHED ... THEN DELETE: tombstoned source rows remove their
+    target match, tombstones for absent keys insert nothing, and
+    replaying the same batch is a no-op (CDC delete idempotency)."""
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (4, None, True), (5, "E", False)],
+        "k long, v string, deleted boolean",
+    )
+    out = merge_upsert(
+        target,
+        source.select("k", "v", "deleted"),
+        "k",
+        update_columns=["v"],
+        delete_when=F.col("s.deleted"),
+    )
+    rows = {r["k"]: r["v"] for r in out.select("k", "v").collect()}
+    # 1 untouched, 2 updated, 3 deleted, 4's tombstone inserts nothing,
+    # 5 inserted
+    assert rows == {1: "a", 2: "B", 5: "E"}
+    replay = merge_upsert(
+        out.select("k", "v"),
+        source.select("k", "v", "deleted"),
+        "k",
+        update_columns=["v"],
+        delete_when=F.col("s.deleted"),
+    )
+    assert {r["k"]: r["v"] for r in replay.select("k", "v").collect()} == rows
