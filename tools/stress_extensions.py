@@ -143,12 +143,20 @@ def main() -> None:
     )
 
     if only is None or "dedup_clusters_from_simhash64" in only:
+        import tempfile
+
         t0 = time.perf_counter()
         wide_pairs = simhash_near_dup_pairs(
             sims, id_col="doc_id", simhash_col="sim", max_hamming=3,
             num_bands=4, band_bits=16, max_bucket_size=1024,
         )
-        n_clustered = connected_components(wide_pairs, "id_a", "id_b").count()
+        # reliable checkpoints from x400 up: in-memory lineage stacks
+        # each pointer-jump round on the full pair-generation DAG and
+        # OOMs the single JVM (measured; BASELINE.md x400 boundary note)
+        ckpt = tempfile.mkdtemp(prefix="cc_ckpt_") if scale >= 400 else None
+        n_clustered = connected_components(
+            wide_pairs, "id_a", "id_b", checkpoint_dir=ckpt
+        ).count()
         timings["dedup_clusters_from_simhash64"] = round(
             time.perf_counter() - t0, 2
         )
