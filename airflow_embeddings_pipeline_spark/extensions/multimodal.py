@@ -12,13 +12,15 @@ Two tiers, selected by ``use_real_codec``:
   codec libraries are importable, with a pure-stdlib fallback codec
   (``zlib`` + ``struct`` PNG decode/encode, ``wave`` + numpy WAV
   decode) so the real tier executes END-TO-END even in containers that
-  ship no codec libraries.  Availability is probed at OP-BUILD TIME on
-  the driver (``probe_codecs``); pass ``allow_stdlib_fallback=False``
-  to demand the full libraries, in which case absence raises
-  :class:`CodecUnavailable` immediately — a clear driver-side signal,
-  never a mid-job executor crash.  Rows whose bytes fail to decode
-  yield NULL feature columns (quarantine semantics, E1) rather than
-  failing the batch.
+  ship no codec libraries.  The PIL-vs-stdlib choice is probed PER
+  EXECUTOR BATCH (a heterogeneous cluster where the driver has PIL but
+  an executor does not degrades that executor to the stdlib codec
+  instead of quarantining its rows); ``allow_stdlib_fallback=False``
+  additionally runs a driver-side probe (``probe_codecs``) and raises
+  :class:`CodecUnavailable` immediately when the full libraries are
+  absent — a clear driver-side signal, never a mid-job executor crash.
+  Rows whose bytes fail to decode yield NULL feature columns
+  (quarantine semantics, E1) rather than failing the batch.
 
 The stdlib codec handles non-interlaced 8-bit PNG (gray / RGB / LA /
 RGBA, all five scanline filters) and PCM WAV; its grayscale conversion
@@ -283,7 +285,9 @@ def extract_features(
     package importable, which is exactly the situation when a driver
     process imports the engine from an arbitrary cwd.
 
-    Real tier (``use_real_codec=True``; probed at build time): images
+    Real tier (``use_real_codec=True``; codecs probed per executor
+    batch, so heterogeneous driver/executor installs degrade per-node
+    instead of quarantining): images
     decode via PIL when importable, else the stdlib PNG codec
     (``mean_byte`` = mean grayscale pixel, ``checksum`` = md5 over the
     pixel buffer — identical on both paths for 8-bit PNGs); audio via
@@ -296,8 +300,6 @@ def extract_features(
         _require_codecs(
             "PIL", "soundfile", allow_stdlib_fallback=allow_stdlib_fallback
         )
-    avail = probe_codecs()
-    has_pil, has_sf = avail["PIL"], avail["soundfile"]
     std_png_decode, _std_png_encode, std_wav_decode = _make_stdlib_codec()
     out_schema = (
         "doc_id long, media_type string, n_bytes int, checksum long, mean_byte double"
@@ -305,6 +307,20 @@ def extract_features(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+
+        # Codec availability is probed HERE, on the executor, not
+        # captured from a driver-side probe: on a heterogeneous cluster
+        # where the driver has PIL/soundfile but an executor does not,
+        # that executor silently degrades to the stdlib codec instead
+        # of quarantining every row to NULL.
+        try:
+            from PIL import Image as _Image
+        except Exception:
+            _Image = None
+        try:
+            import soundfile as _sf
+        except Exception:
+            _sf = None
 
         def fake_decode(payload: bytes, media_type: str) -> tuple:
             checksum = int(_hl.md5(payload.hex().encode()).hexdigest()[:8], 16)
@@ -316,20 +332,16 @@ def extract_features(
 
             try:
                 if media_type == "image":
-                    if has_pil:
-                        from PIL import Image
-
-                        pix = Image.open(io.BytesIO(payload)).convert("L").tobytes()
+                    if _Image is not None:
+                        pix = _Image.open(io.BytesIO(payload)).convert("L").tobytes()
                     else:
                         _w, _h, pix = std_png_decode(bytes(payload))
                     checksum = int(_hl.md5(pix.hex().encode()).hexdigest()[:8], 16)
                     mean = (sum(pix) / len(pix)) if pix else 0.0
                     return len(payload), checksum, round(mean, 6)
                 if media_type == "audio":
-                    if has_sf:
-                        import soundfile as sf
-
-                        data, _rate = sf.read(io.BytesIO(payload))
+                    if _sf is not None:
+                        data, _rate = _sf.read(io.BytesIO(payload))
                     else:
                         data, _rate = std_wav_decode(bytes(payload))
                     buf = data.tobytes()
@@ -371,7 +383,9 @@ def resize_media(
     audio resample.  mapInPandas, map-only, no shuffle; payload bytes
     never leave the executor.
 
-    Real tier (``use_real_codec=True``; probed at build time): images
+    Real tier (``use_real_codec=True``; codecs probed per executor
+    batch, so heterogeneous driver/executor installs degrade per-node
+    instead of quarantining): images
     are PIL-thumbnailed so the longest side is ``target_bytes`` pixels
     and re-encoded to PNG; without PIL the stdlib codec decodes 8-bit
     PNGs, nearest-neighbor downscales the grayscale plane, and
@@ -379,7 +393,6 @@ def resize_media(
     outputs."""
     if use_real_codec:
         _require_codecs("PIL", allow_stdlib_fallback=allow_stdlib_fallback)
-    has_pil = probe_codecs()["PIL"]
     std_png_decode, std_png_encode, _std_wav = _make_stdlib_codec()
     out_schema = (
         "doc_id long, media_type string, orig_bytes int, "
@@ -389,15 +402,20 @@ def resize_media(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
+        # executor-side probe (see extract_features): driver codec
+        # availability must not decide the executor decode path
+        try:
+            from PIL import Image as _Image
+        except Exception:
+            _Image = None
+
         def shrink(payload: bytes) -> tuple:
             if use_real_codec:
                 import io
 
                 try:
-                    if has_pil:
-                        from PIL import Image
-
-                        img = Image.open(io.BytesIO(payload))
+                    if _Image is not None:
+                        img = _Image.open(io.BytesIO(payload))
                         img.thumbnail((target_bytes, target_bytes))
                         buf = io.BytesIO()
                         img.save(buf, format="PNG")

@@ -298,10 +298,45 @@ def x_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total"),
     )
     hashed = with_total.select("doc_id", F.expr(_PH_AHASH_SPARK).alias("ahash"))
-    return simhash_near_dup_pairs(
-        hashed, id_col="doc_id", simhash_col="ahash",
+    # Fingerprint contraction (the proven sign-LSH/MinHash ordering —
+    # BASELINE.md's exact-first lesson): band and verify over DISTINCT
+    # aHash values only, so the banded-join cost is bounded by corpus
+    # ENTROPY, not corpus size — on a replica-heavy corpus (the ×400
+    # stress regime: exact byte copies share one aHash) the expensive
+    # stage shrinks by the replication factor.  Pairs are then
+    # reconstructed by two equi-joins back onto the membership table:
+    # inter-fingerprint pairs inherit the representatives' hamming;
+    # intra-fingerprint pairs (identical hash, hamming 0) come from a
+    # members self-equi-join.  Output is identical to banding the raw
+    # corpus (pair-bound by construction either way).
+    fps = hashed.groupBy("ahash").agg(F.count("*").alias("__n"))
+    inter_fp = simhash_near_dup_pairs(
+        fps.select(F.col("ahash").alias("fp"), F.col("ahash")),
+        id_col="fp", simhash_col="ahash",
         max_hamming=3, num_bands=4, band_bits=15, pair_mode="join",
-    ).orderBy("id_a", "id_b")
+    )
+    mem_a = hashed.select(F.col("ahash").alias("fp_a"), F.col("doc_id").alias("da"))
+    mem_b = hashed.select(F.col("ahash").alias("fp_b"), F.col("doc_id").alias("db"))
+    inter = (
+        inter_fp.join(mem_a, F.col("id_a") == F.col("fp_a"))
+        .join(mem_b, F.col("id_b") == F.col("fp_b"))
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        hashed.alias("l")
+        .join(hashed.alias("r"), "ahash")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(F.col("ahash").bitwiseXOR(F.col("ahash"))).alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra).orderBy("id_a", "id_b")
 
 
 def _phash_oracle() -> str:

@@ -1380,7 +1380,8 @@ def x_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same quadratic-form distance the assignment ranks on (c·c − 2v·c)
     d = F.round(dot(own, own) - 2 * dot(v, own), 6)
     per_vec = assigned.select(F.col("ivf_cell").alias("cell"), d.alias("d"))
-    total = emb.count()
+    # corpus size as a 1-row broadcast, not a second count() action
+    tot = emb.agg(F.count("*").alias("total"))
     return (
         per_vec.groupBy("cell")
         .agg(
@@ -1394,10 +1395,12 @@ def x_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_dist"),
             F.round(F.max("d"), 6).alias("max_dist"),
         )
+        .join(F.broadcast(tot))
         .select(
             "cell",
             "n_vectors",
-            F.round(F.col("n_vectors") / F.lit(float(total)), 4).alias("share"),
+            F.round(F.col("n_vectors") / F.col("total").cast("double"), 4)
+            .alias("share"),
             "mean_dist",
             "max_dist",
         )

@@ -372,21 +372,26 @@ def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
+    # N as a 1-row broadcast (the engine's scalar-statistic pattern)
+    # instead of a driver count() action: one scan of documents, one
+    # plan — no second pass over the input for the IDF numerator.
+    nd = docs.agg(F.count("*").alias("n_docs"))
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), "term")
     return (
         tf.join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(nd))
         .select(
             "doc_id",
             "term",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
-            .alias("weight"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("weight"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
@@ -685,7 +690,8 @@ def x_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
     )
-    n_docs = docs.count()
+    # N as a 1-row broadcast, not a driver count() action (single plan)
+    nd = docs.agg(F.count("*").alias("n_docs"))
     uni = toks.groupBy("t").agg(F.count("*").alias("c"))
     pairs = (
         toks.alias("a")
@@ -698,6 +704,7 @@ def x_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         pairs.join(F.broadcast(uni.select(F.col("t").alias("ta"), F.col("c").alias("c_a"))), "ta")
         .join(F.broadcast(uni.select(F.col("t").alias("tb"), F.col("c").alias("c_b"))), "tb")
+        .join(F.broadcast(nd))
         .select(
             "ta",
             "tb",
@@ -705,7 +712,7 @@ def x_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.log(
                     F.col("c_ab").cast("double")
-                    * n_docs
+                    * F.col("n_docs").cast("double")
                     / (F.col("c_a").cast("double") * F.col("c_b"))
                 ),
                 6,

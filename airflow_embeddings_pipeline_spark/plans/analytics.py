@@ -92,7 +92,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(revenue, 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -139,8 +139,9 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        # supplier/customer scale with SF -- strategy left to AQE
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .filter(cust["c_nationkey"] == supp["s_nationkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name")

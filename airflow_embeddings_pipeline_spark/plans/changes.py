@@ -242,7 +242,9 @@ def j_runtime_range_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = dim.agg(F.min("c_custkey"), F.max("c_custkey")).first()
     pruned = orders.filter(F.col("o_custkey").between(F.lit(lo), F.lit(hi)))
     return (
-        pruned.join(F.broadcast(dim), pruned.o_custkey == dim.c_custkey)
+        # dim is customer-derived (scales with SF): the range-prune
+        # is the technique here; the join strategy is left to AQE
+        pruned.join(dim, pruned.o_custkey == dim.c_custkey)
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_orders"),
@@ -645,11 +647,18 @@ def a_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = orders.groupBy((F.col("o_custkey") % 100).alias("k")).agg(
         F.count("*").alias("cnt")
     )
-    total = orders.count()
+    # total as a 1-row broadcast — the freqItems sketch collect above is
+    # the only driver action (bounded superset list); no count() rescan
+    tot = orders.agg(F.count("*").alias("n"))
     return (
         exact.filter(F.col("k").isin([int(x) for x in superset_rows]))
-        .filter(F.col("cnt") > _FREQ_SUPPORT * total)
-        .select("k", "cnt", F.round(F.col("cnt") / F.lit(total), 6).alias("support"))
+        .join(F.broadcast(tot))
+        .filter(F.col("cnt") > F.lit(_FREQ_SUPPORT) * F.col("n"))
+        .select(
+            "k",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n").cast("double"), 6).alias("support"),
+        )
         .orderBy("k")
     )
 

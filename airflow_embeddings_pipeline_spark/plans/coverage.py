@@ -674,8 +674,10 @@ def a_dq_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("checked"),
         ),
         # referential integrity: orders.o_custkey ⊆ customer.c_custkey
+        # customer scales with SF -- unhinted; AQE broadcasts at
+        # fixture scale, degrades to shuffle past the broadcast limit
         orders.join(
-            F.broadcast(cust.select("c_custkey")),
+            cust.select("c_custkey"),
             F.col("o_custkey") == F.col("c_custkey"),
             "left",
         ).agg(

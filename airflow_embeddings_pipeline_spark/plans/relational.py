@@ -446,7 +446,9 @@ def j_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        # customer scales with SF (150k rows x SF) -- no forced hint;
+        # AQE broadcasts at fixture scale.  nation/region are fixed-size.
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("r_name", "n_name")

@@ -59,7 +59,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
     )
     vol = (
-        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+        # part scales with SF (200k rows x SF) -- unhinted; AQE
+        # broadcasts at fixture scale, shuffle-joins past the limit.
+        li.join(part.filter(F.col("p_type") == "PROMO"),
                 li["l_partkey"] == part["p_partkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
@@ -242,7 +244,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
         .agg(
             F.round(F.lit(100.0) * F.sum(promo) / F.sum(_disc_price()), 6)
             .cast("double")
@@ -336,7 +338,7 @@ register(
 def q19_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
     arm1 = (
         (F.col("p_brand") == "Brand#3")
         & F.col("p_size").between(1, 15)
@@ -414,7 +416,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     return (
-        per_order.join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        per_order.join(supp, F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

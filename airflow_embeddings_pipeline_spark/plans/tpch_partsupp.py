@@ -14,10 +14,18 @@ every S >= 4) and pure-integer pseudo-random ``ps_availqty`` /
 both sides makes the synthesized relation oracle-exact, so the five
 queries get full value-hash checks like every other catalog entry.
 
-Scale notes: partsupp is 4×|part| — a DIM-side relation (~3.2 GB at
-SF 10k), so it broadcasts wherever it joins a fact table; the 1-row
-supplier-count cross join under the generator is a broadcast of one
-row.  Fact shuffles below are exactly the textbook ones (lineitem in
+Scale notes: partsupp is 4×|part| = 800k rows × SF — at SF 10k that is
+8 BILLION rows (hundreds of GB), far past Spark's 8 GB broadcast hard
+limit, and part (200k×SF), supplier (10k×SF) and customer (150k×SF)
+all scale linearly too.  Therefore NO explicit ``F.broadcast`` hint is
+placed on any SF-scaling relation in this pack: the session enables
+AQE with a 64 MB autoBroadcast threshold, so at fixture scale Spark
+still picks broadcast joins from the ACTUAL runtime sizes, while at
+large SF the same plan degrades gracefully to shuffle joins instead of
+failing outright on an over-limit forced broadcast.  Explicit hints
+are reserved for fixed-cardinality inputs: nation (25 rows), region
+(5), and 1-row scalar aggregates (supplier count, national total).
+Fact shuffles below are exactly the textbook ones (lineitem in
 Q9/Q20); everything else is dim×dim work bounded by |part|.
 
 Column adaptations (fixture schema trims some TPC-H columns, same
@@ -133,8 +141,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    # europe_supp is supplier-derived (10k rows × SF) — no explicit
+    # hint; AQE broadcasts it at fixture scale from actual size.
     eligible = ps.join(
-        F.broadcast(europe_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+        europe_supp, F.col("ps_suppkey") == F.col("s_suppkey")
     )
     min_cost = eligible.groupBy(
         F.col("ps_partkey").alias("mc_partkey")
@@ -146,7 +156,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ps_partkey") == F.col("mc_partkey"))
             & (F.col("ps_supplycost") == F.col("min_cost")),
         )
-        .join(F.broadcast(target), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(target, F.col("ps_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -200,16 +210,20 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(12,2)"
     )
     return (
+        # part / partsupp / supplier all scale with SF (200k / 800k /
+        # 10k rows × SF) — no forced broadcast; AQE picks broadcast at
+        # fixture scale and degrades to shuffle joins past the 8 GB
+        # broadcast limit instead of failing.  nation is 25 rows fixed.
         li.join(
-            F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+            part.filter(F.col("p_name").like("%red%")),
             li["l_partkey"] == part["p_partkey"],
         )
         .join(
-            F.broadcast(ps),
+            ps,
             (F.col("l_partkey") == F.col("ps_partkey"))
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
@@ -264,13 +278,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = synth_partsupp(spark, sf_dir)
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
+    # the one-nation supplier set is supplier-derived (scales with SF)
+    # — unhinted, AQE broadcasts at fixture scale; nation is 25 rows.
     national = ps.join(
-        F.broadcast(
-            supp.join(
-                F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
-                F.col("s_nationkey") == F.col("n_nationkey"),
-            ).select("s_suppkey")
-        ),
+        supp.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey"),
         F.col("ps_suppkey") == F.col("s_suppkey"),
     ).withColumn("part_value", F.col("ps_supplycost") * F.col("ps_availqty"))
     per_part = national.groupBy("ps_partkey").agg(
@@ -332,9 +346,11 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
     )
     return (
-        ps.join(F.broadcast(target), F.col("ps_partkey") == F.col("p_partkey"))
+        # target (filtered part) and excluded (filtered supplier) scale
+        # with SF — unhinted; AQE broadcasts them at fixture scale.
+        ps.join(target, F.col("ps_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(excluded),
+            excluded,
             F.col("ps_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -390,7 +406,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(blue_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(blue_parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -412,7 +428,8 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .join(
-            F.broadcast(candidates),
+            # candidates is partsupp-derived (scales with SF) — unhinted
+            candidates,
             F.col("s_suppkey") == F.col("ps_suppkey"),
             "left_semi",
         )

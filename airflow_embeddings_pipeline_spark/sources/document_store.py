@@ -89,7 +89,14 @@ class DocumentStoreReader(DataSourceReader):
                 return False
         return True
 
-    def _row_passes(self, doc_id: int) -> bool:
+    def _row_passes(self, doc_id: int | None) -> bool:
+        # SQL NULL semantics: a NULL doc_id fails every pushed
+        # comparison (including EqualTo).  Accepted filters are not
+        # re-evaluated by Spark, so this row-level check is the only
+        # evaluation — returning False here (not raising) preserves the
+        # schemaless absent-field->NULL contract for filtered scans.
+        if doc_id is None:
+            return not self.pushed
         for op, v in self.pushed:
             if op == "EqualTo" and doc_id != v:
                 return False
@@ -210,10 +217,13 @@ def register_document_store(spark) -> None:
 # parquet publish + warehouse load, embeddings-pipeline.py:248-255):
 # each task writes its rows to a uniquely-named block under a hidden
 # staging prefix and returns a (file, min_id, max_id, n_rows) commit
-# message; the DRIVER commit renames blocks into place and publishes
-# the manifest LAST — readers never see a store without a manifest, so
-# publish is atomic; abort deletes the staged blocks.  Task retries are
-# safe: an orphaned attempt's block is never referenced by the
+# message; the DRIVER commit renames blocks into place under
+# GENERATION-UNIQUE names (never clobbering a name a live manifest
+# references) and publishes the manifest LAST — readers holding the
+# old manifest keep reading the old generation's bytes, and a crash
+# anywhere before the manifest swap leaves the old store fully intact;
+# old-generation files are swept only AFTER the swap.  Task retries
+# are safe: an orphaned attempt's block is never referenced by the
 # manifest and is swept by abort/cleanup.
 from dataclasses import dataclass
 
@@ -251,17 +261,31 @@ class DocumentStoreWriter(DataSourceWriter):
         return _BlockCommit(file=fname, min_id=lo, max_id=hi, n_rows=n)
 
     def commit(self, messages) -> None:
+        import uuid
+
         manifest_path = os.path.join(self.root, "manifest.json")
         existing: list[dict] = []
-        if not self.overwrite and os.path.exists(manifest_path):
+        prev_generation = "0"
+        if os.path.exists(manifest_path):
             with open(manifest_path) as fh:
-                existing = json.load(fh)["blocks"]
+                manifest = json.load(fh)
+            prev_generation = manifest.get("generation", "0")
+            if not self.overwrite:
+                existing = manifest["blocks"]
+        # Overwrite starts a NEW generation id (streams keying their
+        # offset on it fail loudly instead of reading positionally-
+        # sliced blocks from a different generation); append keeps it.
+        generation = uuid.uuid4().hex[:8] if self.overwrite else prev_generation
         blocks = list(existing)
         for i, m in enumerate(sorted(
             (m for m in messages if m is not None and m.n_rows > 0),
             key=lambda m: (m.min_id if m.min_id is not None else 0, m.file),
         )):
-            final = f"block-{len(existing) + i:04d}.jsonl"
+            # Commit-unique final names: a staged block is never
+            # os.replace'd onto a name an older manifest references, so
+            # concurrent readers of the old generation are undisturbed
+            # and a crash mid-commit cannot corrupt the live store.
+            final = f"block-{uuid.uuid4().hex[:8]}-{len(existing) + i:04d}.jsonl"
             os.replace(
                 os.path.join(self.root, m.file), os.path.join(self.root, final)
             )
@@ -276,7 +300,7 @@ class DocumentStoreWriter(DataSourceWriter):
                     pass
         tmp = os.path.join(self.root, ".manifest.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"blocks": blocks}, fh)
+            json.dump({"generation": generation, "blocks": blocks}, fh)
         os.replace(tmp, manifest_path)
         if self.overwrite:
             # old generations are unreferenced after the swap; sweep them
@@ -304,8 +328,13 @@ class DocumentStoreWriter(DataSourceWriter):
 # count of published manifest blocks, each micro-batch reads exactly
 # the blocks appended since the last committed offset, and Spark's
 # checkpoint replaces the hand-rolled watermark JSON.  Blocks are
-# immutable once referenced by the manifest (the writer only appends),
-# which is what makes block-count a valid monotonic offset.
+# immutable once referenced by the manifest (the writer only appends
+# within a generation), which is what makes block-count a valid
+# monotonic offset — WITHIN one store generation.  mode("overwrite")
+# stamps a fresh generation id into the manifest; the stream records
+# the generation in its offset and FAILS LOUDLY when it changes rather
+# than silently serving positionally-sliced blocks from a different
+# generation as "appended" rows.
 from pyspark.sql.datasource import DataSourceStreamReader
 
 
@@ -314,21 +343,35 @@ class DocumentStoreStreamReader(DataSourceStreamReader):
         self.root = options["path"]
         self.fields = [f.name for f in schema.fields]
 
-    def _blocks(self) -> list[dict]:
+    def _manifest(self) -> dict:
         try:
             with open(os.path.join(self.root, "manifest.json")) as fh:
-                return json.load(fh)["blocks"]
+                return json.load(fh)
         except FileNotFoundError:
-            return []
+            return {"generation": "0", "blocks": []}
+
+    def _blocks(self) -> list[dict]:
+        return self._manifest()["blocks"]
 
     def initialOffset(self) -> dict:
-        return {"block": 0}
+        return {"gen": self._manifest().get("generation", "0"), "block": 0}
 
     def latestOffset(self) -> dict:
-        return {"block": len(self._blocks())}
+        m = self._manifest()
+        return {"gen": m.get("generation", "0"), "block": len(m["blocks"])}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        blocks = self._blocks()[start["block"] : end["block"]]
+        m = self._manifest()
+        gen = m.get("generation", "0")
+        for off in (start, end):
+            if off.get("gen", gen) != gen:
+                raise RuntimeError(
+                    "document_store generation changed under a running "
+                    f"stream (offset gen {off.get('gen')!r} != store gen "
+                    f"{gen!r}): the store was overwritten; restart the "
+                    "stream with a fresh checkpoint"
+                )
+        blocks = m["blocks"][start["block"] : end["block"]]
         return [
             _Block(os.path.join(self.root, b["file"])) for b in blocks
         ] or [_Block(None)]

@@ -122,6 +122,61 @@ def stateful_user_stats(stream: DataFrame, *, key_col: str = "user_id") -> DataF
     )
 
 
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    # the abstract StatefulProcessor API is importable WITHOUT
+    # google.protobuf — only the worker-side wire client
+    # (stateful_processor_api_client) needs it, so the processor class
+    # below executes in-process even in this protobuf-free container
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class RunningStatsProcessor(StatefulProcessor):
+    """The ``transformWithStateInPandas`` processor behind
+    :func:`tws_user_stats`, hoisted to module level so its SEMANTICS
+    (state accumulation, micro-unit rounding, emitted frame shape) are
+    directly unit-testable in this container: the wire transport
+    between the Python worker and the JVM state server requires
+    google.protobuf (absent here), but everything this class does —
+    our code — runs and is asserted in-process against the batch
+    aggregation (tests/test_streaming.py)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n long, micros long, max_sec long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        n, micros, max_sec = (
+            tuple(self._totals.get()) if self._totals.exists() else (0, 0, 0)
+        )
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n += int(len(pdf))
+            # half-UP per value (see stateful_user_stats: pandas
+            # .round is banker's, the oracle's round() is half-away)
+            scaled = pdf["value"].mul(1_000_000.0)
+            half_up = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+            micros += int(half_up.astype("int64").sum())
+            max_sec = max(max_sec, int(pdf["sec"].max()))
+        self._totals.update((n, micros, max_sec))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(micros / 1_000_000.0, 4)],
+                "last_sec": [max_sec],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
 def tws_user_stats(stream: DataFrame, *, key_col: str = "user_id") -> DataFrame:
     """Per-key running statistics via ``transformWithStateInPandas`` —
     Spark 4's arbitrary-state API (SPARK-49214), the successor to
@@ -132,48 +187,8 @@ def tws_user_stats(stream: DataFrame, *, key_col: str = "user_id") -> DataFrame:
     accumulation), so the settled AvailableNow output is
     SQL-oracle-checkable against the batch aggregation.
     """
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class _RunningStats(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState(
-                "totals", "n long, micros long, max_sec long"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            import numpy as np
-
-            n, micros, max_sec = (
-                tuple(self._totals.get()) if self._totals.exists() else (0, 0, 0)
-            )
-            for pdf in rows:
-                if not len(pdf):
-                    continue
-                n += int(len(pdf))
-                # half-UP per value (see stateful_user_stats: pandas
-                # .round is banker's, the oracle's round() is half-away)
-                scaled = pdf["value"].mul(1_000_000.0)
-                half_up = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
-                micros += int(half_up.astype("int64").sum())
-                max_sec = max(max_sec, int(pdf["sec"].max()))
-            self._totals.update((n, micros, max_sec))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "total_value": [round(micros / 1_000_000.0, 4)],
-                    "last_sec": [max_sec],
-                }
-            )
-
-        def close(self) -> None:
-            pass
-
     return stream.groupBy(key_col).transformWithStateInPandas(
-        statefulProcessor=_RunningStats(),
+        statefulProcessor=RunningStatsProcessor(),
         outputStructType=(
             "user_id long, n_events long, total_value double, last_sec long"
         ),

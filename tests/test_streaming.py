@@ -248,6 +248,69 @@ def test_tws_user_stats_matches_batch(spark, sf_dir):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_tws_processor_semantics_in_process(spark, sf_dir):
+    """RunningStatsProcessor (the transformWithStateInPandas processor)
+    driven DIRECTLY with a fake state handle — green execution evidence
+    for OUR tws code in this protobuf-free container.  The only part
+    not exercised here is pyspark's own Python-worker↔JVM wire client
+    (google.protobuf, absent by environment); its semantics contract —
+    per-key state round-trip — is what the fake handle emulates.
+    Cross-batch accumulation: rows are split into two 'micro-batches'
+    and the settled totals must equal the batch aggregation."""
+    import pandas as pd
+
+    from airflow_embeddings_pipeline_spark.streaming.stateful import (
+        RunningStatsProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "value",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+    )
+    pdf = ev.toPandas()
+    uid = pdf["user_id"].iloc[0]
+    mine = pdf[pdf["user_id"] == uid].reset_index(drop=True)
+    batch1, batch2 = mine.iloc[: len(mine) // 2], mine.iloc[len(mine) // 2 :]
+
+    proc = RunningStatsProcessor()
+    proc.init(FakeHandle())
+    out1 = list(proc.handleInputRows((uid,), iter([batch1]), None))
+    out2 = list(proc.handleInputRows((uid,), iter([batch2]), None))
+    proc.close()
+    assert len(out1) == 1 and len(out2) == 1
+    settled = out2[0]
+    # settled totals == batch aggregation with the same micro-unit rule
+    exp_micros = int(
+        (mine["value"] * 1e6).map(lambda x: int(abs(x) + 0.5) * (1 if x >= 0 else -1)).sum()
+    )
+    assert settled["n_events"].iloc[0] == len(mine)
+    assert settled["total_value"].iloc[0] == round(exp_micros / 1e6, 4)
+    assert settled["last_sec"].iloc[0] == int(mine["sec"].max())
+    assert list(settled.columns) == ["user_id", "n_events", "total_value", "last_sec"]
+    # first batch emitted a running (partial) total, strictly between
+    assert out1[0]["n_events"].iloc[0] == len(batch1)
+
+
 def test_document_store_stream_reads_only_appended_blocks(spark, tmp_path):
     """Custom streaming source: the block-count offset makes each
     micro-batch read exactly the blocks appended since the checkpoint

@@ -47,8 +47,14 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from airflow_embeddings_pipeline_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark("oracle-check")
     qs = entrymod.queries()
@@ -63,24 +69,34 @@ def main() -> int:
         )
 
     failures = []
+    results: dict[str, dict] = {}
+    n_ran = 0
     for name, build in qs.items():
         if only and name not in only:
             continue
+        n_ran += 1
         t0 = time.time()
         try:
             sdf = build(spark, sf_dir).toPandas()
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
+            results[name] = {"pass": False, "err": "spark error",
+                             "wall_sec": round(time.time() - t0, 2)}
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"pass": True, "rows_only": True,
+                             "spark_rows": len(sdf),
+                             "wall_sec": round(time.time() - t0, 2)}
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             failures.append(name)
+            results[name] = {"pass": False, "err": "duckdb error",
+                             "wall_sec": round(time.time() - t0, 2)}
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -92,13 +108,34 @@ def main() -> int:
             if a != b:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, first diffs: {diffs}")
+        wall = round(time.time() - t0, 2)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)
+            results[name] = {"pass": False, "err": "; ".join(problems)[:400],
+                             "wall_sec": wall}
         else:
             print(f"ok   {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
+            results[name] = {"pass": True, "spark_rows": len(sdf),
+                             "oracle_rows": len(odf), "wall_sec": wall}
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{n_ran - len(failures)}/{n_ran} pass")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": n_ran,
+                    "n_pass": n_ran - len(failures),
+                    "failures": failures,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 

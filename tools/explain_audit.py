@@ -55,6 +55,13 @@ EXPECTED_BNLJ = {
     "q11_important_stock",
     "q16_parts_supplier",
     "q20_part_promotion",
+    # r5 single-scan refactor: driver count() actions replaced by the
+    # engine's 1-row broadcast scalar pattern — each is a 1-row
+    # broadcast cross join by design.
+    "x_tfidf_top_terms",  # 1-row broadcast doc-count (IDF numerator)
+    "x_word_pmi",  # 1-row broadcast doc-count (PMI normalizer)
+    "x_ivf_cell_stats",  # 1-row broadcast corpus total (share denominator)
+    "a_freq_items_sketch",  # 1-row broadcast total (support denominator)
 }
 
 
