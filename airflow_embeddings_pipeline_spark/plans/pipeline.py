@@ -101,7 +101,11 @@ def pipeline_e2e_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") >= 2)
         .drop("__n")
     )
-    staged = staged.join(F.broadcast(dim), "display_name", "inner")
+    # dim is corpus-derived (distinct display_names grow with the
+    # documents table) — no forced broadcast; AQE picks the strategy
+    # from the post-aggregate runtime size, which at fixture scale is
+    # still a broadcast join.
+    staged = staged.join(dim, "display_name", "inner")
 
     # Pre-seeded target: doc_id % 3 == 0 slice, older shape — distinct
     # category marker and no surrogate ids yet.

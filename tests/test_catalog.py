@@ -97,3 +97,20 @@ def test_every_oracle_parses_in_duckdb():
     assert not bad, f"oracles failed DuckDB syntax check: {bad}"
 
 
+
+
+def test_no_forced_broadcast_on_scaling_relations(spark, sf_dir):
+    """Round-5 guard for the fixture-tuned-hint defect class: no plan
+    in the relational/TPC-H modules may carry a broadcast hint whose
+    subtree scans an SF-scaling table unbounded (past Spark's 8 GB
+    broadcast limit a forced hint FAILS the query instead of degrading
+    — invisible to every fixture-scale check, so it is linted here).
+    Bounded shapes (1-row global aggregates, limits, driver-built
+    LocalRelations, nation/region) stay legitimate."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from hint_audit import audit_catalog
+
+    bad = audit_catalog(spark, sf_dir)
+    assert not bad, f"forced broadcast on scaling relations: {bad}"

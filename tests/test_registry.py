@@ -306,3 +306,116 @@ def test_document_store_writer_overwrite_and_abort(spark, sf_dir, tmp_path):
     w.abort([_BlockCommit(file=".staged-deadbeef.jsonl", min_id=1, max_id=1, n_rows=1), None])
     assert not os.path.exists(staged)
     assert spark.read.format("document_store").option("path", out).load().count() == 7
+
+
+def test_document_store_overwrite_is_generation_safe(spark, sf_dir, tmp_path):
+    """Overwrite publishes a NEW generation under names disjoint from
+    the live manifest's: a concurrent reader holding the old manifest
+    never has a referenced file clobbered mid-commit (os.replace onto
+    a live name was the round-4 defect), and the manifest's generation
+    id changes so streams can detect the swap."""
+    import json
+    import os
+
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        register_document_store,
+    )
+
+    register_document_store(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "gen_store")
+    docs.limit(20).repartition(2).write.format("document_store").option(
+        "path", out
+    ).mode("overwrite").save()
+    m1 = json.load(open(os.path.join(out, "manifest.json")))
+    old_names = {b["file"] for b in m1["blocks"]}
+    docs.limit(9).repartition(2).write.format("document_store").option(
+        "path", out
+    ).mode("overwrite").save()
+    m2 = json.load(open(os.path.join(out, "manifest.json")))
+    new_names = {b["file"] for b in m2["blocks"]}
+    # never-clobber: no new block reuses an old generation's name
+    assert not (old_names & new_names)
+    # generation id changes on overwrite, is stable content otherwise
+    assert m1["generation"] != m2["generation"]
+    # old generation swept only after publish
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert on_disk == new_names
+    assert (
+        spark.read.format("document_store").option("path", out).load().count() == 9
+    )
+
+
+def test_document_store_null_doc_id_fails_pushed_filter(tmp_path):
+    """A row missing doc_id must FAIL a pushed range filter (SQL NULL
+    comparison semantics), not raise — the round-4 advice defect:
+    TypeError on None <= int killed the whole scan task."""
+    import json
+
+    from pyspark.sql.datasource import GreaterThan
+    from pyspark.sql.types import _parse_datatype_string
+
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        STORE_SCHEMA,
+        DocumentStoreReader,
+    )
+
+    store = tmp_path / "null_store"
+    store.mkdir()
+    rows = [
+        {"doc_id": 5, "text": "kept", "source": "s"},
+        {"text": "no id", "source": "s"},  # doc_id absent -> NULL
+    ]
+    with open(store / "block-0000.jsonl", "w") as fh:
+        for x in rows:
+            fh.write(json.dumps(x) + "\n")
+    (store / "manifest.json").write_text(
+        json.dumps({"blocks": [{"file": "block-0000.jsonl", "min_id": 5, "max_id": 5}]})
+    )
+    r = DocumentStoreReader(
+        _parse_datatype_string(STORE_SCHEMA), {"path": str(store)}
+    )
+    assert list(r.pushFilters([GreaterThan(("doc_id",), 1)])) == []
+    got = [t for b in r.partitions() for t in r.read(b)]
+    assert len(got) == 1 and got[0][0] == 5  # NULL row filtered, no crash
+    # without any pushed filter the NULL row passes through as NULL
+    r2 = DocumentStoreReader(
+        _parse_datatype_string(STORE_SCHEMA), {"path": str(store)}
+    )
+    got2 = [t for b in r2.partitions() for t in r2.read(b)]
+    assert len(got2) == 2
+
+
+def test_document_store_stream_fails_loud_on_generation_change(spark, sf_dir, tmp_path):
+    """The streaming reader keys its offset on the store generation:
+    an overwrite between micro-batches must raise, not silently serve
+    positionally-sliced new-generation blocks as appends."""
+    import pytest
+    from pyspark.sql.types import _parse_datatype_string
+
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        STORE_SCHEMA,
+        DocumentStoreStreamReader,
+        register_document_store,
+    )
+
+    register_document_store(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "stream_gen_store")
+    docs.limit(10).write.format("document_store").option("path", out).mode(
+        "overwrite"
+    ).save()
+    r = DocumentStoreStreamReader(
+        _parse_datatype_string(STORE_SCHEMA), {"path": out}
+    )
+    start = r.initialOffset()
+    end = r.latestOffset()
+    assert start["gen"] == end["gen"]
+    # within one generation: the slice works
+    assert len(r.partitions(start, end)) >= 1
+    # overwrite -> new generation -> stale offsets must fail loudly
+    docs.limit(4).write.format("document_store").option("path", out).mode(
+        "overwrite"
+    ).save()
+    with pytest.raises(RuntimeError, match="generation changed"):
+        r.partitions(start, end)
