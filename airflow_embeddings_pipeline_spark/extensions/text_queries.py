@@ -911,11 +911,13 @@ def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
     )
     assigned = docs.select(fp.alias("fp"), split.alias("split"))
+    # leaked-group count as a 1-row broadcast, not a driver count()
+    # action — one plan, no second scan of documents
     leaked = (
         assigned.groupBy("fp")
         .agg(F.countDistinct("split").alias("n_splits"))
         .filter(F.col("n_splits") > 1)
-        .count()
+        .agg(F.count("*").alias("leaked_groups"))
     )
     return (
         assigned.groupBy("split")
@@ -924,7 +926,7 @@ def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fp").alias("n_groups"),
             (F.count("*") - F.countDistinct("fp")).alias("n_dup_docs"),
         )
-        .withColumn("leaked_groups", F.lit(leaked))
+        .join(F.broadcast(leaked))
         .orderBy("split")
     )
 

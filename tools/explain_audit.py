@@ -59,6 +59,9 @@ EXPECTED_BNLJ = {
     # engine's 1-row broadcast scalar pattern — each is a 1-row
     # broadcast cross join by design.
     "x_tfidf_top_terms",  # 1-row broadcast doc-count (IDF numerator)
+    "x_leakage_safe_split",  # 1-row broadcast leaked-group count
+    "x_ann_pq",  # 1-row broadcast adaptive ADC candidate-pool bound
+    "x_ann_pq_trained",  # same 1-row broadcast pool bound
     "x_word_pmi",  # 1-row broadcast doc-count (PMI normalizer)
     "x_ivf_cell_stats",  # 1-row broadcast corpus total (share denominator)
     "a_freq_items_sketch",  # 1-row broadcast total (support denominator)
