@@ -720,3 +720,51 @@ register(
         tags=("X3", "ann"),
     )
 )
+
+
+# ---------------------------------------- persisted trained-PQ probe
+# Train-once / probe-many for the PQ tier (mirror of
+# x_ann_ivf_persisted): codebooks are saved through the atomic index
+# store and the encode+ADC+re-rank plan is built from the LOADED
+# artifact.  Shares x_ann_pq_trained's oracle — lossless persistence
+# proven by value-hash equality.  The production shape at 100 TB: the
+# full-corpus Lloyd pass runs once; each query after reads
+# m×ncents×subdim floats (8 KB).
+def x_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .index_store import load_index, save_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, qhead = _pq_head(emb)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    path = os.path.join(
+        "/tmp/spark_graft_index",
+        f"pq_{src.strip('/').replace('/', '_')}"
+        f".m{int(os.path.getmtime(src) * 1000)}.json",
+    )
+    if not os.path.exists(path):
+        books = train_pq_books(emb, _pq_seed_books(cents))
+        save_index(
+            path,
+            "pq_codebooks",
+            books,
+            meta={"source": src, "m": _PQ_M, "ncents": _PQ_NCENTS},
+        )
+    _kind, books, _meta = load_index(path, expect_kind="pq_codebooks")
+    return _pq_run(spark, emb, books, qhead)
+
+
+register(
+    Query(
+        name="x_ann_pq_persisted",
+        build=x_ann_pq_persisted,
+        oracle=_pq_trained_oracle(),
+        doc=(
+            "train-once/probe-many PQ: codebooks persisted via the atomic "
+            "index store, probe built from the LOADED artifact — shares the "
+            "trained tier's oracle, proving lossless round trip (X3)"
+        ),
+        tags=("X3", "ann"),
+    )
+)

@@ -264,11 +264,7 @@ _CDIST1 = (
     f" - 2 * {_DOT.format(a='e.embedding', b='c.cv')}, 6)"
 )
 
-register(
-    Query(
-        name="x_ann_ivf_trained",
-        build=x_ann_ivf_trained,
-        oracle=f"""
+_IVF_TRAINED_ORACLE = f"""
         WITH cents0 AS (
             SELECT vec_id AS cid, embedding AS cv FROM embeddings
             WHERE vec_id < {_N_CENTS}
@@ -324,10 +320,78 @@ register(
         )
         SELECT query_id, neighbor_id, cosine, rank
         FROM ranked WHERE rank <= {_K} ORDER BY query_id, rank
-        """,
+        """
+
+register(
+    Query(
+        name="x_ann_ivf_trained",
+        build=x_ann_ivf_trained,
+        oracle=_IVF_TRAINED_ORACLE,
         doc="IVF top-k with k-means-trained centroids (1 deterministic Lloyd step), oracle replicates training (X3 scale tier)",
         tags=("X3", "ann"),
         bench=True,
+    )
+)
+
+
+# --------------------------------------- persisted trained-IVF probe
+# Train-once / probe-many: the trained centroids are saved through
+# extensions/index_store.py (the engine's atomic state-file contract)
+# and the probe plan is built from the LOADED artifact.  Sharing
+# x_ann_ivf_trained's full oracle is the proof that persistence is
+# lossless — a probe over the round-tripped index must be bit-identical
+# to one over the freshly trained centroids.  At 100 TB this is the
+# production shape: the full-corpus training pass runs once, every
+# query after reads k×dim floats.
+def x_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .index_store import load_index, save_index
+    from .similarity import train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    # artifact cache keyed by source mtime (the layout-cache contract):
+    # regenerated fixtures retrain, reruns reuse the persisted index
+    path = os.path.join(
+        "/tmp/spark_graft_index",
+        f"ivf_{src.strip('/').replace('/', '_')}"
+        f".m{int(os.path.getmtime(src) * 1000)}.json",
+    )
+    if not os.path.exists(path):
+        cent_rows = (
+            emb.filter(F.col("vec_id") < _N_CENTS)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+        seeds = [[float(x) for x in r[0]] for r in cent_rows]
+        trained = train_ivf_centroids(emb, seeds, iters=1)
+        save_index(
+            path,
+            "ivf_centroids",
+            trained,
+            meta={"source": src, "n_cents": _N_CENTS, "iters": 1},
+        )
+    _kind, cents, _meta = load_index(path, expect_kind="ivf_centroids")
+    corpus = assign_ivf_cells(emb, cents)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(corpus, queries, cents, k=_K, nprobe=_NPROBE).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+register(
+    Query(
+        name="x_ann_ivf_persisted",
+        build=x_ann_ivf_persisted,
+        oracle=_IVF_TRAINED_ORACLE,
+        doc=(
+            "train-once/probe-many IVF: centroids persisted via the atomic "
+            "index store and probed from the LOADED artifact — shares the "
+            "trained tier's oracle, proving lossless round trip (X3)"
+        ),
+        tags=("X3", "ann"),
     )
 )
 

@@ -924,3 +924,73 @@ def test_phash_over_real_decoded_pixels(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_index_store_roundtrip_and_guards(tmp_path):
+    """Persisted index artifacts round-trip bit-exactly (floats via
+    json repr), overwrite atomically, and fail loudly on kind/version
+    mismatch — a PQ codebook must never silently feed an IVF probe."""
+    import json
+
+    import pytest
+
+    from airflow_embeddings_pipeline_spark.extensions.index_store import (
+        load_index,
+        save_index,
+    )
+
+    cents = [[0.1, -2.5e-7, 3.0], [1.0 / 3.0, 7.125, -0.0]]
+    p = str(tmp_path / "idx" / "ivf.json")
+    save_index(p, "ivf_centroids", cents, meta={"n_cents": 2})
+    kind, back, meta = load_index(p, expect_kind="ivf_centroids")
+    assert kind == "ivf_centroids" and meta == {"n_cents": 2}
+    assert back == cents  # exact float round trip, not approx
+
+    # overwrite replaces content atomically (no .tmp leftovers)
+    save_index(p, "ivf_centroids", [[9.0]])
+    assert load_index(p)[1] == [[9.0]]
+    import os
+
+    assert not [f for f in os.listdir(tmp_path / "idx") if ".tmp." in f]
+
+    # kind guard
+    books = [[[0.5] * 2] * 2]
+    p2 = str(tmp_path / "idx" / "pq.json")
+    save_index(p2, "pq_codebooks", books)
+    with pytest.raises(ValueError, match="expected 'ivf_centroids'"):
+        load_index(p2, expect_kind="ivf_centroids")
+    with pytest.raises(ValueError, match="unknown index kind"):
+        save_index(p2, "faiss_hnsw", books)
+
+    # version guard
+    doc = json.load(open(p2))
+    doc["format_version"] = 99
+    open(p2, "w").write(json.dumps(doc))
+    with pytest.raises(ValueError, match="format_version"):
+        load_index(p2)
+
+
+def test_ivf_persisted_probe_matches_trained(spark, sf_dir):
+    """The catalog's persisted-IVF probe over the round-tripped
+    artifact equals the freshly-trained probe row-for-row."""
+    from airflow_embeddings_pipeline_spark.extensions.similarity_queries import (
+        x_ann_ivf_persisted,
+        x_ann_ivf_trained,
+    )
+
+    a = sorted(map(tuple, x_ann_ivf_trained(spark, sf_dir).collect()))
+    b = sorted(map(tuple, x_ann_ivf_persisted(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_pq_persisted_probe_matches_trained(spark, sf_dir):
+    """Persisted-PQ probe over the round-tripped codebooks equals the
+    freshly-trained probe row-for-row."""
+    from airflow_embeddings_pipeline_spark.extensions.retrieval_queries import (
+        x_ann_pq_persisted,
+        x_ann_pq_trained,
+    )
+
+    a = sorted(map(tuple, x_ann_pq_trained(spark, sf_dir).collect()))
+    b = sorted(map(tuple, x_ann_pq_persisted(spark, sf_dir).collect()))
+    assert a == b

@@ -62,6 +62,7 @@ EXPECTED_BNLJ = {
     "x_leakage_safe_split",  # 1-row broadcast leaked-group count
     "x_ann_pq",  # 1-row broadcast adaptive ADC candidate-pool bound
     "x_ann_pq_trained",  # same 1-row broadcast pool bound
+    "x_ann_pq_persisted",  # same 1-row broadcast pool bound (loaded books)
     "x_word_pmi",  # 1-row broadcast doc-count (PMI normalizer)
     "x_ivf_cell_stats",  # 1-row broadcast corpus total (share denominator)
     "a_freq_items_sketch",  # 1-row broadcast total (support denominator)

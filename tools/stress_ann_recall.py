@@ -85,6 +85,9 @@ def main() -> None:
     staged = stage_perturbed(sf_dir, scale)
     spark = get_spark("stress-ann-recall")
     catalog = get_catalog()
+    import pyarrow.parquet as pq
+
+    n_vectors = pq.read_metadata(f"{staged}/embeddings.parquet").num_rows
 
     t0 = time.perf_counter()
     exact = {
@@ -108,7 +111,11 @@ def main() -> None:
         recall = round(len(approx & exact) / len(exact), 4) if exact else 0.0
         results[name] = {"recall_at_5": recall, "wall_sec": wall}
         print(f"# {name}: recall@5={recall} ({wall}s)", file=sys.stderr)
-    print(json.dumps({"scale": scale, "n_vectors": None, "sf_dir": sf_dir, **results}))
+    print(
+        json.dumps(
+            {"scale": scale, "n_vectors": n_vectors, "sf_dir": sf_dir, **results}
+        )
+    )
 
 
 if __name__ == "__main__":
