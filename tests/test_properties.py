@@ -248,3 +248,79 @@ def test_partsupp_assignment_yields_four_distinct_suppliers(S, p):
     ks = {(p + i * (S // 4) + (p - 1) // S) % S + 1 for i in range(4)}
     assert len(ks) == 4
     assert all(1 <= k <= S for k in ks)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),  # overwrite?
+            st.lists(st.integers(0, 99), min_size=0, max_size=5),  # doc_ids
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_document_store_write_sequences_match_model(spark, ops):
+    """Property: after ANY sequence of append/overwrite commits, the
+    reader sees exactly the model's rows (append = union, overwrite =
+    replace), the manifest generation changes iff the commit was an
+    overwrite, and no commit ever publishes a block name the previous
+    generation referenced (the never-clobber atomicity invariant).
+    Driven through the writer/reader classes directly — no Spark job
+    per hypothesis example."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        STORE_SCHEMA,
+        DocumentStoreReader,
+        DocumentStoreWriter,
+    )
+
+    class Row:
+        def __init__(self, d):
+            self._d = d
+
+        def asDict(self):
+            return dict(self._d)
+
+    schema = _parse_datatype_string(STORE_SCHEMA)
+    root = tempfile.mkdtemp(prefix="docstore_prop_")
+    try:
+        live_model: list[int] = []
+        prev_gen = None
+        prev_names: set[str] = set()
+        for overwrite, ids in ops:
+            w = DocumentStoreWriter({"path": root}, overwrite)
+            rows = [
+                Row({"doc_id": i, "text": f"t{i}", "lang": "en",
+                     "source": "s", "n_chars": 2})
+                for i in sorted(ids)
+            ]
+            # two tasks' worth of staged blocks, like a 2-partition job
+            msgs = [w.write(iter(rows[: len(rows) // 2])),
+                    w.write(iter(rows[len(rows) // 2 :]))]
+            w.commit(msgs)
+            live_model = sorted(ids) if overwrite else sorted(live_model + list(ids))
+
+            manifest = json.load(open(os.path.join(root, "manifest.json")))
+            gen = manifest["generation"]
+            names = {b["file"] for b in manifest["blocks"]}
+            if prev_gen is not None:
+                if overwrite:
+                    assert gen != prev_gen  # streams must detect the swap
+                    assert not (names & prev_names)  # never clobber old names
+                else:
+                    assert gen == prev_gen
+                    assert prev_names <= names  # append keeps old blocks
+            r = DocumentStoreReader(schema, {"path": root})
+            got = sorted(t[0] for b in r.partitions() for t in r.read(b))
+            assert got == live_model
+            prev_gen, prev_names = gen, names
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
