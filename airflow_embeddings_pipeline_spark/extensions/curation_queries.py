@@ -55,7 +55,9 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(shingles("text", _DECON_N)).alias("g")
     )
     return (
-        corpus_g.join(F.broadcast(bench), "g", "left")
+        # bench is fixed-size in real use (a benchmark suite), but the
+        # fixture derives it from the corpus -- unhinted so AQE decides
+        corpus_g.join(bench, "g", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
@@ -844,8 +846,12 @@ def x_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ndocs") >= _BP_K)
         .select(F.col("chunk").alias("bchunk"))
     )
+    # boiler (chunks seen >= threshold) grows with corpus ENTROPY --
+    # on a web-scale corpus the common-chunk table can exceed the
+    # broadcast limit, so the strategy is left to AQE (broadcast at
+    # fixture scale, shuffle join past the limit)
     joined = exploded.join(
-        F.broadcast(boiler), exploded["chunk"] == F.col("bchunk"), "left"
+        boiler, exploded["chunk"] == F.col("bchunk"), "left"
     )
     kept_struct = F.when(
         F.col("bchunk").isNull(), F.struct("pos", "chunk")

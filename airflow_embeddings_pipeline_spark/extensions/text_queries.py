@@ -384,7 +384,10 @@ def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), "term")
     return (
-        tf.join(F.broadcast(df_tbl), "term")
+        # df_tbl spans the VOCABULARY -- corpus-entropy-scaling, so no
+        # forced broadcast (billions of distinct tokens on a web corpus
+        # would blow the 8 GB limit); AQE broadcasts at fixture scale
+        tf.join(df_tbl, "term")
         .join(F.broadcast(nd))
         .select(
             "doc_id",
@@ -702,8 +705,9 @@ def x_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_ab") >= _PMI_MIN_PAIRS)
     )
     scored = (
-        pairs.join(F.broadcast(uni.select(F.col("t").alias("ta"), F.col("c").alias("c_a"))), "ta")
-        .join(F.broadcast(uni.select(F.col("t").alias("tb"), F.col("c").alias("c_b"))), "tb")
+        # uni spans the vocabulary (entropy-scaling) -- unhinted, AQE
+        pairs.join(uni.select(F.col("t").alias("ta"), F.col("c").alias("c_a")), "ta")
+        .join(uni.select(F.col("t").alias("tb"), F.col("c").alias("c_b")), "tb")
         .join(F.broadcast(nd))
         .select(
             "ta",

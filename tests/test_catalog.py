@@ -101,16 +101,19 @@ def test_every_oracle_parses_in_duckdb():
 
 def test_no_forced_broadcast_on_scaling_relations(spark, sf_dir):
     """Round-5 guard for the fixture-tuned-hint defect class: no plan
-    in the relational/TPC-H modules may carry a broadcast hint whose
-    subtree scans an SF-scaling table unbounded (past Spark's 8 GB
-    broadcast limit a forced hint FAILS the query instead of degrading
-    — invisible to every fixture-scale check, so it is linted here).
-    Bounded shapes (1-row global aggregates, limits, driver-built
-    LocalRelations, nation/region) stay legitimate."""
+    in the FULL catalog (plans/ and extensions/) may carry a broadcast
+    hint whose subtree scans a scaling table unbounded (past Spark's
+    8 GB broadcast limit a forced hint FAILS the query instead of
+    degrading — invisible to every fixture-scale check, so it is
+    linted here).  Bounded shapes (1-row global aggregates, limits,
+    driver-built LocalRelations, nation/region) pass structurally;
+    sets the syntactic walk cannot prove bounded (literal-id-filtered
+    query sets, fence tables, ingest batches) are whitelisted with
+    reasons in hint_audit.BOUNDED_BY_DESIGN."""
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
     from hint_audit import audit_catalog
 
-    bad = audit_catalog(spark, sf_dir)
+    bad = audit_catalog(spark, sf_dir)  # full catalog, both module trees
     assert not bad, f"forced broadcast on scaling relations: {bad}"

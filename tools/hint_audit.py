@@ -14,11 +14,18 @@ built LocalRelation, or touches only fixed-cardinality tables
 hint is exactly the fixture-tuned class that breaks at 100 TB and is
 reported.
 
-Scope: the relational/TPC-H plan modules (``plans/``).  The extension
-catalog intentionally broadcasts corpus-ENTROPY-bounded sets (capped
-vocabularies, top-k lists, band buckets) whose boundedness this
-syntactic walk cannot see; those plans are covered by
-``explain_audit.py``'s physical-plan checks instead.
+Scope: ALL catalog modules (``plans/`` and ``extensions/``).  The
+walk is syntactic, so broadcasts whose boundedness it cannot see —
+literal-id-filtered query/centroid sets (``vec_id < 8``), dimension-
+bounded per-source tables, fixed bucket tables, ingest batches — are
+whitelisted per query in ``BOUNDED_BY_DESIGN`` with the reason, the
+same convention as ``explain_audit.EXPECTED_BNLJ``.  Everything else
+that broadcasts a scaling scan is reported.  The round-5 sweep of the
+full catalog with this audit found and fixed five genuine sites: the
+TPC-H pipeline dim plus four corpus-ENTROPY-scaling tables
+(tf-idf document frequencies, PMI unigram counts, boilerplate chunk
+set, decontamination n-grams) that would pass every fixture-scale
+check and exceed the 8 GB broadcast limit on a web-scale corpus.
 
 Usage: python tools/hint_audit.py [sf_dir]   (also used by pytest)
 """
@@ -45,6 +52,35 @@ _SCALING_COLS = {
 }
 _GLOBAL_AGG = re.compile(r"Aggregate \[[^\]]*\]$")  # one list = no grouping
 _GROUPED_AGG = re.compile(r"Aggregate \[[^\]]*\], \[")
+
+# Broadcasts the syntactic walk cannot prove bounded, with the actual
+# bound.  Each entry was manually reviewed in round 5.
+_QSET = "broadcast side is the literal-id-filtered query/centroid set (<= 8/16 rows)"
+BOUNDED_BY_DESIGN = {
+    "x_cosine_topk": _QSET,
+    "x_cosine_topk_blocked": _QSET,
+    "x_filtered_topk": _QSET,
+    "x_maxsim_retrieval": _QSET,
+    "x_rrf_fusion": _QSET,
+    "x_semantic_join": _QSET,
+    "x_hard_negatives": _QSET + " (anchor set)",
+    "x_ann_ivf": _QSET,
+    "x_ann_ivf_trained": _QSET,
+    "x_ann_ivf_int8": _QSET,
+    "x_ann_ivf_persisted": _QSET,
+    "x_ann_ivf_incremental": _QSET,
+    "x_ann_pq": _QSET,
+    "x_ann_pq_trained": _QSET,
+    "x_ann_pq_persisted": _QSET,
+    "x_hyperplane_lsh_near_dup_t08": _QSET,
+    "x_semdedup": _QSET,
+    "x_ivf_cell_stats": _QSET,
+    "x_outlier_filter": "per-source fence table — source domain is dimension-bounded",
+    "x_token_budget_cut": "fixed bucket-offset table (bucket count is a literal)",
+    "x_incremental_near_dup": "broadcast side is the ingest BATCH's band index — bounded by batch size by contract",
+    "x_embedding_drift": "two 1-row mean vectors",
+    "x_temperature_mixture": "20-row per-source rollup",
+}
 
 
 def _depth(line: str) -> int:
@@ -95,13 +131,17 @@ def audit_plan(plan: str) -> list[str]:
     return bad
 
 
-def audit_catalog(spark, sf_dir: str, *, module_prefix: str = "plans") -> dict[str, list[str]]:
+def audit_catalog(
+    spark, sf_dir: str, *, module_prefix: str | None = None
+) -> dict[str, list[str]]:
     from airflow_embeddings_pipeline_spark.plans import get_catalog
 
     out: dict[str, list[str]] = {}
     for name, q in get_catalog().items():
         mod = q.build.__module__
-        if f".{module_prefix}." not in mod:
+        if module_prefix is not None and f".{module_prefix}." not in mod:
+            continue
+        if name in BOUNDED_BY_DESIGN:
             continue
         try:
             df = q.build(spark, sf_dir)
