@@ -348,11 +348,16 @@ def _pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     The expressions are generated as SQL text -- one F.expr per subspace
     instead of ~1000 py4j column-builder round trips, which dominated
     plan-construction time in the column-API version.  Each subvector
-    slice is computed once per subspace and shared by all 16 distances."""
+    slice is computed once per subspace and shared by all 16 distances.
 
-    def cent_sql(s: int, c: int) -> str:
-        vals = ", ".join(repr(float(v)) + "D" for v in books[s][c])
-        return f"array({vals})"
+    Round-5 compile-time fix: the 16 codeword distances per subspace
+    are a single ``transform`` over the subspace's codebook as ONE
+    nested array LITERAL, not 16 unrolled aggregate subtrees -- the
+    unrolled form (8 subspaces x 16 codewords x 8 literal components)
+    cost ~1.8 s of Catalyst compile per plan while re-execution of the
+    compiled plan was ~0.12 s (BASELINE.md build/exec split).
+    Value-identical: same zip_with squared-distance left-fold per
+    codeword, codewords visited in index order, same round(.., 6)."""
 
     sub_cols = [
         F.expr(
@@ -370,14 +375,16 @@ def _pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
         # measured 7.3 s vs 6.2 s per 200k vectors).  First-min tie
         # break (strict <) matches array_position's first-match and the
         # oracle's ORDER BY dist, code.
-        pairs = ", ".join(
-            f"named_struct('d', round(aggregate(zip_with(sub{s}, {cent_sql(s, c)}, "
-            f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 6), 'i', {c})"
+        book_sql = ", ".join(
+            "array(" + ", ".join(repr(float(v)) + "D" for v in books[s][c]) + ")"
             for c in range(_PQ_NCENTS)
         )
         code_cols.append(
             F.expr(
-                f"CAST(aggregate(array({pairs}), "
+                f"CAST(aggregate(transform(array({book_sql}), (cw, ci) -> "
+                f"named_struct('d', round(aggregate(zip_with(sub{s}, cw, "
+                "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 6), "
+                "'i', ci)), "
                 "named_struct('d', CAST('Infinity' AS DOUBLE), 'i', -1), "
                 "(acc, x) -> IF(x.d < acc.d, x, acc)).i AS INT)"
             ).alias(f"c{s}")

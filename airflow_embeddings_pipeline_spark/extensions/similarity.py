@@ -203,25 +203,29 @@ def hyperplane_signature(vec, planes: list[list[float]]) -> Column:
     the dot product null (bit cleared) instead of failing.
 
     ``vec`` as a column NAME takes the fast path: the whole signature
-    is generated as ONE SQL expression string (a single py4j call) —
-    the per-plane column-API construction costs ~2.5 s of driver time
-    at 32 planes × 64 dims.  Both paths produce byte-identical plans
-    (same left-fold dot, same literal doubles)."""
+    is ONE SQL expression string (a single py4j call), and since the
+    round-5 compile-time fix the plane matrix is a single nested array
+    LITERAL folded at runtime rather than 16-32 unrolled per-plane
+    dot subtrees — the unrolled form cost ~1.7 s of Catalyst
+    compile per plan at 32 planes × 64 dims (measured via the
+    build/exec split in BASELINE.md; re-execution of the compiled plan
+    is ~0.1 s).  Value-identical to the column-API path: same
+    left-fold dot per plane in index order, same literal doubles,
+    ``shiftleft(1L, j)`` == the unrolled ``CAST(1<<j AS BIGINT)``."""
     if planes and len({len(p) for p in planes}) != 1:
         raise ValueError("ragged plane matrix")
     if isinstance(vec, str):
-        parts = []
-        for j, plane in enumerate(planes):
-            arr = ", ".join(repr(float(x)) + "D" for x in plane)
-            d = (
-                f"aggregate(zip_with({vec}, array({arr}), (a, b) -> a * b), "
-                "0.0D, (acc, x) -> acc + x)"
-            )
-            parts.append(
-                f"(CASE WHEN {d} > 0 THEN CAST({1 << j} AS BIGINT) "
-                "ELSE CAST(0 AS BIGINT) END)"
-            )
-        return F.expr(" + ".join(parts))
+        mat = ", ".join(
+            "array(" + ", ".join(repr(float(x)) + "D" for x in plane) + ")"
+            for plane in planes
+        )
+        return F.expr(
+            f"aggregate(transform(array({mat}), (p, j) -> "
+            f"IF(aggregate(zip_with({vec}, p, (a, b) -> a * b), "
+            "0.0D, (acc, x) -> acc + x) > 0, "
+            "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
     bits = []
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
