@@ -206,6 +206,12 @@ def main() -> None:
         # funnel (window + agg), dataset card (window + agg + exact
         # percentiles)
         "x_boilerplate_removal",
+        # r5: the two vocabulary-broadcast queries whose forced hints
+        # were dropped by the entropy-scaling lint sweep — stressed
+        # here to confirm the AQE-chosen plan holds when the df /
+        # unigram tables grow with the staged corpus
+        "x_tfidf_top_terms",
+        "x_word_pmi",
         "x_bigram_lm_logprob",
         "x_feature_hashing",
         "x_corpus_refresh_e2e",
