@@ -994,3 +994,100 @@ def test_pq_persisted_probe_matches_trained(spark, sf_dir):
     a = sorted(map(tuple, x_ann_pq_trained(spark, sf_dir).collect()))
     b = sorted(map(tuple, x_ann_pq_persisted(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_hyperplane_signature_fast_path_matches_column_api(spark):
+    """The round-5 literal-fold fast path (one transform over the plane
+    matrix) must stay VALUE-identical to the per-plane column-API path:
+    same left-fold dot per plane in index order, shiftleft(1L, j) ==
+    the unrolled CAST(1<<j AS BIGINT).  Exercises negative components,
+    zero vectors (dot == 0 clears the bit on both paths), and a
+    clustered region where several planes flip together."""
+    from airflow_embeddings_pipeline_spark.extensions.similarity import (
+        hyperplane_planes,
+        hyperplane_signature,
+    )
+
+    planes = hyperplane_planes(12, 8)
+    vecs = [
+        [0.0] * 8,
+        [1.0] * 8,
+        [-1.0] * 8,
+        [0.5, -0.25, 0.125, -0.0625, 0.3, -0.7, 0.9, -0.1],
+        [1e-9] * 8,
+        [-1e-9, 1e-9, -1e-9, 1e-9, -1e-9, 1e-9, -1e-9, 1e-9],
+        [float(i) - 3.5 for i in range(8)],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, v array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["fast"], r["slow"])
+        for r in df.select(
+            "vec_id",
+            hyperplane_signature("v", planes).alias("fast"),
+            hyperplane_signature(F.col("v"), planes).alias("slow"),
+        ).collect()
+    }
+    assert got and all(fast == slow for fast, slow in got.values())
+
+
+def test_pq_encode_codes_match_python_argmin(spark):
+    """PQ codes from the round-5 transform-fold expression equal a plain
+    Python argmin over the same rounded squared distances (first-min
+    tie break), on vectors engineered to include exact codeword hits
+    and midpoints between two codewords."""
+    from airflow_embeddings_pipeline_spark.extensions.retrieval_queries import (
+        _PQ_M,
+        _PQ_NCENTS,
+        _PQ_SUBDIM,
+        _pq_encode,
+    )
+
+    dim = _PQ_M * _PQ_SUBDIM
+    # deterministic codebooks with distinct codewords per subspace
+    books = [
+        [
+            [((s * 31 + c * 7 + i * 3) % 17 - 8) / 8.0 for i in range(_PQ_SUBDIM)]
+            for c in range(_PQ_NCENTS)
+        ]
+        for s in range(_PQ_M)
+    ]
+    vecs = []
+    # exact hit on codeword 5 in every subspace
+    vecs.append([books[s][5][i] for s in range(_PQ_M) for i in range(_PQ_SUBDIM)])
+    # midpoint of codewords 2 and 9 (tie -> first-min = lower index)
+    vecs.append(
+        [
+            (books[s][2][i] + books[s][9][i]) / 2.0
+            for s in range(_PQ_M)
+            for i in range(_PQ_SUBDIM)
+        ]
+    )
+    vecs.append([0.0] * dim)
+    vecs.append([((j * 13) % 19 - 9) / 9.0 for j in range(dim)])
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<double>"
+    )
+    enc = {
+        r["vec_id"]: [r[f"c{s}"] for s in range(_PQ_M)]
+        for r in _pq_encode(df, books).collect()
+    }
+
+    def py_codes(vec):
+        out = []
+        for s in range(_PQ_M):
+            sub = vec[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+            best, best_d = -1, float("inf")
+            for c in range(_PQ_NCENTS):
+                acc = 0.0
+                for a, b in zip(sub, books[s][c]):
+                    acc += (a - b) * (a - b)
+                d = round(acc, 6)
+                if d < best_d:
+                    best, best_d = c, d
+            out.append(best)
+        return out
+
+    for i, v in enumerate(vecs):
+        assert enc[i] == py_codes(v), f"vec {i}: {enc[i]} != {py_codes(v)}"
