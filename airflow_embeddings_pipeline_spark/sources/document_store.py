@@ -208,6 +208,23 @@ def register_document_store(spark) -> None:
     own)."""
     if not getattr(spark, "_docstore_registered", False):
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        # Ship this module BY VALUE inside the pickled source: the
+        # DataSource worker is a separate process that inherits the
+        # JVM's PYTHONPATH, not the driver's in-process sys.path — a
+        # caller who did `sys.path.insert(0, repo)` before building the
+        # session (the driver-contract "fresh plain session" shape) gets
+        # ModuleNotFoundError in every scan task if the class pickles
+        # by reference.  register_pickle_by_value on pyspark's vendored
+        # cloudpickle makes the worker self-contained instead.
+        try:
+            from pyspark import cloudpickle
+
+            import airflow_embeddings_pipeline_spark.sources.document_store as _m
+
+            cloudpickle.register_pickle_by_value(_m)
+        except Exception:
+            pass  # older vendored cloudpickle: by-reference still works
+            # whenever the package is on the worker's import path
         spark.dataSource.register(DocumentStoreDataSource)
         spark._docstore_registered = True
 
@@ -319,6 +336,145 @@ class DocumentStoreWriter(DataSourceWriter):
                     os.remove(os.path.join(self.root, m.file))
                 except OSError:
                     pass
+
+
+# ------------------------------------------------------- compaction
+def compact_document_store(
+    root: str, *, min_block_bytes: int = 1 << 20, max_group_bytes: int | None = None
+) -> dict:
+    """Merge adjacent small blocks into fewer large ones — the
+    small-files maintenance pass every block store needs once appends
+    accumulate (each tiny block is a whole scan task + an open/parse
+    round trip; at 100 TB a million 50 KB blocks turns the manifest
+    prune into the bottleneck).  Reference analog: the warehouse-side
+    micro-partition re-clustering the reference gets for free from
+    Snowflake (embeddings-pipeline.py:248-255 loads into a managed
+    table); this store must do it explicitly.
+
+    Same never-clobber commit protocol as the writer (proven by the
+    overwrite property tests): merged groups are written under
+    commit-unique staged names, the manifest is published LAST via
+    atomic rename, and superseded files are swept only AFTER the swap —
+    a crash anywhere before the swap leaves the old store fully intact,
+    and readers holding the old manifest read old bytes until the
+    sweep.  Only ADJACENT runs of blocks smaller than
+    ``min_block_bytes`` are merged (byte-level concatenation — JSONL
+    needs no parse), so untouched large blocks keep their exact files
+    and the manifest's doc_id ordering is preserved; each merged
+    group's [min_id, max_id] is the union of its members', keeping the
+    pruning index exact.  ``max_group_bytes`` (default 64 x
+    ``min_block_bytes``) caps a merged block's size so one degenerate
+    run can't produce an unsplittable giant.
+
+    Compaction changes block POSITIONS, so it stamps a fresh
+    generation id: a running stream keyed on (generation, block-count)
+    fails loudly at its next micro-batch instead of silently serving
+    re-sliced blocks as appended rows — identical semantics to
+    overwrite, and the honest choice given positional offsets.
+    No-op (and generation-preserving) when nothing qualifies.
+
+    Driver-side file loop by design: each group merge is an
+    independent byte copy, so at real scale the groups fan out as one
+    task each (the manifest commit stays a single driver swap); on
+    this store the limiting resource is the filesystem, not CPU.
+
+    Returns ``{"blocks_before", "blocks_after", "groups_merged",
+    "bytes_rewritten", "generation_changed"}``.
+    """
+    import shutil
+    import uuid
+
+    manifest_path = os.path.join(root, "manifest.json")
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+    blocks = manifest["blocks"]
+    cap = max_group_bytes if max_group_bytes is not None else 64 * min_block_bytes
+
+    def _size(b: dict) -> int:
+        try:
+            return os.path.getsize(os.path.join(root, b["file"]))
+        except OSError:
+            return min_block_bytes  # unreadable -> treat as not-small
+
+    # Partition the manifest order into runs: keep large blocks as-is,
+    # group adjacent small ones up to the cap.
+    out_blocks: list[dict] = []
+    staged: list[tuple[str, list[dict]]] = []  # (staged file, members)
+    run: list[dict] = []
+    run_bytes = 0
+
+    def _flush_run() -> None:
+        nonlocal run, run_bytes
+        if len(run) >= 2:
+            fname = f".compact-{uuid.uuid4().hex}.jsonl"
+            with open(os.path.join(root, fname), "wb") as out:
+                for b in run:
+                    with open(os.path.join(root, b["file"]), "rb") as src:
+                        shutil.copyfileobj(src, out)
+            mins = [b["min_id"] for b in run if b["min_id"] is not None]
+            maxs = [b["max_id"] for b in run if b["max_id"] is not None]
+            merged = {
+                "file": fname,
+                "min_id": min(mins) if mins else None,
+                "max_id": max(maxs) if maxs else None,
+            }
+            staged.append((fname, list(run)))
+            out_blocks.append(merged)
+        else:
+            out_blocks.extend(run)
+        run, run_bytes = [], 0
+
+    for b in blocks:
+        sz = _size(b)
+        if sz < min_block_bytes:
+            if run and run_bytes + sz > cap:
+                _flush_run()
+            run.append(b)
+            run_bytes += sz
+        else:
+            _flush_run()
+            out_blocks.append(b)
+    _flush_run()
+
+    if not staged:
+        return {
+            "blocks_before": len(blocks),
+            "blocks_after": len(blocks),
+            "groups_merged": 0,
+            "bytes_rewritten": 0,
+            "generation_changed": False,
+        }
+
+    # publish: rename staged merges to commit-unique final names, then
+    # swap the manifest, then sweep the superseded members
+    bytes_rewritten = 0
+    superseded: list[str] = []
+    for fname, members in staged:
+        final = f"block-{uuid.uuid4().hex[:8]}-compact.jsonl"
+        os.replace(os.path.join(root, fname), os.path.join(root, final))
+        for ob in out_blocks:
+            if ob["file"] == fname:
+                ob["file"] = final
+        bytes_rewritten += os.path.getsize(os.path.join(root, final))
+        superseded.extend(m["file"] for m in members)
+    tmp = os.path.join(root, ".manifest.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"generation": uuid.uuid4().hex[:8], "blocks": out_blocks}, fh
+        )
+    os.replace(tmp, manifest_path)
+    for f in superseded:
+        try:
+            os.remove(os.path.join(root, f))
+        except OSError:
+            pass
+    return {
+        "blocks_before": len(blocks),
+        "blocks_after": len(out_blocks),
+        "groups_merged": len(staged),
+        "bytes_rewritten": bytes_rewritten,
+        "generation_changed": True,
+    }
 
 
 # --------------------------------------------------- streaming reader

@@ -324,3 +324,99 @@ def test_document_store_write_sequences_match_model(spark, ops):
             prev_gen, prev_names = gen, names
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 99), min_size=0, max_size=5),  # appended ids
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from([1, 200, 10_000_000]),  # min_block_bytes tiers
+)
+@settings(max_examples=30, deadline=None)
+def test_document_store_compaction_preserves_rows_and_pruning(spark, batches, thresh):
+    """Property: after ANY sequence of appends followed by a compaction
+    at ANY threshold, the reader sees exactly the same multiset of
+    rows, a pushed doc_id range scan returns exactly the same rows
+    (the merged [min_id, max_id] pruning index stays exact), the block
+    count never grows, blocks the pass left alone keep their exact
+    files, merged names are commit-unique, and the generation id
+    changes iff something was merged (positional stream offsets must
+    fail loudly, same as overwrite)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        STORE_SCHEMA,
+        DocumentStoreReader,
+        DocumentStoreWriter,
+        compact_document_store,
+    )
+
+    class Row:
+        def __init__(self, d):
+            self._d = d
+
+        def asDict(self):
+            return dict(self._d)
+
+    schema = _parse_datatype_string(STORE_SCHEMA)
+    root = tempfile.mkdtemp(prefix="docstore_compact_")
+    try:
+        model: list[int] = []
+        for ids in batches:
+            w = DocumentStoreWriter({"path": root}, False)
+            rows = [
+                Row({"doc_id": i, "text": f"t{i}", "lang": "en",
+                     "source": "s", "n_chars": 2})
+                for i in sorted(ids)
+            ]
+            w.commit([w.write(iter(rows[: len(rows) // 2])),
+                      w.write(iter(rows[len(rows) // 2 :]))])
+            model = sorted(model + list(ids))
+        if not os.path.exists(os.path.join(root, "manifest.json")):
+            return  # every batch was empty: nothing was ever committed
+
+        before = json.load(open(os.path.join(root, "manifest.json")))
+        before_names = {b["file"] for b in before["blocks"]}
+
+        def scan(pushed):
+            r = DocumentStoreReader(schema, {"path": root})
+            r.pushed = list(pushed)
+            return sorted(t[0] for b in r.partitions() for t in r.read(b))
+
+        filt = [("GreaterThanOrEqual", 20), ("LessThan", 70)]
+        expect_filtered = scan(filt)
+
+        stats = compact_document_store(root, min_block_bytes=thresh)
+        after = json.load(open(os.path.join(root, "manifest.json")))
+        after_names = {b["file"] for b in after["blocks"]}
+
+        assert scan([]) == model
+        assert scan(filt) == expect_filtered
+        assert stats["blocks_after"] <= stats["blocks_before"]
+        assert len(after["blocks"]) == stats["blocks_after"]
+        merged_names = after_names - before_names
+        assert stats["generation_changed"] == (stats["groups_merged"] > 0)
+        if stats["groups_merged"]:
+            assert after["generation"] != before["generation"]
+            assert merged_names  # new commit-unique names, never reused
+        else:
+            assert after == before  # true no-op, byte-identical manifest
+        # untouched blocks keep their exact files on disk
+        for b in after["blocks"]:
+            assert os.path.exists(os.path.join(root, b["file"]))
+        # superseded members are swept
+        for name in before_names - after_names:
+            assert not os.path.exists(os.path.join(root, name))
+        # pruning index stays ordered and exact per block
+        for b in after["blocks"]:
+            if b["min_id"] is not None and b["max_id"] is not None:
+                assert b["min_id"] <= b["max_id"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -419,3 +419,76 @@ def test_document_store_stream_fails_loud_on_generation_change(spark, sf_dir, tm
     ).save()
     with pytest.raises(RuntimeError, match="generation changed"):
         r.partitions(start, end)
+
+
+def test_document_store_compaction_spark_roundtrip_and_stream_guard(
+    spark, sf_dir, tmp_path
+):
+    """End-to-end through the registered source: many small appends ->
+    compact -> the Spark scan (filtered and unfiltered) returns the
+    same rows over FEWER input partitions, and a stream offset taken
+    before compaction fails loudly afterwards (block positions moved,
+    so the positional offset is invalid — same contract as
+    overwrite)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        STORE_SCHEMA,
+        DocumentStoreStreamReader,
+        compact_document_store,
+        register_document_store,
+    )
+
+    register_document_store(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60).cache()
+    out = str(tmp_path / "compact_store")
+    # 6 appends x 2 shuffle partitions = many tiny blocks
+    for i in range(6):
+        (docs.filter(F.col("doc_id") % 6 == i).repartition(2)
+             .write.format("document_store").option("path", out)
+             .mode("append").save())
+
+    def read_all():
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.format("document_store")
+            .option("path", out).load().collect()
+        )
+
+    def read_filtered():
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.format("document_store")
+            .option("path", out).load()
+            .filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 40))
+            .collect()
+        )
+
+    before_all, before_f = read_all(), read_filtered()
+    n_blocks_before = len(
+        json.load(open(os.path.join(out, "manifest.json")))["blocks"]
+    )
+
+    sr = DocumentStoreStreamReader(
+        _parse_datatype_string(STORE_SCHEMA), {"path": out}
+    )
+    stale_start, stale_end = sr.initialOffset(), sr.latestOffset()
+
+    stats = compact_document_store(out, min_block_bytes=1 << 20)
+    assert stats["groups_merged"] >= 1 and stats["generation_changed"]
+    n_blocks_after = len(
+        json.load(open(os.path.join(out, "manifest.json")))["blocks"]
+    )
+    assert n_blocks_after < n_blocks_before
+
+    assert read_all() == before_all
+    assert read_filtered() == before_f
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="generation changed"):
+        sr.partitions(stale_start, stale_end)
+    docs.unpersist()
