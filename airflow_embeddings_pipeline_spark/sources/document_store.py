@@ -95,7 +95,11 @@ class DocumentStoreReader(DataSourceReader):
         # re-evaluated by Spark, so this row-level check is the only
         # evaluation — returning False here (not raising) preserves the
         # schemaless absent-field->NULL contract for filtered scans.
-        if doc_id is None:
+        # A TYPE-mismatched doc_id (a schemaless store can hold
+        # '"42"' or an object where a long belongs) gets the same
+        # treatment: an un-comparable value fails the predicate rather
+        # than killing the whole scan task with a TypeError.
+        if doc_id is None or not isinstance(doc_id, (int, float)):
             return not self.pushed
         for op, v in self.pushed:
             if op == "EqualTo" and doc_id != v:
@@ -229,6 +233,69 @@ def register_document_store(spark) -> None:
         spark._docstore_registered = True
 
 
+# -------------------------------------------------- manifest lock
+from contextlib import contextmanager
+
+
+@contextmanager
+def _manifest_lock(root: str):
+    """Exclusive manifest commit lock — the versioned store's
+    single-writer guard (``versioned.py:_acquire_lock``) applied to
+    this store's manifest read-modify-write: writer commits and
+    compaction both load the manifest, mutate the block list, and
+    publish, so two concurrent committers without the lock would
+    silently drop one side's blocks (lost update).  ``O_CREAT|O_EXCL``
+    is atomic on POSIX; a lock left by a CRASHED committer (pid no
+    longer alive) is stolen exactly once; a live holder raises loudly
+    — this store is a local/posix analog, so the holder is by
+    definition local."""
+    lock = os.path.join(root, ".commit.lock")
+    os.makedirs(root, exist_ok=True)
+
+    def _alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+
+    acquired = False
+    for _ in range(2):  # second pass only after a stale-lock steal
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(str(os.getpid()))
+            acquired = True
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    holder = int(f.read().strip() or 0)
+            except (OSError, ValueError):
+                holder = 0
+            if holder and holder != os.getpid() and not _alive(holder):
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+                continue
+            raise RuntimeError(
+                f"{root}: manifest commit already in flight (lock held "
+                f"by pid {holder or '?'}); serialize committers"
+            )
+    if not acquired:
+        raise RuntimeError(f"{root}: could not acquire manifest lock")
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
 # ----------------------------------------------------------- writer
 # The sink half of the connector (reference S4/S9 analog: staged
 # parquet publish + warehouse load, embeddings-pipeline.py:248-255):
@@ -278,6 +345,10 @@ class DocumentStoreWriter(DataSourceWriter):
         return _BlockCommit(file=fname, min_id=lo, max_id=hi, n_rows=n)
 
     def commit(self, messages) -> None:
+        with _manifest_lock(self.root):
+            self._commit_locked(messages)
+
+    def _commit_locked(self, messages) -> None:
         import uuid
 
         manifest_path = os.path.join(self.root, "manifest.json")
@@ -381,6 +452,13 @@ def compact_document_store(
     Returns ``{"blocks_before", "blocks_after", "groups_merged",
     "bytes_rewritten", "generation_changed"}``.
     """
+    with _manifest_lock(root):
+        return _compact_locked(root, min_block_bytes, max_group_bytes)
+
+
+def _compact_locked(
+    root: str, min_block_bytes: int, max_group_bytes: int | None
+) -> dict:
     import shutil
     import uuid
 

@@ -492,3 +492,71 @@ def test_document_store_compaction_spark_roundtrip_and_stream_guard(
     with _pytest.raises(RuntimeError, match="generation changed"):
         sr.partitions(stale_start, stale_end)
     docs.unpersist()
+
+
+def test_document_store_manifest_lock_and_typed_filter_defensiveness(
+    spark, tmp_path
+):
+    """(a) Concurrent manifest committers are serialized by the O_EXCL
+    lock: a held live lock raises loudly (lost-update prevention for
+    writer-commit and compaction, the versioned store's single-writer
+    guard applied here); a lock left by a DEAD pid is stolen.  (b) A
+    schemaless row whose doc_id is a string fails a pushed range
+    filter like NULL does, instead of killing the scan task with
+    TypeError."""
+    import json
+
+    import pytest as _pytest
+    from pyspark.sql.types import _parse_datatype_string
+
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        STORE_SCHEMA,
+        DocumentStoreReader,
+        _manifest_lock,
+        compact_document_store,
+    )
+
+    root = str(tmp_path / "lock_store")
+    os.makedirs(root)
+    # minimal store: one block, typed + untyped doc_ids
+    with open(os.path.join(root, "block-0000.jsonl"), "w") as fh:
+        fh.write(json.dumps({"doc_id": 5, "text": "a"}) + "\n")
+        fh.write(json.dumps({"doc_id": "not-a-number", "text": "b"}) + "\n")
+        fh.write(json.dumps({"doc_id": 50, "text": "c"}) + "\n")
+    with open(os.path.join(root, "manifest.json"), "w") as fh:
+        json.dump(
+            {"generation": "g", "blocks": [
+                {"file": "block-0000.jsonl", "min_id": 5, "max_id": 50}
+            ]},
+            fh,
+        )
+
+    # (b) pushed range filter: string doc_id row is dropped, not fatal
+    r = DocumentStoreReader(
+        _parse_datatype_string(STORE_SCHEMA), {"path": root}
+    )
+    r.pushed = [("GreaterThanOrEqual", 0)]
+    got = sorted(
+        t[0] for b in r.partitions() for t in r.read(b)
+    )
+    assert got == [5, 50]
+    # without pushed filters the schemaless row still surfaces
+    r2 = DocumentStoreReader(
+        _parse_datatype_string(STORE_SCHEMA), {"path": root}
+    )
+    assert len([t for b in r2.partitions() for t in r2.read(b)]) == 3
+
+    # (a) live lock -> loud failure for compaction
+    with _manifest_lock(root):
+        with _pytest.raises(RuntimeError, match="commit already in flight"):
+            compact_document_store(root, min_block_bytes=1)
+    # lock released -> proceeds (no-op compaction: single block)
+    stats = compact_document_store(root, min_block_bytes=1)
+    assert stats["groups_merged"] == 0
+
+    # stale lock from a dead pid is stolen
+    with open(os.path.join(root, ".commit.lock"), "w") as fh:
+        fh.write("999999999")
+    stats = compact_document_store(root, min_block_bytes=1)
+    assert stats["groups_merged"] == 0
+    assert not os.path.exists(os.path.join(root, ".commit.lock"))
