@@ -560,3 +560,85 @@ def test_document_store_manifest_lock_and_typed_filter_defensiveness(
     stats = compact_document_store(root, min_block_bytes=1)
     assert stats["groups_merged"] == 0
     assert not os.path.exists(os.path.join(root, ".commit.lock"))
+
+
+def test_document_store_crash_before_manifest_swap_leaves_store_intact(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-injection for the never-clobber protocol: a committer (an
+    overwrite, then a compaction) that dies AFTER staging/renaming its
+    blocks but BEFORE the manifest swap must leave the previous
+    generation fully readable — same manifest bytes, same rows.  The
+    orphaned new-generation files are unreferenced by construction, so
+    they can never corrupt a read."""
+    import json
+
+    import pytest as _pytest
+    from pyspark.sql.types import _parse_datatype_string
+
+    import airflow_embeddings_pipeline_spark.sources.document_store as ds
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        STORE_SCHEMA,
+        DocumentStoreReader,
+        DocumentStoreWriter,
+        compact_document_store,
+    )
+
+    class Row:
+        def __init__(self, d):
+            self._d = d
+
+        def asDict(self):
+            return dict(self._d)
+
+    schema = _parse_datatype_string(STORE_SCHEMA)
+    root = str(tmp_path / "crash_store")
+
+    def commit(ids, overwrite):
+        w = DocumentStoreWriter({"path": root}, overwrite)
+        rows = [
+            Row({"doc_id": i, "text": f"t{i}", "lang": "en",
+                 "source": "s", "n_chars": 2})
+            for i in ids
+        ]
+        w.commit([w.write(iter(rows))])
+
+    def read_ids():
+        r = DocumentStoreReader(schema, {"path": root})
+        return sorted(t[0] for b in r.partitions() for t in r.read(b))
+
+    # live generation: two appends of tiny blocks
+    commit([1, 2], False)
+    commit([3], False)
+    manifest_path = os.path.join(root, "manifest.json")
+    before_manifest = open(manifest_path).read()
+    assert read_ids() == [1, 2, 3]
+
+    real_replace = os.replace
+
+    def dying_replace(src, dst):
+        if dst == manifest_path:
+            raise OSError("injected crash before manifest swap")
+        return real_replace(src, dst)
+
+    # overwrite dies pre-swap
+    monkeypatch.setattr(ds.os, "replace", dying_replace)
+    with _pytest.raises(OSError, match="injected crash"):
+        commit([9, 10], True)
+    monkeypatch.setattr(ds.os, "replace", real_replace)
+    assert open(manifest_path).read() == before_manifest
+    assert read_ids() == [1, 2, 3]
+
+    # compaction dies pre-swap (blocks are small enough to merge)
+    monkeypatch.setattr(ds.os, "replace", dying_replace)
+    with _pytest.raises(OSError, match="injected crash"):
+        compact_document_store(root, min_block_bytes=1 << 20)
+    monkeypatch.setattr(ds.os, "replace", real_replace)
+    assert open(manifest_path).read() == before_manifest
+    assert read_ids() == [1, 2, 3]
+    # the lock is not left behind by the dead attempts
+    assert not os.path.exists(os.path.join(root, ".commit.lock"))
+    # and a healthy compaction afterwards still succeeds
+    stats = compact_document_store(root, min_block_bytes=1 << 20)
+    assert stats["groups_merged"] == 1
+    assert read_ids() == [1, 2, 3]
