@@ -411,7 +411,11 @@ class DocumentStoreWriter(DataSourceWriter):
 
 # ------------------------------------------------------- compaction
 def compact_document_store(
-    root: str, *, min_block_bytes: int = 1 << 20, max_group_bytes: int | None = None
+    root: str,
+    *,
+    min_block_bytes: int = 1 << 20,
+    max_group_bytes: int | None = None,
+    spark=None,
 ) -> dict:
     """Merge adjacent small blocks into fewer large ones — the
     small-files maintenance pass every block store needs once appends
@@ -444,22 +448,28 @@ def compact_document_store(
     overwrite, and the honest choice given positional offsets.
     No-op (and generation-preserving) when nothing qualifies.
 
-    Driver-side file loop by design: each group merge is an
-    independent byte copy, so at real scale the groups fan out as one
-    task each (the manifest commit stays a single driver swap); on
-    this store the limiting resource is the filesystem, not CPU.
+    Each group merge is an independent byte copy.  Pass ``spark=`` to
+    fan the merges out as ONE SPARK TASK PER GROUP (a self-contained
+    closure — executors never import this package), which is the
+    shape that matters when a million-block store has thousands of
+    merge groups; without a session the driver loops, which on a
+    local store is filesystem-bound anyway.  Either way the manifest
+    publish stays a single atomic driver swap, and both tiers produce
+    byte-identical stores (unit-asserted).
 
     Returns ``{"blocks_before", "blocks_after", "groups_merged",
     "bytes_rewritten", "generation_changed"}``.
     """
     with _manifest_lock(root):
-        return _compact_locked(root, min_block_bytes, max_group_bytes)
+        return _compact_locked(root, min_block_bytes, max_group_bytes, spark)
 
 
 def _compact_locked(
-    root: str, min_block_bytes: int, max_group_bytes: int | None
+    root: str,
+    min_block_bytes: int,
+    max_group_bytes: int | None,
+    spark=None,
 ) -> dict:
-    import shutil
     import uuid
 
     manifest_path = os.path.join(root, "manifest.json")
@@ -484,11 +494,9 @@ def _compact_locked(
     def _flush_run() -> None:
         nonlocal run, run_bytes
         if len(run) >= 2:
+            # PLAN only — execution happens below, driver-loop or
+            # one-Spark-task-per-group
             fname = f".compact-{uuid.uuid4().hex}.jsonl"
-            with open(os.path.join(root, fname), "wb") as out:
-                for b in run:
-                    with open(os.path.join(root, b["file"]), "rb") as src:
-                        shutil.copyfileobj(src, out)
             mins = [b["min_id"] for b in run if b["min_id"] is not None]
             maxs = [b["max_id"] for b in run if b["max_id"] is not None]
             merged = {
@@ -513,6 +521,36 @@ def _compact_locked(
             _flush_run()
             out_blocks.append(b)
     _flush_run()
+
+    # execute the merge plans — nested closure with zero captures
+    # beyond the plan tuple, so cloudpickle ships it BY VALUE and the
+    # Spark tier works from any session (the fresh-session
+    # portability shape: executors never import this package)
+    def _merge_group(plan: tuple) -> int:
+        import os as _os
+        import shutil as _shutil
+
+        g_root, staged_name, members = plan
+        out_path = _os.path.join(g_root, staged_name)
+        with open(out_path, "wb") as out:
+            for m in members:
+                with open(_os.path.join(g_root, m), "rb") as src:
+                    _shutil.copyfileobj(src, out)
+        return _os.path.getsize(out_path)
+
+    plans = [
+        (root, fname, [m["file"] for m in members])
+        for fname, members in staged
+    ]
+    if spark is not None and len(plans) > 1:
+        # one task per group; the byte copies run on executors, the
+        # manifest publish below stays a single atomic driver swap
+        spark.sparkContext.parallelize(plans, len(plans)).map(
+            _merge_group
+        ).collect()
+    else:
+        for plan in plans:
+            _merge_group(plan)
 
     if not staged:
         return {
@@ -553,6 +591,64 @@ def _compact_locked(
         "bytes_rewritten": bytes_rewritten,
         "generation_changed": True,
     }
+
+
+def vacuum_document_store(root: str, *, grace_seconds: float = 3600.0) -> dict:
+    """Reclaim files no manifest references — the store's analog of the
+    parquet sink's best-effort cleanup (reference E4) and the versioned
+    store's ``vacuum``.  Orphans accumulate from two legitimate crash
+    paths the commit protocol deliberately leaves behind (correctness
+    first, space later): a committer that died after renaming blocks
+    but before the manifest swap, and staged ``.staged-*`` /
+    ``.compact-*`` temporaries from aborted attempts.
+
+    Runs under the manifest lock and only deletes files older than
+    ``grace_seconds`` (mtime): an IN-FLIGHT commit's staged files are
+    always younger than any sane grace window, so vacuum can run
+    concurrently with writers without eating their work — same
+    reasoning as the layout cache's GC grace.  Never touches the
+    manifest, the lock, or any referenced block, so a reader holding
+    the CURRENT manifest is unaffected; only readers of long-dead
+    generations (already invalidated by the generation id) can lose
+    bytes, and they lose them loudly (FileNotFoundError), not wrongly.
+
+    Returns ``{"removed", "kept_young", "bytes_reclaimed"}``.
+    """
+    import time as _time
+
+    with _manifest_lock(root):
+        manifest_path = os.path.join(root, "manifest.json")
+        try:
+            with open(manifest_path) as fh:
+                live = {b["file"] for b in json.load(fh)["blocks"]}
+        except FileNotFoundError:
+            live = set()
+        now = _time.time()
+        removed = kept_young = 0
+        reclaimed = 0
+        for f in os.listdir(root):
+            if f in live or f in ("manifest.json", ".commit.lock"):
+                continue
+            if not (
+                f.endswith(".jsonl") or f.startswith((".staged-", ".compact-"))
+            ):
+                continue
+            p = os.path.join(root, f)
+            try:
+                if now - os.path.getmtime(p) < grace_seconds:
+                    kept_young += 1
+                    continue
+                sz = os.path.getsize(p)
+                os.remove(p)
+                removed += 1
+                reclaimed += sz
+            except OSError:
+                pass
+        return {
+            "removed": removed,
+            "kept_young": kept_young,
+            "bytes_reclaimed": reclaimed,
+        }
 
 
 # --------------------------------------------------- streaming reader

@@ -642,3 +642,79 @@ def test_document_store_crash_before_manifest_swap_leaves_store_intact(
     stats = compact_document_store(root, min_block_bytes=1 << 20)
     assert stats["groups_merged"] == 1
     assert read_ids() == [1, 2, 3]
+
+
+def test_document_store_spark_tier_compaction_and_vacuum(spark, tmp_path):
+    """(a) The one-task-per-group Spark merge tier produces the same
+    store as the driver loop: same rows, same per-block contents, same
+    pruning index.  (b) vacuum reclaims orphaned blocks older than the
+    grace window, keeps young staged files (an in-flight commit), and
+    never touches referenced blocks."""
+    import json
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        STORE_SCHEMA,
+        DocumentStoreReader,
+        DocumentStoreWriter,
+        compact_document_store,
+        vacuum_document_store,
+    )
+
+    class Row:
+        def __init__(self, d):
+            self._d = d
+
+        def asDict(self):
+            return dict(self._d)
+
+    schema = _parse_datatype_string(STORE_SCHEMA)
+
+    def build(root):
+        for batch in range(5):
+            w = DocumentStoreWriter({"path": root}, False)
+            rows = [
+                Row({"doc_id": batch * 10 + i, "text": f"t{batch}-{i}",
+                     "lang": "en", "source": "s", "n_chars": 2})
+                for i in range(4)
+            ]
+            w.commit([w.write(iter(rows[:2])), w.write(iter(rows[2:]))])
+
+    def rows_of(root):
+        r = DocumentStoreReader(schema, {"path": root})
+        return sorted(t for b in r.partitions() for t in r.read(b))
+
+    root_a = str(tmp_path / "driver_tier")
+    root_b = str(tmp_path / "spark_tier")
+    build(root_a)
+    build(root_b)
+    sa = compact_document_store(root_a, min_block_bytes=1 << 20)
+    sb = compact_document_store(root_b, min_block_bytes=1 << 20, spark=spark)
+    assert sa["groups_merged"] >= 1
+    assert (sa["groups_merged"], sa["blocks_after"], sa["bytes_rewritten"]) == (
+        sb["groups_merged"], sb["blocks_after"], sb["bytes_rewritten"]
+    )
+    assert rows_of(root_a) == rows_of(root_b)
+    ma = json.load(open(os.path.join(root_a, "manifest.json")))
+    mb = json.load(open(os.path.join(root_b, "manifest.json")))
+    assert [
+        (b["min_id"], b["max_id"]) for b in ma["blocks"]
+    ] == [(b["min_id"], b["max_id"]) for b in mb["blocks"]]
+
+    # (b) vacuum: plant an old orphan, an old staged temp, a young temp
+    orphan = os.path.join(root_b, "block-deadbeef-9999.jsonl")
+    old_tmp = os.path.join(root_b, ".staged-deadbeef.jsonl")
+    young_tmp = os.path.join(root_b, ".staged-young.jsonl")
+    for p in (orphan, old_tmp, young_tmp):
+        with open(p, "w") as fh:
+            fh.write("{}\n")
+    past = time.time() - 7200
+    os.utime(orphan, (past, past))
+    os.utime(old_tmp, (past, past))
+    live_before = rows_of(root_b)
+    stats = vacuum_document_store(root_b, grace_seconds=3600)
+    assert stats["removed"] == 2 and stats["kept_young"] == 1
+    assert not os.path.exists(orphan) and not os.path.exists(old_tmp)
+    assert os.path.exists(young_tmp)
+    assert rows_of(root_b) == live_before
