@@ -630,7 +630,9 @@ def vacuum_document_store(root: str, *, grace_seconds: float = 3600.0) -> dict:
             if f in live or f in ("manifest.json", ".commit.lock"):
                 continue
             if not (
-                f.endswith(".jsonl") or f.startswith((".staged-", ".compact-"))
+                f.endswith(".jsonl")
+                or f.startswith((".staged-", ".compact-"))
+                or f == ".manifest.tmp"  # crashed pre-swap manifest write
             ):
                 continue
             p = os.path.join(root, f)
