@@ -394,6 +394,46 @@ def _pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     )
 
 
+def _pq_encode_codes_numpy(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """Scale-tier encode: vec_id + nearest-codeword ids via one
+    Arrow-batched ``mapInPandas`` pass of numpy broadcasting — the same
+    oracle-exact HOF-tier arithmetic ((a-b)^2 summed per codeword,
+    round 6, first-min argmin), vectorized.  The engine's standing
+    HOF-as-oracle-tier / numpy-as-scale-tier split (see
+    ``cosine_topk_blocked``): at 2M vectors the interpreted HOF encode
+    dominates the PQ probe (~70 s); this tier does the identical
+    distance computation at BLAS-batch throughput.  Output codes are
+    unit-asserted equal to the HOF tier's on the fixtures, and the
+    catalog entry shares x_ann_pq's DuckDB oracle verbatim — same
+    rounding, same tie rule (np.argmin takes the first minimum, the
+    HOF fold's strict <)."""
+    import numpy as np
+
+    books_arr = np.asarray(books, dtype=np.float64)  # (M, NCENTS, SUBDIM)
+    m, subdim = _PQ_M, _PQ_SUBDIM
+    schema = "vec_id long, " + ", ".join(f"c{s} int" for s in range(m))
+
+    def op(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = _np.array(
+                [list(v) for v in pdf["embedding"]], dtype=_np.float64
+            )
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for s in range(m):
+                xs = x[:, s * subdim : (s + 1) * subdim]  # (n, subdim)
+                diff = xs[:, None, :] - books_arr[s][None, :, :]
+                d = _np.round((diff * diff).sum(axis=2), 6)  # (n, ncents)
+                out[f"c{s}"] = _np.argmin(d, axis=1).astype("int32")
+            yield _pd.DataFrame(out)
+
+    return emb.select("vec_id", "embedding").mapInPandas(op, schema)
+
+
 def train_pq_books(
     emb: DataFrame,
     seed_books: list[list[list[float]]],
@@ -456,10 +496,18 @@ def train_pq_books(
     return out
 
 
-def _pq_run(spark: SparkSession, emb: DataFrame, books, queries_head) -> DataFrame:
+def _pq_run(
+    spark: SparkSession, emb: DataFrame, books, queries_head, *, encode: str = "hof"
+) -> DataFrame:
     """Encode -> broadcast-ADC score -> exact re-rank, shared by the
-    seed-codebook and trained-codebook entries."""
-    enc = _pq_encode(emb, books)
+    seed-codebook and trained-codebook entries.  ``encode="numpy"``
+    swaps the interpreted HOF encode for the Arrow-batched numpy tier
+    (identical codes, unit-asserted)."""
+    enc = (
+        _pq_encode_codes_numpy(emb, books)
+        if encode == "numpy"
+        else _pq_encode(emb, books)
+    )
     codes_long = enc.select(
         "vec_id",
         F.explode(
@@ -550,6 +598,13 @@ def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_run(spark, emb, _pq_seed_books(cents), qhead)
 
 
+def x_ann_pq_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_ann_pq with the numpy encode tier — same codes, same oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, qhead = _pq_head(emb)
+    return _pq_run(spark, emb, _pq_seed_books(cents), qhead, encode="numpy")
+
+
 def x_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents, qhead = _pq_head(emb)
@@ -620,6 +675,16 @@ register(
         doc="product-quantization ANN: 8×8-dim codebooks, broadcast ADC lookup table, exact re-rank on k×10 candidates",
         tags=("X3", "ann"),
         bench=True,
+    )
+)
+
+register(
+    Query(
+        name="x_ann_pq_fast",
+        build=x_ann_pq_fast,
+        oracle=_pq_oracle(),  # verbatim the HOF tier's oracle: same codes
+        doc="x_ann_pq with the Arrow-batched numpy encode tier (scale path; identical distances/rounding/tie rule)",
+        tags=("X3", "ann"),
     )
 )
 

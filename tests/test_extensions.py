@@ -1091,3 +1091,27 @@ def test_pq_encode_codes_match_python_argmin(spark):
 
     for i, v in enumerate(vecs):
         assert enc[i] == py_codes(v), f"vec {i}: {enc[i]} != {py_codes(v)}"
+
+
+def test_pq_numpy_encode_codes_match_hof(spark, sf_dir):
+    """The numpy scale-tier encode must produce the HOF tier's exact
+    codes on the fixture corpus — same distances, same round(.., 6),
+    same first-min tie rule."""
+    from airflow_embeddings_pipeline_spark.extensions.retrieval_queries import (
+        _PQ_M,
+        _pq_encode,
+        _pq_encode_codes_numpy,
+        _pq_head,
+        _pq_seed_books,
+    )
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_seed_books(_pq_head(emb)[0])
+    cols = ["vec_id"] + [f"c{s}" for s in range(_PQ_M)]
+    hof = {r[0]: tuple(r[1:]) for r in _pq_encode(emb, books).select(*cols).collect()}
+    npy = {
+        r[0]: tuple(r[1:])
+        for r in _pq_encode_codes_numpy(emb, books).select(*cols).collect()
+    }
+    assert hof == npy and len(hof) > 0

@@ -61,6 +61,7 @@ EXPECTED_BNLJ = {
     "x_tfidf_top_terms",  # 1-row broadcast doc-count (IDF numerator)
     "x_leakage_safe_split",  # 1-row broadcast leaked-group count
     "x_ann_pq",  # 1-row broadcast adaptive ADC candidate-pool bound
+    "x_ann_pq_fast",  # same 1-row pool bound, numpy encode tier
     "x_ann_pq_trained",  # same 1-row broadcast pool bound
     "x_ann_pq_persisted",  # same 1-row broadcast pool bound (loaded books)
     "x_word_pmi",  # 1-row broadcast doc-count (PMI normalizer)

@@ -70,6 +70,7 @@ BOUNDED_BY_DESIGN = {
     "x_ann_ivf_persisted": _QSET,
     "x_ann_ivf_incremental": _QSET,
     "x_ann_pq": _QSET,
+    "x_ann_pq_fast": _QSET,  # same _pq_run tail, numpy encode tier
     "x_ann_pq_trained": _QSET,
     "x_ann_pq_persisted": _QSET,
     "x_hyperplane_lsh_near_dup_t08": _QSET,

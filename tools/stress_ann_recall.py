@@ -30,7 +30,13 @@ sys.path.insert(0, "/root/repo/tools")
 
 from bench_vs_reference import parse_args  # noqa: E402
 
-_TIERS = ("x_ann_ivf", "x_ann_ivf_trained", "x_ann_pq", "x_ann_pq_trained")
+_TIERS = (
+    "x_ann_ivf",
+    "x_ann_ivf_trained",
+    "x_ann_pq",
+    "x_ann_pq_fast",
+    "x_ann_pq_trained",
+)
 
 
 def stage_perturbed(sf_dir: str, factor: int) -> str:
