@@ -54,11 +54,49 @@ def save_index(path: str, kind: str, vectors, *, meta: dict | None = None) -> No
     os.replace(tmp, path)
 
 
-def load_index(path: str, *, expect_kind: str | None = None):
+class StaleIndexError(ValueError):
+    """The persisted artifact's recorded meta does not match the
+    current run's expectation — the index was trained on a different
+    corpus (or with different parameters) than the one being probed.
+    Callers retrain; serving the artifact anyway would be silent wrong
+    results."""
+
+
+def corpus_fingerprint(parquet_path: str) -> dict:
+    """Cheap footer-only corpus identity: total row count + total bytes
+    of the parquet source (file or directory).  Row counts come from
+    parquet footers — no data pages are read — so this is safe to
+    compute per probe even on a 100 TB corpus (one footer per file).
+    Catches what a filename+mtime cache key alone cannot: an
+    mtime-preserving replacement (``cp -p`` / ``tar -x``) or a ``/tmp``
+    cache directory shared across users pointing the key at a
+    different corpus."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(parquet_path):
+        paths = sorted(
+            os.path.join(d, f)
+            for d, _dirs, files in os.walk(parquet_path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    else:
+        paths = [parquet_path]
+    n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    n_bytes = sum(os.path.getsize(p) for p in paths)
+    return {"n_rows": n_rows, "n_bytes": n_bytes}
+
+
+def load_index(
+    path: str, *, expect_kind: str | None = None, expect_meta: dict | None = None
+):
     """Load a persisted artifact; returns ``(kind, vectors, meta)``.
 
     Raises on format-version or kind mismatch — a wrong-kind artifact
-    must never silently feed a probe plan.
+    must never silently feed a probe plan.  ``expect_meta`` keys are
+    checked against the stored meta; any mismatch (or absence) raises
+    :class:`StaleIndexError` so the caller retrains instead of probing
+    a stale or foreign index.
     """
     with open(path) as fh:
         doc = json.load(fh)
@@ -74,4 +112,25 @@ def load_index(path: str, *, expect_kind: str | None = None):
         raise ValueError(
             f"index artifact {path} is {kind!r}, caller expected {expect_kind!r}"
         )
-    return kind, doc["vectors"], doc.get("meta", {})
+    meta = doc.get("meta", {})
+    if expect_meta:
+        for k, v in expect_meta.items():
+            if meta.get(k) != v:
+                raise StaleIndexError(
+                    f"index artifact {path} meta[{k!r}] = {meta.get(k)!r} "
+                    f"!= expected {v!r}; retrain (stale or foreign index)"
+                )
+    return kind, doc["vectors"], meta
+
+
+def load_index_if_valid(path: str, kind: str, expect_meta: dict):
+    """``load_index`` that answers ``None`` instead of raising when the
+    artifact is absent, unreadable, wrong-kind, or stale — the
+    load-or-retrain probe pattern."""
+    try:
+        _kind, vectors, _meta = load_index(
+            path, expect_kind=kind, expect_meta=expect_meta
+        )
+        return vectors
+    except (OSError, ValueError):  # StaleIndexError is a ValueError
+        return None

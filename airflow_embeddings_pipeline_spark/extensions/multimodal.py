@@ -305,6 +305,8 @@ def extract_features(
         "doc_id long, media_type string, n_bytes int, checksum long, mean_byte double"
     )
 
+    _strict_real = use_real_codec and not allow_stdlib_fallback
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
@@ -312,7 +314,13 @@ def extract_features(
         # captured from a driver-side probe: on a heterogeneous cluster
         # where the driver has PIL/soundfile but an executor does not,
         # that executor silently degrades to the stdlib codec instead
-        # of quarantining every row to NULL.
+        # of quarantining every row to NULL — UNLESS the caller demanded
+        # the full libraries (allow_stdlib_fallback=False), in which
+        # case a codec-less executor fails its task loudly: the strict
+        # flag's contract is "full-library decode or no decode", and the
+        # stdlib WAV/PNG paths diverge from soundfile/PIL outside the
+        # PCM/PNG subset (those rows would quarantine, not mis-decode,
+        # but the caller explicitly opted out of that degradation).
         try:
             from PIL import Image as _Image
         except Exception:
@@ -321,6 +329,16 @@ def extract_features(
             import soundfile as _sf
         except Exception:
             _sf = None
+        if _strict_real and (_Image is None or _sf is None):
+            missing = [
+                n for n, m in (("PIL", _Image), ("soundfile", _sf)) if m is None
+            ]
+            raise RuntimeError(
+                f"CodecUnavailable on executor: real media decode requires "
+                f"{missing} and allow_stdlib_fallback=False — install the "
+                "codec libraries on every executor or allow the stdlib "
+                "fallback"
+            )
 
         def fake_decode(payload: bytes, media_type: str) -> tuple:
             checksum = int(_hl.md5(payload.hex().encode()).hexdigest()[:8], 16)

@@ -427,7 +427,14 @@ def _pq_encode_codes_numpy(emb: DataFrame, books: list[list[list[float]]]) -> Da
             for s in range(m):
                 xs = x[:, s * subdim : (s + 1) * subdim]  # (n, subdim)
                 diff = xs[:, None, :] - books_arr[s][None, :, :]
-                d = _np.round((diff * diff).sum(axis=2), 6)  # (n, ncents)
+                sq = (diff * diff).sum(axis=2)  # (n, ncents), >= 0
+                # HALF_UP like Spark/DuckDB round (np.round is
+                # HALF_EVEN): floor(x*1e6 + 0.5) is half-up for the
+                # non-negative squared distances, so a distance landing
+                # exactly on a representable 6 dp midpoint (dyadic
+                # values like 2^-7 = 0.0078125 do) breaks ties the same
+                # way as the HOF tier and the shared oracle.
+                d = _np.floor(sq * 1e6 + 0.5) / 1e6
                 out[f"c{s}"] = _np.argmin(d, axis=1).astype("int32")
             yield _pd.DataFrame(out)
 
@@ -612,6 +619,23 @@ def x_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_run(spark, emb, books, qhead)
 
 
+def x_ann_pq_trained_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_ann_pq_trained with the numpy encode tier: TRAINING stays in
+    SQL (the HALF_UP rounding boundary lives in the exact-integer-mean
+    trainer — see the x_ann_pq_trained docstring), but the encode
+    against the already-materialized books runs through the
+    Arrow-batched numpy pass.  Codes are identical by construction
+    (same half-up round-6 distances, same first-min tie rule —
+    unit-asserted against the trained HOF tier), so this entry shares
+    the trained oracle verbatim.  At 2M vectors the interpreted HOF
+    encode dominated the trained probe (~100 s); this tier closes that
+    to the numpy-fast envelope."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, qhead = _pq_head(emb)
+    books = train_pq_books(emb, _pq_seed_books(cents))
+    return _pq_run(spark, emb, books, qhead, encode="numpy")
+
+
 def _pq_oracle() -> str:
     sq = (
         "(CAST(e.embedding[sp.s * {sd} + i] AS DOUBLE)"
@@ -793,6 +817,20 @@ register(
     )
 )
 
+register(
+    Query(
+        name="x_ann_pq_trained_fast",
+        build=x_ann_pq_trained_fast,
+        oracle=_pq_trained_oracle(),  # shared verbatim: identical codes
+        doc=(
+            "x_ann_pq_trained with the Arrow-batched numpy encode against "
+            "the SQL-trained books (scale path; identical codes/rounding/"
+            "tie rule, unit-asserted)"
+        ),
+        tags=("X3", "ann"),
+    )
+)
+
 
 # ---------------------------------------- persisted trained-PQ probe
 # Train-once / probe-many for the PQ tier (mirror of
@@ -805,25 +843,31 @@ register(
 def x_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from .index_store import load_index, save_index
+    from .index_store import corpus_fingerprint, load_index_if_valid, save_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents, qhead = _pq_head(emb)
     src = os.path.join(sf_dir, "embeddings.parquet")
+    # mtime-keyed filename is only the cache lookup; the loaded meta is
+    # validated (source, params, footer-only corpus fingerprint) and a
+    # mismatch retrains — see x_ann_ivf_persisted for the rationale.
     path = os.path.join(
         "/tmp/spark_graft_index",
         f"pq_{src.strip('/').replace('/', '_')}"
         f".m{int(os.path.getmtime(src) * 1000)}.json",
     )
-    if not os.path.exists(path):
-        books = train_pq_books(emb, _pq_seed_books(cents))
-        save_index(
-            path,
-            "pq_codebooks",
-            books,
-            meta={"source": src, "m": _PQ_M, "ncents": _PQ_NCENTS},
-        )
-    _kind, books, _meta = load_index(path, expect_kind="pq_codebooks")
+    expect_meta = {
+        "source": src,
+        "m": _PQ_M,
+        "ncents": _PQ_NCENTS,
+        "corpus": corpus_fingerprint(src),
+    }
+    books = load_index_if_valid(path, "pq_codebooks", expect_meta)
+    if books is None:
+        trained = train_pq_books(emb, _pq_seed_books(cents))
+        save_index(path, "pq_codebooks", trained, meta=expect_meta)
+        books = load_index_if_valid(path, "pq_codebooks", expect_meta)
+        assert books is not None, f"just-saved index failed validation: {path}"
     return _pq_run(spark, emb, books, qhead)
 
 

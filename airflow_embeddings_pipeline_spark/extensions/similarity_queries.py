@@ -346,19 +346,31 @@ register(
 def x_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from .index_store import load_index, save_index
+    from .index_store import corpus_fingerprint, load_index_if_valid, save_index
     from .similarity import train_ivf_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     src = os.path.join(sf_dir, "embeddings.parquet")
     # artifact cache keyed by source mtime (the layout-cache contract):
-    # regenerated fixtures retrain, reruns reuse the persisted index
+    # regenerated fixtures retrain, reruns reuse the persisted index.
+    # The filename key is only the lookup; the LOADED meta is validated
+    # against the current run (source path, params, and a footer-only
+    # corpus fingerprint), so an mtime-preserving corpus replacement or
+    # a shared-/tmp foreign artifact retrains instead of silently
+    # serving a stale index.
     path = os.path.join(
         "/tmp/spark_graft_index",
         f"ivf_{src.strip('/').replace('/', '_')}"
         f".m{int(os.path.getmtime(src) * 1000)}.json",
     )
-    if not os.path.exists(path):
+    expect_meta = {
+        "source": src,
+        "n_cents": _N_CENTS,
+        "iters": 1,
+        "corpus": corpus_fingerprint(src),
+    }
+    cents = load_index_if_valid(path, "ivf_centroids", expect_meta)
+    if cents is None:
         cent_rows = (
             emb.filter(F.col("vec_id") < _N_CENTS)
             .orderBy("vec_id")
@@ -367,13 +379,11 @@ def x_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         seeds = [[float(x) for x in r[0]] for r in cent_rows]
         trained = train_ivf_centroids(emb, seeds, iters=1)
-        save_index(
-            path,
-            "ivf_centroids",
-            trained,
-            meta={"source": src, "n_cents": _N_CENTS, "iters": 1},
-        )
-    _kind, cents, _meta = load_index(path, expect_kind="ivf_centroids")
+        save_index(path, "ivf_centroids", trained, meta=expect_meta)
+        # probe from the LOADED artifact — round-trip losslessness is
+        # the property the shared oracle proves
+        cents = load_index_if_valid(path, "ivf_centroids", expect_meta)
+        assert cents is not None, f"just-saved index failed validation: {path}"
     corpus = assign_ivf_cells(emb, cents)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(corpus, queries, cents, k=_K, nprobe=_NPROBE).select(

@@ -194,9 +194,10 @@ register(
 
 # ------------------------------------------------------------ TPC-H Q9
 # Product-type profit: the one genuinely fact-heavy partsupp query.
-# lineitem shuffles once on l_orderkey (orders join); part, partsupp,
-# supplier, nation all broadcast (each dim-sized), so supplycost lookup
-# is map-side on (l_partkey, l_suppkey).  Profit arithmetic is decimal
+# lineitem shuffles once on l_orderkey (orders join); part / partsupp /
+# supplier scale with SF, so join strategy is left to AQE (broadcast at
+# fixture scale, shuffle joins past the 8 GB limit — see the in-body
+# note); only the 25-row nation is hinted.  Profit arithmetic is decimal
 # end-to-end (quantity is integral in the fixtures) so the sum is
 # order-independent across engines.
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -276,10 +276,26 @@ def _manifest_lock(root: str):
             except (OSError, ValueError):
                 holder = 0
             if holder and holder != os.getpid() and not _alive(holder):
+                # Crashed committer: steal ATOMICALLY by renaming the
+                # stale lock to a unique grave name — rename(2) succeeds
+                # for exactly one contender, so two stealers can never
+                # both enter (the unlink-then-create variant had a
+                # TOCTOU: the slower unlink deleted the lock the faster
+                # stealer had just re-created).  The rename loser falls
+                # through to the O_EXCL retry and sees the winner's
+                # fresh lock as a live holder.
+                import uuid as _uuid
+
+                grave = f"{lock}.stale.{_uuid.uuid4().hex}"
                 try:
-                    os.unlink(lock)
+                    os.rename(lock, grave)
                 except OSError:
-                    pass
+                    pass  # someone else stole (or released) it first
+                else:
+                    try:
+                        os.unlink(grave)  # we own the unique grave name
+                    except OSError:
+                        pass
                 continue
             raise RuntimeError(
                 f"{root}: manifest commit already in flight (lock held "
@@ -697,6 +713,14 @@ class DocumentStoreStreamReader(DataSourceStreamReader):
         gen = m.get("generation", "0")
         for off in (start, end):
             if off.get("gen", gen) != gen:
+                # A zero-block offset has consumed NOTHING from its
+                # generation, so rebasing it onto the current one is
+                # positionally safe — this is the common start-on-empty-
+                # store-then-overwrite-once pattern, which must not fail.
+                # Only an offset with blocks actually consumed from the
+                # old generation is a real positional lie.
+                if off.get("block", 0) == 0:
+                    continue
                 raise RuntimeError(
                     "document_store generation changed under a running "
                     f"stream (offset gen {off.get('gen')!r} != store gen "

@@ -223,11 +223,25 @@ class VersionedParquetTable:
                 except (OSError, ValueError):
                     holder = 0
                 if holder and holder != os.getpid() and not _pid_alive(holder):
-                    # crashed committer: steal exactly once, then retry
+                    # Crashed committer: steal ATOMICALLY via rename to a
+                    # unique grave name — exactly one contending stealer's
+                    # rename succeeds, so the unlink-then-create TOCTOU
+                    # (slow stealer deleting the fast stealer's fresh
+                    # lock) cannot occur.  The loser's rename raises and
+                    # it retries the O_EXCL create, seeing the winner's
+                    # new lock as a live holder.
+                    import uuid
+
+                    grave = f"{self._lock_path()}.stale.{uuid.uuid4().hex}"
                     try:
-                        os.unlink(self._lock_path())
+                        os.rename(self._lock_path(), grave)
                     except OSError:
-                        pass
+                        pass  # another contender stole (or released) first
+                    else:
+                        try:
+                            os.unlink(grave)  # we own the unique name
+                        except OSError:
+                            pass
                     continue
                 raise ConcurrentCommitError(
                     f"{self.root}: commit already in flight (lock held by "

@@ -1115,3 +1115,30 @@ def test_pq_numpy_encode_codes_match_hof(spark, sf_dir):
         for r in _pq_encode_codes_numpy(emb, books).select(*cols).collect()
     }
     assert hof == npy and len(hof) > 0
+
+
+def test_pq_numpy_encode_codes_match_hof_trained_books(spark, sf_dir):
+    """x_ann_pq_trained_fast's claim: against the SQL-TRAINED books
+    (whose component means are the values that can land on rounding
+    midpoints), the numpy encode still produces the trained HOF tier's
+    exact codes — same half-up round-6 distances, same first-min tie
+    rule."""
+    from airflow_embeddings_pipeline_spark.extensions.retrieval_queries import (
+        _PQ_M,
+        _pq_encode,
+        _pq_encode_codes_numpy,
+        _pq_head,
+        _pq_seed_books,
+        train_pq_books,
+    )
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_books(emb, _pq_seed_books(_pq_head(emb)[0]))
+    cols = ["vec_id"] + [f"c{s}" for s in range(_PQ_M)]
+    hof = {r[0]: tuple(r[1:]) for r in _pq_encode(emb, books).select(*cols).collect()}
+    npy = {
+        r[0]: tuple(r[1:])
+        for r in _pq_encode_codes_numpy(emb, books).select(*cols).collect()
+    }
+    assert hof == npy and len(hof) > 0

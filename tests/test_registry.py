@@ -421,6 +421,86 @@ def test_document_store_stream_fails_loud_on_generation_change(spark, sf_dir, tm
         r.partitions(start, end)
 
 
+def test_document_store_stream_rebases_zero_block_offset_across_generations(
+    spark, sf_dir, tmp_path
+):
+    """A zero-block offset has consumed nothing, so a generation change
+    before the first micro-batch rebases silently (the common
+    start-on-empty-then-overwrite-once pattern) instead of failing; an
+    offset with blocks consumed from the old generation still raises."""
+    import pytest
+    from pyspark.sql.types import _parse_datatype_string
+
+    from airflow_embeddings_pipeline_spark.sources.document_store import (
+        STORE_SCHEMA,
+        DocumentStoreStreamReader,
+        register_document_store,
+    )
+
+    register_document_store(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "stream_rebase_store")
+    docs.limit(6).write.format("document_store").option("path", out).mode(
+        "overwrite"
+    ).save()
+    r = DocumentStoreStreamReader(
+        _parse_datatype_string(STORE_SCHEMA), {"path": out}
+    )
+    start = r.initialOffset()  # {gen: g1, block: 0} — nothing consumed
+    docs.limit(4).write.format("document_store").option("path", out).mode(
+        "overwrite"
+    ).save()  # generation swap before the first micro-batch
+    end = r.latestOffset()  # current generation
+    assert start["gen"] != end["gen"]
+    # block-0 start rebases: the first micro-batch serves the NEW
+    # generation's blocks from position 0
+    parts = [p for p in r.partitions(start, end) if p.path is not None]
+    n_rows = sum(1 for p in parts for _ in r.read(p))
+    assert n_rows == 4
+    # but a consumed offset from the old generation still fails loudly
+    consumed = {"gen": start["gen"], "block": 1}
+    with pytest.raises(RuntimeError, match="generation changed"):
+        r.partitions(consumed, end)
+
+
+def test_persisted_index_retrains_on_meta_mismatch(tmp_path):
+    """The load-or-retrain guard: an artifact whose recorded meta
+    disagrees with the current run (foreign corpus fingerprint, wrong
+    params) answers None from load_index_if_valid — the mtime filename
+    key alone is never trusted (cp -p / shared-/tmp hazard)."""
+    from airflow_embeddings_pipeline_spark.extensions.index_store import (
+        StaleIndexError,
+        corpus_fingerprint,
+        load_index,
+        load_index_if_valid,
+        save_index,
+    )
+
+    path = str(tmp_path / "idx.json")
+    meta = {"source": "/a/b.parquet", "n_cents": 16, "corpus": {"n_rows": 10, "n_bytes": 99}}
+    save_index(path, "ivf_centroids", [[1.0, 2.0]], meta=meta)
+    # exact meta -> loads
+    assert load_index_if_valid(path, "ivf_centroids", meta) == [[1.0, 2.0]]
+    # foreign fingerprint -> stale
+    bad = dict(meta, corpus={"n_rows": 11, "n_bytes": 99})
+    assert load_index_if_valid(path, "ivf_centroids", bad) is None
+    import pytest
+
+    with pytest.raises(StaleIndexError):
+        load_index(path, expect_kind="ivf_centroids", expect_meta=bad)
+    # wrong kind stays a hard error path -> None via the soft loader
+    assert load_index_if_valid(path, "pq_codebooks", meta) is None
+    # corpus_fingerprint is footer-only and deterministic
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({"x": list(range(7))}), f)
+    fp = corpus_fingerprint(f)
+    assert fp["n_rows"] == 7 and fp["n_bytes"] > 0
+    assert corpus_fingerprint(f) == fp
+
+
 def test_document_store_compaction_spark_roundtrip_and_stream_guard(
     spark, sf_dir, tmp_path
 ):
