@@ -205,3 +205,89 @@ register(
         bench=True,
     )
 )
+
+
+# --------------------------------------------------- file-pruned MERGE
+# The write-path MERGE the reference actually executes: Snowflake's
+# MERGE prunes to the micro-partitions holding matched keys
+# (embeddings-pipeline.py:294-352); this entry drives the engine's
+# manifest-pruned equivalent END-TO-END — write a range-clustered
+# versioned target, pruned-merge a narrow batch (updates + inserts
+# above every range), read the committed table back — and oracles the
+# read-back against the plain FULL OUTER JOIN semantics.  The pruning
+# is an I/O optimization with zero semantic surface, which is exactly
+# what sharing the relational oracle proves.
+_PRUNED_INS_OFFSET = 1_000_000_000
+
+
+def j_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.merge import merge_upsert_write_pruned
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 97 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("double") * 2).alias("price"),
+        F.lit("UPD").alias("status"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 997 == 3).select(
+        (F.col("o_orderkey") + _PRUNED_INS_OFFSET).alias("k"),
+        (F.col("o_totalprice").cast("double") + 1.0).alias("price"),
+        F.lit("INS").alias("status"),
+    )
+    source = updates.unionAll(inserts)
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(
+        "/tmp/spark_graft_pruned_merge", f"{key}.{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
+    return table.read(spark).orderBy("k")
+
+
+_PRUNED_ORACLE = f"""
+WITH target AS (
+    SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+           o_orderstatus AS status
+    FROM orders
+), source AS (
+    SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) * 2 AS price,
+           'UPD' AS status
+    FROM orders WHERE o_orderkey % 97 = 1
+    UNION ALL
+    SELECT o_orderkey + {_PRUNED_INS_OFFSET} AS k,
+           CAST(o_totalprice AS DOUBLE) + 1.0 AS price, 'INS' AS status
+    FROM orders WHERE o_orderkey % 997 = 3
+)
+SELECT coalesce(t.k, s.k) AS k,
+       CASE WHEN s.k IS NOT NULL THEN s.price ELSE t.price END AS price,
+       CASE WHEN s.k IS NOT NULL THEN s.status ELSE t.status END AS status
+FROM target t FULL OUTER JOIN source s ON t.k = s.k
+ORDER BY k
+"""
+
+register(
+    Query(
+        name="j_merge_pruned",
+        build=j_merge_pruned,
+        oracle=_PRUNED_ORACLE,
+        doc=(
+            "file-pruned MERGE end-to-end: range-clustered versioned target, "
+            "manifest-pruned upsert (untouched files carried by reference), "
+            "committed-table read-back oracled against plain FULL OUTER JOIN "
+            "semantics (S9/J2/J3 at 100 TB)"
+        ),
+        tags=("J2", "J3", "S9", "scale"),
+    )
+)

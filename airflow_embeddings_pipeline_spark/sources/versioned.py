@@ -26,6 +26,7 @@ for Delta/Iceberg (same commit semantics, jar-provided).
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -34,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_CURRENT"
 _COMMITTED = "_COMMITTED"
+_MANIFEST = "_MANIFEST.json"
 _LOCK = "_COMMIT_LOCK"
 _VERSION_RE = re.compile(r"^v(\d{8})$")
 _REMOTE_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
@@ -69,8 +71,95 @@ def _check_local(path: str) -> str:
     return path.removeprefix("file://")
 
 
+def _stat_value(v):
+    """Normalize a parquet footer min/max into a JSON-serializable,
+    order-preserving Python value, or None when the type isn't safely
+    comparable across the footer/Spark boundary (falls back to
+    no-stats = always-touched, which is conservative)."""
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, bool):  # bool before int: not a useful prune key
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    return None
+
+
+def scan_file_stats(dirpath: str, key: str, *, relative_to: str) -> list[dict]:
+    """Footer-only per-file stats for the data files in ``dirpath``:
+    ``{"path", "n_rows", "bytes", "min", "max"}`` with min/max of
+    ``key`` aggregated across row groups (None when the footer carries
+    no usable stats — such a file is treated as always-touched).
+
+    Parquet writers may TRUNCATE binary min/max stats; truncation
+    preserves bound validity (stored min <= true min as a prefix,
+    stored max is bumped to stay >= true max), so pruning on them stays
+    conservative.  Zero-row files are skipped entirely.
+
+    This is a local-filesystem footer walk (one open per file, no data
+    pages); the cluster-scale equivalent is Delta/Iceberg collecting
+    the same stats inside the write transaction.
+    """
+    import pyarrow.parquet as pq
+
+    entries: list[dict] = []
+    for fn in sorted(os.listdir(dirpath)):
+        if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+            continue
+        p = os.path.join(dirpath, fn)
+        md = pq.ParquetFile(p).metadata
+        if md.num_rows == 0:
+            continue
+        lo = hi = None
+        ok = False
+        idx = next(
+            (i for i in range(md.num_columns) if md.schema.column(i).name == key),
+            None,
+        )
+        if idx is not None:
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _stat_value(st.min), _stat_value(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+        entries.append(
+            {
+                "path": os.path.relpath(p, relative_to),
+                "n_rows": md.num_rows,
+                "bytes": os.path.getsize(p),
+                "min": lo if ok else None,
+                "max": hi if ok else None,
+            }
+        )
+    return entries
+
+
 class VersionedParquetTable:
-    """A directory of immutable version subdirs + a ``_CURRENT`` pointer."""
+    """A directory of immutable version subdirs + a ``_CURRENT`` pointer.
+
+    Two commit shapes share the pointer protocol:
+
+    * :meth:`commit` — the full-rewrite shape: the version directory IS
+      the table (every parquet file in it).
+    * :meth:`commit_with_manifest` — the pruned shape: the version is
+      DEFINED by a ``_MANIFEST.json`` listing data files BY REFERENCE
+      (files may live in older version directories) with per-file
+      [min, max] stats of a clustering key.  This is what lets MERGE
+      rewrite only the files a source batch actually touches and carry
+      the rest forward at zero I/O — the micro-partition pruning the
+      reference gets from Snowflake's MERGE, and what Delta/Iceberg do
+      in their commit logs.
+    """
 
     def __init__(self, root: str):
         self.root = _check_local(root).rstrip("/")
@@ -107,6 +196,70 @@ class VersionedParquetTable:
     def exists(self) -> bool:
         return os.path.isdir(self.root)
 
+    # --------------------------------------------------------- manifest
+    def manifest(self, version: int) -> dict | None:
+        """The version's manifest document, or None for a plain
+        (full-directory) version."""
+        try:
+            with open(os.path.join(self._version_dir(version), _MANIFEST)) as f:
+                return json.load(f)
+        except OSError:
+            return None
+
+    def _read_resolved(self, spark: SparkSession, version: int) -> DataFrame:
+        """Read a version through its manifest when it has one (file
+        list + recorded schema — old files missing newly-evolved
+        columns surface them as NULL), else as a plain directory."""
+        man = self.manifest(version)
+        if man is None:
+            return spark.read.parquet(self._version_dir(version))
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(man["schema"])
+        paths = [os.path.join(self.root, e["path"]) for e in man["files"]]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
+    def file_entries(self, spark: SparkSession, key: str) -> tuple[list[dict], object]:
+        """The live version's data-file entries (manifest entries when
+        present, else an ADOPTION footer scan of the plain directory)
+        plus the table schema.  Entries whose recorded key differs from
+        ``key`` are re-scanned — stats for the wrong column must not
+        prune."""
+        from pyspark.sql.types import StructType
+
+        v = self.current_version()
+        if v is None:
+            # legacy plain directory (or absent table)
+            df = self.read(spark)
+            entries = scan_file_stats(self.root, key, relative_to=self.root)
+            return entries, df.schema
+        man = self.manifest(v)
+        if man is not None and man.get("key") == key:
+            return list(man["files"]), StructType.fromJson(man["schema"])
+        vdir = self._version_dir(v)
+        entries = scan_file_stats(vdir, key, relative_to=self.root)
+        if man is not None:
+            # manifest keyed on a DIFFERENT column: keep its file list,
+            # rescan stats for ours (paths may span older version dirs;
+            # one footer walk per distinct directory)
+            by_dir: dict[str, dict[str, dict]] = {}
+            entries = []
+            for e in man["files"]:
+                full = os.path.join(self.root, e["path"])
+                d = os.path.dirname(full)
+                if d not in by_dir:
+                    by_dir[d] = {
+                        os.path.basename(s["path"]): s
+                        for s in scan_file_stats(d, key, relative_to=self.root)
+                    }
+                s = by_dir[d].get(os.path.basename(full))
+                if s is not None:
+                    entries.append(s)
+            return entries, StructType.fromJson(man["schema"])
+        return entries, spark.read.parquet(vdir).schema
+
     # ------------------------------------------------------------- read
     def read(self, spark: SparkSession) -> DataFrame:
         """Read the live version.  A legacy directory (plain parquet
@@ -117,7 +270,7 @@ class VersionedParquetTable:
         (they're reclaimed by the next commit/vacuum)."""
         v = self.current_version()
         if v is not None:
-            return spark.read.parquet(self._version_dir(v))
+            return self._read_resolved(spark, v)
         if self._versions_on_disk():
             import glob
 
@@ -151,7 +304,7 @@ class VersionedParquetTable:
             raise FileNotFoundError(
                 f"version {version} not available (never committed or vacuumed)"
             )
-        return spark.read.parquet(vdir)
+        return self._read_resolved(spark, version)
 
     def versions(self) -> list[int]:
         """Committed (readable) versions, oldest first."""
@@ -195,6 +348,76 @@ class VersionedParquetTable:
             next_v = (versions[-1] + 1) if versions else 1
             vdir = self._version_dir(next_v)
             df.write.mode("overwrite").parquet(vdir)
+            with open(os.path.join(vdir, _COMMITTED), "w") as f:
+                f.flush()
+                os.fsync(f.fileno())
+            self._swap_pointer(next_v)
+            return next_v
+        finally:
+            self._release_lock()
+
+    def commit_with_manifest(
+        self,
+        df: DataFrame,
+        key: str,
+        *,
+        carried: list[dict] | None = None,
+        cluster_partitions: int | None = None,
+    ) -> int:
+        """Commit ``df``'s rows as NEW data files plus ``carried``
+        prior-version file entries BY REFERENCE, under one manifest.
+
+        New files are range-clustered on ``key`` (repartitionByRange +
+        sortWithinPartitions) so their footer min/max ranges are tight
+        and near-disjoint — that clustering is what makes the NEXT
+        pruned merge's touched set small.  Per-file stats are collected
+        footer-only after the write and recorded in the manifest with
+        the carried entries verbatim.  Same lock / marker-before-
+        pointer crash protocol as :meth:`commit`.
+
+        ``carried`` paths must be relative to the table root and name
+        files in COMMITTED version directories at or below the current
+        pointer (enforced: a reference above the pointer would resurrect
+        a crash orphan).
+        """
+        from pyspark.sql import functions as F
+
+        self._acquire_lock()
+        try:
+            cur = self.current_version()
+            for e in carried or []:
+                m = _VERSION_RE.match((e["path"].split(os.sep, 1) + [""])[0])
+                if m is None or cur is None or int(m.group(1)) > cur:
+                    raise ValueError(
+                        f"carried entry {e['path']!r} does not name a file "
+                        "in a committed version directory at or below the "
+                        "current pointer"
+                    )
+            self._reconcile_orphans()
+            versions = self._versions_on_disk()
+            next_v = (versions[-1] + 1) if versions else 1
+            vdir = self._version_dir(next_v)
+            n_out = cluster_partitions or int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
+            )
+            (
+                df.repartitionByRange(n_out, F.col(key))
+                .sortWithinPartitions(key)
+                .write.mode("overwrite")
+                .parquet(vdir)
+            )
+            new_entries = scan_file_stats(vdir, key, relative_to=self.root)
+            man = {
+                "key": key,
+                "schema": df.schema.jsonValue(),
+                "files": list(carried or []) + new_entries,
+            }
+            tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(vdir, _MANIFEST))
             with open(os.path.join(vdir, _COMMITTED), "w") as f:
                 f.flush()
                 os.fsync(f.fileno())
@@ -287,7 +510,16 @@ class VersionedParquetTable:
         """Reclaim crash orphans (version dirs without a ``_COMMITTED``
         marker that are not current) and all but the newest
         ``keep_last - 1`` previously-live versions below the current
-        one.  Never touches legacy files."""
+        one.  Never touches legacy files.
+
+        Manifest-aware: a kept version's manifest may reference data
+        files BY REFERENCE inside older (non-kept) version directories
+        — those files are never deleted.  A non-kept directory with
+        some-but-not-all files referenced is GC'd file-by-file (its
+        ``_COMMITTED`` / ``_MANIFEST`` markers go too, so the
+        partially-emptied version cleanly stops being time-travelable
+        instead of reading with missing files).  Returns the versions
+        whose directories were FULLY removed."""
         current = self.current_version()
         if current is None:
             return []
@@ -299,9 +531,32 @@ class VersionedParquetTable:
         ]
         keep = {current}
         keep.update(committed_older[-(keep_last - 1):] if keep_last > 1 else [])
+        referenced: set[str] = set()  # relpaths from kept manifests
+        for v in keep:
+            man = self.manifest(v)
+            if man is not None:
+                referenced.update(e["path"] for e in man["files"])
         dropped = []
         for v in self._versions_on_disk():
-            if v not in keep:
-                shutil.rmtree(self._version_dir(v), ignore_errors=True)
+            if v in keep:
+                continue
+            vdir = self._version_dir(v)
+            vname = os.path.basename(vdir)
+            refs_here = {
+                r for r in referenced if r.startswith(vname + os.sep)
+            }
+            if not refs_here:
+                shutil.rmtree(vdir, ignore_errors=True)
                 dropped.append(v)
+                continue
+            # partial GC: the version is dead but some of its files are
+            # carried by live manifests — delete only the unreferenced
+            for fn in os.listdir(vdir):
+                rel = os.path.join(vname, fn)
+                if rel in refs_here:
+                    continue
+                try:
+                    os.remove(os.path.join(vdir, fn))
+                except OSError:
+                    pass
         return dropped

@@ -431,3 +431,230 @@ def test_merge_delete_clause_applies_tombstones(spark):
         delete_when=F.col("s.deleted"),
     )
     assert {r["k"]: r["v"] for r in replay.select("k", "v").collect()} == rows
+
+
+# ------------------------------------------------- file-pruned MERGE
+def _big_target(spark, n=200, step=2):
+    """n rows with EVEN integer keys 0, 2, ... — gaps let tests insert
+    keys that fall INSIDE a file's [min, max] range."""
+    return spark.range(n).select(
+        (F.col("id") * step).alias("k"),
+        F.concat(F.lit("ref-"), F.col("id")).alias("ref"),
+        F.lit("old").alias("cat"),
+    )
+
+
+def _pruned_setup(spark, tmp_path, *, parts=8):
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "pruned_target")
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(_big_target(spark), "k", cluster_partitions=parts)
+    return path, table
+
+
+def _file_identity(table):
+    """(relpath -> (inode, mtime_ns, size)) for every manifest file."""
+    man = table.manifest(table.current_version())
+    out = {}
+    for e in man["files"]:
+        st = os.stat(os.path.join(table.root, e["path"]))
+        out[e["path"]] = (st.st_ino, st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_pruned_merge_rewrites_only_touched_files(spark, tmp_path):
+    """The 100 TB property: a narrow batch rewrites a small file subset;
+    every untouched file is carried BY REFERENCE — same inode, same
+    bytes, never rewritten — and the read-back equals the full
+    relational MERGE row-for-row."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    before = _file_identity(table)
+    assert len(before) >= 4  # clustering actually produced several files
+
+    # batch: update two low keys, insert one key INSIDE a file gap and
+    # one far above every range
+    source = spark.createDataFrame(
+        [(0, "upd-0", "new"), (2, "upd-2", "new"),
+         (251, "ins-gap", "new"), (100_000, "ins-high", "new")],
+        "k long, ref string, cat string",
+    )
+    expect = sorted(
+        map(tuple, merge_upsert(table.read(spark), source, "k").collect())
+    )
+    stats = merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
+    assert stats["pruning"] == "exact"
+    assert 0 < stats["files_touched"] < stats["files_total"]
+    assert stats["files_carried"] == stats["files_total"] - stats["files_touched"]
+    assert stats["bytes_rewritten"] > 0
+
+    after_man = table.manifest(table.current_version())
+    carried = [e for e in after_man["files"] if e["path"] in before]
+    assert len(carried) == stats["files_carried"]
+    for e in carried:  # byte-identical, never rewritten (inode + mtime)
+        st = os.stat(os.path.join(table.root, e["path"]))
+        assert (st.st_ino, st.st_mtime_ns, st.st_size) == before[e["path"]]
+
+    got = sorted(map(tuple, table.read(spark).collect()))
+    assert got == expect
+
+
+def test_pruned_merge_insert_inside_carried_range_touches_that_file(
+    spark, tmp_path
+):
+    """An insert key inside some file's [min, max] gap MUST touch that
+    file (conservative range containment) so the merged subset holds
+    the insert — the correctness containment argument."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    man = table.manifest(table.current_version())
+    # pick a gap key strictly inside the first file's range
+    f0 = sorted(man["files"], key=lambda e: e["min"])[0]
+    gap_key = f0["min"] + 1  # keys are even, so +1 is absent but in-range
+    assert f0["min"] < gap_key < f0["max"]
+    source = spark.createDataFrame([(gap_key, "gap", "new")], "k long, ref string, cat string")
+    stats = merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
+    assert stats["files_touched"] >= 1
+    rows = {r["k"]: r for r in table.read(spark).collect()}
+    assert rows[gap_key]["ref"] == "gap"
+    # total count: all originals + 1 insert
+    assert len(rows) == 201
+
+
+def test_pruned_merge_idempotent_and_interval_fallback(spark, tmp_path):
+    """Replaying the same batch is a row/content no-op (T4), and the
+    interval pruning tier (too many distinct keys for the exact set)
+    produces the same table content."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    source = spark.createDataFrame(
+        [(10, "u10", "n"), (12, "u12", "n"), (9999, "ins", "n")],
+        "k long, ref string, cat string",
+    )
+    merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
+    first = sorted(map(tuple, table.read(spark).collect()))
+    # replay exact tier
+    merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
+    assert sorted(map(tuple, table.read(spark).collect())) == first
+    # replay through the interval tier (cap forces it)
+    stats = merge_upsert_write_pruned(
+        path, source, "k", vacuum_keep_last=None, max_exact_keys=1
+    )
+    assert stats["pruning"] == "interval"
+    assert sorted(map(tuple, table.read(spark).collect())) == first
+    # interval [10, 9999] spans most files but the low file(s) below 10
+    # can still be carried
+    assert stats["files_carried"] >= 0  # shape recorded
+
+
+def test_pruned_merge_empty_source_is_noop(spark, tmp_path):
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    v0 = table.current_version()
+    empty = spark.createDataFrame([], "k long, ref string, cat string")
+    stats = merge_upsert_write_pruned(path, empty, "k")
+    assert stats["pruning"] == "empty-source"
+    assert stats["version"] == v0 and table.current_version() == v0
+    assert stats["bytes_rewritten"] == 0
+
+
+def test_pruned_merge_delete_when_prunes_and_deletes(spark, tmp_path):
+    """Tombstones only touch the files holding their keys; matched rows
+    are dropped, absent-key tombstones insert nothing."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    source = spark.createDataFrame(
+        [(4, "x", "DEL"), (7777, "x", "DEL"), (6, "keep6", "new")],
+        "k long, ref string, cat string",
+    )
+    stats = merge_upsert_write_pruned(
+        path, source, "k", vacuum_keep_last=None,
+        delete_when=F.col("s.cat") == "DEL",
+    )
+    assert stats["files_touched"] < stats["files_total"]
+    rows = {r["k"]: r for r in table.read(spark).collect()}
+    assert 4 not in rows            # matched tombstone deleted
+    assert 7777 not in rows         # absent-key tombstone inserts nothing
+    assert rows[6]["ref"] == "keep6"
+    assert len(rows) == 199         # 200 originals - 1 delete
+
+
+def test_pruned_merge_schema_evolution_over_carried_files(spark, tmp_path):
+    """An evolved column exists physically only in rewritten files; the
+    manifest schema surfaces it as NULL for every carried file's rows —
+    exactly the warehouse backfill semantics."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    source = spark.createDataFrame(
+        [(0, "u0", "new", "extra-0"), (50_001, "ins", "new", "extra-i")],
+        "k long, ref string, cat string, note string",
+    )
+    stats = merge_upsert_write_pruned(
+        path, source, "k", vacuum_keep_last=None, schema_evolution=True
+    )
+    assert stats["files_carried"] > 0
+    df = table.read(spark)
+    assert "note" in df.columns
+    rows = {r["k"]: r for r in df.collect()}
+    assert rows[0]["note"] == "extra-0" and rows[50_001]["note"] == "extra-i"
+    # a row living in a carried (never-rewritten) file reads NULL
+    untouched_key = max(k for k in rows if k < 50_001 and k != 0)
+    assert rows[untouched_key]["note"] is None
+
+
+def test_pruned_merge_vacuum_keeps_referenced_files(spark, tmp_path):
+    """vacuum(keep_last=1) after pruned merges: files carried by the
+    LIVE manifest survive even though their version directory is no
+    longer kept; fully-unreferenced dirs are removed; the table still
+    reads correctly and time travel to the GC'd version fails loudly."""
+    import pytest
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    src1 = spark.createDataFrame([(0, "a", "n")], "k long, ref string, cat string")
+    src2 = spark.createDataFrame([(2, "b", "n")], "k long, ref string, cat string")
+    expect = sorted(
+        map(
+            tuple,
+            merge_upsert(
+                merge_upsert(table.read(spark), src1, "k"), src2, "k"
+            ).collect(),
+        )
+    )
+    merge_upsert_write_pruned(path, src1, "k", vacuum_keep_last=None)
+    merge_upsert_write_pruned(path, src2, "k", vacuum_keep_last=None)
+    table.vacuum(keep_last=1)
+    # every file the live manifest references still exists
+    man = table.manifest(table.current_version())
+    for e in man["files"]:
+        assert os.path.exists(os.path.join(table.root, e["path"])), e["path"]
+    assert sorted(map(tuple, table.read(spark).collect())) == expect
+    # the partially-GC'd v1 lost its marker: no longer time-travelable
+    with pytest.raises(FileNotFoundError):
+        table.read_version(spark, 2)
