@@ -64,6 +64,7 @@ EXPECTED_BNLJ = {
     "x_ann_pq_fast",  # same 1-row pool bound, numpy encode tier
     "x_ann_pq_trained",  # same 1-row broadcast pool bound
     "x_ann_pq_persisted",  # same 1-row broadcast pool bound (loaded books)
+    "x_ann_pq_trained_fast",  # same 1-row pool bound, trained books + numpy encode
     "x_word_pmi",  # 1-row broadcast doc-count (PMI normalizer)
     "x_ivf_cell_stats",  # 1-row broadcast corpus total (share denominator)
     "a_freq_items_sketch",  # 1-row broadcast total (support denominator)
