@@ -543,6 +543,7 @@ def setsim_prefix_join(
     text_col: str = "text",
     threshold: float = _SSJ_T,
     encode_ids: bool = False,
+    persist_sets: bool = False,
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs via prefix filtering.
 
@@ -555,6 +556,17 @@ def setsim_prefix_join(
     between a shingle of A and a different shingle of B would inflate
     one intersection by 1 (P ~ |A|·|B|/2^64 per pair — negligible,
     and excluded from the oracle tier which keeps strings).
+
+    The plan references the ordered-set representation (and therefore
+    the whole INPUT subtree above it) four times — prefix postings ×2
+    via the self-join, verify sets ×2.  ``persist_sets=True`` caches
+    that representation so an expensive upstream (e.g. a full-corpus
+    exact-dedup pass feeding the survivors in) executes ONCE: the
+    ×1000 stress measured 309.6 s as-shipped vs 13.3 s with the
+    survivor sets persisted — the whole superlinear growth was
+    recomputation of the 5M-doc upstream, not the join itself
+    (BASELINE.md quad-verify section).  Left off by default: caching
+    is a resource decision the caller owns at fixture scale.
     """
     from .dedup import shingles
 
@@ -584,6 +596,8 @@ def setsim_prefix_join(
             ),
         )
     )
+    if persist_sets:
+        ordered = ordered.persist()
     pre = ordered.select(id_col, F.explode("prefix").alias("s"))
     cand = (
         pre.alias("a")
@@ -700,8 +714,30 @@ register(
 _SYM_ID_OFFSET = 10_000_000
 
 
-def x_symspell_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+_SYM_VARIANTS_SQL = (
+    "array_distinct(transform(sequence(1, length(c_name)),"
+    " i -> concat(substring(c_name, 1, i - 1),"
+    " substring(c_name, i + 1, length(c_name)))))"
+)
+
+
+def symspell_fuzzy_join(cust: DataFrame, *, encode_ids: bool = False) -> DataFrame:
+    """SymSpell deletion-neighborhood fuzzy join over ``(c_custkey,
+    c_name)``: exact equi-join on single-deletion variants replaces the
+    O(n²) edit-distance theta-join; levenshtein verifies candidates
+    only.
+
+    ``encode_ids=True`` is the scale tier (the engine's standing
+    string-tier/hash-tier split, see ``setsim_prefix_join``): the
+    candidate join ships ``(orig_id, xxhash64(variant))`` — 16 bytes —
+    instead of ``(orig_id, orig_name, variant)`` strings (~60 bytes),
+    and names are re-joined only for the FEW surviving candidate pairs
+    before the exact verify.  The ×1000 stress measured the string-key
+    shuffle (279M exploded variant rows, ~17 GB) crossing the
+    single-node spill cliff; the hashed keys cut that volume ~4×.
+    Lossless: a 64-bit collision only creates a candidate the exact
+    levenshtein filter rejects (plus a ``distinct`` guarding pair
+    multiplicity), so both tiers share one oracle verbatim."""
     corrupted = cust.select(
         (F.col("c_custkey") + _SYM_ID_OFFSET).alias("corrupt_id"),
         F.expr(
@@ -710,20 +746,34 @@ def x_symspell_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             " length(c_name)))"
         ).alias("corrupt_name"),
     )
-    deletions = cust.select(
-        F.col("c_custkey").alias("orig_id"),
-        F.col("c_name").alias("orig_name"),
-        F.explode(
-            F.expr(
-                "array_distinct(transform(sequence(1, length(c_name)),"
-                " i -> concat(substring(c_name, 1, i - 1),"
-                " substring(c_name, i + 1, length(c_name)))))"
-            )
-        ).alias("variant"),
-    )
+    if encode_ids:
+        deletions_h = cust.select(
+            F.col("c_custkey").alias("orig_id"),
+            F.explode(F.expr(_SYM_VARIANTS_SQL)).alias("variant"),
+        ).select("orig_id", F.xxhash64("variant").alias("vh"))
+        corrupted_h = corrupted.select(
+            "corrupt_id", F.xxhash64("corrupt_name").alias("vh")
+        )
+        cand = (
+            deletions_h.join(corrupted_h, "vh")
+            .select("orig_id", "corrupt_id")
+            .distinct()
+        )
+        names = cust.select(
+            F.col("c_custkey").alias("orig_id"), F.col("c_name").alias("orig_name")
+        )
+        matched = cand.join(names, "orig_id").join(corrupted, "corrupt_id")
+    else:
+        deletions = cust.select(
+            F.col("c_custkey").alias("orig_id"),
+            F.col("c_name").alias("orig_name"),
+            F.explode(F.expr(_SYM_VARIANTS_SQL)).alias("variant"),
+        )
+        matched = deletions.join(
+            corrupted, deletions.variant == corrupted.corrupt_name
+        )
     return (
-        deletions.join(corrupted, deletions.variant == corrupted.corrupt_name)
-        .select(
+        matched.select(
             "orig_id",
             "corrupt_id",
             "orig_name",
@@ -736,11 +786,19 @@ def x_symspell_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    Query(
-        name="x_symspell_fuzzy_join",
-        build=x_symspell_fuzzy_join,
-        oracle=f"""
+def x_symspell_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return symspell_fuzzy_join(cust)
+
+
+def x_symspell_fuzzy_join_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tier: hashed 16-byte candidate keys, names re-joined for
+    the verify only — identical output, shared oracle."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return symspell_fuzzy_join(cust, encode_ids=True)
+
+
+_SYM_ORACLE = f"""
         WITH corrupted AS (
             SELECT c_custkey + {_SYM_ID_OFFSET} AS corrupt_id,
                    substr(c_name, 1, CAST(c_custkey % len(c_name) AS INTEGER))
@@ -761,13 +819,34 @@ register(
         FROM deletions d JOIN corrupted c ON d.variant = c.corrupt_name
         WHERE levenshtein(d.orig_name, c.corrupt_name) <= 1
         ORDER BY orig_id, corrupt_id
-        """,
+        """
+
+register(
+    Query(
+        name="x_symspell_fuzzy_join",
+        build=x_symspell_fuzzy_join,
+        oracle=_SYM_ORACLE,
         doc=(
             "SymSpell deletion-neighborhood fuzzy join: exact equi-join on "
             "single-deletion variants replaces the O(n²) edit-distance "
             "theta-join; levenshtein verifies candidates only (X2 tier)"
         ),
         tags=("X2", "fuzzy-join"),
+    )
+)
+
+register(
+    Query(
+        name="x_symspell_fuzzy_join_fast",
+        build=x_symspell_fuzzy_join_fast,
+        oracle=_SYM_ORACLE,  # shared verbatim: exact verify makes hashing lossless
+        doc=(
+            "SymSpell scale tier: candidate equi-join on xxhash64(variant) "
+            "16-byte keys (~4× less shuffle than the string keys), names "
+            "re-joined for the few candidates before the exact verify — "
+            "identical output, shared oracle (X2)"
+        ),
+        tags=("X2", "fuzzy-join", "scale"),
     )
 )
 

@@ -389,6 +389,39 @@ def test_symspell_finds_every_planted_corruption(spark, sf_dir):
     assert all(r["distance"] <= 1 for r in rows)
 
 
+def test_symspell_fast_tier_matches_string_tier(spark, sf_dir):
+    """The hashed-candidate-key scale tier must return the string
+    tier's exact rows — the lossless-by-exact-verify claim behind the
+    shared oracle."""
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.extensions.dedup_queries import (
+        symspell_fuzzy_join,
+    )
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = sorted(map(tuple, symspell_fuzzy_join(cust).collect()))
+    b = sorted(map(tuple, symspell_fuzzy_join(cust, encode_ids=True).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_setsim_persist_sets_parity(spark, sf_dir):
+    """persist_sets caches the ordered-set representation (recompute
+    bound fix) without changing a single output row."""
+    from airflow_embeddings_pipeline_spark.extensions.dedup_queries import (
+        _ssj_corpus,
+        setsim_prefix_join,
+    )
+
+    corpus = _ssj_corpus(spark, sf_dir)
+    a = sorted(map(tuple, setsim_prefix_join(corpus).collect()))
+    b = sorted(
+        map(tuple, setsim_prefix_join(corpus, persist_sets=True).collect())
+    )
+    assert a == b and len(a) > 0
+
+
 def test_weighted_sample_is_deterministic_topk(spark, sf_dir):
     a = _q("x_weighted_sample").build(spark, sf_dir).collect()
     b = _q("x_weighted_sample").build(spark, sf_dir).collect()

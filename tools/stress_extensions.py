@@ -235,6 +235,16 @@ def main() -> None:
         "setsim_prefix_join_post_exact",
         setsim_prefix_join(distinct_docs, threshold=0.8, encode_ids=True),
     )
+    # the ×1000 attribution (tools/probe_quad_growth.py): the shipped
+    # shape's growth is RECOMPUTATION of the exact pass (the plan
+    # references the set representation 4×); persisting the
+    # entropy-bounded survivor sets is the production shape
+    run(
+        "setsim_prefix_join_persisted_sets",
+        setsim_prefix_join(
+            distinct_docs, threshold=0.8, encode_ids=True, persist_sets=True
+        ),
+    )
 
     # Retrieval + curation tier over the staged corpus/embeddings:
     # BM25 (posting-free HOF term frequencies), PQ-ANN (encode 100×
@@ -247,7 +257,14 @@ def main() -> None:
     # over the full staged vector corpus before encode+ADC) and the
     # SymSpell deletion-neighborhood fuzzy join (posting-list equi-join
     # over the replicated-with-distinct-names customer table).
-    for name in ("x_ann_pq_trained", "x_symspell_fuzzy_join"):
+    # r6 adds the two scale tiers next to their string/HOF siblings:
+    # trained-PQ with numpy encode, SymSpell with hashed candidate keys
+    for name in (
+        "x_ann_pq_trained",
+        "x_ann_pq_trained_fast",
+        "x_symspell_fuzzy_join",
+        "x_symspell_fuzzy_join_fast",
+    ):
         run(name, get_catalog()[name].build(spark, staged))
 
     # Sign-LSH at the production 0.8 threshold, in the realistic
