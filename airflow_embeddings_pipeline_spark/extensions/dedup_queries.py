@@ -560,13 +560,15 @@ def setsim_prefix_join(
     The plan references the ordered-set representation (and therefore
     the whole INPUT subtree above it) four times — prefix postings ×2
     via the self-join, verify sets ×2.  ``persist_sets=True`` caches
-    that representation so an expensive upstream (e.g. a full-corpus
-    exact-dedup pass feeding the survivors in) executes ONCE: the
-    ×1000 stress measured 309.6 s as-shipped vs 13.3 s with the
-    survivor sets persisted — the whole superlinear growth was
-    recomputation of the 5M-doc upstream, not the join itself
-    (BASELINE.md quad-verify section).  Left off by default: caching
-    is a resource decision the caller owns at fixture scale.
+    AND eagerly materializes that representation so an expensive
+    upstream (e.g. a full-corpus exact-dedup pass feeding the
+    survivors in) executes ONCE: the ×1000 stress measured 309.6 s
+    as-shipped vs 23.6 s with the barrier — the whole superlinear
+    growth was recomputation of the 5M-doc upstream, not the join
+    itself (a lazy persist alone recovers almost nothing: AQE races
+    the four branches into the cold cache; BASELINE.md quad-verify
+    section).  Left off by default: caching and the extra job are a
+    resource decision the caller owns at fixture scale.
     """
     from .dedup import shingles
 
@@ -597,7 +599,15 @@ def setsim_prefix_join(
         )
     )
     if persist_sets:
+        # EAGER materialization, not just a lazy persist: within one
+        # action, AQE submits the four consumer branches' stages
+        # concurrently and each races to compute the not-yet-populated
+        # cache — measured at ×1000: 309.6 s unpersisted, 240.9 s lazy
+        # persist, 23.6 s with the barrier (BASELINE.md quad-verify
+        # section).  The count() is one job over the (entropy-bounded)
+        # set representation and is the whole point of the flag.
         ordered = ordered.persist()
+        ordered.count()
     pre = ordered.select(id_col, F.explode("prefix").alias("s"))
     cand = (
         pre.alias("a")
