@@ -36,6 +36,7 @@ _TIERS = (
     "x_ann_pq",
     "x_ann_pq_fast",
     "x_ann_pq_trained",
+    "x_ann_pq_trained_fast",
 )
 
 
@@ -84,7 +85,13 @@ def main() -> None:
     from airflow_embeddings_pipeline_spark.plans import get_catalog
     from airflow_embeddings_pipeline_spark.session import get_spark
 
-    sf_dir, scale = parse_args(sys.argv[1:])
+    argv = sys.argv[1:]
+    tiers = _TIERS
+    if "--tiers" in argv:
+        i = argv.index("--tiers")
+        tiers = tuple(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir, scale = parse_args(argv)
     if scale == 1:
         scale = 100
 
@@ -104,7 +111,7 @@ def main() -> None:
     print(f"# exact ground truth: {len(exact)} pairs, {exact_wall}s", file=sys.stderr)
 
     results: dict[str, dict] = {"exact_bruteforce": {"wall_sec": exact_wall}}
-    for name in _TIERS:
+    for name in tiers:
         t0 = time.perf_counter()
         approx = {
             (r["query_id"], r["neighbor_id"])
