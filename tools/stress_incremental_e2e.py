@@ -81,14 +81,19 @@ def main() -> int:
         fresh = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         if k == 0:
             return fresh
-        upd = docs.filter(F.col("doc_id") < UPD_KEYS).withColumn(
+        # update slice stays strictly BELOW this cycle's fresh range:
+        # the MERGE source contract is one row per key (the reference
+        # window-dedups its staged batch before merging)
+        upd = docs.filter(F.col("doc_id") < min(UPD_KEYS, lo)).withColumn(
             "text", F.concat(F.col("text"), F.lit(f" [rev{k}]"))
         )
         return fresh.unionByName(upd)
 
     def signature(df):
+        # decimal accumulator: a long sum of 64-bit hashes overflows
+        # under ANSI mode (Spark 4 default)
         row = df.agg(
-            F.sum(F.xxhash64(*sorted(df.columns))).alias("h"),
+            F.sum(F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")).alias("h"),
             F.count("*").alias("n"),
         ).collect()[0]
         return int(row["h"]), int(row["n"])
