@@ -138,7 +138,10 @@ def main() -> int:
         for k in range(N_CYCLES):
             (
                 cycle_slice(k)
-                .repartition(32)
+                # seed cycle lands as a few LARGE blocks (stay above the
+                # compaction threshold, must survive untouched); later
+                # cycles append many small ones (the compaction load)
+                .repartition(4 if k == 0 else 32)
                 .write.format("document_store")
                 .option("path", store)
                 .mode("append")
@@ -184,8 +187,13 @@ def main() -> int:
     replay_extra = crashed["n_merges"] - control["n_merges"]
 
     # ---- compaction over the ×N-ingested store + generation fencing
+    big_blocks = sorted(
+        os.path.getsize(os.path.join(control["store"], f))
+        for f in os.listdir(control["store"])
+        if f.endswith(".jsonl")
+    )[-4:]
     comp = compact_document_store(
-        control["store"], min_block_bytes=1 << 20, spark=spark
+        control["store"], min_block_bytes=4 << 20, spark=spark
     )
     store_bytes = sum(
         os.path.getsize(os.path.join(control["store"], f))
@@ -210,6 +218,7 @@ def main() -> int:
         fenced = "generation changed" in str(e)
 
     out = {
+        "seed_block_bytes_untouched": sum(big_blocks),
         "scale_x": scale,
         "n_documents": n_total,
         "control": {k: v for k, v in control.items() if k not in ("store", "ckpt")},
