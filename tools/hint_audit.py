@@ -72,6 +72,7 @@ BOUNDED_BY_DESIGN = {
     "x_ann_pq": _QSET,
     "x_ann_pq_fast": _QSET,  # same _pq_run tail, numpy encode tier
     "x_ann_pq_trained": _QSET,
+    "x_ann_pq_trained_fast": _QSET,  # same _pq_run tail, trained books + numpy encode
     "x_ann_pq_persisted": _QSET,
     "x_hyperplane_lsh_near_dup_t08": _QSET,
     "x_semdedup": _QSET,
