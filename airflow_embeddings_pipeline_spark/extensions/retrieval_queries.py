@@ -394,7 +394,9 @@ def _pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     )
 
 
-def _pq_encode_codes_numpy(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+def _pq_encode_codes_numpy(
+    emb: DataFrame, books: list[list[list[float]]], *, with_subs: bool = False
+) -> DataFrame:
     """Scale-tier encode: vec_id + nearest-codeword ids via one
     Arrow-batched ``mapInPandas`` pass of numpy broadcasting — the same
     oracle-exact HOF-tier arithmetic ((a-b)^2 summed per codeword,
@@ -412,6 +414,13 @@ def _pq_encode_codes_numpy(emb: DataFrame, books: list[list[list[float]]]) -> Da
     books_arr = np.asarray(books, dtype=np.float64)  # (M, NCENTS, SUBDIM)
     m, subdim = _PQ_M, _PQ_SUBDIM
     schema = "vec_id long, " + ", ".join(f"c{s} int" for s in range(m))
+    if with_subs:
+        # training-assignment shape: also emit the double-cast
+        # subvectors so train_pq_books can explode them for the
+        # exact-integer means without a vec_id re-join (the cast to
+        # float64 here is the same value as the HOF tier's CAST(x AS
+        # DOUBLE) slice — IEEE widening is exact)
+        schema += ", " + ", ".join(f"sub{s} array<double>" for s in range(m))
 
     def op(batches):
         import numpy as _np
@@ -424,6 +433,11 @@ def _pq_encode_codes_numpy(emb: DataFrame, books: list[list[list[float]]]) -> Da
                 [list(v) for v in pdf["embedding"]], dtype=_np.float64
             )
             out = {"vec_id": pdf["vec_id"].to_numpy()}
+            if with_subs:
+                for s in range(m):
+                    out[f"sub{s}"] = list(
+                        x[:, s * subdim : (s + 1) * subdim]
+                    )
             for s in range(m):
                 xs = x[:, s * subdim : (s + 1) * subdim]  # (n, subdim)
                 diff = xs[:, None, :] - books_arr[s][None, :, :]
@@ -447,6 +461,7 @@ def train_pq_books(
     *,
     scale: int = 1_000_000,
     round_to: int = 6,
+    assign: str = "hof",
 ) -> list[list[list[float]]]:
     """One deterministic Lloyd refinement per subspace: assign every
     subvector to its nearest seed codeword, then recompute codewords as
@@ -455,8 +470,21 @@ def train_pq_books(
     so the refined books are bit-reproducible by the SQL oracle).  One
     distributed pass; only m x ncents x subdim means reach the driver.
     Codewords whose cell is empty (possible when two seed slices
-    coincide) keep their seed values."""
-    enc = _pq_encode(emb, seed_books)
+    coincide) keep their seed values.
+
+    ``assign="numpy"`` swaps only the ASSIGNMENT (nearest-codeword
+    search, the expensive interpreted part) for the Arrow-batched
+    numpy tier — codes are identical by the encode parity units, and
+    the means stay in the SAME Spark SQL aggregation over the same
+    double-cast subvectors, so the refined books are bit-identical to
+    the HOF path (books parity unit) and the SQL oracle still
+    replicates training exactly.  The HALF_UP hazard lives in the
+    MEANS' round(), which this option does not touch."""
+    enc = (
+        _pq_encode_codes_numpy(emb, seed_books, with_subs=True)
+        if assign == "numpy"
+        else _pq_encode(emb, seed_books)
+    )
     sc = enc.select(
         F.explode(
             F.array(
@@ -620,19 +648,18 @@ def x_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_ann_pq_trained_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x_ann_pq_trained with the numpy encode tier: TRAINING stays in
-    SQL (the HALF_UP rounding boundary lives in the exact-integer-mean
-    trainer — see the x_ann_pq_trained docstring), but the encode
-    against the already-materialized books runs through the
-    Arrow-batched numpy pass.  Codes are identical by construction
-    (same half-up round-6 distances, same first-min tie rule —
-    unit-asserted against the trained HOF tier), so this entry shares
-    the trained oracle verbatim.  At 2M vectors the interpreted HOF
-    encode dominated the trained probe (~100 s); this tier closes that
-    to the numpy-fast envelope."""
+    """x_ann_pq_trained with the numpy tier on BOTH interpreted hot
+    paths: the training ASSIGNMENT (``train_pq_books(assign="numpy")``
+    — codes identical by the encode parity units; the exact-integer
+    MEANS and their HALF_UP round stay in Spark SQL, so the refined
+    books are bit-identical, books parity unit) and the probe encode
+    against the trained books.  Shares the trained oracle verbatim.
+    At 2M vectors the interpreted HOF encodes dominated the trained
+    probe (~100 s); this tier closes that to the numpy-fast
+    envelope."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents, qhead = _pq_head(emb)
-    books = train_pq_books(emb, _pq_seed_books(cents))
+    books = train_pq_books(emb, _pq_seed_books(cents), assign="numpy")
     return _pq_run(spark, emb, books, qhead, encode="numpy")
 
 

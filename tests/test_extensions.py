@@ -1117,6 +1117,25 @@ def test_pq_numpy_encode_codes_match_hof(spark, sf_dir):
     assert hof == npy and len(hof) > 0
 
 
+def test_pq_trained_books_identical_under_numpy_assignment(spark, sf_dir):
+    """train_pq_books(assign='numpy') must produce the HOF path's
+    books bit-for-bit: assignment codes are parity-proven, and the
+    exact-integer means run in the same SQL aggregation over the same
+    double-cast subvectors."""
+    from airflow_embeddings_pipeline_spark.extensions.retrieval_queries import (
+        _pq_head,
+        _pq_seed_books,
+        train_pq_books,
+    )
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = _pq_seed_books(_pq_head(emb)[0])
+    hof = train_pq_books(emb, seeds)
+    npy = train_pq_books(emb, seeds, assign="numpy")
+    assert hof == npy  # exact float equality, every component
+
+
 def test_pq_numpy_encode_codes_match_hof_trained_books(spark, sf_dir):
     """x_ann_pq_trained_fast's claim: against the SQL-TRAINED books
     (whose component means are the values that can land on rounding
