@@ -186,13 +186,18 @@ def merge_upsert_write_pruned(
        version directory);
     2. the source batch's distinct keys are collected when they number
        ≤ ``max_exact_keys`` (a daily batch — the design point — is
-       small; the collect is bounded and explicitly capped), else only
-       the batch's [min, max] interval is used;
+       small; the collect is bounded and explicitly capped); a LARGER
+       batch never collects keys at all: the per-file ranges (one tiny
+       row per file) broadcast against the distinct source keys in a
+       range join, and only the DISTINCT TOUCHED FILE IDS — bounded by
+       file count, not key count — reach the driver, so the pruning
+       decision scales to arbitrarily large batches;
     3. a target file is TOUCHED iff some source key can lie inside its
        stats range (exact: binary search of the sorted key set against
-       each range; interval: range overlap) — files without usable
-       stats are always touched (conservative), NULL-key source rows
-       touch nothing (SQL equality never matches NULL, they insert);
+       each range; range-join: the broadcast containment test) — files
+       without usable stats are always touched (conservative),
+       NULL-key source rows touch nothing (SQL equality never matches
+       NULL, they insert);
     4. only the touched files are read and full-outer-merged with the
        batch; the merged subset is written range-clustered on ``key``
        as the new version's data files, untouched entries are carried
@@ -248,26 +253,56 @@ def merge_upsert_write_pruned(
         keys = sorted(r[0] for r in head if r[0] is not None)
         pruning = "exact"
 
-        def touched(e: dict) -> bool:
+        def touched(i: int, e: dict) -> bool:
             if e["min"] is None or e["max"] is None:
                 return True
             import bisect
 
-            i = bisect.bisect_left(keys, e["min"])
-            return i < len(keys) and keys[i] <= e["max"]
+            j = bisect.bisect_left(keys, e["min"])
+            return j < len(keys) and keys[j] <= e["max"]
 
     else:
-        b = source.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
-        lo, hi = b["lo"], b["hi"]
-        pruning = "interval"
+        # batch too large to collect keys: broadcast the per-file
+        # [min, max] ranges (one tiny row per file) against the
+        # distinct keys; only DISTINCT TOUCHED FILE IDS reach the
+        # driver — bounded by file count regardless of batch size
+        ranges = [
+            (i, e["min"], e["max"])
+            for i, e in enumerate(entries)
+            if e["min"] is not None and e["max"] is not None
+        ]
+        hit: set[int] = set()
+        if ranges:
+            kt = type(ranges[0][1])
+            rdf = spark.createDataFrame(
+                ranges,
+                schema=(
+                    "fid int, lo string, hi string"
+                    if kt is str
+                    else "fid int, lo double, hi double"
+                    if kt is float
+                    else "fid int, lo long, hi long"
+                ),
+            )
+            hit = {
+                r[0]
+                for r in src_keys.join(
+                    F.broadcast(rdf),
+                    (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
+                )
+                .select("fid")
+                .distinct()
+                .collect()
+            }
+        pruning = "range-join"
 
-        def touched(e: dict) -> bool:
-            if e["min"] is None or e["max"] is None or lo is None:
+        def touched(i: int, e: dict) -> bool:
+            if e["min"] is None or e["max"] is None:
                 return True
-            return e["max"] >= lo and e["min"] <= hi
+            return i in hit
 
-    touched_entries = [e for e in entries if touched(e)]
-    carried = [e for e in entries if not touched(e)]
+    touched_entries = [e for i, e in enumerate(entries) if touched(i, e)]
+    carried = [e for i, e in enumerate(entries) if not touched(i, e)]
 
     # ---- merge only the touched subset (step 4)
     paths = [os.path.join(table.root, e["path"]) for e in touched_entries]

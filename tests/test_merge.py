@@ -549,15 +549,18 @@ def test_pruned_merge_idempotent_and_interval_fallback(spark, tmp_path):
     # replay exact tier
     merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
     assert sorted(map(tuple, table.read(spark).collect())) == first
-    # replay through the interval tier (cap forces it)
+    # replay through the range-join tier (cap forces it): the batch's
+    # keys broadcast-range-join the per-file ranges, so only files
+    # whose [min, max] actually CONTAINS one of {10, 12, 9999} are
+    # touched — unlike a crude [10, 9999] interval overlap, the files
+    # between the update keys and the insert key stay carried
     stats = merge_upsert_write_pruned(
         path, source, "k", vacuum_keep_last=None, max_exact_keys=1
     )
-    assert stats["pruning"] == "interval"
+    assert stats["pruning"] == "range-join"
     assert sorted(map(tuple, table.read(spark).collect())) == first
-    # interval [10, 9999] spans most files but the low file(s) below 10
-    # can still be carried
-    assert stats["files_carried"] >= 0  # shape recorded
+    assert 0 < stats["files_touched"] < stats["files_total"]
+    assert stats["files_carried"] > 0
 
 
 def test_pruned_merge_empty_source_is_noop(spark, tmp_path):
