@@ -505,6 +505,119 @@ class VersionedParquetTable:
         finally:
             os.close(dfd)
 
+    # --------------------------------------------------------- optimize
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        min_file_bytes: int = 32 << 20,
+        cluster_partitions: int | None = None,
+    ) -> dict:
+        """Delta ``OPTIMIZE`` analog for manifest versions: rewrite the
+        live manifest's SMALL data files into fewer range-clustered
+        ones and carry every large file by reference — the maintenance
+        pass the pruned MERGE makes necessary (each daily merge adds a
+        few new files; after N days the manifest holds O(N) small
+        files and scan task count grows with history, not data).
+
+        Rewrite cost is bounded by the small-file mass, never table
+        size — same property as the document store's block compaction.
+        Content is unchanged (unit-asserted); the commit is a normal
+        manifest commit (lock, marker, pointer swap), so readers of
+        the old version are undisturbed and vacuum later reclaims the
+        superseded small files.  Returns ``{"version", "files_before",
+        "files_after", "bytes_rewritten", "bytes_carried"}``; a table
+        with fewer than two small files is a no-op (version unchanged).
+        """
+        from pyspark.sql.types import StructType
+
+        v = self.current_version()
+        if v is None:
+            raise ValueError(
+                f"{self.root}: compact() needs a committed manifest version; "
+                "legacy plain directories are adopted by the first "
+                "commit_with_manifest/pruned merge"
+            )
+        man = self.manifest(v)
+        if man is None:
+            raise ValueError(
+                f"{self.root}: version v{v:08d} is a plain full-directory "
+                "version — it is already one rewrite; compact() applies to "
+                "manifest versions"
+            )
+        small = [e for e in man["files"] if e["bytes"] < min_file_bytes]
+        large = [e for e in man["files"] if e["bytes"] >= min_file_bytes]
+        if len(small) < 2:
+            return {
+                "version": v,
+                "files_before": len(man["files"]),
+                "files_after": len(man["files"]),
+                "bytes_rewritten": 0,
+                "bytes_carried": sum(e["bytes"] for e in man["files"]),
+            }
+        schema = StructType.fromJson(man["schema"])
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, e["path"]) for e in small]
+        )
+        small_bytes = sum(e["bytes"] for e in small)
+        n_out = cluster_partitions or max(1, small_bytes // (128 << 20) + 1)
+        new_v = self.commit_with_manifest(
+            df, man["key"], carried=large, cluster_partitions=n_out
+        )
+        new_man = self.manifest(new_v) or {"files": []}
+        return {
+            "version": new_v,
+            "files_before": len(man["files"]),
+            "files_after": len(new_man["files"]),
+            "bytes_rewritten": sum(
+                e["bytes"]
+                for e in new_man["files"]
+                if e["path"].startswith(f"v{new_v:08d}")
+            ),
+            "bytes_carried": sum(e["bytes"] for e in large),
+        }
+
+    def read_range(self, spark: SparkSession, key: str, lo=None, hi=None) -> DataFrame:
+        """Manifest-stats data skipping on the READ path: scan only the
+        files whose [min, max] range of ``key`` can intersect
+        [lo, hi], then apply the exact predicate — the reader-side
+        payoff of the same stats the pruned MERGE writes
+        (Delta/Iceberg data skipping).  Files without stats are always
+        read (conservative).  On a plain version, or when the manifest
+        is clustered on a DIFFERENT key, this degrades to a full scan
+        + filter (correct, just unpruned)."""
+        from pyspark.sql import functions as F
+
+        v = self.current_version()
+        man = self.manifest(v) if v is not None else None
+        if man is None or man.get("key") != key:
+            df = self.read(spark)
+        else:
+            kept = [
+                e
+                for e in man["files"]
+                if e["min"] is None
+                or e["max"] is None
+                or (
+                    (lo is None or e["max"] >= lo)
+                    and (hi is None or e["min"] <= hi)
+                )
+            ]
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(man["schema"])
+            paths = [os.path.join(self.root, e["path"]) for e in kept]
+            df = (
+                spark.read.schema(schema).parquet(*paths)
+                if paths
+                else spark.createDataFrame([], schema)
+            )
+        if lo is not None:
+            df = df.filter(F.col(key) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(key) <= hi)
+        return df
+
     # ----------------------------------------------------------- vacuum
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Reclaim crash orphans (version dirs without a ``_COMMITTED``

@@ -661,3 +661,74 @@ def test_pruned_merge_vacuum_keeps_referenced_files(spark, tmp_path):
     # the partially-GC'd v1 lost its marker: no longer time-travelable
     with pytest.raises(FileNotFoundError):
         table.read_version(spark, 2)
+
+
+def test_versioned_compact_rewrites_only_small_files(spark, tmp_path):
+    """OPTIMIZE analog: after several pruned merges accumulate small
+    files, compact() merges them into few range-clustered files,
+    carries every large file BY IDENTITY, and changes no content."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    # several narrow merges -> each commits 1-2 small new files
+    for i in range(4):
+        src = spark.createDataFrame(
+            [(2 * i, f"u{i}", "n"), (10_000 + i, f"ins{i}", "n")],
+            "k long, ref string, cat string",
+        )
+        merge_upsert_write_pruned(path, src, "k", vacuum_keep_last=None)
+    before_content = sorted(map(tuple, table.read(spark).collect()))
+    man_before = table.manifest(table.current_version())
+    # every data file here is tiny, so classify the 4 biggest as
+    # "large" via a threshold between the sizes to prove carrying
+    sizes = sorted(e["bytes"] for e in man_before["files"])
+    threshold = sizes[-4]
+    large_before = {
+        e["path"]: os.stat(os.path.join(table.root, e["path"])).st_mtime_ns
+        for e in man_before["files"]
+        if e["bytes"] >= threshold
+    }
+    stats = table.compact(spark, min_file_bytes=threshold)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["bytes_rewritten"] > 0
+    man_after = table.manifest(table.current_version())
+    carried = [e for e in man_after["files"] if e["path"] in large_before]
+    assert len(carried) == len(large_before)  # all large files carried
+    for e in carried:  # by identity, not rewritten
+        st = os.stat(os.path.join(table.root, e["path"]))
+        assert st.st_mtime_ns == large_before[e["path"]]
+    assert sorted(map(tuple, table.read(spark).collect())) == before_content
+    # no-op when nothing (or one file) is small
+    again = table.compact(spark, min_file_bytes=1)
+    assert again["bytes_rewritten"] == 0
+    assert table.current_version() == stats["version"]
+
+
+def test_versioned_read_range_skips_files_and_filters_exactly(spark, tmp_path):
+    """Reader-side data skipping: read_range scans only range-
+    intersecting files (verify via input_file_name cardinality) and
+    returns exactly the predicate rows; degrades to full scan+filter
+    on a different key."""
+    from pyspark.sql import functions as F
+
+    path, table = _pruned_setup(spark, tmp_path)
+    out = table.read_range(spark, "k", 100, 120)
+    rows = sorted(r["k"] for r in out.collect())
+    assert rows == [k for k in range(100, 121) if k % 2 == 0]
+    n_files = (
+        table.read_range(spark, "k", 100, 120)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    man = table.manifest(table.current_version())
+    assert n_files < len(man["files"])  # actually skipped files
+    # unknown clustering key -> full scan + filter, same rows
+    assert sorted(
+        r["k"] for r in table.read_range(spark, "k", None, 10).collect()
+    ) == [0, 2, 4, 6, 8, 10]
