@@ -124,6 +124,7 @@ def merge_upsert_write(
     *,
     update_columns: Sequence[str] | None = None,
     schema_evolution: bool = False,
+    delete_when=None,
     vacuum_keep_last: int | None = 2,
 ) -> int:
     """Parquet-table MERGE with a versioned pointer-file commit.
@@ -148,6 +149,7 @@ def merge_upsert_write(
     merged = merge_upsert(
         target, source, key,
         update_columns=update_columns, schema_evolution=schema_evolution,
+        delete_when=delete_when,
     )
     version = table.commit(merged)
     if vacuum_keep_last is not None:

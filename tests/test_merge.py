@@ -732,3 +732,76 @@ def test_versioned_read_range_skips_files_and_filters_exactly(spark, tmp_path):
     assert sorted(
         r["k"] for r in table.read_range(spark, "k", None, 10).collect()
     ) == [0, 2, 4, 6, 8, 10]
+
+
+def test_pruned_merge_string_keys(spark, tmp_path):
+    """The reference's MERGE key (main_refco) is a STRING: footer
+    min/max for strings are byte-lexicographic (UTF-8 preserves
+    code-point order, and parquet truncation keeps bounds valid), so
+    pruning must work and stay conservative on a string-clustered
+    table."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "string_keyed")
+    table = VersionedParquetTable(path)
+    target = spark.range(300).select(
+        F.format_string("ref-%04d", F.col("id")).alias("main_refco"),
+        F.lit("old").alias("cat"),
+    )
+    table.commit_with_manifest(target, "main_refco", cluster_partitions=8)
+    source = spark.createDataFrame(
+        [("ref-0001", "upd"), ("ref-0002", "upd"), ("zzz-new", "ins")],
+        "main_refco string, cat string",
+    )
+    expect = sorted(
+        map(tuple, merge_upsert(table.read(spark), source, "main_refco").collect())
+    )
+    stats = merge_upsert_write_pruned(
+        path, source, "main_refco", vacuum_keep_last=None
+    )
+    assert 0 < stats["files_touched"] < stats["files_total"]
+    assert sorted(map(tuple, table.read(spark).collect())) == expect
+    # range-join tier over string ranges too
+    stats2 = merge_upsert_write_pruned(
+        path, source, "main_refco", vacuum_keep_last=None, max_exact_keys=1
+    )
+    assert stats2["pruning"] == "range-join"
+    assert 0 < stats2["files_touched"] < stats2["files_total"]
+    assert sorted(map(tuple, table.read(spark).collect())) == expect
+
+
+def test_pruned_merge_statless_key_type_degrades_to_full(spark, tmp_path):
+    """A key type whose footer stats the scanner won't trust
+    (timestamp) yields no-stats entries: every file is touched —
+    conservative full rewrite, never wrong results."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "ts_keyed")
+    table = VersionedParquetTable(path)
+    target = spark.range(50).select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=F.col("id").cast("int"))).alias("ts"),
+        F.lit("old").alias("cat"),
+    )
+    table.commit_with_manifest(target, "ts", cluster_partitions=4)
+    man = table.manifest(table.current_version())
+    assert all(e["min"] is None for e in man["files"])  # stats dropped
+    source = target.limit(3).select("ts", F.lit("upd").alias("cat"))
+    expect = sorted(
+        map(tuple, merge_upsert(table.read(spark), source, "ts").collect())
+    )
+    stats = merge_upsert_write_pruned(path, source, "ts", vacuum_keep_last=None)
+    assert stats["files_touched"] == stats["files_total"]  # conservative
+    assert sorted(map(tuple, table.read(spark).collect())) == expect
