@@ -220,10 +220,30 @@ register(
 _PRUNED_INS_OFFSET = 1_000_000_000
 
 
-def j_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scratch_dir(root: str, sf_dir: str) -> str:
+    """Per-(fixture, pid) scratch path under ``root``; opportunistically
+    reclaims sibling pid dirs older than an hour (dead runs — the same
+    grace-window convention as the document store's vacuum) so repeated
+    driver/bench invocations don't accumulate table copies in /tmp."""
     import os
     import shutil
+    import time
 
+    key = sf_dir.strip("/").replace("/", "_")
+    try:
+        now = time.time()
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if now - os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    path = os.path.join(root, f"{key}.{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def j_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import merge_upsert_write_pruned
     from ..sources.versioned import VersionedParquetTable
 
@@ -245,11 +265,7 @@ def j_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     source = updates.unionAll(inserts)
 
-    key = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(
-        "/tmp/spark_graft_pruned_merge", f"{key}.{os.getpid()}"
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_dir("/tmp/spark_graft_pruned_merge", sf_dir)
     table = VersionedParquetTable(path)
     table.commit_with_manifest(target, "k", cluster_partitions=16)
     merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
@@ -289,5 +305,54 @@ register(
             "semantics (S9/J2/J3 at 100 TB)"
         ),
         tags=("J2", "J3", "S9", "scale"),
+    )
+)
+
+
+# ------------------------------------------- manifest data skipping
+# The reader-side payoff of the same per-file stats the pruned MERGE
+# writes: read_range scans only the files whose [min, max] key range
+# intersects the predicate (Delta/Iceberg data skipping; the file-skip
+# cardinality is unit-asserted in tests/test_merge.py) and applies the
+# exact filter on top — so the entry's oracle is simply the BETWEEN
+# query, proving skipping changes no semantics.
+_SKIP_LO = 1_000
+_SKIP_HI = 9_000
+
+
+def s_read_range_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    path = _scratch_dir("/tmp/spark_graft_read_range", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    return (
+        table.read_range(spark, "k", _SKIP_LO, _SKIP_HI)
+        .orderBy("k")
+    )
+
+
+register(
+    Query(
+        name="s_read_range_skipping",
+        build=s_read_range_skipping,
+        oracle=f"""
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+        WHERE o_orderkey BETWEEN {_SKIP_LO} AND {_SKIP_HI}
+        ORDER BY k
+        """,
+        doc=(
+            "manifest-stats data skipping on the read path: range-clustered "
+            "versioned table, read_range scans only [min,max]-intersecting "
+            "files + exact filter — oracled against the plain BETWEEN (S1/S4 "
+            "at 100 TB; skip cardinality unit-asserted)"
+        ),
+        tags=("S1", "S4", "scale"),
     )
 )
