@@ -356,3 +356,84 @@ register(
         tags=("S1", "S4", "scale"),
     )
 )
+
+
+# ------------------------------------ streaming MERGE (pruned sink)
+# The reference's daily loop as ONE driver-gated catalog query: a
+# file-source stream (AvailableNow) of the staged batch runs through
+# foreachBatch into the file-PRUNED MERGE against a range-clustered
+# versioned target, and the COMMITTED table is read back — oracled
+# against the plain FULL OUTER JOIN.  This is the composition the
+# ×100 e2e probe (tools/stress_incremental_e2e.py) stresses with
+# crash/replay; here the oracle re-proves its semantics at every SF,
+# every round.  Checkpoint + idempotent keyed merge = the
+# effectively-once contract (T4, embeddings-pipeline.py:480).
+def t_stream_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.merge import merge_upsert_write_pruned
+    from ..sources.registry import load_table
+    from ..sources.versioned import VersionedParquetTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    target_rows = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    batch_rows = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.lit("upd").alias("lang"),
+        (F.col("n_chars").cast("long") + 1).alias("n_chars"),
+    )
+
+    path = _scratch_dir("/tmp/spark_graft_stream_merge", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target_rows, "doc_id", cluster_partitions=8)
+
+    stage_dir = tempfile.mkdtemp(prefix="stream_merge_src_")
+    batch_rows.write.mode("overwrite").parquet(stage_dir)
+
+    def batch_fn(df, _epoch):
+        merge_upsert_write_pruned(path, df, "doc_id", vacuum_keep_last=None)
+
+    q = (
+        spark.readStream.schema(batch_rows.schema)
+        .parquet(stage_dir)
+        .writeStream.foreachBatch(batch_fn)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_merge_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(spark).orderBy("doc_id")
+
+
+register(
+    Query(
+        name="t_stream_merge_pruned",
+        build=t_stream_merge_pruned,
+        oracle="""
+        WITH target AS (
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents WHERE doc_id % 3 = 0
+        ), batch AS (
+            SELECT doc_id, 'upd' AS lang, CAST(n_chars AS BIGINT) + 1 AS n_chars
+            FROM documents WHERE doc_id % 2 = 0
+        )
+        SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN b.doc_id IS NOT NULL THEN b.lang ELSE t.lang END AS lang,
+               CASE WHEN b.doc_id IS NOT NULL THEN b.n_chars ELSE t.n_chars END AS n_chars
+        FROM target t FULL OUTER JOIN batch b ON t.doc_id = b.doc_id
+        ORDER BY doc_id
+        """,
+        doc=(
+            "streaming MERGE: file-source stream (AvailableNow) → foreachBatch "
+            "→ file-pruned MERGE into the range-clustered versioned table → "
+            "committed read-back, oracled vs plain FULL OUTER JOIN (T4 + S9 "
+            "composed; the x100 crash/replay probe stresses this exact path)"
+        ),
+        tags=("T4", "S9", "J2", "J3", "streaming", "scale"),
+    )
+)
