@@ -724,11 +724,16 @@ register(
 _SYM_ID_OFFSET = 10_000_000
 
 
-_SYM_VARIANTS_SQL = (
-    "array_distinct(transform(sequence(1, length(c_name)),"
-    " i -> concat(substring(c_name, 1, i - 1),"
-    " substring(c_name, i + 1, length(c_name)))))"
-)
+def _sym_variants_sql(col: str) -> str:
+    """Spark SQL expr: the array of single-deletion variants of ``col``."""
+    return (
+        f"array_distinct(transform(sequence(1, length({col})),"
+        f" i -> concat(substring({col}, 1, i - 1),"
+        f" substring({col}, i + 1, length({col})))))"
+    )
+
+
+_SYM_VARIANTS_SQL = _sym_variants_sql("c_name")
 
 
 def symspell_fuzzy_join(cust: DataFrame, *, encode_ids: bool = False) -> DataFrame:
@@ -745,9 +750,16 @@ def symspell_fuzzy_join(cust: DataFrame, *, encode_ids: bool = False) -> DataFra
     before the exact verify.  The ×1000 stress measured the string-key
     shuffle (279M exploded variant rows, ~17 GB) crossing the
     single-node spill cliff; the hashed keys cut that volume ~4×.
-    Lossless: a 64-bit collision only creates a candidate the exact
-    levenshtein filter rejects (plus a ``distinct`` guarding pair
-    multiplicity), so both tiers share one oracle verbatim."""
+    Lossless BY CONSTRUCTION, not probabilistically: every hash-tier
+    candidate is re-verified by exact deletion-set membership
+    (``corrupt_name ∈ variants(orig_name)``) before the levenshtein
+    filter — the string tier's equi-join IS that membership test, so a
+    64-bit collision can never survive into the output even when the
+    colliding string happens to sit within edit distance 1 (e.g. a
+    substitution), and both tiers share one oracle verbatim.  The
+    operator output is UNSORTED (a global sort on corpus-sized output
+    is the one plan shape that must not live inside an operator at
+    100×); the catalog wrappers order for the hash comparator."""
     corrupted = cust.select(
         (F.col("c_custkey") + _SYM_ID_OFFSET).alias("corrupt_id"),
         F.expr(
@@ -772,7 +784,18 @@ def symspell_fuzzy_join(cust: DataFrame, *, encode_ids: bool = False) -> DataFra
         names = cust.select(
             F.col("c_custkey").alias("orig_id"), F.col("c_name").alias("orig_name")
         )
-        matched = cand.join(names, "orig_id").join(corrupted, "corrupt_id")
+        # exact membership re-verify on the few candidates: recomputing
+        # the deletion set for candidate rows only is O(candidates),
+        # and it makes the hash tier collision-proof (see docstring)
+        matched = (
+            cand.join(names, "orig_id")
+            .join(corrupted, "corrupt_id")
+            .filter(
+                F.array_contains(
+                    F.expr(_sym_variants_sql("orig_name")), F.col("corrupt_name")
+                )
+            )
+        )
     else:
         deletions = cust.select(
             F.col("c_custkey").alias("orig_id"),
@@ -792,20 +815,21 @@ def symspell_fuzzy_join(cust: DataFrame, *, encode_ids: bool = False) -> DataFra
         )
         .filter(F.col("distance") <= 1)
         .distinct()
-        .orderBy("orig_id", "corrupt_id")
     )
 
 
 def x_symspell_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return symspell_fuzzy_join(cust)
+    return symspell_fuzzy_join(cust).orderBy("orig_id", "corrupt_id")
 
 
 def x_symspell_fuzzy_join_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale tier: hashed 16-byte candidate keys, names re-joined for
     the verify only — identical output, shared oracle."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return symspell_fuzzy_join(cust, encode_ids=True)
+    return symspell_fuzzy_join(cust, encode_ids=True).orderBy(
+        "orig_id", "corrupt_id"
+    )
 
 
 _SYM_ORACLE = f"""

@@ -267,7 +267,11 @@ def merge_upsert_write_pruned(
         # batch too large to collect keys: broadcast the per-file
         # [min, max] ranges (one tiny row per file) against the
         # distinct keys; only DISTINCT TOUCHED FILE IDS reach the
-        # driver — bounded by file count regardless of batch size
+        # driver — bounded by file count regardless of batch size.
+        # rows_source must stay truthful in bench/stress telemetry, so
+        # the TRUE distinct-key count replaces the capped probe length
+        # (one extra count job over a plan this branch computes anyway).
+        n_src = src_keys.count()
         ranges = [
             (i, e["min"], e["max"])
             for i, e in enumerate(entries)

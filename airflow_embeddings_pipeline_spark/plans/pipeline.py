@@ -224,16 +224,33 @@ def _scratch_dir(root: str, sf_dir: str) -> str:
     """Per-(fixture, pid) scratch path under ``root``; opportunistically
     reclaims sibling pid dirs older than an hour (dead runs — the same
     grace-window convention as the document store's vacuum) so repeated
-    driver/bench invocations don't accumulate table copies in /tmp."""
+    driver/bench invocations don't accumulate table copies in /tmp.
+
+    A dir whose embedded pid is still a live process is NEVER reclaimed
+    regardless of age: the top-level mtime does not advance when a run
+    writes inside nested version subdirs, so an age check alone would
+    delete a legitimately >1 h run's table out from under it."""
     import os
     import shutil
     import time
+
+    def _alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
 
     key = sf_dir.strip("/").replace("/", "_")
     try:
         now = time.time()
         for d in os.listdir(root):
             p = os.path.join(root, d)
+            pid_s = d.rsplit(".", 1)[-1]
+            if pid_s.isdigit() and _alive(int(pid_s)):
+                continue
             if now - os.path.getmtime(p) > 3600:
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:

@@ -283,17 +283,41 @@ def _manifest_lock(root: str):
                 # TOCTOU: the slower unlink deleted the lock the faster
                 # stealer had just re-created).  The rename loser falls
                 # through to the O_EXCL retry and sees the winner's
-                # fresh lock as a live holder.
+                # fresh lock as a live holder.  Re-reading the grave's
+                # pid catches the stealer-vs-fresh-acquirer case: if a
+                # faster contender stole first and already re-created a
+                # live lock, that FRESH lock is what we renamed — put
+                # it back (no-clobber link) and retry instead of
+                # unlinking it.  Narrowed, not eliminated: the residual
+                # window is the rename/link-back pair with no I/O
+                # between (full elimination needs flock, which has no
+                # object-store analog).
                 import uuid as _uuid
 
                 grave = f"{lock}.stale.{_uuid.uuid4().hex}"
                 try:
                     os.rename(lock, grave)
                 except OSError:
-                    pass  # someone else stole (or released) it first
-                else:
+                    continue  # someone else stole (or released) it first
+                try:
+                    with open(grave) as f:
+                        buried = int(f.read().strip() or 0)
+                except (OSError, ValueError):
+                    buried = 0
+                if buried == holder:
                     try:
-                        os.unlink(grave)  # we own the unique grave name
+                        os.unlink(grave)  # we buried the dead holder
+                    except OSError:
+                        pass
+                else:
+                    # fresh lock renamed away by mistake: restore it
+                    # without clobbering a third contender's create
+                    try:
+                        os.link(grave, lock)
+                    except OSError:
+                        pass  # a newer lock exists; theirs stands
+                    try:
+                        os.unlink(grave)
                     except OSError:
                         pass
                 continue

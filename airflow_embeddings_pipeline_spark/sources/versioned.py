@@ -450,19 +450,44 @@ class VersionedParquetTable:
                     # unique grave name — exactly one contending stealer's
                     # rename succeeds, so the unlink-then-create TOCTOU
                     # (slow stealer deleting the fast stealer's fresh
-                    # lock) cannot occur.  The loser's rename raises and
-                    # it retries the O_EXCL create, seeing the winner's
-                    # new lock as a live holder.
+                    # lock) cannot occur.  The rename loser retries the
+                    # O_EXCL create and sees the winner's new lock as a
+                    # live holder.  The grave's pid is then re-read: if it
+                    # is NOT the dead holder we observed, a faster
+                    # contender already stole and a FRESH live lock got
+                    # renamed away — put it back (no-clobber link) and
+                    # retry instead of unlinking it.  This narrows the
+                    # stealer-vs-fresh-acquirer window from the whole
+                    # dead-pid probe to the rename/link-back pair; full
+                    # elimination needs a kernel lock (flock), which has
+                    # no object-store analog — the contract stays
+                    # "serialize your writers", enforced best-effort.
                     import uuid
 
                     grave = f"{self._lock_path()}.stale.{uuid.uuid4().hex}"
                     try:
                         os.rename(self._lock_path(), grave)
                     except OSError:
-                        pass  # another contender stole (or released) first
-                    else:
+                        continue  # another contender stole/released first
+                    try:
+                        with open(grave) as f:
+                            buried = int(f.read().strip() or 0)
+                    except (OSError, ValueError):
+                        buried = 0
+                    if buried == holder:
                         try:
-                            os.unlink(grave)  # we own the unique name
+                            os.unlink(grave)  # we buried the dead holder
+                        except OSError:
+                            pass
+                    else:
+                        # fresh lock renamed away by mistake: restore it
+                        # without clobbering a third contender's create
+                        try:
+                            os.link(grave, self._lock_path())
+                        except OSError:
+                            pass  # a new lock exists; theirs stands
+                        try:
+                            os.unlink(grave)
                         except OSError:
                             pass
                     continue

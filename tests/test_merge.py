@@ -561,6 +561,10 @@ def test_pruned_merge_idempotent_and_interval_fallback(spark, tmp_path):
     assert sorted(map(tuple, table.read(spark).collect())) == first
     assert 0 < stats["files_touched"] < stats["files_total"]
     assert stats["files_carried"] > 0
+    # telemetry truthfulness: rows_source is the TRUE distinct-key
+    # count even when the batch exceeded the exact-collect cap (the
+    # probe only read cap+1 = 2 keys; the stat must still say 3)
+    assert stats["rows_source"] == 3
 
 
 def test_pruned_merge_empty_source_is_noop(spark, tmp_path):
