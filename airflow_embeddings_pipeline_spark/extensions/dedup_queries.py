@@ -536,6 +536,46 @@ _SSJ_CORPUS_SQL = f"""
 """
 
 
+_SETSIM_CACHE: list[DataFrame] = []  # persisted set handles, oldest first
+_SETSIM_CACHE_MAX = 4  # bounded: older handles auto-unpersist beyond this
+
+
+def release_setsim_cache() -> int:
+    """Unpersist every set representation ``setsim_prefix_join`` cached
+    (``persist_sets`` True or auto-on) and drop the handles; returns the
+    number released.  Long sessions that sweep the operator repeatedly
+    (stress loops, catalog sweeps) should call this between rounds —
+    otherwise the registry itself bounds accumulation at
+    ``_SETSIM_CACHE_MAX`` by unpersisting the oldest handle."""
+    n = len(_SETSIM_CACHE)
+    for df in _SETSIM_CACHE:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SETSIM_CACHE.clear()
+    return n
+
+
+def _plan_is_trivial(df: DataFrame) -> bool:
+    """True when ``df``'s analyzed plan is scan-shaped (relations,
+    projections, filters only) — recomputing it ×4 is then as cheap as
+    reading it from cache, so auto mode skips the persist.  Any
+    recomputation-heavy node (join, aggregate, union, explode, window,
+    dedup) makes the plan non-trivial.  Inspection failure (plan string
+    unavailable) is treated as trivial: not persisting is always
+    correct, merely slower."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True
+    heavy = (
+        "Join", "Aggregate", "Union", "Generate", "Window",
+        "Deduplicate", "Distinct", "Expand", "Sort",
+    )
+    return not any(node in plan for node in heavy)
+
+
 def setsim_prefix_join(
     corpus: DataFrame,
     *,
@@ -543,7 +583,7 @@ def setsim_prefix_join(
     text_col: str = "text",
     threshold: float = _SSJ_T,
     encode_ids: bool = False,
-    persist_sets: bool = False,
+    persist_sets: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs via prefix filtering.
 
@@ -567,8 +607,17 @@ def setsim_prefix_join(
     growth was recomputation of the 5M-doc upstream, not the join
     itself (a lazy persist alone recovers almost nothing: AQE races
     the four branches into the cold cache; BASELINE.md quad-verify
-    section).  Left off by default: caching and the extra job are a
-    resource decision the caller owns at fixture scale.
+    section).
+
+    ``persist_sets=None`` (default) AUTO-DECIDES by the rule the ×1000
+    stress established: persist iff the corpus plan is non-trivial
+    (contains a join / aggregate / union / explode / window / dedup
+    node — i.e. recomputing it ×4 is real work); a bare scan+filter
+    recomputes for free and skips the cache.  Cached handles are owned
+    by this module: :func:`release_setsim_cache` frees them, and the
+    registry auto-unpersists the oldest beyond its bound so repeated
+    calls in one session cannot accumulate executor storage without
+    limit.
     """
     from .dedup import shingles
 
@@ -598,6 +647,8 @@ def setsim_prefix_join(
             ),
         )
     )
+    if persist_sets is None:
+        persist_sets = not _plan_is_trivial(corpus)
     if persist_sets:
         # EAGER materialization, not just a lazy persist: within one
         # action, AQE submits the four consumer branches' stages
@@ -608,6 +659,12 @@ def setsim_prefix_join(
         # set representation and is the whole point of the flag.
         ordered = ordered.persist()
         ordered.count()
+        _SETSIM_CACHE.append(ordered)
+        while len(_SETSIM_CACHE) > _SETSIM_CACHE_MAX:
+            try:
+                _SETSIM_CACHE.pop(0).unpersist()
+            except Exception:
+                pass
     pre = ordered.select(id_col, F.explode("prefix").alias("s"))
     cand = (
         pre.alias("a")

@@ -422,6 +422,36 @@ def test_setsim_persist_sets_parity(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_setsim_persist_auto_rule_and_release(spark, sf_dir):
+    """persist_sets=None auto-decides by plan shape (persist iff the
+    corpus subtree is recomputation-heavy), and the module-owned cache
+    registry is bounded + releasable — no unbounded executor-storage
+    accumulation across repeated calls in one session."""
+    from airflow_embeddings_pipeline_spark.extensions.dedup_queries import (
+        _SETSIM_CACHE,
+        _plan_is_trivial,
+        _ssj_corpus,
+        release_setsim_cache,
+        setsim_prefix_join,
+    )
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # bare scan + filter + project: recomputes for free → no persist
+    assert _plan_is_trivial(docs.select("doc_id", "text").filter("doc_id > 0"))
+    # UNION ALL corpus: non-trivial → auto-persist
+    assert not _plan_is_trivial(_ssj_corpus(spark, sf_dir))
+
+    release_setsim_cache()
+    out = setsim_prefix_join(_ssj_corpus(spark, sf_dir))  # auto mode
+    assert len(_SETSIM_CACHE) == 1  # persist is eager: handle registered
+    handle = _SETSIM_CACHE[0]
+    assert handle.is_cached
+    assert out.count() > 0
+    assert release_setsim_cache() == 1
+    assert not handle.is_cached and not _SETSIM_CACHE
+
+
 def test_weighted_sample_is_deterministic_topk(spark, sf_dir):
     a = _q("x_weighted_sample").build(spark, sf_dir).collect()
     b = _q("x_weighted_sample").build(spark, sf_dir).collect()
