@@ -26,6 +26,8 @@ to the target — exactly what a daily incremental batch looks like.
 
 from __future__ import annotations
 
+import functools
+import operator
 import os
 from collections.abc import Sequence
 
@@ -33,16 +35,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _as_keys(key: str | Sequence[str]) -> list[str]:
+    keys = [key] if isinstance(key, str) else list(key)
+    if not keys:
+        raise ValueError("merge key must name at least one column")
+    return keys
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     *,
     update_columns: Sequence[str] | None = None,
     schema_evolution: bool = False,
     delete_when=None,
 ) -> DataFrame:
-    """Relational MERGE: upsert ``source`` into ``target`` on ``key``.
+    """Relational MERGE: upsert ``source`` into ``target`` on ``key``
+    (a column name or a COMPOSITE key — a sequence of names ANDed into
+    the join condition, exactly Snowflake/Delta ``MERGE ... ON t.a =
+    s.a AND t.b = s.b``).
 
     ``update_columns`` — columns overwritten on match.  The reference
     updates 8 of its 10 columns, keeping the target's ``cleaned_ref``
@@ -63,36 +75,49 @@ def merge_upsert(
     tombstone for an absent key inserts nothing), which is exactly CDC
     delete semantics.  Unmatched target rows are never deleted.
     """
+    keys = _as_keys(key)
     tcols = target.columns
     scols = set(source.columns)
     if update_columns is None:
-        update_columns = [c for c in tcols if c != key and c in scols]
+        update_columns = [c for c in tcols if c not in keys and c in scols]
     upd = set(update_columns)
 
     t = target.alias("t")
     s = source.alias("s")
-    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+    )
+    joined = t.join(s, cond, "full_outer")
+    # side-presence after the outer join: any key column non-null (a
+    # side's key columns are all-null exactly when that side is absent;
+    # SQL equality never matches a NULL key, so null-keyed rows pass
+    # through as unmatched — same semantics as Snowflake MERGE)
+    s_present = functools.reduce(
+        operator.or_, [F.col(f"s.{k}").isNotNull() for k in keys]
+    )
+    t_present = functools.reduce(
+        operator.or_, [F.col(f"t.{k}").isNotNull() for k in keys]
+    )
     if delete_when is not None:
         # drop matched-and-tombstoned rows AND tombstone-only inserts;
-        # target-only rows (s.key NULL ⇒ predicate NULL ⇒ kept) survive
+        # target-only rows (no s side ⇒ predicate NULL ⇒ kept) survive
         joined = joined.filter(
-            F.col(f"s.{key}").isNull() | ~F.coalesce(delete_when, F.lit(False))
+            ~s_present | ~F.coalesce(delete_when, F.lit(False))
         )
-    matched_or_insert = F.col(f"s.{key}").isNotNull()
+    matched_or_insert = s_present
 
     out_cols = []
     for c in tcols:
-        if c == key:
-            expr = F.coalesce(F.col(f"t.{key}"), F.col(f"s.{key}"))
+        if c in keys:
+            expr = F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}"))
         elif c in upd and c in scols:
             # matched → source value; source-only → source value;
             # target-only → target value.
             expr = F.when(matched_or_insert, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
         elif c in scols:
             # insert-only column: keep target on match, source on insert.
-            expr = F.when(F.col(f"t.{key}").isNotNull(), F.col(f"t.{c}")).otherwise(
-                F.col(f"s.{c}")
-            )
+            expr = F.when(t_present, F.col(f"t.{c}")).otherwise(F.col(f"s.{c}"))
         else:
             expr = F.col(f"t.{c}")
         out_cols.append(expr.alias(c))
@@ -104,23 +129,33 @@ def merge_upsert(
     return joined.select(*out_cols)
 
 
-def merge_counts(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+def merge_counts(
+    target: DataFrame, source: DataFrame, key: str | Sequence[str]
+) -> DataFrame:
     """Rowcount observability analog of the reference's
     ``cur.rowcount`` (embeddings-pipeline.py:358-359): how many source
     rows update vs insert."""
-    t = target.select(F.col(key)).alias("t")
-    s = source.select(F.col(key)).alias("s")
-    joined = s.join(t, F.col(f"s.{key}") == F.col(f"t.{key}"), "left_outer")
+    keys = _as_keys(key)
+    t = target.select(*[F.col(k) for k in keys]).alias("t")
+    s = source.select(*[F.col(k) for k in keys]).alias("s")
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"s.{k}") == F.col(f"t.{k}") for k in keys],
+    )
+    joined = s.join(t, cond, "left_outer")
+    t_present = functools.reduce(
+        operator.or_, [F.col(f"t.{k}").isNotNull() for k in keys]
+    )
     return joined.agg(
-        F.count(F.when(F.col(f"t.{key}").isNotNull(), 1)).alias("rows_updated"),
-        F.count(F.when(F.col(f"t.{key}").isNull(), 1)).alias("rows_inserted"),
+        F.count(F.when(t_present, 1)).alias("rows_updated"),
+        F.count(F.when(~t_present, 1)).alias("rows_inserted"),
     )
 
 
 def merge_upsert_write(
     target_path: str,
     source: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     *,
     update_columns: Sequence[str] | None = None,
     schema_evolution: bool = False,
@@ -160,7 +195,7 @@ def merge_upsert_write(
 def merge_upsert_write_pruned(
     target_path: str,
     source: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     *,
     update_columns: Sequence[str] | None = None,
     schema_evolution: bool = False,
@@ -219,23 +254,35 @@ def merge_upsert_write_pruned(
     by a version manifest), so the first pruned merge on a legacy
     table costs one rewrite and every later one prunes.
 
+    COMPOSITE keys (a sequence of column names) merge on the full key
+    but prune on the LEADING column's file stats only — the same
+    contract as range-clustering a Delta table on the first merge
+    column: a file is touched when some source leading-key value can
+    lie in its [min, max], a conservative superset of the true touched
+    set (rows differing only in trailing key columns co-locate, which
+    is what makes leading-column pruning effective).  Put the
+    highest-selectivity column first.
+
     Returns ``{"version", "files_total", "files_touched",
     "files_carried", "bytes_rewritten", "bytes_carried", "rows_source",
-    "pruning"}``.
+    "pruning"}``; ``rows_source`` is the TRUE distinct count of the
+    prune key (the leading column for composite keys) in the batch,
+    on every tier.
     """
     from ..sources.versioned import VersionedParquetTable
 
     spark = source.sparkSession
     table = VersionedParquetTable(target_path)
+    lead = _as_keys(key)[0]  # pruning/clustering column
 
     if table.current_version() is None:
         # adopt: one clustered full rewrite creates the manifest layout
-        table.commit_with_manifest(table.read(spark), key)
+        table.commit_with_manifest(table.read(spark), lead)
 
-    entries, schema = table.file_entries(spark, key)
+    entries, schema = table.file_entries(spark, lead)
 
     # ---- bounded source key collection (step 2)
-    src_keys = source.select(F.col(key).alias("k")).distinct()
+    src_keys = source.select(F.col(lead).alias("k")).distinct()
     head = src_keys.limit(max_exact_keys + 1).collect()
     n_src = len(head)
     if n_src == 0:
@@ -325,7 +372,7 @@ def merge_upsert_write_pruned(
         delete_when=delete_when,
     )
     version = table.commit_with_manifest(
-        merged, key, carried=carried,
+        merged, lead, carried=carried,
         cluster_partitions=max(1, len(touched_entries)),
     )
     if vacuum_keep_last is not None:

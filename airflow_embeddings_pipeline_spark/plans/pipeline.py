@@ -326,6 +326,87 @@ register(
 )
 
 
+# --------------------------------------------- composite-key MERGE
+# Snowflake MERGE joins on arbitrary conjunctions (the reference's
+# single-column ``ON t.main_refco = s.main_refco``, embeddings-
+# pipeline.py:328, is the special case); warehouse fact tables merge on
+# composite natural keys — here lineitem's (l_orderkey, l_linenumber).
+# The engine merges on the FULL composite key and prunes files on the
+# LEADING column's manifest stats (conservative superset; the unit
+# suite asserts the pruning), and the committed read-back is oracled
+# against the plain FULL OUTER JOIN on the composite key.
+def j_merge_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert_write_pruned
+    from ..sources.versioned import VersionedParquetTable
+
+    li = load_table(spark, sf_dir, "lineitem")
+    target = li.select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("int").alias("k2"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    updates = li.filter(F.col("l_orderkey") % 89 == 1).select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("int").alias("k2"),
+        (F.col("l_quantity").cast("double") * 2).alias("qty"),
+        F.lit("U").alias("flag"),
+    )
+    # same order, NEW line number: matched on the leading key only —
+    # the composite join must treat it as an insert, not an update
+    inserts = li.filter(
+        (F.col("l_orderkey") % 997 == 3) & (F.col("l_linenumber") == 1)
+    ).select(
+        F.col("l_orderkey").alias("k1"),
+        F.lit(99).alias("k2"),
+        F.lit(1.0).alias("qty"),
+        F.lit("I").alias("flag"),
+    )
+    source = updates.unionAll(inserts)
+
+    path = _scratch_dir("/tmp/spark_graft_composite_merge", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k1", cluster_partitions=16)
+    merge_upsert_write_pruned(path, source, ["k1", "k2"], vacuum_keep_last=None)
+    return table.read(spark).orderBy("k1", "k2")
+
+
+register(
+    Query(
+        name="j_merge_composite",
+        build=j_merge_composite,
+        oracle="""
+        WITH target AS (
+            SELECT l_orderkey AS k1, CAST(l_linenumber AS INTEGER) AS k2,
+                   CAST(l_quantity AS DOUBLE) AS qty, l_returnflag AS flag
+            FROM lineitem
+        ), source AS (
+            SELECT l_orderkey AS k1, CAST(l_linenumber AS INTEGER) AS k2,
+                   CAST(l_quantity AS DOUBLE) * 2 AS qty, 'U' AS flag
+            FROM lineitem WHERE l_orderkey % 89 = 1
+            UNION ALL
+            SELECT l_orderkey AS k1, 99 AS k2, CAST(1.0 AS DOUBLE) AS qty,
+                   'I' AS flag
+            FROM lineitem WHERE l_orderkey % 997 = 3 AND l_linenumber = 1
+        )
+        SELECT coalesce(t.k1, s.k1) AS k1, coalesce(t.k2, s.k2) AS k2,
+               CASE WHEN s.k1 IS NOT NULL THEN s.qty ELSE t.qty END AS qty,
+               CASE WHEN s.k1 IS NOT NULL THEN s.flag ELSE t.flag END AS flag
+        FROM target t
+        FULL OUTER JOIN source s ON t.k1 = s.k1 AND t.k2 = s.k2
+        ORDER BY k1, k2
+        """,
+        doc=(
+            "composite-key MERGE (l_orderkey, l_linenumber): full-composite "
+            "join semantics, leading-column file pruning, committed "
+            "read-back oracled vs FULL OUTER JOIN on the composite key "
+            "(J2/J3/S9)"
+        ),
+        tags=("J2", "J3", "S9", "scale"),
+    )
+)
+
+
 # ------------------------------------------- manifest data skipping
 # The reader-side payoff of the same per-file stats the pruned MERGE
 # writes: read_range scans only the files whose [min, max] key range

@@ -809,3 +809,79 @@ def test_pruned_merge_statless_key_type_degrades_to_full(spark, tmp_path):
     stats = merge_upsert_write_pruned(path, source, "ts", vacuum_keep_last=None)
     assert stats["files_touched"] == stats["files_total"]  # conservative
     assert sorted(map(tuple, table.read(spark).collect())) == expect
+
+
+def test_merge_composite_key_semantics(spark):
+    """Composite-key MERGE: the join condition is the AND of all key
+    columns — a source row matching only the LEADING key must insert,
+    not update; merge_counts agrees."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_counts,
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "c")], "k1 long, k2 int, v string"
+    )
+    source = spark.createDataFrame(
+        [(1, 1, "A"), (1, 3, "NEW"), (9, 1, "I")], "k1 long, k2 int, v string"
+    )
+    got = sorted(
+        map(tuple, merge_upsert(target, source, ["k1", "k2"]).collect())
+    )
+    assert got == [
+        (1, 1, "A"),      # full composite match → update
+        (1, 2, "b"),      # untouched
+        (1, 3, "NEW"),    # leading key matches, trailing differs → insert
+        (2, 1, "c"),      # untouched
+        (9, 1, "I"),      # unmatched → insert
+    ]
+    counts = merge_counts(target, source, ["k1", "k2"]).collect()[0]
+    assert (counts["rows_updated"], counts["rows_inserted"]) == (1, 2)
+
+
+def test_pruned_merge_composite_key_prunes_on_leading_column(spark, tmp_path):
+    """Composite-key pruned MERGE: merges on the full composite key,
+    prunes files on the LEADING column's manifest stats, and the
+    read-back equals the full relational MERGE row-for-row."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    target = spark.range(400).select(
+        (F.col("id") / 4).cast("long").alias("k1"),
+        (F.col("id") % 4).cast("int").alias("k2"),
+        F.concat(F.lit("v-"), F.col("id")).alias("v"),
+    )
+    path = str(tmp_path / "composite_target")
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k1", cluster_partitions=8)
+    assert table.manifest(table.current_version())["key"] == "k1"
+
+    source = spark.createDataFrame(
+        [
+            (0, 0, "upd"),       # composite match in the lowest file
+            (0, 9, "ins-trail"), # leading match only → insert, same file range
+            (5000, 0, "ins-high"),  # above every range → new file only
+        ],
+        "k1 long, k2 int, v string",
+    )
+    expect = sorted(
+        map(
+            tuple,
+            merge_upsert(table.read(spark), source, ["k1", "k2"]).collect(),
+        )
+    )
+    stats = merge_upsert_write_pruned(
+        path, source, ["k1", "k2"], vacuum_keep_last=None
+    )
+    assert stats["pruning"] == "exact"
+    assert 0 < stats["files_touched"] < stats["files_total"]
+    assert stats["rows_source"] == 2  # distinct LEADING keys {0, 5000}
+    assert sorted(map(tuple, table.read(spark).collect())) == expect
+    # next version stays clustered on the leading column
+    assert table.manifest(table.current_version())["key"] == "k1"
