@@ -371,9 +371,19 @@ def merge_upsert_write_pruned(
         schema_evolution=schema_evolution,
         delete_when=delete_when,
     )
+    # layout hint: out-of-range inserts (keys beyond every touched
+    # file's stats range) get their own file(s) so no output file's
+    # [min, max] spans the gap between the touched region and the
+    # append region — wide-range files would intersect most carried
+    # files and inflate every later merge's touched set (measured by
+    # tools/stress_merge_longhorizon.py)
+    t_lo = [e["min"] for e in touched_entries if e["min"] is not None]
+    t_hi = [e["max"] for e in touched_entries if e["max"] is not None]
+    split = (min(t_lo), max(t_hi)) if t_lo and t_hi else None
     version = table.commit_with_manifest(
         merged, lead, carried=carried,
         cluster_partitions=max(1, len(touched_entries)),
+        append_split=split,
     )
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)

@@ -885,3 +885,32 @@ def test_pruned_merge_composite_key_prunes_on_leading_column(spark, tmp_path):
     assert sorted(map(tuple, table.read(spark).collect())) == expect
     # next version stays clustered on the leading column
     assert table.manifest(table.current_version())["key"] == "k1"
+
+
+def test_pruned_merge_append_split_keeps_ranges_disjoint(spark, tmp_path):
+    """Out-of-range inserts land in their OWN file(s): no new file's
+    [min, max] may span the gap between the touched region and the
+    append region, and no file range may overlap any other — the
+    layout invariant that keeps the touched-set of every LATER merge
+    minimal (long-horizon probe: overlap 0 across 60 cycles)."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    source = spark.createDataFrame(
+        [(0, "upd", "n")]
+        + [(100_000 + i, f"ins-{i}", "n") for i in range(50)],
+        "k long, ref string, cat string",
+    )
+    stats = merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
+    assert stats["files_touched"] == 1
+    man = table.manifest(table.current_version())
+    ranges = sorted(
+        (e["min"], e["max"]) for e in man["files"] if e["min"] is not None
+    )
+    assert len(ranges) == len(man["files"])  # all files carry stats
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges ({lo1},{hi1}) ({lo2},{hi2})"
+    # the insert file is separate: some file starts at the insert base
+    assert any(lo == 100_000 for lo, _ in ranges)
