@@ -28,7 +28,14 @@ Recorded per batch: assignment wall, hottest-cell share, imbalance
 their wall.  Healthy = drift bounded, retrains rare, assignment wall
 flat in corpus size (it only scans the batch).
 
+``--drift-at K`` injects a distribution shift from batch K on (a
+deterministic constant bias added to every vector — new arrivals pile
+into the cells nearest the bias direction), which is what makes the
+re-train trigger FIRE and proves the full trigger → retrain →
+re-persist → meta-revalidation loop, not just the quiet path.
+
 Usage: python tools/stress_ann_incremental.py [sf_dir] [--scale N]
+           [--drift-at K]
 """
 
 from __future__ import annotations
@@ -46,7 +53,13 @@ from stress_ann_recall import stage_perturbed  # noqa: E402
 
 
 def main() -> None:
-    sf_dir, scale = parse_args(sys.argv[1:])
+    argv = sys.argv[1:]
+    drift_at = None
+    if "--drift-at" in argv:
+        i = argv.index("--drift-at")
+        drift_at = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir, scale = parse_args(argv)
     if scale == 1:
         scale = 100
     retrain_ratio = 1.5
@@ -73,9 +86,23 @@ def main() -> None:
 
     idx_path = os.path.join(staged, "ivf_incremental.idx.json")
 
+    def with_drift(df):
+        """Apply the injected distribution shift to the drifted
+        vec_id range (so re-training sees the same data the
+        assignment loop saw — otherwise the trigger storms)."""
+        if drift_at is None:
+            return df
+        return df.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") >= drift_at * n_base,
+                F.transform(F.col("embedding"), lambda x: x + F.lit(2.0)),
+            ).otherwise(F.col("embedding")),
+        )
+
     def train(upto_batch: int) -> tuple[list, dict]:
         """Train on batches [0, upto_batch] and persist with meta."""
-        day = emb.filter(F.col("vec_id") < (upto_batch + 1) * n_base)
+        day = with_drift(emb.filter(F.col("vec_id") < (upto_batch + 1) * n_base))
         seeds = [
             [float(x) for x in r[0]]
             for r in day.filter(F.col("vec_id") < n_cents)
@@ -121,9 +148,14 @@ def main() -> None:
         loaded = load_index_if_valid(idx_path, "ivf_centroids", expect_meta)
         meta_ok = loaded is not None
 
-        batch = emb.filter(
-            (F.col("vec_id") >= b * n_base)
-            & (F.col("vec_id") < (b + 1) * n_base)
+        # injected distribution shift (when --drift-at): a constant
+        # positive bias pushes new arrivals toward one corner of the
+        # space → the nearest cells run hot and the trigger must fire
+        batch = with_drift(
+            emb.filter(
+                (F.col("vec_id") >= b * n_base)
+                & (F.col("vec_id") < (b + 1) * n_base)
+            )
         )
         t0 = time.time()
         counts = (
