@@ -255,34 +255,59 @@ def merge_upsert_write_pruned(
     table costs one rewrite and every later one prunes.
 
     COMPOSITE keys (a sequence of column names) merge on the full key
-    but prune on the LEADING column's file stats only — the same
-    contract as range-clustering a Delta table on the first merge
-    column: a file is touched when some source leading-key value can
-    lie in its [min, max], a conservative superset of the true touched
-    set (rows differing only in trailing key columns co-locate, which
-    is what makes leading-column pruning effective).  Put the
-    highest-selectivity column first.
+    and prune on EVERY key column: files cluster on the LEADING column
+    (put the highest-selectivity column first — the Delta
+    first-merge-column contract) and the manifest records per-file
+    [min, max] stats for ALL key columns (``stats_columns``), so a
+    file is touched only when some source key TUPLE fits inside every
+    recorded column range — a conservative superset of the true
+    touched set, strictly tighter than leading-column-only pruning
+    whenever trailing columns correlate with the layout.  Columns
+    without usable stats never exclude.
 
     Returns ``{"version", "files_total", "files_touched",
     "files_carried", "bytes_rewritten", "bytes_carried", "rows_source",
     "pruning"}``; ``rows_source`` is the TRUE distinct count of the
-    prune key (the leading column for composite keys) in the batch,
+    prune key (the full key tuple for composite keys) in the batch,
     on every tier.
     """
     from ..sources.versioned import VersionedParquetTable
 
     spark = source.sparkSession
     table = VersionedParquetTable(target_path)
-    lead = _as_keys(key)[0]  # pruning/clustering column
+    keys = _as_keys(key)
+    lead = keys[0]  # clustering column; extras prune via recorded stats
+    trail = tuple(keys[1:])
 
     if table.current_version() is None:
         # adopt: one clustered full rewrite creates the manifest layout
-        table.commit_with_manifest(table.read(spark), lead)
+        table.commit_with_manifest(
+            table.read(spark), lead, stats_columns=keys if trail else None
+        )
 
-    entries, schema = table.file_entries(spark, lead)
+    entries, schema = table.file_entries(spark, lead, extra_columns=trail)
+
+    def _key_ranges(e: dict) -> list:
+        """Per-key-column (lo, hi) for a file entry; None = no usable
+        stats for that column (it never excludes)."""
+        out = []
+        for i, kcol in enumerate(keys):
+            if i == 0:
+                r = (
+                    None
+                    if e["min"] is None or e["max"] is None
+                    else (e["min"], e["max"])
+                )
+            else:
+                s = (e.get("stats") or {}).get(kcol)
+                r = None if not s or s[0] is None or s[1] is None else (s[0], s[1])
+            out.append(r)
+        return out
 
     # ---- bounded source key collection (step 2)
-    src_keys = source.select(F.col(lead).alias("k")).distinct()
+    src_keys = source.select(
+        *[F.col(k).alias(f"k{i}") for i, k in enumerate(keys)]
+    ).distinct()
     head = src_keys.limit(max_exact_keys + 1).collect()
     n_src = len(head)
     if n_src == 0:
@@ -299,50 +324,76 @@ def merge_upsert_write_pruned(
             "pruning": "empty-source",
         }
     if n_src <= max_exact_keys:
-        keys = sorted(r[0] for r in head if r[0] is not None)
+        # a file is touched iff SOME source key tuple lies inside its
+        # per-column stats ranges: bisect the lead-sorted tuples into
+        # the file's lead window, then check the trailing columns'
+        # recorded ranges (composite keys prune on EVERY column with
+        # stats, not just the leading one)
+        tuples = sorted(
+            (tuple(r) for r in head if r[0] is not None),
+            key=lambda t: t[0],
+        )
+        leads = [t[0] for t in tuples]
         pruning = "exact"
 
         def touched(i: int, e: dict) -> bool:
-            if e["min"] is None or e["max"] is None:
+            rs = _key_ranges(e)
+            if rs[0] is None:
                 return True
             import bisect
 
-            j = bisect.bisect_left(keys, e["min"])
-            return j < len(keys) and keys[j] <= e["max"]
+            j = bisect.bisect_left(leads, rs[0][0])
+            while j < len(tuples) and tuples[j][0] <= rs[0][1]:
+                t = tuples[j]
+                if all(
+                    r is None or v is None or r[0] <= v <= r[1]
+                    for r, v in zip(rs[1:], t[1:])
+                ):
+                    return True
+                j += 1
+            return False
 
     else:
         # batch too large to collect keys: broadcast the per-file
-        # [min, max] ranges (one tiny row per file) against the
-        # distinct keys; only DISTINCT TOUCHED FILE IDS reach the
+        # per-column ranges (one tiny row per file) against the
+        # distinct key tuples; only DISTINCT TOUCHED FILE IDS reach the
         # driver — bounded by file count regardless of batch size.
         # rows_source must stay truthful in bench/stress telemetry, so
-        # the TRUE distinct-key count replaces the capped probe length
-        # (one extra count job over a plan this branch computes anyway).
+        # the TRUE distinct-tuple count replaces the capped probe
+        # length (one extra count job over a plan this branch computes
+        # anyway).
         n_src = src_keys.count()
-        ranges = [
-            (i, e["min"], e["max"])
+        ranged = [
+            (i, _key_ranges(e))
             for i, e in enumerate(entries)
             if e["min"] is not None and e["max"] is not None
         ]
         hit: set[int] = set()
-        if ranges:
-            kt = type(ranges[0][1])
-            rdf = spark.createDataFrame(
-                ranges,
-                schema=(
-                    "fid int, lo string, hi string"
-                    if kt is str
-                    else "fid int, lo double, hi double"
-                    if kt is float
-                    else "fid int, lo long, hi long"
-                ),
-            )
+        if ranged:
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            fields = [StructField("fid", IntegerType(), False)]
+            for i, kcol in enumerate(keys):
+                kt = schema[kcol].dataType
+                fields.append(StructField(f"lo{i}", kt, True))
+                fields.append(StructField(f"hi{i}", kt, True))
+            rows = []
+            for i, rs in ranged:
+                row = [i]
+                for r in rs:
+                    row.extend([None, None] if r is None else [r[0], r[1]])
+                rows.append(tuple(row))
+            rdf = spark.createDataFrame(rows, StructType(fields))
+            cond = None
+            for i in range(len(keys)):
+                c = F.col(f"lo{i}").isNull() | (
+                    (F.col(f"k{i}") >= F.col(f"lo{i}"))
+                    & (F.col(f"k{i}") <= F.col(f"hi{i}"))
+                )
+                cond = c if cond is None else (cond & c)
             hit = {
                 r[0]
-                for r in src_keys.join(
-                    F.broadcast(rdf),
-                    (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
-                )
+                for r in src_keys.join(F.broadcast(rdf), cond)
                 .select("fid")
                 .distinct()
                 .collect()
@@ -384,6 +435,7 @@ def merge_upsert_write_pruned(
         merged, lead, carried=carried,
         cluster_partitions=max(1, len(touched_entries)),
         append_split=split,
+        stats_columns=keys if trail else None,
     )
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)

@@ -88,11 +88,23 @@ def _stat_value(v):
     return None
 
 
-def scan_file_stats(dirpath: str, key: str, *, relative_to: str) -> list[dict]:
+def scan_file_stats(
+    dirpath: str,
+    key: str,
+    *,
+    relative_to: str,
+    extra_columns: tuple | list = (),
+) -> list[dict]:
     """Footer-only per-file stats for the data files in ``dirpath``:
     ``{"path", "n_rows", "bytes", "min", "max"}`` with min/max of
     ``key`` aggregated across row groups (None when the footer carries
     no usable stats — such a file is treated as always-touched).
+
+    ``extra_columns`` names further columns to collect; each entry then
+    carries ``"stats": {col: [min, max] | None}`` for key and extras —
+    the multi-column stats Delta records for its first N columns, which
+    are what let a COMPOSITE-key merge prune on every key column and
+    ``read_range`` skip on a non-clustering column.
 
     Parquet writers may TRUNCATE binary min/max stats; truncation
     preserves bound validity (stored min <= true min as a prefix,
@@ -105,6 +117,7 @@ def scan_file_stats(dirpath: str, key: str, *, relative_to: str) -> list[dict]:
     """
     import pyarrow.parquet as pq
 
+    cols = [key] + [c for c in extra_columns if c != key]
     entries: list[dict] = []
     for fn in sorted(os.listdir(dirpath)):
         if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
@@ -113,34 +126,37 @@ def scan_file_stats(dirpath: str, key: str, *, relative_to: str) -> list[dict]:
         md = pq.ParquetFile(p).metadata
         if md.num_rows == 0:
             continue
-        lo = hi = None
-        ok = False
-        idx = next(
-            (i for i in range(md.num_columns) if md.schema.column(i).name == key),
-            None,
-        )
-        if idx is not None:
-            ok = True
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    break
-                mn, mx = _stat_value(st.min), _stat_value(st.max)
-                if mn is None or mx is None:
-                    ok = False
-                    break
-                lo = mn if lo is None else min(lo, mn)
-                hi = mx if hi is None else max(hi, mx)
-        entries.append(
-            {
-                "path": os.path.relpath(p, relative_to),
-                "n_rows": md.num_rows,
-                "bytes": os.path.getsize(p),
-                "min": lo if ok else None,
-                "max": hi if ok else None,
-            }
-        )
+        name_to_idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        ranges: dict[str, list | None] = {}
+        for col in cols:
+            idx = name_to_idx.get(col)
+            lo = hi = None
+            ok = idx is not None
+            if ok:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = _stat_value(st.min), _stat_value(st.max)
+                    if mn is None or mx is None:
+                        ok = False
+                        break
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+            ranges[col] = [lo, hi] if ok else None
+        entry = {
+            "path": os.path.relpath(p, relative_to),
+            "n_rows": md.num_rows,
+            "bytes": os.path.getsize(p),
+            "min": (ranges[key] or [None, None])[0],
+            "max": (ranges[key] or [None, None])[1],
+        }
+        if len(cols) > 1:
+            entry["stats"] = ranges
+        entries.append(entry)
     return entries
 
 
@@ -221,29 +237,43 @@ class VersionedParquetTable:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
 
-    def file_entries(self, spark: SparkSession, key: str) -> tuple[list[dict], object]:
+    def file_entries(
+        self, spark: SparkSession, key: str, extra_columns: tuple | list = ()
+    ) -> tuple[list[dict], object]:
         """The live version's data-file entries (manifest entries when
         present, else an ADOPTION footer scan of the plain directory)
         plus the table schema.  Entries whose recorded key differs from
-        ``key`` are re-scanned — stats for the wrong column must not
-        prune."""
+        ``key`` — or whose recorded stats don't cover every requested
+        ``extra_columns`` — are re-scanned: stats for the wrong column
+        must not prune, and missing columns must not silently read as
+        always-touched when a footer walk can supply them."""
         from pyspark.sql.types import StructType
 
+        extras = tuple(c for c in extra_columns if c != key)
         v = self.current_version()
         if v is None:
             # legacy plain directory (or absent table)
             df = self.read(spark)
-            entries = scan_file_stats(self.root, key, relative_to=self.root)
+            entries = scan_file_stats(
+                self.root, key, relative_to=self.root, extra_columns=extras
+            )
             return entries, df.schema
         man = self.manifest(v)
-        if man is not None and man.get("key") == key:
+        if (
+            man is not None
+            and man.get("key") == key
+            and set(extras) <= set(man.get("stats_columns", [key]))
+        ):
             return list(man["files"]), StructType.fromJson(man["schema"])
         vdir = self._version_dir(v)
-        entries = scan_file_stats(vdir, key, relative_to=self.root)
+        entries = scan_file_stats(
+            vdir, key, relative_to=self.root, extra_columns=extras
+        )
         if man is not None:
-            # manifest keyed on a DIFFERENT column: keep its file list,
-            # rescan stats for ours (paths may span older version dirs;
-            # one footer walk per distinct directory)
+            # manifest keyed on a DIFFERENT column (or lacking stats
+            # coverage): keep its file list, rescan stats for ours
+            # (paths may span older version dirs; one footer walk per
+            # distinct directory)
             by_dir: dict[str, dict[str, dict]] = {}
             entries = []
             for e in man["files"]:
@@ -252,7 +282,9 @@ class VersionedParquetTable:
                 if d not in by_dir:
                     by_dir[d] = {
                         os.path.basename(s["path"]): s
-                        for s in scan_file_stats(d, key, relative_to=self.root)
+                        for s in scan_file_stats(
+                            d, key, relative_to=self.root, extra_columns=extras
+                        )
                     }
                 s = by_dir[d].get(os.path.basename(full))
                 if s is not None:
@@ -364,6 +396,7 @@ class VersionedParquetTable:
         carried: list[dict] | None = None,
         cluster_partitions: int | None = None,
         append_split: tuple | None = None,
+        stats_columns: list | tuple | None = None,
     ) -> int:
         """Commit ``df``'s rows as NEW data files plus ``carried``
         prior-version file entries BY REFERENCE, under one manifest.
@@ -387,6 +420,18 @@ class VersionedParquetTable:
         merge's touched set (the long-horizon probe measured
         overlap_max ≈ 25 of 32 files without the split).  Purely a
         layout decision: same rows, same manifest semantics.
+
+        ``stats_columns`` — additional columns whose per-file [min, max]
+        are recorded in the manifest next to the clustering key's (the
+        Delta first-N-columns stats analog): composite-key merges prune
+        on every key column and ``read_range`` skips on non-clustering
+        columns with them.  Clustering stays on ``key`` alone — for
+        equality merges, leading-range clustering + per-column stats
+        strictly dominates z-ordering the data files (z-order trades
+        leading-range tightness for secondary-range tightness; it pays
+        for independent multi-dim RANGE predicates, the
+        ``o_zorder_layout`` use case, not for composite-equality
+        pruning where the leading column already selects files).
 
         ``carried`` paths must be relative to the table root and name
         files in COMMITTED version directories at or below the current
@@ -449,12 +494,17 @@ class VersionedParquetTable:
                         )
                 finally:
                     df.unpersist()
-            new_entries = scan_file_stats(vdir, key, relative_to=self.root)
+            extras = tuple(c for c in (stats_columns or ()) if c != key)
+            new_entries = scan_file_stats(
+                vdir, key, relative_to=self.root, extra_columns=extras
+            )
             man = {
                 "key": key,
                 "schema": df.schema.jsonValue(),
                 "files": list(carried or []) + new_entries,
             }
+            if extras:
+                man["stats_columns"] = [key, *extras]
             tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
             with open(tmp, "w") as f:
                 json.dump(man, f)
@@ -630,7 +680,8 @@ class VersionedParquetTable:
         small_bytes = sum(e["bytes"] for e in small)
         n_out = cluster_partitions or max(1, small_bytes // (128 << 20) + 1)
         new_v = self.commit_with_manifest(
-            df, man["key"], carried=large, cluster_partitions=n_out
+            df, man["key"], carried=large, cluster_partitions=n_out,
+            stats_columns=man.get("stats_columns"),
         )
         new_man = self.manifest(new_v) or {"files": []}
         return {
@@ -651,26 +702,41 @@ class VersionedParquetTable:
         [lo, hi], then apply the exact predicate — the reader-side
         payoff of the same stats the pruned MERGE writes
         (Delta/Iceberg data skipping).  Files without stats are always
-        read (conservative).  On a plain version, or when the manifest
-        is clustered on a DIFFERENT key, this degrades to a full scan
-        + filter (correct, just unpruned)."""
+        read (conservative).  ``key`` may also be a NON-clustering
+        column recorded via ``stats_columns`` — skipping then uses the
+        per-file secondary stats (effective when the column correlates
+        with the layout).  On a plain version, or when the manifest
+        carries no stats for ``key``, this degrades to a full scan +
+        filter (correct, just unpruned)."""
         from pyspark.sql import functions as F
 
         v = self.current_version()
         man = self.manifest(v) if v is not None else None
-        if man is None or man.get("key") != key:
+
+        def col_range(e: dict):
+            if man is not None and man.get("key") == key:
+                return e["min"], e["max"]
+            r = (e.get("stats") or {}).get(key)
+            return (r[0], r[1]) if r else (None, None)
+
+        has_stats = man is not None and (
+            man.get("key") == key or key in man.get("stats_columns", [])
+        )
+        if not has_stats:
             df = self.read(spark)
         else:
-            kept = [
-                e
-                for e in man["files"]
-                if e["min"] is None
-                or e["max"] is None
-                or (
-                    (lo is None or e["max"] >= lo)
-                    and (hi is None or e["min"] <= hi)
-                )
-            ]
+            kept = []
+            for e in man["files"]:
+                emin, emax = col_range(e)
+                if (
+                    emin is None
+                    or emax is None
+                    or (
+                        (lo is None or emax >= lo)
+                        and (hi is None or emin <= hi)
+                    )
+                ):
+                    kept.append(e)
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(man["schema"])

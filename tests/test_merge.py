@@ -881,7 +881,7 @@ def test_pruned_merge_composite_key_prunes_on_leading_column(spark, tmp_path):
     )
     assert stats["pruning"] == "exact"
     assert 0 < stats["files_touched"] < stats["files_total"]
-    assert stats["rows_source"] == 2  # distinct LEADING keys {0, 5000}
+    assert stats["rows_source"] == 3  # distinct key tuples in the batch
     assert sorted(map(tuple, table.read(spark).collect())) == expect
     # next version stays clustered on the leading column
     assert table.manifest(table.current_version())["key"] == "k1"
@@ -914,3 +914,96 @@ def test_pruned_merge_append_split_keeps_ranges_disjoint(spark, tmp_path):
         assert hi1 < lo2, f"overlapping file ranges ({lo1},{hi1}) ({lo2},{hi2})"
     # the insert file is separate: some file starts at the insert base
     assert any(lo == 100_000 for lo, _ in ranges)
+
+
+def test_pruned_merge_composite_trailing_column_pruning_bites(spark, tmp_path):
+    """Per-file stats are recorded for EVERY key column: a source tuple
+    whose leading key sits inside a file's range but whose trailing key
+    is outside that file's recorded k2 range must NOT touch the file —
+    strictly tighter than leading-only pruning (it becomes a pure
+    insert into a new file), and the read-back still equals the full
+    relational MERGE."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    # k2 correlates with the layout: k2 = k1 // 50, so each of the 8
+    # lead-clustered files holds a tight k2 range
+    target = spark.range(400).select(
+        F.col("id").alias("k1"),
+        (F.col("id") / 50).cast("int").alias("k2"),
+        F.concat(F.lit("v-"), F.col("id")).alias("v"),
+    )
+    path = str(tmp_path / "composite_trailing")
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(
+        target, "k1", cluster_partitions=8, stats_columns=["k1", "k2"]
+    )
+    man = table.manifest(table.current_version())
+    assert man["stats_columns"] == ["k1", "k2"]
+    assert all(e.get("stats", {}).get("k2") for e in man["files"])
+
+    # lead key 10 lies in the first file's range, but k2=7 is far from
+    # that file's k2 range [0, 0] — trailing pruning excludes it
+    source = spark.createDataFrame(
+        [(10, 7, "ins")], "k1 long, k2 int, v string"
+    )
+    expect = sorted(
+        map(
+            tuple,
+            merge_upsert(table.read(spark), source, ["k1", "k2"]).collect(),
+        )
+    )
+    stats = merge_upsert_write_pruned(
+        path, source, ["k1", "k2"], vacuum_keep_last=None
+    )
+    assert stats["files_touched"] == 0  # leading-only would touch 1
+    assert stats["files_carried"] == stats["files_total"]
+    assert sorted(map(tuple, table.read(spark).collect())) == expect
+    # the committed manifest keeps multi-column stats coverage
+    man2 = table.manifest(table.current_version())
+    assert man2["stats_columns"] == ["k1", "k2"]
+
+    # same exclusion through the range-join tier (cap forces it)
+    stats2 = merge_upsert_write_pruned(
+        path, source, ["k1", "k2"], vacuum_keep_last=None, max_exact_keys=0
+    )
+    assert stats2["pruning"] == "range-join"
+    assert stats2["rows_source"] == 1
+    assert sorted(map(tuple, table.read(spark).collect())) == expect
+
+
+def test_read_range_on_secondary_stats_column(spark, tmp_path):
+    """read_range skips files using a NON-clustering column's recorded
+    stats (stats_columns), and the result equals the plain filter."""
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    target = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v2"),
+        F.lit("x").alias("pad"),
+    )
+    path = str(tmp_path / "secondary_skip")
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(
+        target, "k", cluster_partitions=8, stats_columns=["k", "v2"]
+    )
+    got = sorted(
+        r["k"] for r in table.read_range(spark, "v2", 100, 140).collect()
+    )
+    assert got == list(range(50, 71))  # v2 = 2k in [100, 140]
+    # and the skipping actually pruned: count files whose v2 range
+    # intersects [100, 140] — must be a strict subset
+    man = table.manifest(table.current_version())
+    kept = [
+        e
+        for e in man["files"]
+        if e["stats"]["v2"][0] <= 140 and e["stats"]["v2"][1] >= 100
+    ]
+    assert 0 < len(kept) < len(man["files"])
