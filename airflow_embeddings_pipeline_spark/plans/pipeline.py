@@ -535,3 +535,88 @@ register(
         tags=("T4", "S9", "J2", "J3", "streaming", "scale"),
     )
 )
+
+
+# --------------------------------------------- change data feed (CDC)
+# The reference consumes row-level CDC from Snowflake table streams on
+# the MERGE target (embeddings-pipeline.py:294-352); the engine's
+# equivalent is changes_between on the versioned table: a NET diff of
+# two committed versions computed from the manifest FILE DIFF — carried
+# (untouched) files are never scanned, so a daily CDC export reads the
+# touched-file mass, not the 100 TB table.  The entry drives target
+# commit → pruned MERGE (updates + inserts + DELETE clause) →
+# changes_between(v1, v2) and oracles the emitted change rows against
+# their relational definition over the same base slices.
+def s_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert_write_pruned
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 97 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("double") * 2).alias("price"),
+        F.lit("UPD").alias("status"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 97 == 2).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0.0).alias("price"),
+        F.lit("DEL").alias("status"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 997 == 3).select(
+        (F.col("o_orderkey") + _PRUNED_INS_OFFSET).alias("k"),
+        (F.col("o_totalprice").cast("double") + 1.0).alias("price"),
+        F.lit("INS").alias("status"),
+    )
+    source = updates.unionAll(deletes).unionAll(inserts)
+
+    path = _scratch_dir("/tmp/spark_graft_table_changes", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    merge_upsert_write_pruned(
+        path, source, "k",
+        delete_when=F.col("s.status") == "DEL", vacuum_keep_last=None,
+    )
+    return table.changes_between(spark, 1, 2).orderBy("k", "_change_type")
+
+
+register(
+    Query(
+        name="s_table_changes",
+        build=s_table_changes,
+        oracle=f"""
+        WITH target AS (
+            SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+                   o_orderstatus AS status
+            FROM orders
+        )
+        SELECT k, price, status, 'update_preimage' AS _change_type,
+               2 AS _commit_version
+        FROM target WHERE k % 97 = 1
+        UNION ALL
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) * 2 AS price,
+               'UPD' AS status, 'update_postimage', 2
+        FROM orders WHERE o_orderkey % 97 = 1
+        UNION ALL
+        SELECT k, price, status, 'delete', 2
+        FROM target WHERE k % 97 = 2
+        UNION ALL
+        SELECT o_orderkey + {_PRUNED_INS_OFFSET} AS k,
+               CAST(o_totalprice AS DOUBLE) + 1.0 AS price, 'INS' AS status,
+               'insert', 2
+        FROM orders WHERE o_orderkey % 997 = 3
+        ORDER BY k, _change_type
+        """,
+        doc=(
+            "change data feed between committed versions: net insert/delete/"
+            "update_pre+postimage rows from the manifest file DIFF (carried "
+            "files never scanned — CDC reads the touched-file mass, not the "
+            "table; Snowflake-stream analog, S9/T4 at 100 TB)"
+        ),
+        tags=("S9", "T4", "scale"),
+    )
+)

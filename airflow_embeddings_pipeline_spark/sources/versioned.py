@@ -752,6 +752,155 @@ class VersionedParquetTable:
             df = df.filter(F.col(key) <= hi)
         return df
 
+    # ------------------------------------------------------ change feed
+    def changes_file_diff(self, v_from: int, v_to: int) -> dict:
+        """The manifest FILE DIFF between two committed versions — the
+        observability companion of :meth:`changes_between`: how many
+        data files each side of the net-changes join must scan, and how
+        many are carried by reference through the intervening commits
+        and therefore never read.  ``None`` counts when either version
+        is a plain (manifest-less) directory — the diff then degrades
+        to full snapshots."""
+        man_f, man_t = self.manifest(v_from), self.manifest(v_to)
+        if man_f is None or man_t is None:
+            return {"files_old": None, "files_new": None, "files_carried": None}
+        pf = {e["path"] for e in man_f["files"]}
+        pt = {e["path"] for e in man_t["files"]}
+        return {
+            "files_old": len(pf - pt),
+            "files_new": len(pt - pf),
+            "files_carried": len(pf & pt),
+        }
+
+    def changes_between(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        *,
+        key: str | list | tuple | None = None,
+    ) -> DataFrame:
+        """NET change data feed between two committed versions (Delta's
+        ``table_changes`` net semantics; the reference gets row-level
+        CDC from Snowflake table streams on the MERGE target,
+        embeddings-pipeline.py:294-352).  Emits one row per inserted or
+        deleted key and an ``update_preimage``/``update_postimage``
+        pair per key whose row differs, with ``_change_type`` and
+        ``_commit_version`` (= ``v_to``) columns appended to the
+        ``v_to`` schema.
+
+        Scale contract: files present in BOTH manifests were carried BY
+        REFERENCE through the intervening commits (the pruned MERGE's
+        untouched-file mass) and hold byte-identical rows — they are
+        never scanned.  Each side of the diff join reads only the
+        file-set difference, so read amplification is bounded by the
+        touched+appended file mass of the intervening commits, not by
+        table size — the property that makes a daily CDC export viable
+        on a 100 TB table.  Rows rewritten UNCHANGED inside a touched
+        file appear on both sides with equal values and are filtered by
+        the null-safe row comparison (they are not changes).  Plain
+        (manifest-less) versions degrade to a full two-snapshot diff —
+        correct, just unpruned.  Evolved columns absent from ``v_from``
+        read as NULL on the pre-image side (same rule as
+        :meth:`_read_resolved`)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        if v_from >= v_to:
+            raise ValueError(
+                f"changes_between requires v_from < v_to (got {v_from}, {v_to})"
+            )
+        readable = set(self.versions())
+        for v in (v_from, v_to):
+            if v not in readable:
+                raise FileNotFoundError(
+                    f"version {v} not available (never committed or vacuumed)"
+                )
+        man_f, man_t = self.manifest(v_from), self.manifest(v_to)
+        if key is None:
+            key = (man_t or {}).get("key") or (man_f or {}).get("key")
+            if key is None:
+                raise ValueError(
+                    "key required: neither version has a keyed manifest"
+                )
+        keys = [key] if isinstance(key, str) else list(key)
+
+        if man_f is not None and man_t is not None:
+            pf = {e["path"]: e for e in man_f["files"]}
+            pt = {e["path"]: e for e in man_t["files"]}
+            schema_t = StructType.fromJson(man_t["schema"])
+
+            def side(man, only):
+                schema = StructType.fromJson(man["schema"])
+                paths = [os.path.join(self.root, p) for p in sorted(only)]
+                if not paths:
+                    return spark.createDataFrame([], schema)
+                return spark.read.schema(schema).parquet(*paths)
+
+            old = side(man_f, set(pf) - set(pt))
+            new = side(man_t, set(pt) - set(pf))
+        else:
+            old = self._read_resolved(spark, v_from)
+            new = self._read_resolved(spark, v_to)
+            schema_t = new.schema
+
+        # align the pre-image side to the v_to schema (evolved columns
+        # surface as NULL; types follow v_to)
+        for f in schema_t.fields:
+            if f.name not in old.columns:
+                old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+        old = old.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema_t.fields]
+        )
+        new = new.select(*schema_t.names)
+        vals = [c for c in schema_t.names if c not in keys]
+
+        o = old.withColumn("_o_present", F.lit(True)).alias("o")
+        n = new.withColumn("_n_present", F.lit(True)).alias("n")
+        j = o.join(n, on=keys, how="full_outer")
+        changed = (
+            reduce(
+                lambda a, b: a | b,
+                [
+                    ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+                    for c in vals
+                ],
+            )
+            if vals
+            else F.lit(False)
+        )
+
+        def img(side_alias: str, ctype: str):
+            return F.struct(
+                *[F.col(k).alias(k) for k in keys],
+                *[F.col(f"{side_alias}.{c}").alias(c) for c in vals],
+                F.lit(ctype).alias("_change_type"),
+            )
+
+        arr = (
+            F.when(
+                F.col("_o_present").isNull(), F.array(img("n", "insert"))
+            )
+            .when(F.col("_n_present").isNull(), F.array(img("o", "delete")))
+            .otherwise(
+                F.array(
+                    img("o", "update_preimage"), img("n", "update_postimage")
+                )
+            )
+        )
+        return (
+            j.filter(
+                F.col("_o_present").isNull()
+                | F.col("_n_present").isNull()
+                | changed
+            )
+            .select(F.explode(arr).alias("_c"))
+            .select("_c.*")
+            .withColumn("_commit_version", F.lit(v_to))
+        )
+
     # ----------------------------------------------------------- vacuum
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Reclaim crash orphans (version dirs without a ``_COMMITTED``

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from airflow_embeddings_pipeline_spark.operators.merge import (
@@ -1007,3 +1008,148 @@ def test_read_range_on_secondary_stats_column(spark, tmp_path):
         if e["stats"]["v2"][0] <= 140 and e["stats"]["v2"][1] >= 100
     ]
     assert 0 < len(kept) < len(man["files"])
+
+
+# ----------------------------------------------------- change data feed
+def test_changes_between_net_semantics(spark, tmp_path):
+    """The CDF classifies every key exactly once: changed rows become an
+    update_preimage/update_postimage pair, new keys inserts, delete_when
+    casualties deletes — and rows rewritten UNCHANGED inside a touched
+    file (co-residents of a touched key, or a source row identical to
+    the target's) never appear."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    source = spark.createDataFrame(
+        [
+            (0, "ref-0-NEW", "n"),   # changed update
+            (2, "ref-1", "old"),     # source row IDENTICAL to target row
+            (100_000, "ins", "n"),   # insert above every range
+            (4, "whatever", "DEL"),  # delete_when victim
+        ],
+        "k long, ref string, cat string",
+    )
+    merge_upsert_write_pruned(
+        path, source, "k",
+        delete_when=F.col("s.cat") == "DEL", vacuum_keep_last=None,
+    )
+    rows = {
+        (r.k, r._change_type): (r.ref, r.cat, r._commit_version)
+        for r in table.changes_between(spark, 1, 2).collect()
+    }
+    assert rows == {
+        (0, "update_preimage"): ("ref-0", "old", 2),
+        (0, "update_postimage"): ("ref-0-NEW", "n", 2),
+        (100_000, "insert"): ("ins", "n", 2),
+        (4, "delete"): ("ref-2", "old", 2),
+    }
+
+
+def test_changes_between_reads_only_file_diff(spark, tmp_path):
+    """Read amplification is bounded by the manifest file DIFF: carried
+    files are excluded from both join sides, the old side scans exactly
+    the merge's touched files, and the output still equals the
+    brute-force two-snapshot diff."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    source = spark.createDataFrame(
+        [(0, "upd", "n"), (100_000, "ins", "n")],
+        "k long, ref string, cat string",
+    )
+    stats = merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
+    diff = table.changes_file_diff(1, 2)
+    assert diff["files_old"] == stats["files_touched"] == 1
+    assert diff["files_carried"] == stats["files_total"] - 1
+    assert diff["files_new"] >= 1
+
+    # brute-force reference diff over the full snapshots
+    v1 = {r.k: (r.ref, r.cat) for r in table.read_version(spark, 1).collect()}
+    v2 = {r.k: (r.ref, r.cat) for r in table.read_version(spark, 2).collect()}
+    expect = set()
+    for k in v1.keys() | v2.keys():
+        if k not in v1:
+            expect.add((k, "insert"))
+        elif k not in v2:
+            expect.add((k, "delete"))
+        elif v1[k] != v2[k]:
+            expect.add((k, "update_preimage"))
+            expect.add((k, "update_postimage"))
+    got = {
+        (r.k, r._change_type)
+        for r in table.changes_between(spark, 1, 2).collect()
+    }
+    assert got == expect
+
+
+def test_changes_between_plain_versions_degrade(spark, tmp_path):
+    """Plain (manifest-less) commits still diff correctly — with an
+    explicit key and full-snapshot scans (changes_file_diff says so
+    with None counts)."""
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "plain")
+    table = VersionedParquetTable(path)
+    table.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    table.commit(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"))
+    with pytest.raises(ValueError, match="key required"):
+        table.changes_between(spark, 1, 2)
+    got = {
+        (r.k, r._change_type)
+        for r in table.changes_between(spark, 1, 2, key="k").collect()
+    }
+    assert got == {
+        (1, "delete"),
+        (2, "update_preimage"),
+        (2, "update_postimage"),
+        (3, "insert"),
+    }
+    assert table.changes_file_diff(1, 2) == {
+        "files_old": None, "files_new": None, "files_carried": None,
+    }
+
+
+def test_changes_between_schema_evolution_null_preimage(spark, tmp_path):
+    """A column added by an evolved merge reads as NULL on the
+    pre-image side (same rule the versioned reader applies to old
+    files), so the evolved column alone marks the row updated only when
+    the post-image sets it non-NULL."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    source = spark.createDataFrame(
+        [(0, "ref-0", "old", "extra-0")], "k long, ref string, cat string, note string"
+    )
+    merge_upsert_write_pruned(
+        path, source, "k", schema_evolution=True, vacuum_keep_last=None
+    )
+    rows = {
+        (r.k, r._change_type): r.note
+        for r in table.changes_between(spark, 1, 2).collect()
+    }
+    assert rows == {
+        (0, "update_preimage"): None,
+        (0, "update_postimage"): "extra-0",
+    }
+
+
+def test_changes_between_validation(spark, tmp_path):
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    source = spark.createDataFrame([(0, "u", "n")], "k long, ref string, cat string")
+    merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
+    with pytest.raises(ValueError, match="v_from < v_to"):
+        table.changes_between(spark, 2, 1)
+    with pytest.raises(FileNotFoundError, match="version 9"):
+        table.changes_between(spark, 1, 9)
