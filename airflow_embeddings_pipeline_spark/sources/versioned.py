@@ -696,6 +696,116 @@ class VersionedParquetTable:
             "bytes_carried": sum(e["bytes"] for e in large),
         }
 
+    def maintain(
+        self,
+        spark: SparkSession,
+        *,
+        min_file_bytes: int = 32 << 20,
+        max_small_files: int = 8,
+        max_overlap_files: int = 0,
+        cluster_partitions: int | None = None,
+    ) -> dict:
+        """Policy-driven OPTIMIZE — the auto-trigger a daily MERGE
+        caller wants instead of hand-scheduling :meth:`compact`
+        (Snowflake re-clusters micro-partitions automatically behind
+        the reference's MERGE, embeddings-pipeline.py:294-352).  One
+        manifest read inspects the live layout's two decay signals and
+        acts only when a bound is crossed, so it is safe and cheap to
+        call after every merge:
+
+        * RANGE OVERLAP — more than ``max_overlap_files`` files whose
+          [min, max] key ranges transitively overlap (overlap inflates
+          every later merge's touched set; append-split layouts hold 0,
+          the 60-cycle probe's flat curve).  Each overlap COMPONENT
+          (maximal run of transitively-overlapping intervals — its
+          interval union is contiguous, so component spans never
+          enclose an outside file) is re-clustered in its own commit:
+          rewrite cost is bounded by the component's file mass, and the
+          rewritten files cannot introduce new overlaps.
+        * SMALL-FILE ACCUMULATION — more than ``max_small_files``
+          files under ``min_file_bytes`` (each incremental merge adds a
+          few; scan task count would otherwise grow with history) runs
+          :meth:`compact`.
+
+        Returns ``{"triggered", "signals", "actions"}`` where signals
+        reports the inspected counts and actions the commits performed
+        (empty on a healthy layout — the common case)."""
+        v = self.current_version()
+        man = self.manifest(v) if v is not None else None
+        if man is None:
+            raise ValueError(
+                f"{self.root}: maintain() needs a committed manifest "
+                "version (plain versions carry no layout to inspect)"
+            )
+        from pyspark.sql.types import StructType
+
+        files = man["files"]
+        small = [e for e in files if e["bytes"] < min_file_bytes]
+        ranged = sorted(
+            (e for e in files if e.get("min") is not None),
+            key=lambda e: (e["min"], e["max"]),
+        )
+        comps: list[list[dict]] = []
+        cur: list[dict] = []
+        cur_hi = None
+        for e in ranged:
+            if cur and e["min"] <= cur_hi:
+                cur.append(e)
+                cur_hi = max(cur_hi, e["max"])
+            else:
+                if len(cur) > 1:
+                    comps.append(cur)
+                cur, cur_hi = [e], e["max"]
+        if len(cur) > 1:
+            comps.append(cur)
+        signals = {
+            "files_total": len(files),
+            "small_files": len(small),
+            "overlap_files": sum(len(c) for c in comps),
+            "overlap_components": len(comps),
+        }
+        actions: list[dict] = []
+        if signals["overlap_files"] > max_overlap_files:
+            schema = StructType.fromJson(man["schema"])
+            for comp in comps:
+                man_now = self.manifest(self.current_version())
+                comp_paths = {e["path"] for e in comp}
+                carried = [
+                    e for e in man_now["files"] if e["path"] not in comp_paths
+                ]
+                comp_bytes = sum(e["bytes"] for e in comp)
+                df = spark.read.schema(schema).parquet(
+                    *[os.path.join(self.root, e["path"]) for e in comp]
+                )
+                nv = self.commit_with_manifest(
+                    df,
+                    man["key"],
+                    carried=carried,
+                    cluster_partitions=cluster_partitions
+                    or max(1, comp_bytes // (128 << 20) + 1),
+                    stats_columns=man.get("stats_columns"),
+                )
+                actions.append(
+                    {
+                        "action": "recluster",
+                        "version": nv,
+                        "files_rewritten": len(comp),
+                        "bytes_rewritten": comp_bytes,
+                    }
+                )
+        if signals["small_files"] > max_small_files:
+            stats = self.compact(
+                spark,
+                min_file_bytes=min_file_bytes,
+                cluster_partitions=cluster_partitions,
+            )
+            actions.append({"action": "compact", **stats})
+        return {
+            "triggered": bool(actions),
+            "signals": signals,
+            "actions": actions,
+        }
+
     def read_range(self, spark: SparkSession, key: str, lo=None, hi=None) -> DataFrame:
         """Manifest-stats data skipping on the READ path: scan only the
         files whose [min, max] range of ``key`` can intersect
@@ -900,6 +1010,41 @@ class VersionedParquetTable:
             .select("_c.*")
             .withColumn("_commit_version", F.lit(v_to))
         )
+
+    def changes_since(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        *,
+        key: str | list | tuple | None = None,
+    ) -> DataFrame:
+        """Changes from ``v_from`` up to the CURRENT version — the
+        incremental CDC consumer's call shape: persist the last
+        exported version number (a watermark), export
+        ``changes_since(last)``, then record the current version.
+        Returns an empty change set (correct schema) when the table
+        has not moved past ``v_from``."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        cur = self.current_version()
+        if cur is None or v_from not in set(self.versions()):
+            raise FileNotFoundError(
+                f"version {v_from} not available (never committed or vacuumed)"
+            )
+        if cur == v_from:
+            man = self.manifest(cur)
+            base = (
+                StructType.fromJson(man["schema"])
+                if man is not None
+                else self._read_resolved(spark, cur).schema
+            )
+            return (
+                spark.createDataFrame([], base)
+                .withColumn("_change_type", F.lit(None).cast("string"))
+                .withColumn("_commit_version", F.lit(None).cast("int"))
+            )
+        return self.changes_between(spark, v_from, cur, key=key)
 
     # ----------------------------------------------------------- vacuum
     def vacuum(self, keep_last: int = 2) -> list[int]:

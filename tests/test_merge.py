@@ -1153,3 +1153,108 @@ def test_changes_between_validation(spark, tmp_path):
         table.changes_between(spark, 2, 1)
     with pytest.raises(FileNotFoundError, match="version 9"):
         table.changes_between(spark, 1, 9)
+
+
+# ------------------------------------------------ auto-maintenance policy
+def test_maintain_healthy_layout_is_noop(spark, tmp_path):
+    """A freshly range-clustered table crosses neither decay bound:
+    maintain() reports the signals and commits nothing."""
+    path, table = _pruned_setup(spark, tmp_path)
+    v_before = table.current_version()
+    out = table.maintain(spark, max_small_files=8)
+    assert out["triggered"] is False and out["actions"] == []
+    assert out["signals"]["overlap_files"] == 0
+    assert out["signals"]["files_total"] == 8
+    assert table.current_version() == v_before
+
+
+def test_maintain_small_file_trigger_compacts(spark, tmp_path):
+    """Sequential merges accumulate small files; once the count crosses
+    the bound, maintain() runs the compact pass — file count drops,
+    content identical."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    for i in range(4):
+        src = spark.createDataFrame(
+            [(100_000 + 10 * i + j, f"ins-{i}-{j}", "n") for j in range(3)],
+            "k long, ref string, cat string",
+        )
+        merge_upsert_write_pruned(path, src, "k", vacuum_keep_last=None)
+    before = sorted(map(tuple, table.read(spark).collect()))
+    man = table.manifest(table.current_version())
+    assert len(man["files"]) > 8  # decayed: merge-added small files
+    out = table.maintain(spark, max_small_files=8)
+    assert out["triggered"] and out["actions"][-1]["action"] == "compact"
+    assert out["signals"]["small_files"] > 8
+    man_after = table.manifest(table.current_version())
+    assert len(man_after["files"]) < len(man["files"])
+    assert sorted(map(tuple, table.read(spark).collect())) == before
+
+
+def test_maintain_overlap_trigger_reclusters_component(spark, tmp_path):
+    """A wide file overlapping the clustered layout (the unsplit-append
+    decay shape) trips the overlap bound: maintain() re-clusters ONLY
+    the transitive overlap component — files outside it are carried
+    untouched — and the resulting ranges are pairwise disjoint again."""
+    path, table = _pruned_setup(spark, tmp_path)
+    man1 = table.manifest(table.current_version())
+    wide = spark.createDataFrame(
+        [(k, f"wide-{k}", "w") for k in range(101, 300, 2)],
+        "k long, ref string, cat string",
+    )
+    # one wide file [101, 299] across the middle of the clustered layout
+    table.commit_with_manifest(
+        wide, "k", carried=list(man1["files"]), cluster_partitions=1
+    )
+    before = sorted(map(tuple, table.read(spark).collect()))
+    untouched_before = {
+        e["path"]
+        for e in table.manifest(table.current_version())["files"]
+        if e["max"] < 100 or e["min"] > 300
+    }
+    out = table.maintain(spark, max_small_files=10_000)
+    assert out["triggered"]
+    assert [a["action"] for a in out["actions"]] == ["recluster"]
+    assert out["signals"]["overlap_components"] == 1
+    assert out["signals"]["overlap_files"] > 1
+    man_after = table.manifest(table.current_version())
+    ranges = sorted((e["min"], e["max"]) for e in man_after["files"])
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlap survived maintain(): ({lo1},{hi1}) ({lo2},{hi2})"
+    # files outside the component were carried by reference, not rewritten
+    assert untouched_before <= {e["path"] for e in man_after["files"]}
+    assert sorted(map(tuple, table.read(spark).collect())) == before
+    # and the healed layout is a no-op on the next call
+    assert table.maintain(spark, max_small_files=10_000)["triggered"] is False
+
+
+def test_changes_since_nets_across_commits_and_empty(spark, tmp_path):
+    """changes_since(v) = net changes from v to the CURRENT version: a
+    key updated in two successive commits emits ONE pre/post pair
+    (v-from image → latest image), and a table that has not moved
+    returns an empty, correctly-typed change set."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    empty = table.changes_since(spark, 1)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "ref", "cat", "_change_type", "_commit_version"]
+
+    for tag in ("first", "second"):
+        src = spark.createDataFrame(
+            [(0, f"ref-0-{tag}", "n")], "k long, ref string, cat string"
+        )
+        merge_upsert_write_pruned(path, src, "k", vacuum_keep_last=None)
+    rows = {
+        (r.k, r._change_type): (r.ref, r._commit_version)
+        for r in table.changes_since(spark, 1).collect()
+    }
+    assert rows == {
+        (0, "update_preimage"): ("ref-0", 3),
+        (0, "update_postimage"): ("ref-0-second", 3),
+    }

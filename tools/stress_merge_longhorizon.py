@@ -28,8 +28,15 @@ direct decay signal), and a read_range file-skip probe (fraction of
 files a narrow mid-table range scan can skip).  Healthy = all of these
 flat in the cycle index; decayed = monotone growth.
 
+With ``--policy``, the fixed every-``compact_every``-cycles OPTIMIZE
+schedule is replaced by :meth:`VersionedParquetTable.maintain` after
+EVERY cycle — the auto-trigger decides when to act from the manifest's
+own decay signals (small-file count / range overlap), which is how a
+production daily loop would run it.  Healthy = the trigger fires at
+bounded intervals and the same decay signals stay flat.
+
 Usage:
-    python tools/stress_merge_longhorizon.py [n_rows] [cycles] [out_json]
+    python tools/stress_merge_longhorizon.py [n_rows] [cycles] [out_json] [--policy]
 """
 
 from __future__ import annotations
@@ -94,9 +101,11 @@ def table_bytes(root: str) -> int:
 
 
 def main() -> int:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-    out_json = sys.argv[3] if len(sys.argv) > 3 else None
+    args = [a for a in sys.argv[1:] if a != "--policy"]
+    policy = "--policy" in sys.argv[1:]
+    n_rows = int(args[0]) if len(args) > 0 else 2_000_000
+    cycles = int(args[1]) if len(args) > 1 else 60
+    out_json = args[2] if len(args) > 2 else None
     compact_every = 10
     upd_keys = 1_000
     ins_keys = 2_000
@@ -170,7 +179,24 @@ def main() -> int:
         wall = round(time.time() - t0, 2)
 
         compacted = None
-        if c % compact_every == 0:
+        if policy:
+            # auto-trigger path: maintain() after EVERY cycle decides
+            # from the manifest's own decay signals whether to act
+            t1 = time.time()
+            m = table.maintain(
+                spark, min_file_bytes=2 << 20, max_small_files=40
+            )
+            table.vacuum(keep_last=2)
+            if m["triggered"]:
+                compacted = {
+                    "maintain_actions": [a["action"] for a in m["actions"]],
+                    "maintain_signals": m["signals"],
+                    "maintain_bytes_rewritten": sum(
+                        a.get("bytes_rewritten", 0) for a in m["actions"]
+                    ),
+                    "maintain_wall_s": round(time.time() - t1, 2),
+                }
+        elif c % compact_every == 0:
             t1 = time.time()
             comp = table.compact(spark, min_file_bytes=2 << 20)
             table.vacuum(keep_last=2)
@@ -226,6 +252,13 @@ def main() -> int:
         "wall_last5": mean("wall_s", tail5),
         "final_table_bytes": records[-1]["table_bytes"],
     }
+    if policy:
+        summary["maintain_triggers"] = sum(
+            1 for r in records if "maintain_actions" in r
+        )
+        summary["maintain_bytes_total"] = sum(
+            r.get("maintain_bytes_rewritten", 0) for r in records
+        )
     print(json.dumps({"summary": summary}))
     if out_json:
         with open(out_json, "w") as fh:
