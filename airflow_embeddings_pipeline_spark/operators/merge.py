@@ -50,6 +50,7 @@ def merge_upsert(
     update_columns: Sequence[str] | None = None,
     schema_evolution: bool = False,
     delete_when=None,
+    evolution_exclude: Sequence[str] = (),
 ) -> DataFrame:
     """Relational MERGE: upsert ``source`` into ``target`` on ``key``
     (a column name or a COMPOSITE key — a sequence of names ANDed into
@@ -74,6 +75,10 @@ def merge_upsert(
     of updated.  Source-only rows satisfying it are suppressed too (a
     tombstone for an absent key inserts nothing), which is exactly CDC
     delete semantics.  Unmatched target rows are never deleted.
+
+    ``evolution_exclude`` — source columns that schema evolution must
+    NOT append (control columns like a CDC tombstone flag that exist to
+    steer the merge, not to land in the table).
     """
     keys = _as_keys(key)
     tcols = target.columns
@@ -123,7 +128,7 @@ def merge_upsert(
         out_cols.append(expr.alias(c))
     if schema_evolution:
         for c in source.columns:
-            if c not in tcols:
+            if c not in tcols and c not in set(evolution_exclude):
                 # outer join already yields NULL for target-only rows
                 out_cols.append(F.col(f"s.{c}").alias(c))
     return joined.select(*out_cols)
@@ -200,6 +205,8 @@ def merge_upsert_write_pruned(
     update_columns: Sequence[str] | None = None,
     schema_evolution: bool = False,
     delete_when=None,
+    evolution_exclude: Sequence[str] = (),
+    app_metadata: dict | None = None,
     vacuum_keep_last: int | None = 2,
     max_exact_keys: int = 200_000,
 ) -> dict:
@@ -421,6 +428,7 @@ def merge_upsert_write_pruned(
         update_columns=update_columns,
         schema_evolution=schema_evolution,
         delete_when=delete_when,
+        evolution_exclude=evolution_exclude,
     )
     # layout hint: out-of-range inserts (keys beyond every touched
     # file's stats range) get their own file(s) so no output file's
@@ -431,11 +439,15 @@ def merge_upsert_write_pruned(
     t_lo = [e["min"] for e in touched_entries if e["min"] is not None]
     t_hi = [e["max"] for e in touched_entries if e["max"] is not None]
     split = (min(t_lo), max(t_hi)) if t_lo and t_hi else None
+    # app metadata: prior keys persist until overwritten (Delta txn
+    # analog) — merged with this commit's, new keys winning
+    prior_meta = table.app_metadata_of()
     version = table.commit_with_manifest(
         merged, lead, carried=carried,
         cluster_partitions=max(1, len(touched_entries)),
         append_split=split,
         stats_columns=keys if trail else None,
+        app_metadata={**prior_meta, **(app_metadata or {})} or None,
     )
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)
@@ -453,3 +465,153 @@ def merge_upsert_write_pruned(
         "rows_source": n_src,
         "pruning": pruning,
     }
+
+
+def apply_changes(
+    target_path: str,
+    changes: DataFrame,
+    key: str | Sequence[str],
+    *,
+    schema_evolution: bool = True,
+    vacuum_keep_last: int | None = 2,
+    max_exact_keys: int = 200_000,
+) -> dict:
+    """Apply a change feed to a replica table — the consumer half of
+    CDC (Delta Live Tables ``APPLY CHANGES INTO`` / the reference's
+    Snowflake-stream consumer, embeddings-pipeline.py:294-352).
+
+    ``changes`` is the output of
+    :meth:`VersionedParquetTable.changes_between` /
+    :meth:`~VersionedParquetTable.changes_since` (payload columns plus
+    ``_change_type`` / ``_commit_version``).  ``insert`` and
+    ``update_postimage`` rows upsert; ``delete`` rows remove the key;
+    ``update_preimage`` rows are informational and ignored.  The apply
+    is ONE file-pruned MERGE (tombstones ride the same batch via the
+    ``delete_when`` clause), so replica write amplification is bounded
+    by the replica files the change set touches — a daily CDC batch
+    against a 100 TB replica rewrites the touched-file mass on both
+    ends of the pipe.
+
+    Idempotent by construction: re-applying the same NET change set is
+    a content no-op (upserts overwrite with identical values; a delete
+    tombstone for an already-absent key inserts nothing), which is what
+    makes at-least-once delivery from ``changes_since`` watermark
+    replay safe (T4, embeddings-pipeline.py:480).
+
+    **The watermark lives in the sink.**  The feed's source version is
+    recorded as ``cdc_last_applied_version`` in the replica commit's
+    ``app_metadata`` — durable ATOMICALLY with the applied rows — and
+    the next consumer round must resume from
+    ``VersionedParquetTable(replica).app_metadata_of()``, NOT from a
+    side file.  A side-file watermark has a crash window (applied but
+    not advanced) in which the replayed feed nets an already-applied
+    insert against a later delete into NOTHING, silently stranding the
+    deleted rows on the replica (caught live by
+    tools/stress_cdc_replication.py cycle 21).  Replaying a feed the
+    replica already recorded never regresses the stored version (max
+    wins), and the apply itself stays idempotent.
+
+    ``schema_evolution`` defaults ON — unlike a hand-written merge, the
+    feed's payload schema IS the primary's schema, so a column the
+    replica lacks means the primary evolved and the replica must widen
+    to stay a replica (pass ``False`` to pin the replica's schema and
+    ignore new columns instead).
+
+    Returns the pruned-merge stats dict plus ``rows_upserted`` /
+    ``rows_deleted``; a change feed with no applicable rows commits
+    nothing and returns ``{"version": None, ...}`` zeros.
+    """
+    meta = {"_change_type", "_commit_version"}
+    missing = meta - set(changes.columns)
+    if missing:
+        raise ValueError(
+            f"not a change feed: missing column(s) {sorted(missing)}"
+        )
+    payload = [c for c in changes.columns if c not in meta]
+    applicable = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage", "delete")
+    ).select(
+        *payload,
+        (F.col("_change_type") == "delete").alias("_cdc_delete"),
+        F.col("_commit_version"),
+    )
+    agg = applicable.agg(
+        F.sum(F.when(F.col("_cdc_delete"), 1).otherwise(0)).alias("n_del"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.max("_commit_version").alias("v_src"),
+    ).collect()[0]
+    n_del = agg["n_del"] or 0
+    n_ups = (agg["n_all"] or 0) - n_del
+    if n_del + n_ups == 0:
+        return {
+            "version": None,
+            "rows_upserted": 0,
+            "rows_deleted": 0,
+            "files_touched": 0,
+            "bytes_rewritten": 0,
+        }
+    from ..sources.versioned import VersionedParquetTable
+
+    prior = VersionedParquetTable(target_path).app_metadata_of().get(
+        "cdc_last_applied_version"
+    )
+    v_applied = agg["v_src"] if prior is None else max(prior, agg["v_src"])
+    stats = merge_upsert_write_pruned(
+        target_path,
+        applicable.drop("_commit_version"),
+        key,
+        schema_evolution=schema_evolution,
+        delete_when=F.col("s._cdc_delete"),
+        evolution_exclude=("_cdc_delete",),
+        app_metadata={"cdc_last_applied_version": v_applied},
+        vacuum_keep_last=vacuum_keep_last,
+        max_exact_keys=max_exact_keys,
+    )
+    return {
+        **stats,
+        "rows_upserted": n_ups,
+        "rows_deleted": n_del,
+        "cdc_last_applied_version": v_applied,
+    }
+
+
+def sync_replica(
+    spark,
+    primary_path: str,
+    replica_path: str,
+    key: str | Sequence[str],
+    **apply_kwargs,
+) -> dict:
+    """One consumer round: export the primary's changes since the
+    replica's recorded watermark and apply them — the loop body of
+    continuous CDC replication.
+
+    The watermark is read from the REPLICA's ``app_metadata``
+    (``cdc_last_applied_version``, recorded atomically by
+    :func:`apply_changes`), so a consumer that dies anywhere inside
+    this call resumes exactly where the replica's durable state says it
+    is — there is no applied-but-not-advanced window.  Seed a replica
+    by committing the primary snapshot with
+    ``app_metadata={"cdc_last_applied_version": <primary version>}``.
+
+    Raises if the replica carries no watermark (unseeded — a replica
+    whose sync origin is unknown must not be silently "synced" from an
+    arbitrary point) or if the primary has vacuumed the watermark
+    version (``FileNotFoundError`` from ``changes_since`` — re-seed).
+    """
+    from ..sources.versioned import VersionedParquetTable
+
+    primary = VersionedParquetTable(primary_path)
+    w = (
+        VersionedParquetTable(replica_path)
+        .app_metadata_of()
+        .get("cdc_last_applied_version")
+    )
+    if w is None:
+        raise ValueError(
+            f"{replica_path}: no cdc_last_applied_version in app_metadata "
+            "— seed the replica from a primary snapshot and record the "
+            "snapshot version before syncing"
+        )
+    feed = primary.changes_since(spark, w)
+    return apply_changes(replica_path, feed, key, **apply_kwargs)

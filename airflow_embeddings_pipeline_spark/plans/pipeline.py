@@ -620,3 +620,89 @@ register(
         tags=("S9", "T4", "scale"),
     )
 )
+
+
+# ----------------------------------------- CDC apply (replication consumer)
+# The consumer half of the feed above, end-to-end: primary commits a
+# pruned MERGE (updates + inserts + DELETE clause), the NET change feed
+# is exported with changes_between, and apply_changes replays it onto a
+# REPLICA seeded from the v1 snapshot as ONE file-pruned merge
+# (tombstones ride the delete_when clause).  The entry returns the
+# REPLICA read-back; the oracle is the PRIMARY's v2 state expressed
+# relationally — passing means replica ≡ primary through the CDC pipe,
+# the replication invariant, re-proven at every SF every round.  Write
+# amplification is bounded by touched-file mass on BOTH tables
+# (producer: file-diff export; consumer: pruned apply).
+def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import apply_changes, merge_upsert_write_pruned
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 97 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("double") * 2).alias("price"),
+        F.lit("UPD").alias("status"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 97 == 2).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0.0).alias("price"),
+        F.lit("DEL").alias("status"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 997 == 3).select(
+        (F.col("o_orderkey") + _PRUNED_INS_OFFSET).alias("k"),
+        (F.col("o_totalprice").cast("double") + 1.0).alias("price"),
+        F.lit("INS").alias("status"),
+    )
+    source = updates.unionAll(deletes).unionAll(inserts)
+
+    p_path = _scratch_dir("/tmp/spark_graft_cdc_primary", sf_dir)
+    primary = VersionedParquetTable(p_path)
+    primary.commit_with_manifest(target, "k", cluster_partitions=16)
+    r_path = _scratch_dir("/tmp/spark_graft_cdc_replica", sf_dir)
+    replica = VersionedParquetTable(r_path)
+    replica.commit_with_manifest(target, "k", cluster_partitions=16)
+
+    merge_upsert_write_pruned(
+        p_path, source, "k",
+        delete_when=F.col("s.status") == "DEL", vacuum_keep_last=None,
+    )
+    feed = primary.changes_between(spark, 1, 2)
+    apply_changes(r_path, feed, "k", vacuum_keep_last=None)
+    return replica.read(spark).orderBy("k")
+
+
+register(
+    Query(
+        name="s_cdc_apply",
+        build=s_cdc_apply,
+        oracle=f"""
+        WITH target AS (
+            SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+                   o_orderstatus AS status
+            FROM orders
+        )
+        SELECT k,
+               CASE WHEN k % 97 = 1 THEN price * 2 ELSE price END AS price,
+               CASE WHEN k % 97 = 1 THEN 'UPD' ELSE status END AS status
+        FROM target WHERE k % 97 <> 2
+        UNION ALL
+        SELECT o_orderkey + {_PRUNED_INS_OFFSET} AS k,
+               CAST(o_totalprice AS DOUBLE) + 1.0 AS price, 'INS' AS status
+        FROM orders WHERE o_orderkey % 997 = 3
+        ORDER BY k
+        """,
+        doc=(
+            "CDC replication round trip: primary pruned MERGE → "
+            "changes_between file-diff export → apply_changes replays the net "
+            "feed onto a replica as ONE file-pruned merge (deletes via "
+            "tombstone clause) — replica read-back oracled against the "
+            "primary's v2 state (APPLY CHANGES INTO analog, S9/T4 at 100 TB)"
+        ),
+        tags=("S9", "T4", "scale"),
+    )
+)

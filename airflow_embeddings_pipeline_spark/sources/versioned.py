@@ -222,6 +222,21 @@ class VersionedParquetTable:
         except OSError:
             return None
 
+    def app_metadata_of(self, version: int | None = None) -> dict:
+        """The application-owned metadata recorded atomically with a
+        commit (``commit_with_manifest(app_metadata=...)``) — current
+        version by default; ``{}`` for plain versions or commits that
+        recorded none.  A CDC consumer reads its last-applied source
+        version from HERE (the sink), never from a side file, so the
+        watermark can never run behind or ahead of the data it
+        describes."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return {}
+        man = self.manifest(version)
+        return dict((man or {}).get("app_metadata") or {})
+
     def _read_resolved(self, spark: SparkSession, version: int) -> DataFrame:
         """Read a version through its manifest when it has one (file
         list + recorded schema — old files missing newly-evolved
@@ -397,6 +412,7 @@ class VersionedParquetTable:
         cluster_partitions: int | None = None,
         append_split: tuple | None = None,
         stats_columns: list | tuple | None = None,
+        app_metadata: dict | None = None,
     ) -> int:
         """Commit ``df``'s rows as NEW data files plus ``carried``
         prior-version file entries BY REFERENCE, under one manifest.
@@ -437,6 +453,17 @@ class VersionedParquetTable:
         files in COMMITTED version directories at or below the current
         pointer (enforced: a reference above the pointer would resurrect
         a crash orphan).
+
+        ``app_metadata`` — an application-owned JSON dict recorded IN
+        the manifest, so it becomes durable ATOMICALLY with the data
+        (Delta's ``txnAppId``/``txnVersion`` idempotent-writer analog /
+        Kafka's offsets-in-the-sink pattern).  A CDC consumer stores
+        the applied source version here instead of in a side file: a
+        crash between "replica committed" and "side watermark advanced"
+        otherwise replays a NET feed that can net an already-applied
+        insert against a later delete into NOTHING, silently diverging
+        the replica (observed in tools/stress_cdc_replication.py before
+        this field existed).  Read back via :meth:`app_metadata_of`.
         """
         from pyspark.sql import functions as F
 
@@ -505,6 +532,8 @@ class VersionedParquetTable:
             }
             if extras:
                 man["stats_columns"] = [key, *extras]
+            if app_metadata:
+                man["app_metadata"] = dict(app_metadata)
             tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
             with open(tmp, "w") as f:
                 json.dump(man, f)
@@ -682,6 +711,7 @@ class VersionedParquetTable:
         new_v = self.commit_with_manifest(
             df, man["key"], carried=large, cluster_partitions=n_out,
             stats_columns=man.get("stats_columns"),
+            app_metadata=man.get("app_metadata"),
         )
         new_man = self.manifest(new_v) or {"files": []}
         return {
@@ -784,6 +814,7 @@ class VersionedParquetTable:
                     cluster_partitions=cluster_partitions
                     or max(1, comp_bytes // (128 << 20) + 1),
                     stats_columns=man.get("stats_columns"),
+                    app_metadata=man_now.get("app_metadata"),
                 )
                 actions.append(
                     {

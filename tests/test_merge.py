@@ -1258,3 +1258,225 @@ def test_changes_since_nets_across_commits_and_empty(spark, tmp_path):
         (0, "update_preimage"): ("ref-0", 3),
         (0, "update_postimage"): ("ref-0-second", 3),
     }
+
+
+# ------------------------------------------------- CDC apply (consumer)
+def _cdc_primary_replica(spark, tmp_path):
+    """Primary and replica both seeded with the SAME v1 snapshot."""
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    p_path, primary = _pruned_setup(spark, tmp_path)
+    r_path = str(tmp_path / "replica")
+    replica = VersionedParquetTable(r_path)
+    replica.commit_with_manifest(_big_target(spark), "k", cluster_partitions=8)
+    return p_path, primary, r_path, replica
+
+
+def test_apply_changes_replicates_primary(spark, tmp_path):
+    """The CDC round trip: merge on the primary, export
+    changes_between, apply_changes on the replica — replica content
+    equals primary content, and the replica write was file-pruned
+    (untouched replica files carried by reference)."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        apply_changes,
+        merge_upsert_write_pruned,
+    )
+
+    p_path, primary, r_path, replica = _cdc_primary_replica(spark, tmp_path)
+    ident_before = _file_identity(replica)
+    source = spark.createDataFrame(
+        [(0, "upd-0", "new"), (2, "del-2", "DEL"),
+         (251, "ins-gap", "new"), (100_000, "ins-high", "new")],
+        "k long, ref string, cat string",
+    )
+    merge_upsert_write_pruned(
+        p_path, source, "k",
+        delete_when=F.col("s.cat") == "DEL", vacuum_keep_last=None,
+    )
+    feed = primary.changes_between(spark, 1, 2)
+    stats = apply_changes(r_path, feed, "k", vacuum_keep_last=None)
+    assert stats["rows_upserted"] == 3 and stats["rows_deleted"] == 1
+    assert stats["files_carried"] > 0
+    ident_after = _file_identity(replica)
+    carried = set(ident_before) & set(ident_after)
+    assert carried and all(
+        ident_before[p] == ident_after[p] for p in carried
+    )
+    assert sorted(map(tuple, replica.read(spark).collect())) == sorted(
+        map(tuple, primary.read(spark).collect())
+    )
+
+
+def test_apply_changes_idempotent_replay(spark, tmp_path):
+    """At-least-once safety: re-applying the SAME net change set (the
+    watermark-crash replay shape) leaves the replica content-identical
+    — upserts overwrite with equal values, delete tombstones for
+    already-absent keys insert nothing."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        apply_changes,
+        merge_upsert_write_pruned,
+    )
+
+    p_path, primary, r_path, replica = _cdc_primary_replica(spark, tmp_path)
+    source = spark.createDataFrame(
+        [(0, "upd-0", "new"), (4, "del-4", "DEL"), (100_001, "ins", "new")],
+        "k long, ref string, cat string",
+    )
+    merge_upsert_write_pruned(
+        p_path, source, "k",
+        delete_when=F.col("s.cat") == "DEL", vacuum_keep_last=None,
+    )
+    feed = primary.changes_between(spark, 1, 2)
+    apply_changes(r_path, feed, "k", vacuum_keep_last=None)
+    once = sorted(map(tuple, replica.read(spark).collect()))
+    apply_changes(r_path, feed, "k", vacuum_keep_last=None)
+    assert sorted(map(tuple, replica.read(spark).collect())) == once
+    assert once == sorted(map(tuple, primary.read(spark).collect()))
+
+
+def test_apply_changes_empty_and_validation(spark, tmp_path):
+    """An empty / preimage-only feed commits nothing; a DataFrame
+    without the CDC meta columns is rejected loudly."""
+    import pytest as _pytest
+
+    from airflow_embeddings_pipeline_spark.operators.merge import apply_changes
+
+    p_path, primary, r_path, replica = _cdc_primary_replica(spark, tmp_path)
+    v_before = replica.current_version()
+    empty = primary.changes_since(spark, primary.current_version())
+    out = apply_changes(r_path, empty, "k")
+    assert out["version"] is None and out["rows_upserted"] == 0
+    pre_only = empty.sparkSession.createDataFrame(
+        [(0, "x", "old", "update_preimage", 2)],
+        "k long, ref string, cat string, _change_type string, _commit_version int",
+    )
+    out2 = apply_changes(r_path, pre_only, "k")
+    assert out2["version"] is None
+    assert replica.current_version() == v_before
+    with _pytest.raises(ValueError, match="not a change feed"):
+        apply_changes(r_path, replica.read(spark), "k")
+
+
+def test_apply_changes_schema_evolution_widens_replica(spark, tmp_path):
+    """Primary evolves (merge adds a column); the exported feed carries
+    it; apply_changes widens the replica to match — and the control
+    tombstone flag never leaks into the replica schema."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        apply_changes,
+        merge_upsert_write_pruned,
+    )
+
+    p_path, primary, r_path, replica = _cdc_primary_replica(spark, tmp_path)
+    source = spark.createDataFrame(
+        [(0, "upd-0", "new", 3.5), (100_000, "ins", "new", 7.0)],
+        "k long, ref string, cat string, score double",
+    )
+    merge_upsert_write_pruned(
+        p_path, source, "k", schema_evolution=True, vacuum_keep_last=None
+    )
+    feed = primary.changes_between(spark, 1, 2)
+    assert "score" in feed.columns
+    apply_changes(r_path, feed, "k", vacuum_keep_last=None)
+    rep = replica.read(spark)
+    assert rep.columns == primary.read(spark).columns  # widened, no _cdc_delete
+    assert sorted(map(tuple, rep.collect())) == sorted(
+        map(tuple, primary.read(spark).collect())
+    )
+
+
+def test_apply_changes_watermark_lives_in_sink(spark, tmp_path):
+    """apply_changes records cdc_last_applied_version atomically in the
+    replica commit; compact() carries it forward; duplicate replay of a
+    feed never regresses it; sync_replica resumes from it."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        apply_changes,
+        merge_upsert_write_pruned,
+        sync_replica,
+    )
+
+    p_path, primary, r_path, replica = _cdc_primary_replica(spark, tmp_path)
+    assert replica.app_metadata_of() == {}
+    src = spark.createDataFrame(
+        [(0, "upd-0", "new")], "k long, ref string, cat string"
+    )
+    merge_upsert_write_pruned(p_path, src, "k", vacuum_keep_last=None)
+    feed = primary.changes_between(spark, 1, 2)
+    out = apply_changes(r_path, feed, "k", vacuum_keep_last=None)
+    assert out["cdc_last_applied_version"] == 2
+    assert replica.app_metadata_of() == {"cdc_last_applied_version": 2}
+    # compact preserves the watermark
+    replica.compact(spark, min_file_bytes=1 << 30)
+    assert replica.app_metadata_of()["cdc_last_applied_version"] == 2
+    # replaying the same (now-stale) feed does not regress it
+    apply_changes(r_path, feed, "k", vacuum_keep_last=None)
+    assert replica.app_metadata_of()["cdc_last_applied_version"] == 2
+    # sync_replica resumes from the sink watermark: next primary commit
+    src2 = spark.createDataFrame(
+        [(2, "upd-2", "new")], "k long, ref string, cat string"
+    )
+    merge_upsert_write_pruned(p_path, src2, "k", vacuum_keep_last=None)
+    out2 = sync_replica(spark, p_path, r_path, "k", vacuum_keep_last=None)
+    assert out2["rows_upserted"] == 1
+    assert replica.app_metadata_of()["cdc_last_applied_version"] == 3
+    assert sorted(map(tuple, replica.read(spark).collect())) == sorted(
+        map(tuple, primary.read(spark).collect())
+    )
+
+
+def test_cdc_net_feed_hazard_sink_watermark_converges(spark, tmp_path):
+    """THE net-CDC replay hazard (observed live in
+    tools/stress_cdc_replication.py cycle 21): a feed is applied but a
+    SIDE-FILE watermark fails to advance; a later primary commit
+    deletes rows that feed inserted.  The replayed net feed from the
+    stale watermark nets insert+delete to NOTHING, so a naive consumer
+    strands the deleted rows on the replica.  The sink-recorded
+    watermark resumes from the replica's own commit and converges."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        apply_changes,
+        merge_upsert_write_pruned,
+        sync_replica,
+    )
+
+    p_path, primary, r_path, replica = _cdc_primary_replica(spark, tmp_path)
+    # v2: insert key 100000
+    ins = spark.createDataFrame(
+        [(100_000, "ins", "new")], "k long, ref string, cat string"
+    )
+    merge_upsert_write_pruned(p_path, ins, "k", vacuum_keep_last=None)
+    # consumer applies v1->v2 (side watermark would now crash un-advanced)
+    apply_changes(
+        r_path, primary.changes_between(spark, 1, 2), "k",
+        vacuum_keep_last=None,
+    )
+    # v3: delete that same key
+    tomb = spark.createDataFrame(
+        [(100_000, "x", "DEL")], "k long, ref string, cat string"
+    )
+    merge_upsert_write_pruned(
+        p_path, tomb, "k",
+        delete_when=F.col("s.cat") == "DEL", vacuum_keep_last=None,
+    )
+    # the stale-watermark net feed v1->v3 is EMPTY for that key: the
+    # insert and delete net out — a naive replay applies nothing and
+    # the replica keeps the row the primary deleted
+    stale_feed = primary.changes_since(spark, 1)
+    assert stale_feed.filter(F.col("k") == 100_000).count() == 0
+    assert replica.read(spark).filter(F.col("k") == 100_000).count() == 1
+    # sink watermark: the replica knows it applied v2, so sync exports
+    # v2->v3 which CONTAINS the delete — replica converges
+    assert replica.app_metadata_of()["cdc_last_applied_version"] == 2
+    sync_replica(spark, p_path, r_path, "k", vacuum_keep_last=None)
+    assert replica.read(spark).filter(F.col("k") == 100_000).count() == 0
+    assert sorted(map(tuple, replica.read(spark).collect())) == sorted(
+        map(tuple, primary.read(spark).collect())
+    )
+
+
+def test_sync_replica_unseeded_raises(spark, tmp_path):
+    from airflow_embeddings_pipeline_spark.operators.merge import sync_replica
+
+    p_path, primary, r_path, replica = _cdc_primary_replica(spark, tmp_path)
+    with pytest.raises(ValueError, match="no cdc_last_applied_version"):
+        sync_replica(spark, p_path, r_path, "k")
