@@ -209,6 +209,59 @@ def merge_upsert_write_pruned(
     app_metadata: dict | None = None,
     vacuum_keep_last: int | None = 2,
     max_exact_keys: int = 200_000,
+    conflict_retries: int = 2,
+) -> dict:
+    """File-pruned MERGE with optimistic concurrency — see
+    :func:`_pruned_merge_attempt` for the pruning mechanics.
+
+    The merge reads the live file set, computes the touched subset
+    OUTSIDE the commit lock, and publishes with
+    ``expected_base_version`` set to the snapshot it read — a
+    compare-and-swap.  If another writer committed in between (the
+    lost-update window the lock alone cannot close), the commit raises
+    :class:`~..sources.versioned.SnapshotConflictError` WITHOUT
+    publishing, and the merge re-reads the new live version and
+    recomputes, up to ``conflict_retries`` times (Delta's
+    ``ConcurrentModificationException`` retry loop).  MERGE is
+    key-idempotent, so recomputing against the newer snapshot yields
+    exactly the state a serial execution would; with retries exhausted
+    the conflict propagates to the caller.
+    """
+    from ..sources.versioned import SnapshotConflictError
+
+    attempt = 0
+    while True:
+        try:
+            return _pruned_merge_attempt(
+                target_path,
+                source,
+                key,
+                update_columns=update_columns,
+                schema_evolution=schema_evolution,
+                delete_when=delete_when,
+                evolution_exclude=evolution_exclude,
+                app_metadata=app_metadata,
+                vacuum_keep_last=vacuum_keep_last,
+                max_exact_keys=max_exact_keys,
+            )
+        except SnapshotConflictError:
+            if attempt >= conflict_retries:
+                raise
+            attempt += 1
+
+
+def _pruned_merge_attempt(
+    target_path: str,
+    source: DataFrame,
+    key: str | Sequence[str],
+    *,
+    update_columns: Sequence[str] | None = None,
+    schema_evolution: bool = False,
+    delete_when=None,
+    evolution_exclude: Sequence[str] = (),
+    app_metadata: dict | None = None,
+    vacuum_keep_last: int | None = 2,
+    max_exact_keys: int = 200_000,
 ) -> dict:
     """File-pruned MERGE: rewrite ONLY the target files the source
     batch can touch; carry every other file into the new version BY
@@ -292,6 +345,9 @@ def merge_upsert_write_pruned(
             table.read(spark), lead, stats_columns=keys if trail else None
         )
 
+    # the snapshot this whole computation is valid against; the commit
+    # below CASes on it (see merge_upsert_write_pruned's retry loop)
+    base_version = table.current_version()
     entries, schema = table.file_entries(spark, lead, extra_columns=trail)
 
     def _key_ranges(e: dict) -> list:
@@ -448,6 +504,7 @@ def merge_upsert_write_pruned(
         append_split=split,
         stats_columns=keys if trail else None,
         app_metadata={**prior_meta, **(app_metadata or {})} or None,
+        expected_base_version=base_version,
     )
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)

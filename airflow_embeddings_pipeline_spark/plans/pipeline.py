@@ -706,3 +706,68 @@ register(
         tags=("S9", "T4", "scale"),
     )
 )
+
+
+# ------------------------------------------------------- time travel
+# Old versions of the versioned table stay readable until vacuum —
+# Delta's VERSION AS OF (the reference gets the same from Snowflake
+# Time Travel, DATA_RETENTION_TIME_IN_DAYS).  The entry commits v1,
+# runs a pruned MERGE to v2 (updates + deletes + inserts), then reads
+# v1 BACK — the oracle is the plain v1 state, so passing proves the
+# snapshot is untouched by the later commit (immutable version dirs +
+# pointer isolation; timestamp-based read_as_of and the history() log
+# are unit-covered, wall time being non-deterministic).
+def s_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert_write_pruned
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    source = (
+        orders.filter(F.col("o_orderkey") % 97 == 1)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice").cast("double") * 2).alias("price"),
+            F.lit("UPD").alias("status"),
+        )
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % 97 == 2).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(0.0).alias("price"),
+                F.lit("DEL").alias("status"),
+            )
+        )
+    )
+    path = _scratch_dir("/tmp/spark_graft_time_travel", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    merge_upsert_write_pruned(
+        path, source, "k",
+        delete_when=F.col("s.status") == "DEL", vacuum_keep_last=None,
+    )
+    return table.read_version(spark, 1).orderBy("k")
+
+
+register(
+    Query(
+        name="s_time_travel",
+        build=s_time_travel,
+        oracle="""
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderstatus AS status
+        FROM orders
+        ORDER BY k
+        """,
+        doc=(
+            "time travel: VERSION AS OF read of the pre-merge snapshot "
+            "after a pruned MERGE committed updates+deletes on top — "
+            "oracled against the plain v1 state (immutable version dirs, "
+            "pointer isolation; Snowflake Time Travel analog, S4/E3)"
+        ),
+        tags=("S4", "E3", "scale"),
+    )
+)

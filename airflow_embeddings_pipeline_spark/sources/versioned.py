@@ -48,6 +48,34 @@ class ConcurrentCommitError(RuntimeError):
     are a configuration error and must fail loudly, not interleave."""
 
 
+class SnapshotConflictError(ConcurrentCommitError):
+    """Optimistic-concurrency check failed: the table advanced past the
+    snapshot a read-modify-write was computed against.
+
+    The commit lock serializes the POINTER SWAP, but a MERGE reads the
+    live file set, computes outside the lock, and only then commits —
+    if another writer committed in between, the carried file references
+    describe a stale snapshot and publishing them would silently drop
+    the interleaved writer's rows (a classic lost update; Delta raises
+    ``ConcurrentModificationException`` from the same log-version CAS).
+    Callers pass ``expected_base_version`` to make the commit a
+    compare-and-swap; on conflict, re-read and recompute (the pruned
+    MERGE does this automatically, bounded by ``conflict_retries``)."""
+
+    def __init__(self, expected, actual):
+        super().__init__(
+            f"snapshot conflict: commit computed against version "
+            f"{expected!r} but the table is now at {actual!r}; "
+            "re-read and recompute"
+        )
+        self.expected = expected
+        self.actual = actual
+
+
+# sentinel: "no CAS requested" (None is a real value — the empty table)
+_NO_CAS = object()
+
+
 def _pid_alive(pid: int) -> bool:
     """Is `pid` a live process on this host?  (The table contract is
     local-filesystem, so the lock holder is by definition local.)"""
@@ -368,8 +396,98 @@ class VersionedParquetTable:
             )
         ]
 
+    def committed_at(self, version: int) -> float:
+        """Commit wall time (epoch seconds) of a committed version.
+
+        The timestamp is stamped INSIDE the ``_COMMITTED`` marker at
+        commit time (durable with the version, survives copies); tables
+        written before the marker carried a payload fall back to the
+        marker file's mtime — same observable, weaker durability."""
+        mpath = os.path.join(self._version_dir(version), _COMMITTED)
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"version {version} not available (never committed or vacuumed)"
+            )
+        try:
+            with open(mpath) as f:
+                return float(json.load(f)["ts"])
+        except (ValueError, KeyError, json.JSONDecodeError):
+            return os.path.getmtime(mpath)
+
+    def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
+        """Time travel by TIMESTAMP: read the newest version whose
+        commit time is <= ``ts`` (Delta's ``timestampAsOf`` semantics).
+        Raises if ``ts`` predates the first retained commit — vacuumed
+        history cannot be resurrected, and silently returning a LATER
+        state than asked for would be wrong."""
+        vs = self.versions()
+        eligible = [v for v in vs if self.committed_at(v) <= ts]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no committed version at or before ts={ts!r} "
+                f"(earliest retained: "
+                f"{self.committed_at(vs[0]) if vs else None!r})"
+            )
+        return self._read_resolved(spark, max(eligible))
+
+    def history(self) -> list[dict]:
+        """Commit log of the retained versions, newest first — the
+        DESCRIBE HISTORY analog: ``{"version", "committed_at",
+        "n_files", "n_rows", "bytes", "kind", "app_metadata"}``.
+        ``kind`` is ``"manifest"`` (file list + stats) or ``"plain"``
+        (full directory rewrite); row/byte totals come from the
+        manifest when present, else from a directory walk (footer-free
+        either way — this never scans data)."""
+        out = []
+        for v in reversed(self.versions()):
+            man = self.manifest(v)
+            if man is not None:
+                files = man["files"]
+                n_rows = sum(e.get("n_rows") or 0 for e in files)
+                n_bytes = sum(e.get("bytes") or 0 for e in files)
+                entry = {
+                    "version": v,
+                    "committed_at": self.committed_at(v),
+                    "n_files": len(files),
+                    "n_rows": n_rows,
+                    "bytes": n_bytes,
+                    "kind": "manifest",
+                    "app_metadata": man.get("app_metadata") or {},
+                }
+            else:
+                vdir = self._version_dir(v)
+                fs = [
+                    fn
+                    for fn in os.listdir(vdir)
+                    if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+                ]
+                entry = {
+                    "version": v,
+                    "committed_at": self.committed_at(v),
+                    "n_files": len(fs),
+                    "n_rows": None,
+                    "bytes": sum(
+                        os.path.getsize(os.path.join(vdir, fn)) for fn in fs
+                    ),
+                    "kind": "plain",
+                    "app_metadata": {},
+                }
+            out.append(entry)
+        return out
+
     # ----------------------------------------------------------- commit
-    def commit(self, df: DataFrame) -> int:
+    def _write_marker(self, vdir: str) -> None:
+        """Stamp the ``_COMMITTED`` marker with the commit wall time
+        (fsynced — the marker is a durability point in the crash
+        protocol, payload or not)."""
+        import time
+
+        with open(os.path.join(vdir, _COMMITTED), "w") as f:
+            json.dump({"ts": time.time()}, f)
+            f.flush()
+            os.fsync(f.fileno())
+
+    def commit(self, df: DataFrame, *, expected_base_version=_NO_CAS) -> int:
         """Write ``df`` as the next version, mark it ``_COMMITTED``,
         then swap the pointer (the single atomic commit point).
 
@@ -387,17 +505,26 @@ class VersionedParquetTable:
         in-flight writer raises :class:`ConcurrentCommitError` loudly
         instead of interleaving version numbers / racing the pointer
         swap.  A lock left by a CRASHED committer (its pid no longer
-        alive on this host) is stolen; a live holder is never."""
+        alive on this host) is stolen; a live holder is never.
+
+        ``expected_base_version`` turns the commit into a
+        compare-and-swap: if the live version under the lock differs
+        from the snapshot the caller computed against,
+        :class:`SnapshotConflictError` is raised and nothing is
+        published (lost-update protection for read-modify-write
+        writers; ``None`` asserts the table is still empty)."""
         self._acquire_lock()
         try:
+            if expected_base_version is not _NO_CAS:
+                cur = self.current_version()
+                if cur != expected_base_version:
+                    raise SnapshotConflictError(expected_base_version, cur)
             self._reconcile_orphans()
             versions = self._versions_on_disk()
             next_v = (versions[-1] + 1) if versions else 1
             vdir = self._version_dir(next_v)
             df.write.mode("overwrite").parquet(vdir)
-            with open(os.path.join(vdir, _COMMITTED), "w") as f:
-                f.flush()
-                os.fsync(f.fileno())
+            self._write_marker(vdir)
             self._swap_pointer(next_v)
             return next_v
         finally:
@@ -413,6 +540,7 @@ class VersionedParquetTable:
         append_split: tuple | None = None,
         stats_columns: list | tuple | None = None,
         app_metadata: dict | None = None,
+        expected_base_version=_NO_CAS,
     ) -> int:
         """Commit ``df``'s rows as NEW data files plus ``carried``
         prior-version file entries BY REFERENCE, under one manifest.
@@ -454,6 +582,14 @@ class VersionedParquetTable:
         pointer (enforced: a reference above the pointer would resurrect
         a crash orphan).
 
+        ``expected_base_version`` — optimistic-concurrency CAS: raise
+        :class:`SnapshotConflictError` under the lock (publishing
+        nothing) if the live version is no longer the snapshot the
+        caller read ``carried`` from.  Every read-modify-write caller
+        (the pruned MERGE, compact, maintain, CDC apply) passes it;
+        without the check an interleaved commit's rows would be
+        silently dropped when the stale carried set is published.
+
         ``app_metadata`` — an application-owned JSON dict recorded IN
         the manifest, so it becomes durable ATOMICALLY with the data
         (Delta's ``txnAppId``/``txnVersion`` idempotent-writer analog /
@@ -470,6 +606,12 @@ class VersionedParquetTable:
         self._acquire_lock()
         try:
             cur = self.current_version()
+            if expected_base_version is not _NO_CAS and cur != expected_base_version:
+                # carried entries (and the merged subset itself) describe
+                # the snapshot at expected_base_version — publishing them
+                # over a newer version would drop the interleaved commit's
+                # rows, so this is a CAS failure, not a retry-here case.
+                raise SnapshotConflictError(expected_base_version, cur)
             for e in carried or []:
                 m = _VERSION_RE.match((e["path"].split(os.sep, 1) + [""])[0])
                 if m is None or cur is None or int(m.group(1)) > cur:
@@ -540,9 +682,7 @@ class VersionedParquetTable:
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, os.path.join(vdir, _MANIFEST))
-            with open(os.path.join(vdir, _COMMITTED), "w") as f:
-                f.flush()
-                os.fsync(f.fileno())
+            self._write_marker(vdir)
             self._swap_pointer(next_v)
             return next_v
         finally:
@@ -712,6 +852,7 @@ class VersionedParquetTable:
             df, man["key"], carried=large, cluster_partitions=n_out,
             stats_columns=man.get("stats_columns"),
             app_metadata=man.get("app_metadata"),
+            expected_base_version=v,  # CAS: rewrite was computed against v
         )
         new_man = self.manifest(new_v) or {"files": []}
         return {
@@ -798,7 +939,8 @@ class VersionedParquetTable:
         if signals["overlap_files"] > max_overlap_files:
             schema = StructType.fromJson(man["schema"])
             for comp in comps:
-                man_now = self.manifest(self.current_version())
+                base_v = self.current_version()
+                man_now = self.manifest(base_v)
                 comp_paths = {e["path"] for e in comp}
                 carried = [
                     e for e in man_now["files"] if e["path"] not in comp_paths
@@ -815,6 +957,7 @@ class VersionedParquetTable:
                     or max(1, comp_bytes // (128 << 20) + 1),
                     stats_columns=man.get("stats_columns"),
                     app_metadata=man_now.get("app_metadata"),
+                    expected_base_version=base_v,
                 )
                 actions.append(
                     {

@@ -1480,3 +1480,267 @@ def test_sync_replica_unseeded_raises(spark, tmp_path):
     p_path, primary, r_path, replica = _cdc_primary_replica(spark, tmp_path)
     with pytest.raises(ValueError, match="no cdc_last_applied_version"):
         sync_replica(spark, p_path, r_path, "k")
+
+
+# ---------------------------------------------------------------- CAS
+# Optimistic concurrency: the commit lock serializes the pointer swap,
+# but a read-modify-write (MERGE / compact / maintain) computes OUTSIDE
+# the lock — expected_base_version makes the publish a compare-and-swap
+# so an interleaved commit can never be silently dropped.
+
+
+def test_commit_cas_raises_on_stale_base(spark, tmp_path):
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        SnapshotConflictError,
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "cas_plain")
+    t = VersionedParquetTable(path)
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert t.commit(df1, expected_base_version=None) == 1  # empty-table CAS
+    base = t.current_version()
+    t.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
+    with pytest.raises(SnapshotConflictError) as ei:
+        t.commit(df1, expected_base_version=base)
+    assert ei.value.expected == base and ei.value.actual == base + 1
+    # nothing was published by the failed attempt
+    assert t.current_version() == base + 1
+
+
+def test_commit_with_manifest_cas_blocks_lost_update(spark, tmp_path):
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        SnapshotConflictError,
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "cas_manifest")
+    t = VersionedParquetTable(path)
+    base_df = spark.createDataFrame(
+        [(i, "base") for i in range(100)], "k long, v string"
+    )
+    t.commit_with_manifest(base_df, "k", cluster_partitions=4)
+    v1 = t.current_version()
+    man = t.manifest(v1)
+    # writer A reads the v1 snapshot and prepares a carried-set commit
+    carried = man["files"]
+    # writer B interleaves a commit (the row A's carried set omits)
+    t.commit_with_manifest(
+        base_df.unionAll(
+            spark.createDataFrame([(1_000, "B")], "k long, v string")
+        ),
+        "k",
+        cluster_partitions=4,
+    )
+    # writer A's publish against the stale snapshot must fail, not drop B
+    new_rows = spark.createDataFrame([(2_000, "A")], "k long, v string")
+    with pytest.raises(SnapshotConflictError):
+        t.commit_with_manifest(
+            new_rows, "k", carried=carried, expected_base_version=v1
+        )
+    assert t.read(spark).filter(F.col("k") == 1_000).count() == 1
+
+
+def test_pruned_merge_retries_conflict_and_preserves_both_writers(
+    spark, tmp_path, monkeypatch
+):
+    """Inject a concurrent commit into the pruned merge's lost-update
+    window (after it reads the snapshot, before it publishes): the CAS
+    must fire, the retry must recompute, and BOTH writers' rows must
+    survive — the serial-equivalent outcome."""
+    from airflow_embeddings_pipeline_spark.operators import merge as merge_mod
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        SnapshotConflictError,
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "cas_merge")
+    t = VersionedParquetTable(path)
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(i, "base") for i in range(1_000)], "k long, v string"
+        ),
+        "k",
+        cluster_partitions=8,
+    )
+
+    real_entries = VersionedParquetTable.file_entries
+    fired = {"n": 0, "always": False}
+
+    def interleave(self, *a, **kw):
+        out = real_entries(self, *a, **kw)
+        if fired["n"] == 0 or fired["always"]:  # first read (or every, in
+            fired["n"] += 1                     # the exhaust phase) races
+            other = VersionedParquetTable(self.root)
+            man = other.manifest(other.current_version())
+            other.commit_with_manifest(
+                spark.createDataFrame([(5_000, "B")], "k long, v string"),
+                "k",
+                carried=man["files"],
+                expected_base_version=other.current_version(),
+            )
+        return out
+
+    monkeypatch.setattr(VersionedParquetTable, "file_entries", interleave)
+    stats = merge_mod.merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(0, "A-upd"), (6_000, "A-ins")],
+                              "k long, v string"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    assert fired["n"] == 1
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[5_000] == "B"      # interleaved writer survived
+    assert got[0] == "A-upd"      # merge's update survived
+    assert got[6_000] == "A-ins"  # merge's insert survived
+    assert stats["version"] == t.current_version()
+
+    # retries exhausted -> the conflict propagates
+    fired["always"] = True  # the injector now races EVERY snapshot read
+    with pytest.raises(SnapshotConflictError):
+        merge_mod.merge_upsert_write_pruned(
+            path,
+            spark.createDataFrame([(1, "C")], "k long, v string"),
+            "k",
+            vacuum_keep_last=None,
+            conflict_retries=1,
+        )
+
+
+def test_compact_cas_detects_interleaved_commit(spark, tmp_path, monkeypatch):
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        SnapshotConflictError,
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "cas_compact")
+    t = VersionedParquetTable(path)
+    for i in range(3):  # three tiny files -> compactable
+        df = spark.createDataFrame([(i, "x")], "k long, v string")
+        if i == 0:
+            t.commit_with_manifest(df, "k", cluster_partitions=1)
+        else:
+            man = t.manifest(t.current_version())
+            t.commit_with_manifest(
+                df, "k", carried=man["files"], cluster_partitions=1
+            )
+
+    real = VersionedParquetTable.manifest
+    state = {"done": False}
+
+    def racing_manifest(self, version):
+        out = real(self, version)
+        if not state["done"]:
+            state["done"] = True
+            other = VersionedParquetTable(self.root)
+            man = real(other, other.current_version())
+            other.commit_with_manifest(
+                spark.createDataFrame([(99, "race")], "k long, v string"),
+                "k",
+                carried=man["files"],
+            )
+        return out
+
+    monkeypatch.setattr(VersionedParquetTable, "manifest", racing_manifest)
+    with pytest.raises(SnapshotConflictError):
+        t.compact(spark, min_file_bytes=1 << 30)
+    # the interleaved row is intact and compact published nothing over it
+    assert t.read(spark).filter(F.col("k") == 99).count() == 1
+
+
+# -------------------------------------------------------- time travel
+def test_time_travel_by_version_and_timestamp(spark, tmp_path):
+    import time
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "tt")
+    t = VersionedParquetTable(path)
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(i, "v1") for i in range(10)], "k long, v string"
+        ),
+        "k",
+    )
+    ts1 = t.committed_at(1)
+    time.sleep(0.05)  # strictly-later wall time for the second commit
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(0, "v2"), (100, "v2")], "k long, v string"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    ts2 = t.committed_at(2)
+    assert ts2 > ts1
+
+    # by version: v1 is the pre-merge snapshot, untouched by v2
+    v1 = {r["k"]: r["v"] for r in t.read_version(spark, 1).collect()}
+    assert v1[0] == "v1" and 100 not in v1 and len(v1) == 10
+    # by timestamp: ts1 resolves to v1, ts2 (and later) to v2
+    as1 = {r["k"]: r["v"] for r in t.read_as_of(spark, ts1).collect()}
+    assert as1 == v1
+    as2 = {r["k"]: r["v"] for r in t.read_as_of(spark, ts2 + 1.0).collect()}
+    assert as2[0] == "v2" and as2[100] == "v2" and len(as2) == 11
+    # before the first retained commit: loud, never a later state
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        t.read_as_of(spark, ts1 - 10.0)
+
+
+def test_history_commit_log(spark, tmp_path):
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "hist")
+    t = VersionedParquetTable(path)
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(i, "x") for i in range(100)], "k long, v string"
+        ),
+        "k",
+        cluster_partitions=4,
+    )
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(1, "y")], "k long, v string"),
+        "k",
+        vacuum_keep_last=None,
+        app_metadata={"job": "nightly"},
+    )
+    h = t.history()
+    assert [e["version"] for e in h] == [2, 1]  # newest first
+    assert all(e["kind"] == "manifest" for e in h)
+    assert h[0]["n_rows"] == 100 and h[1]["n_rows"] == 100
+    assert h[0]["app_metadata"]["job"] == "nightly"
+    assert h[0]["committed_at"] >= h[1]["committed_at"]
+    # vacuumed history disappears from the log
+    t.vacuum(keep_last=1)
+    assert [e["version"] for e in t.history()] == [2]
+
+
+def test_committed_at_falls_back_to_marker_mtime(spark, tmp_path):
+    """Tables written before the marker carried a timestamp payload
+    (empty _COMMITTED file) still answer committed_at via mtime."""
+    import os
+
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        _COMMITTED,
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "legacy_marker")
+    t = VersionedParquetTable(path)
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    mpath = os.path.join(path, "v00000001", _COMMITTED)
+    open(mpath, "w").close()  # strip the payload, as an old writer left it
+    assert abs(t.committed_at(1) - os.path.getmtime(mpath)) < 1e-6
+    assert t.read_as_of(spark, t.committed_at(1)).count() == 1
