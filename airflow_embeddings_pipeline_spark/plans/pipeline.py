@@ -771,3 +771,108 @@ register(
         tags=("S4", "E3", "scale"),
     )
 )
+
+
+# -------------------------------------- streaming change data feed
+# The always-on consumer half of the CDC story: a Structured Streaming
+# SOURCE whose offsets are the table's commit versions and whose rows
+# are the per-commit net changes (Delta readChangeFeed-in-readStream
+# analog; the reference's Snowflake table stream IS this shape).  The
+# entry drives the same target-commit → pruned-MERGE as
+# s_table_changes, then drains the stream (AvailableNow) from
+# startingVersion=1 and returns the drained feed — oracled with the
+# SAME relational SQL as the batch feed, proving stream ≡ batch CDF.
+# Each micro-batch step reads only its commit's manifest file DIFF
+# (carried files never opened), so per-step read amplification is the
+# touched-file mass, never table size.
+def t_stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert_write_pruned
+    from ..sources.versioned import VersionedParquetTable
+    from ..sources.versioned_stream import read_changes_stream
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 97 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("double") * 2).alias("price"),
+        F.lit("UPD").alias("status"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 97 == 2).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0.0).alias("price"),
+        F.lit("DEL").alias("status"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 997 == 3).select(
+        (F.col("o_orderkey") + _PRUNED_INS_OFFSET).alias("k"),
+        (F.col("o_totalprice").cast("double") + 1.0).alias("price"),
+        F.lit("INS").alias("status"),
+    )
+    source = updates.unionAll(deletes).unionAll(inserts)
+
+    path = _scratch_dir("/tmp/spark_graft_stream_cdf", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    merge_upsert_write_pruned(
+        path, source, "k",
+        delete_when=F.col("s.status") == "DEL", vacuum_keep_last=None,
+    )
+
+    import os
+    import tempfile
+
+    qname = f"cdf_feed_{os.getpid()}"
+    q = (
+        read_changes_stream(spark, path, starting_version=1)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cdf_feed_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("k", "_change_type")
+
+
+register(
+    Query(
+        name="t_stream_table_changes",
+        build=t_stream_table_changes,
+        oracle=f"""
+        WITH target AS (
+            SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+                   o_orderstatus AS status
+            FROM orders
+        )
+        SELECT k, price, status, 'update_preimage' AS _change_type,
+               CAST(2 AS BIGINT) AS _commit_version
+        FROM target WHERE k % 97 = 1
+        UNION ALL
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) * 2 AS price,
+               'UPD' AS status, 'update_postimage', CAST(2 AS BIGINT)
+        FROM orders WHERE o_orderkey % 97 = 1
+        UNION ALL
+        SELECT k, price, status, 'delete', CAST(2 AS BIGINT)
+        FROM target WHERE k % 97 = 2
+        UNION ALL
+        SELECT o_orderkey + {_PRUNED_INS_OFFSET} AS k,
+               CAST(o_totalprice AS DOUBLE) + 1.0 AS price, 'INS' AS status,
+               'insert', CAST(2 AS BIGINT)
+        FROM orders WHERE o_orderkey % 997 = 3
+        ORDER BY k, _change_type
+        """,
+        doc=(
+            "streaming change data feed: custom Structured Streaming source "
+            "whose offsets are commit versions, each micro-batch step reading "
+            "only its commit's manifest file diff — drained feed oracled with "
+            "the batch CDF's relational SQL (stream ≡ batch; Snowflake "
+            "table-stream / Delta readChangeFeed analog, T4/S9 at 100 TB)"
+        ),
+        tags=("T4", "S9", "streaming", "scale"),
+    )
+)

@@ -1,0 +1,279 @@
+"""Streaming change-data-feed source over the versioned table (T4/S9).
+
+Delta's ``spark.readStream.format("delta").option("readChangeFeed",
+"true")`` analog: a Structured Streaming source whose offsets are the
+table's COMMIT VERSIONS and whose rows are the per-commit net changes
+(``insert`` / ``delete`` / ``update_preimage`` / ``update_postimage``
+with ``_commit_version``).  The reference consumes the same shape from
+Snowflake table streams (embeddings-pipeline.py:294-352); the batch
+export half lives in :meth:`VersionedParquetTable.changes_between` —
+this source is the always-on consumer half, checkpointed by Spark.
+
+Scale contract (same as the batch CDF): each micro-batch step reads
+ONLY the manifest file DIFF of its commit — files carried by reference
+through the pruned MERGE are never opened — so per-step read
+amplification is bounded by that commit's touched+appended file mass,
+never table size.  The parallelism axis is commit steps: a catch-up
+replay of N commits fans out N independent partitions.  Each partition
+materializes its step's diff in pandas; that is bounded by the same
+touched-file mass (a daily batch), which is exactly the design point —
+a commit that rewrote the whole table is a full-snapshot diff and
+should be exported with the batch API instead.
+
+Semantics notes:
+
+* the feed is PER-COMMIT, not netted across the micro-batch range
+  (Delta ``table_changes`` semantics); net-across-range is the batch
+  :meth:`changes_between`'s job.
+* rows rewritten byte-identical inside a touched file (compaction,
+  carried content) appear on both diff sides with equal values and are
+  dropped by the null-safe row comparison — maintenance commits emit
+  zero changes.
+* the source schema is fixed at stream start (current manifest schema
+  + the two meta columns).  A later commit whose schema adds columns
+  raises loudly in the reading partition — restart the stream with a
+  fresh checkpoint to pick up the evolved schema (Delta fails the same
+  way).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _read_pointer(root: str) -> int | None:
+    """Resolve the table's ``_CURRENT`` pointer (``v00000001`` form)
+    without importing the table class — the reader must stay
+    self-contained when shipped by value into the DataSource worker."""
+    try:
+        with open(os.path.join(root, "_CURRENT")) as fh:
+            name = fh.read().strip()
+    except OSError:
+        return None
+    if not (name.startswith("v") and name[1:].isdigit()):
+        return None
+    return int(name[1:])
+
+
+class _ChangeStep(InputPartition):
+    """One commit step's file diff: everything read() needs, resolved
+    driver-side from the two manifests (no table access in the worker
+    beyond the listed parquet files)."""
+
+    def __init__(
+        self,
+        removed: list[str],
+        added: list[str],
+        keys: list[str],
+        payload: list[str],
+        v_to: int,
+    ):
+        self.removed = removed
+        self.added = added
+        self.keys = keys
+        self.payload = payload
+        self.v_to = v_to
+
+
+def _eq_nullsafe(a, b) -> bool:
+    """Python-side eqNullSafe: None==None, NaN==NaN (a float column
+    holding NaN must not emit an update every commit)."""
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+    return a == b
+
+
+class VersionedChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.root = options["path"]
+        meta = {"_change_type", "_commit_version"}
+        self.fields = [f.name for f in schema.fields]
+        self.payload = [c for c in self.fields if c not in meta]
+        key_opt = options.get("key")
+        self.keys = key_opt.split(",") if key_opt else None
+        self.starting = options.get("startingversion")
+
+    # -- local manifest/pointer probes (the table contract is local fs)
+    def _current(self) -> int | None:
+        return _read_pointer(self.root)
+
+    def _manifest(self, v: int) -> dict | None:
+        try:
+            with open(
+                os.path.join(self.root, f"v{v:08d}", _MANIFEST)
+            ) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def initialOffset(self) -> dict:
+        if self.starting is not None:
+            # consumed through startingVersion: the first batch emits
+            # startingVersion+1's changes (Delta startingVersion is
+            # inclusive-of-changes; ours names the seeded snapshot)
+            return {"v": int(self.starting)}
+        return {"v": self._current() or 0}
+
+    def latestOffset(self) -> dict:
+        return {"v": self._current() or 0}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        out: list[InputPartition] = []
+        for v in range(start["v"] + 1, end["v"] + 1):
+            man_f = self._manifest(v - 1)
+            man_t = self._manifest(v)
+            if man_f is None or man_t is None:
+                raise RuntimeError(
+                    f"{self.root}: streaming CDF needs keyed manifests on "
+                    f"both sides of step v{v - 1}->v{v} (plain or vacuumed "
+                    "versions: export that range with the batch "
+                    "changes_between / re-seed the consumer)"
+                )
+            schema_t = StructType.fromJson(man_t["schema"])
+            if [f.name for f in schema_t.fields] != self.payload:
+                raise RuntimeError(
+                    f"{self.root}: schema changed at v{v} "
+                    f"({[f.name for f in schema_t.fields]} != "
+                    f"{self.payload}); restart the stream with a fresh "
+                    "checkpoint to adopt the evolved schema"
+                )
+            keys = self.keys or man_t.get("stats_columns") or [man_t["key"]]
+            if isinstance(keys, str):
+                keys = [keys]
+            pf = {e["path"] for e in man_f["files"]}
+            pt = {e["path"] for e in man_t["files"]}
+            out.append(
+                _ChangeStep(
+                    removed=[
+                        os.path.join(self.root, p) for p in sorted(pf - pt)
+                    ],
+                    added=[
+                        os.path.join(self.root, p) for p in sorted(pt - pf)
+                    ],
+                    keys=list(keys),
+                    payload=self.payload,
+                    v_to=v,
+                )
+            )
+        return out or [_ChangeStep([], [], [], self.payload, end["v"])]
+
+    def read(self, partition: _ChangeStep) -> Iterator[tuple]:
+        if not partition.removed and not partition.added:
+            return
+        import pyarrow.parquet as pq
+
+        def rows(paths: list[str]) -> dict[tuple, dict]:
+            got: dict[tuple, dict] = {}
+            for p in paths:
+                for row in pq.read_table(
+                    p, columns=None
+                ).to_pylist():
+                    k = tuple(row.get(c) for c in partition.keys)
+                    got[k] = row
+            return got
+
+        old = rows(partition.removed)
+        new = rows(partition.added)
+        vals = [c for c in partition.payload if c not in partition.keys]
+
+        def out(row: dict, ctype: str) -> tuple:
+            return tuple(
+                [row.get(c) for c in partition.payload]
+                + [ctype, partition.v_to]
+            )
+
+        for k in sorted(set(old) | set(new), key=lambda t: tuple(map(str, t))):
+            o, n = old.get(k), new.get(k)
+            if o is None:
+                yield out(n, "insert")
+            elif n is None:
+                yield out(o, "delete")
+            elif not all(_eq_nullsafe(o.get(c), n.get(c)) for c in vals):
+                yield out(o, "update_preimage")
+                yield out(n, "update_postimage")
+            # equal rows: rewritten-unchanged content, not a change
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in Spark's checkpoint, nothing external
+
+
+class VersionedChangesDataSource(DataSource):
+    """``spark.readStream.format("versioned_changes").option("path",
+    root)`` — options: ``path`` (table root, required), ``key``
+    (comma-separated key columns; default = manifest key /
+    stats_columns), ``startingVersion`` (emit changes AFTER this
+    committed snapshot; default = table head at stream start, i.e.
+    only new commits)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_changes"
+
+    def schema(self) -> StructType:
+        root = self.options["path"]
+        try:
+            v = _read_pointer(root)
+            if v is None:
+                raise FileNotFoundError("no _CURRENT pointer")
+            with open(os.path.join(root, f"v{v:08d}", _MANIFEST)) as fh:
+                man = json.load(fh)
+        except (FileNotFoundError, ValueError) as e:
+            raise ValueError(
+                f"{root}: streaming CDF needs a committed keyed manifest "
+                "version to derive the feed schema"
+            ) from e
+        base = StructType.fromJson(man["schema"])
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_version", LongType(), False),
+            ]
+        )
+
+    def streamReader(self, schema: StructType) -> VersionedChangesStreamReader:
+        return VersionedChangesStreamReader(schema, self.options)
+
+
+def register_versioned_changes(spark) -> None:
+    """Idempotent per-session registration (ships this module by value
+    into the DataSource worker — same rationale as the document store:
+    the worker process does not inherit the driver's in-process
+    sys.path mutations)."""
+    if not getattr(spark, "_versioned_changes_registered", False):
+        try:
+            from pyspark import cloudpickle
+
+            import airflow_embeddings_pipeline_spark.sources.versioned_stream as _m
+
+            cloudpickle.register_pickle_by_value(_m)
+        except Exception:
+            pass
+        spark.dataSource.register(VersionedChangesDataSource)
+        spark._versioned_changes_registered = True
+
+
+def read_changes_stream(spark, path: str, *, starting_version: int | None = None):
+    """Convenience: a streaming DataFrame of the table's change feed."""
+    register_versioned_changes(spark)
+    r = spark.readStream.format("versioned_changes").option("path", path)
+    if starting_version is not None:
+        r = r.option("startingVersion", str(starting_version))
+    return r.load()

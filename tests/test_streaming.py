@@ -3,6 +3,8 @@ event-time windowed aggregation (T5 capability)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -371,3 +373,178 @@ def test_document_store_stream_reads_only_appended_blocks(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     assert {r["doc_id"] for r in rows} == {1, 2, 3, 4, 5}
     assert len(rows) == 5  # nothing re-read, nothing duplicated
+
+
+# --------------------------------------- streaming change data feed
+def _cdf_table(spark, tmp_path, name="cdf_t"):
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    root = str(tmp_path / name)
+    t = VersionedParquetTable(root)
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(i, float(i), "base") for i in range(1_000)],
+            "k long, price double, status string",
+        ),
+        "k",
+        cluster_partitions=4,
+    )
+    return root, t
+
+
+def _drain(spark, stream, tmp_path, qname):
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+def test_stream_cdf_matches_batch_cdf(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    root, t = _cdf_table(spark, tmp_path)
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(1, 99.0, "UPD"), (2, 0.0, "DEL"), (5_000, 1.0, "INS")],
+            "k long, price double, status string",
+        ),
+        "k",
+        delete_when=F.col("s.status") == "DEL",
+        vacuum_keep_last=None,
+    )
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(3, 33.0, "UPD2")], "k long, price double, status string"
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    got = _drain(
+        spark,
+        read_changes_stream(spark, root, starting_version=1),
+        tmp_path,
+        "cdf_match",
+    )
+    exp = t.changes_between(spark, 1, 2).unionAll(
+        t.changes_between(spark, 2, 3)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+    # per-commit attribution survives (not netted across the range)
+    assert got.filter(
+        (F.col("k") == 3) & (F.col("_commit_version") == 3)
+    ).count() == 2  # pre+post image
+
+
+def test_stream_cdf_default_start_is_head_and_maintenance_is_silent(
+    spark, tmp_path
+):
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    root, t = _cdf_table(spark, tmp_path, "cdf_head")
+    # default start = current head: the seed snapshot is NOT replayed
+    got = _drain(
+        spark, read_changes_stream(spark, root), tmp_path, "cdf_head_q"
+    )
+    assert got.count() == 0
+    # a compaction rewrites bytes but nets no row changes -> silent feed
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(7, 7.5, "x")], "k long, price double, status string"
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    t.compact(spark, min_file_bytes=1 << 30)
+    got2 = _drain(
+        spark,
+        read_changes_stream(spark, root, starting_version=2),
+        tmp_path,
+        "cdf_maint_q",
+    )
+    assert t.current_version() == 3  # compact committed
+    assert got2.count() == 0  # rewritten-unchanged rows are not changes
+
+
+def test_stream_cdf_schema_change_fails_loud(spark, tmp_path):
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    root, t = _cdf_table(spark, tmp_path, "cdf_evolve")
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(1, 1.0, "u", "extra")],
+            "k long, price double, status string, note string",
+        ),
+        "k",
+        schema_evolution=True,
+        vacuum_keep_last=None,
+    )
+    # a stream STARTED after the evolution adopts the evolved schema;
+    # the pre-image side reads the absent column as NULL (same rule as
+    # batch changes_between)
+    got = _drain(
+        spark,
+        read_changes_stream(spark, root, starting_version=1),
+        tmp_path,
+        "cdf_evolve_q",
+    )
+    pre = got.filter(F.col("_change_type") == "update_preimage").collect()
+    post = got.filter(F.col("_change_type") == "update_postimage").collect()
+    assert len(pre) == 1 and pre[0]["note"] is None
+    assert len(post) == 1 and post[0]["note"] == "extra"
+
+    # a reader still DECLARED against the pre-evolution schema must not
+    # silently drop the new column — its next step fails loudly
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    old_decl = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("price", DoubleType()),
+            StructField("status", StringType()),
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+        ]
+    )
+    reader = VersionedChangesStreamReader(old_decl, {"path": root})
+    with pytest.raises(RuntimeError, match="schema changed"):
+        reader.partitions({"v": 1}, {"v": 2})
