@@ -73,6 +73,26 @@ def main() -> None:
         timings[name] = round(sorted(runs)[1], 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # Host-speed probe: rounds run on different VMs and the observed
+    # machine-level variance is large (r7 measured a uniform 1.4-1.8x
+    # slowdown vs r6 on queries untouched for rounds, idle host both
+    # times).  Two single-core probes — a pure-Python loop (driver-side
+    # speed) and a numpy matmul (BLAS/SIMD speed) — let round-over-round
+    # comparisons separate host drift from plan regressions: if the
+    # headline moved but headline/host_probe did not, the host moved.
+    import numpy as _np
+
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    py_probe = round(time.perf_counter() - t0, 3)
+    a = _np.random.default_rng(0).standard_normal((1200, 1200))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = a @ a * 1e-3
+    np_probe = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -82,6 +102,8 @@ def main() -> None:
                 "queries": timings,
                 "headline_queries": headline,
                 "full_suite_wall_sec": round(sum(timings.values()), 3),
+                "host_probe_py_sec": py_probe,
+                "host_probe_np_sec": np_probe,
                 "sf": sf,
             }
         )

@@ -1,0 +1,188 @@
+"""Concurrent-writer stress on the versioned table's optimistic
+concurrency: W threads × B pruned merges each race one table, and the
+final state must equal the SERIAL application of all batches.
+
+What this proves (the Delta ConcurrentModificationException contract):
+
+* the commit LOCK serializes pointer swaps — a contender that finds a
+  live holder raises ``ConcurrentCommitError`` and retries here with
+  backoff (same-process threads share a pid, so the stale-steal path
+  never fires; the raise-and-retry is the intended shape);
+* the CAS (``expected_base_version``) closes the lost-update window the
+  lock cannot: a merge that read snapshot v and lost the race to
+  publish first gets ``SnapshotConflictError`` and RECOMPUTES against
+  the new head (``conflict_retries``) instead of silently dropping the
+  winner's rows;
+* because every batch's keys are disjoint per thread, the serial-
+  equivalent final state is order-independent and exactly checkable.
+
+Usage: python tools/stress_concurrent_merge.py [rows] [threads] [batches]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_threads = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from airflow_embeddings_pipeline_spark.operators import merge as merge_mod
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        ConcurrentCommitError,
+        SnapshotConflictError,
+        VersionedParquetTable,
+    )
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.scheduler.mode", "FAIR")
+        .appName("stress-concurrent-merge")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="conc_merge_")
+    table = VersionedParquetTable(root)
+    base = spark.range(rows).select(
+        F.col("id").alias("k"),
+        F.lit("base").alias("v"),
+        F.lit(0).cast("long").alias("gen"),
+    )
+    table.commit_with_manifest(base, "k", cluster_partitions=32)
+
+    # telemetry: count CAS conflicts by wrapping the attempt fn
+    counters = {"cas_conflicts": 0, "lock_busy": 0}
+    clock = threading.Lock()
+    real_attempt = merge_mod._pruned_merge_attempt
+
+    def counting_attempt(*a, **kw):
+        try:
+            return real_attempt(*a, **kw)
+        except SnapshotConflictError:
+            with clock:
+                counters["cas_conflicts"] += 1
+            raise
+
+    merge_mod._pruned_merge_attempt = counting_attempt
+
+    errors: list[str] = []
+
+    def worker(t: int) -> None:
+        for b in range(n_batches):
+            # disjoint per-thread keys: update k ≡ t (mod threads),
+            # sampled sparsely; insert a per-(thread, batch) range
+            upd = spark.range(rows).filter(
+                (F.col("id") % n_threads == t) & (F.col("id") % 403 == 0)
+            ).select(
+                F.col("id").alias("k"),
+                F.lit(f"t{t}b{b}").alias("v"),
+                F.lit(b + 1).cast("long").alias("gen"),
+            )
+            ins_lo = rows + (t * n_batches + b) * 1_000
+            ins = spark.range(ins_lo, ins_lo + 1_000).select(
+                F.col("id").alias("k"),
+                F.lit(f"ins-t{t}b{b}").alias("v"),
+                F.lit(b + 1).cast("long").alias("gen"),
+            )
+            batch = upd.unionAll(ins)
+            for attempt in range(200):
+                try:
+                    merge_mod.merge_upsert_write_pruned(
+                        root, batch, "k",
+                        vacuum_keep_last=None,
+                        conflict_retries=50,
+                    )
+                    break
+                except SnapshotConflictError:
+                    # conflict_retries exhausted mid-storm: back off, retry
+                    time.sleep(0.05 * (attempt + 1))
+                except ConcurrentCommitError:
+                    with clock:
+                        counters["lock_busy"] += 1
+                    time.sleep(0.02 * (attempt % 10 + 1))
+            else:
+                errors.append(f"thread {t} batch {b}: never committed")
+                return
+
+    t0 = time.time()
+    threads = [
+        threading.Thread(target=worker, args=(t,)) for t in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.time() - t0
+    merge_mod._pruned_merge_attempt = real_attempt
+    if errors:
+        print(json.dumps({"ok": False, "errors": errors}))
+        return 1
+
+    # serial-equivalent expectation: last batch per thread wins its keys
+    expected = spark.range(rows).select(
+        F.col("id").alias("k"),
+        F.when(
+            F.col("id") % 403 == 0,
+            F.concat(F.lit("t"), (F.col("id") % n_threads).cast("string"),
+                     F.lit(f"b{n_batches - 1}")),
+        ).otherwise("base").alias("v"),
+        F.when(F.col("id") % 403 == 0, n_batches).otherwise(0)
+        .cast("long").alias("gen"),
+    )
+    ins_all = spark.range(
+        rows, rows + n_threads * n_batches * 1_000
+    ).select(
+        F.col("id").alias("k"),
+        F.concat(
+            F.lit("ins-t"),
+            F.floor((F.col("id") - rows) / (n_batches * 1_000)).cast("string"),
+            F.lit("b"),
+            (F.floor((F.col("id") - rows) / 1_000) % n_batches).cast("string"),
+        ).alias("v"),
+        ((F.floor((F.col("id") - rows) / 1_000) % n_batches) + 1)
+        .cast("long").alias("gen"),
+    )
+    expected = expected.unionAll(ins_all)
+
+    got = table.read(spark)
+    n_got, n_exp = got.count(), expected.count()
+    diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    out = {
+        "metric": "concurrent_merge_serializability",
+        "rows": rows,
+        "threads": n_threads,
+        "batches_per_thread": n_batches,
+        "commits": table.current_version(),
+        "cas_conflicts": counters["cas_conflicts"],
+        "lock_busy": counters["lock_busy"],
+        "rows_final": n_got,
+        "rows_expected": n_exp,
+        "diff_rows": diff,
+        "serial_equivalent": diff == 0 and n_got == n_exp,
+        "wall_s": round(wall, 1),
+    }
+    print(json.dumps(out))
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return 0 if out["serial_equivalent"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
