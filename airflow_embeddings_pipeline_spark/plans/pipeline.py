@@ -876,3 +876,63 @@ register(
         tags=("T4", "S9", "streaming", "scale"),
     )
 )
+
+
+# ------------------------------------------------------------ restore
+# RESTORE TABLE ... TO VERSION AS OF as a new commit: zero-copy (the
+# restore manifest carries the target version's files by reference —
+# one manifest write regardless of table size), history-preserving
+# (the rolled-back commits stay time-travelable until vacuum), and
+# CDC-visible (the feed emits the net UNDO diff, so replicas converge
+# through the same pipe).  The entry seeds v1, pruned-merges a "bad"
+# v2, restores to v1, and returns the LIVE read — the oracle is the
+# plain v1 state, proving the rollback is exact.
+def s_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert_write_pruned
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    bad = orders.filter(F.col("o_orderkey") % 97 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(-1.0).alias("price"),
+        F.lit("BAD").alias("status"),
+    ).unionAll(
+        orders.filter(F.col("o_orderkey") % 997 == 3).select(
+            (F.col("o_orderkey") + _PRUNED_INS_OFFSET).alias("k"),
+            F.lit(-2.0).alias("price"),
+            F.lit("BAD-INS").alias("status"),
+        )
+    )
+    path = _scratch_dir("/tmp/spark_graft_restore", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    merge_upsert_write_pruned(path, bad, "k", vacuum_keep_last=None)
+    table.restore(spark, 1)
+    return table.read(spark).orderBy("k")
+
+
+register(
+    Query(
+        name="s_restore",
+        build=s_restore,
+        oracle="""
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderstatus AS status
+        FROM orders
+        ORDER BY k
+        """,
+        doc=(
+            "RESTORE to a prior version as a new zero-copy commit (manifest "
+            "carries the target's files by reference — one manifest write at "
+            "any table size); live read-back oracled against the pre-bad-merge "
+            "state; rollback diff rides the CDC feed (Delta RESTORE analog, "
+            "S4/E3/S9)"
+        ),
+        tags=("S4", "E3", "S9", "scale"),
+    )
+)

@@ -475,6 +475,56 @@ class VersionedParquetTable:
             out.append(entry)
         return out
 
+    def restore(self, spark: SparkSession, version: int) -> int:
+        """Roll the table back to a prior committed version as a NEW
+        commit (Delta ``RESTORE TABLE ... TO VERSION AS OF`` analog) —
+        history is preserved (the rolled-back commits stay
+        time-travelable until vacuum) and downstream CDC consumers see
+        the restore as an ordinary commit whose change feed is the NET
+        UNDO diff (``changes_between(bad, restored)`` emits exactly the
+        rows that revert the bad commits; the streaming CDF source
+        replays the same).
+
+        Zero-copy when ``version`` has a keyed manifest: the new commit
+        carries that manifest's files BY REFERENCE — no data is read or
+        rewritten, the restore costs one manifest write regardless of
+        table size (the 100 TB property).  A plain full-directory
+        version restores by re-committing its rows (one rewrite —
+        unavoidable: plain files can't be referenced).  The commit
+        CASes on the head observed here, so a racing writer turns the
+        restore into a loud :class:`SnapshotConflictError` rather than
+        a silent interleave.  ``app_metadata`` records
+        ``restored_from``; a restore to the current version is a no-op.
+        """
+        cur = self.current_version()
+        if version == cur:
+            return cur
+        if version not in self.versions():
+            raise FileNotFoundError(
+                f"version {version} not available (never committed or vacuumed)"
+            )
+        man = self.manifest(version)
+        if man is None:
+            return self.commit(
+                self.read_version(spark, version),
+                expected_base_version=cur,
+            )
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(man["schema"])
+        empty = spark.createDataFrame([], schema)
+        meta = dict(man.get("app_metadata") or {})
+        meta["restored_from"] = version
+        return self.commit_with_manifest(
+            empty,
+            man["key"],
+            carried=man["files"],
+            cluster_partitions=1,
+            stats_columns=man.get("stats_columns"),
+            app_metadata=meta,
+            expected_base_version=cur,
+        )
+
     # ----------------------------------------------------------- commit
     def _write_marker(self, vdir: str) -> None:
         """Stamp the ``_COMMITTED`` marker with the commit wall time
@@ -1221,11 +1271,23 @@ class VersionedParquetTable:
         return self.changes_between(spark, v_from, cur, key=key)
 
     # ----------------------------------------------------------- vacuum
-    def vacuum(self, keep_last: int = 2) -> list[int]:
+    def vacuum(
+        self, keep_last: int = 2, *, retain_seconds: float | None = None
+    ) -> list[int]:
         """Reclaim crash orphans (version dirs without a ``_COMMITTED``
         marker that are not current) and all but the newest
         ``keep_last - 1`` previously-live versions below the current
         one.  Never touches legacy files.
+
+        ``retain_seconds`` EXTENDS retention by time (Delta's
+        ``DATA_RETENTION`` / ``VACUUM ... RETAIN N HOURS`` analog; the
+        reference relies on Snowflake's
+        ``DATA_RETENTION_TIME_IN_DAYS``): any version committed within
+        the window also survives, so time travel / ``read_as_of`` /
+        CDC catch-up is guaranteed a floor measured in wall time, not
+        in commit count (commit count is the wrong unit on a table
+        whose daily merge count varies).  The two retention rules
+        compose as a UNION — vacuum only ever keeps more, never less.
 
         Manifest-aware: a kept version's manifest may reference data
         files BY REFERENCE inside older (non-kept) version directories
@@ -1246,6 +1308,13 @@ class VersionedParquetTable:
         ]
         keep = {current}
         keep.update(committed_older[-(keep_last - 1):] if keep_last > 1 else [])
+        if retain_seconds is not None:
+            import time
+
+            cutoff = time.time() - retain_seconds
+            keep.update(
+                v for v in committed_older if self.committed_at(v) >= cutoff
+            )
         referenced: set[str] = set()  # relpaths from kept manifests
         for v in keep:
             man = self.manifest(v)

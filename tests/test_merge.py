@@ -1744,3 +1744,82 @@ def test_committed_at_falls_back_to_marker_mtime(spark, tmp_path):
     open(mpath, "w").close()  # strip the payload, as an old writer left it
     assert abs(t.committed_at(1) - os.path.getmtime(mpath)) < 1e-6
     assert t.read_as_of(spark, t.committed_at(1)).count() == 1
+
+
+# ------------------------------------------------------------ restore
+def test_restore_is_zero_copy_and_cdc_visible(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "restore")
+    t = VersionedParquetTable(path)
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(i, "good") for i in range(500)], "k long, v string"
+        ),
+        "k",
+        cluster_partitions=4,
+    )
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame(
+            [(1, "BAD"), (9_999, "BAD-INS")], "k long, v string"
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    v3 = t.restore(spark, 1)
+    assert v3 == 3
+    # restored state == v1 exactly
+    assert sorted(map(tuple, t.read(spark).collect())) == sorted(
+        map(tuple, t.read_version(spark, 1).collect())
+    )
+    # zero-copy: the restore commit wrote no data files — every manifest
+    # entry points at a PRIOR version directory
+    man = t.manifest(3)
+    assert man["files"] and all(
+        not e["path"].startswith("v00000003") for e in man["files"]
+    )
+    assert t.app_metadata_of()["restored_from"] == 1
+    # CDC sees the restore as the net UNDO of the bad commit
+    undo = {
+        (r["k"], r["_change_type"])
+        for r in t.changes_between(spark, 2, 3).collect()
+    }
+    assert (9_999, "delete") in undo
+    assert (1, "update_postimage") in undo
+    # history is preserved: the bad version stays time-travelable
+    assert t.read_version(spark, 2).filter(F.col("v") == "BAD").count() == 1
+    # restore to current is a no-op
+    assert t.restore(spark, 3) == 3
+    # vacuumed target raises loudly
+    t.vacuum(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        t.restore(spark, 2)
+
+
+def test_vacuum_retain_seconds_extends_retention(spark, tmp_path):
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "vac_time")
+    t = VersionedParquetTable(path)
+    for i in range(4):
+        t.commit(
+            spark.createDataFrame([(i, "x")], "k long, v string")
+        )
+    # keep_last=1 alone would drop v1-v3; a generous time window keeps all
+    dropped = t.vacuum(keep_last=1, retain_seconds=3600.0)
+    assert dropped == []
+    assert t.versions() == [1, 2, 3, 4]
+    # a zero-width window falls back to pure keep_last
+    dropped = t.vacuum(keep_last=2, retain_seconds=0.0)
+    assert dropped == [1, 2]
+    assert t.versions() == [3, 4]
