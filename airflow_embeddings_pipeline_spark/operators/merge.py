@@ -672,3 +672,89 @@ def sync_replica(
         )
     feed = primary.changes_since(spark, w)
     return apply_changes(replica_path, feed, key, **apply_kwargs)
+
+
+def sync_replica_stream(
+    spark,
+    primary_path: str,
+    replica_path: str,
+    key: str | Sequence[str],
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **apply_kwargs,
+):
+    """Always-on CDC replication: the versioned table's STREAMING change
+    feed (:func:`~..sources.versioned_stream.read_changes_stream`)
+    driven through ``foreachBatch`` → :func:`apply_changes` — the
+    continuous counterpart of the batch :func:`sync_replica` loop
+    (Delta `readChangeFeed` → `MERGE` streaming pipeline; the reference
+    runs the same shape as a Snowflake task over a table stream).
+
+    Returns the started ``StreamingQuery`` (``available_now=True``
+    drains the backlog and stops — the scheduled-consumer shape;
+    ``False`` keeps it running on the default processing-time trigger).
+
+    Exactly-once state under BOTH progress trackers: Spark's checkpoint
+    decides which commit steps re-run after a restart, and the
+    replica's ``cdc_last_applied_version`` app-metadata watermark
+    (recorded atomically with every applied batch) makes any replay a
+    content no-op — so even LOSING the checkpoint is safe: restart with
+    a fresh checkpoint dir and the stream re-seeds its
+    ``startingVersion`` from the replica's own durable watermark,
+    replays at-least-once, and converges (the stress harness injects
+    exactly this fault).  An unseeded replica raises, same as the batch
+    consumer.
+    """
+    from ..sources.versioned import VersionedParquetTable
+    from ..sources.versioned_stream import read_changes_stream
+
+    w = (
+        VersionedParquetTable(replica_path)
+        .app_metadata_of()
+        .get("cdc_last_applied_version")
+    )
+    if w is None:
+        raise ValueError(
+            f"{replica_path}: no cdc_last_applied_version in app_metadata "
+            "— seed the replica from a primary snapshot and record the "
+            "snapshot version before syncing"
+        )
+
+    keys = _as_keys(key)
+
+    def _apply(batch_df, _epoch_id):
+        # A catch-up micro-batch spans MULTIPLE commits, and the
+        # streaming feed is per-commit — a key can appear several times
+        # (e.g. inserted in one commit, deleted in the next).  One
+        # merge cannot apply a multi-row-per-key source, so NET the
+        # batch to each key's LATEST change first (exactly what the
+        # batch changes_since export does across its range): the
+        # highest _commit_version row per key is the key's end state
+        # relative to the batch start.  One pruned merge per
+        # micro-batch regardless of how many commits it caught up.
+        from pyspark.sql import Window
+
+        acts = batch_df.filter(
+            F.col("_change_type").isin(
+                "insert", "update_postimage", "delete"
+            )
+        )
+        w_last = Window.partitionBy(*keys).orderBy(
+            F.col("_commit_version").desc()
+        )
+        net = (
+            acts.withColumn("_rn", F.row_number().over(w_last))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        apply_changes(replica_path, net, key, **apply_kwargs)
+
+    stream = read_changes_stream(spark, primary_path, starting_version=int(w))
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

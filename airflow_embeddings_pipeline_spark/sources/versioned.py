@@ -72,6 +72,21 @@ class SnapshotConflictError(ConcurrentCommitError):
         self.actual = actual
 
 
+class ConstraintViolationError(RuntimeError):
+    """A table CHECK constraint rejected a commit.  Nothing was
+    published — the half-written version directory is an orphan above
+    the pointer, reclaimed by the next commit's reconcile or vacuum."""
+
+    def __init__(self, name: str, expr: str, n_violations: int):
+        super().__init__(
+            f"constraint {name!r} ({expr}) violated by {n_violations} "
+            "row(s); commit aborted, nothing published"
+        )
+        self.name = name
+        self.expr = expr
+        self.n_violations = n_violations
+
+
 # sentinel: "no CAS requested" (None is a real value — the empty table)
 _NO_CAS = object()
 
@@ -525,6 +540,68 @@ class VersionedParquetTable:
             expected_base_version=cur,
         )
 
+    # ------------------------------------------------------ constraints
+    def constraints_of(self, version: int | None = None) -> dict:
+        """The CHECK constraints recorded in a version's manifest
+        (live version by default); ``{}`` for plain versions."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return {}
+        return (self.manifest(v) or {}).get("constraints") or {}
+
+    def _metadata_commit(self, spark: SparkSession, constraints: dict) -> int:
+        """Zero-copy commit that changes only the constraint set (all
+        data files carried by reference; same shape as restore)."""
+        from pyspark.sql.types import StructType
+
+        cur = self.current_version()
+        man = self.manifest(cur) if cur is not None else None
+        if man is None:
+            raise ValueError(
+                f"{self.root}: constraints need a committed keyed manifest "
+                "version (adopt the table with commit_with_manifest first)"
+            )
+        empty = spark.createDataFrame([], StructType.fromJson(man["schema"]))
+        return self.commit_with_manifest(
+            empty,
+            man["key"],
+            carried=man["files"],
+            cluster_partitions=1,
+            stats_columns=man.get("stats_columns"),
+            app_metadata=man.get("app_metadata"),
+            constraints=constraints,
+            expected_base_version=cur,
+        )
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """Add a table CHECK constraint (Delta ``ALTER TABLE ... ADD
+        CONSTRAINT`` analog): EXISTING rows are vetted first (one scan —
+        the unavoidable Delta-parity cost, paid once at add time), then
+        the constraint lands in the manifest via a zero-copy metadata
+        commit.  Every later commit enforces it on its new files only
+        and propagates it; violation aborts the commit pre-publish.
+        SQL CHECK semantics: only a literally-FALSE row violates."""
+        from pyspark.sql import functions as F
+
+        n_bad = (
+            self.read(spark)
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .count()
+        )
+        if n_bad:
+            raise ConstraintViolationError(name, expr, n_bad)
+        new = dict(self.constraints_of())
+        new[name] = expr
+        return self._metadata_commit(spark, new)
+
+    def drop_constraint(self, spark: SparkSession, name: str) -> int:
+        """Remove a CHECK constraint via a zero-copy metadata commit."""
+        cur = dict(self.constraints_of())
+        if name not in cur:
+            raise KeyError(f"no constraint named {name!r}")
+        del cur[name]
+        return self._metadata_commit(spark, cur)
+
     # ----------------------------------------------------------- commit
     def _write_marker(self, vdir: str) -> None:
         """Stamp the ``_COMMITTED`` marker with the commit wall time
@@ -591,6 +668,7 @@ class VersionedParquetTable:
         stats_columns: list | tuple | None = None,
         app_metadata: dict | None = None,
         expected_base_version=_NO_CAS,
+        constraints: dict | None = None,
     ) -> int:
         """Commit ``df``'s rows as NEW data files plus ``carried``
         prior-version file entries BY REFERENCE, under one manifest.
@@ -650,6 +728,20 @@ class VersionedParquetTable:
         insert against a later delete into NOTHING, silently diverging
         the replica (observed in tools/stress_cdc_replication.py before
         this field existed).  Read back via :meth:`app_metadata_of`.
+
+        ``constraints`` — table CHECK constraints ``{name: sql_expr}``
+        recorded in the manifest and enforced on every commit's NEW
+        data files only (the carried files passed their commit's check
+        when they were written — delta-scale enforcement, the property
+        that keeps a daily commit's check cost proportional to the
+        batch, not 100 TB).  ``None`` inherits the live manifest's
+        constraints (the default — constraints persist like Delta table
+        properties); pass ``{}`` to drop them, or use
+        :meth:`add_constraint` / :meth:`drop_constraint` which also
+        vet EXISTING data.  SQL semantics: a row violates only when the
+        expression is literally FALSE (NULL passes, standard CHECK).
+        Violation ⇒ :class:`ConstraintViolationError` BEFORE the marker
+        and pointer — nothing becomes visible.
         """
         from pyspark.sql import functions as F
 
@@ -717,6 +809,19 @@ class VersionedParquetTable:
             new_entries = scan_file_stats(
                 vdir, key, relative_to=self.root, extra_columns=extras
             )
+            if constraints is None:
+                prior_man = self.manifest(cur) if cur is not None else None
+                constraints = (prior_man or {}).get("constraints") or {}
+            if constraints and new_entries:
+                checked = df.sparkSession.read.schema(df.schema).parquet(
+                    *[os.path.join(self.root, e["path"]) for e in new_entries]
+                )
+                for cname, cexpr in constraints.items():
+                    n_bad = checked.filter(
+                        ~F.coalesce(F.expr(cexpr), F.lit(True))
+                    ).count()
+                    if n_bad:
+                        raise ConstraintViolationError(cname, cexpr, n_bad)
             man = {
                 "key": key,
                 "schema": df.schema.jsonValue(),
@@ -724,6 +829,8 @@ class VersionedParquetTable:
             }
             if extras:
                 man["stats_columns"] = [key, *extras]
+            if constraints:
+                man["constraints"] = dict(constraints)
             if app_metadata:
                 man["app_metadata"] = dict(app_metadata)
             tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")

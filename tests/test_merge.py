@@ -1823,3 +1823,79 @@ def test_vacuum_retain_seconds_extends_retention(spark, tmp_path):
     dropped = t.vacuum(keep_last=2, retain_seconds=0.0)
     assert dropped == [1, 2]
     assert t.versions() == [3, 4]
+
+
+# -------------------------------------------------------- constraints
+def test_check_constraints_enforced_and_propagated(spark, tmp_path):
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        ConstraintViolationError,
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "constraints")
+    t = VersionedParquetTable(path)
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, price double"
+        ),
+        "k",
+        cluster_partitions=4,
+    )
+    v = t.add_constraint(spark, "price_nonneg", "price >= 0")
+    assert v == 2 and t.constraints_of() == {"price_nonneg": "price >= 0"}
+    # the metadata commit was zero-copy
+    assert all(
+        not e["path"].startswith("v00000002")
+        for e in t.manifest(2)["files"]
+    )
+
+    # a violating pruned MERGE is rejected pre-publish (constraint
+    # inherited from the manifest, enforced on the commit's new files)
+    with pytest.raises(ConstraintViolationError) as ei:
+        merge_upsert_write_pruned(
+            path,
+            spark.createDataFrame([(5, -1.0)], "k long, price double"),
+            "k",
+            vacuum_keep_last=None,
+        )
+    assert ei.value.name == "price_nonneg" and ei.value.n_violations >= 1
+    assert t.current_version() == 2  # nothing published
+    assert t.read(spark).filter("price < 0").count() == 0
+
+    # a clean merge passes and the constraint persists in the new manifest
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(5, 55.0)], "k long, price double"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    assert t.constraints_of() == {"price_nonneg": "price >= 0"}
+
+    # NULL passes (SQL CHECK), explicit False fails
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(6, None)], "k long, price double"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    assert t.read(spark).filter("k = 6").collect()[0]["price"] is None
+
+    # adding a constraint the EXISTING data violates is refused
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint(spark, "small", "k < 10")
+    # drop works; unknown name is loud
+    t.drop_constraint(spark, "price_nonneg")
+    assert t.constraints_of() == {}
+    with pytest.raises(KeyError):
+        t.drop_constraint(spark, "nope")
+    # dropped means a violating commit now passes
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(7, -9.0)], "k long, price double"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    assert t.read(spark).filter("price < 0").count() == 1

@@ -548,3 +548,99 @@ def test_stream_cdf_schema_change_fails_loud(spark, tmp_path):
     reader = VersionedChangesStreamReader(old_decl, {"path": root})
     with pytest.raises(RuntimeError, match="schema changed"):
         reader.partitions({"v": 1}, {"v": 2})
+
+
+def test_stream_replication_converges_and_survives_checkpoint_loss(
+    spark, tmp_path
+):
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+        sync_replica_stream,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    p_path = str(tmp_path / "sr_primary")
+    r_path = str(tmp_path / "sr_replica")
+    base = spark.createDataFrame(
+        [(i, float(i), "base") for i in range(1_000)],
+        "k long, price double, status string",
+    )
+    primary = VersionedParquetTable(p_path)
+    primary.commit_with_manifest(base, "k", cluster_partitions=4)
+    replica = VersionedParquetTable(r_path)
+    replica.commit_with_manifest(
+        base, "k", cluster_partitions=4,
+        app_metadata={"cdc_last_applied_version": 1},
+    )
+
+    def drain(ckpt):
+        q = sync_replica_stream(
+            spark, p_path, r_path, "k",
+            checkpoint_dir=str(tmp_path / ckpt), vacuum_keep_last=None,
+        )
+        q.awaitTermination()
+
+    def same():
+        return sorted(map(tuple, replica.read(spark).collect())) == sorted(
+            map(tuple, primary.read(spark).collect())
+        )
+
+    merge_upsert_write_pruned(
+        p_path,
+        spark.createDataFrame(
+            [(1, 11.0, "u1"), (2_000, 1.0, "i1")],
+            "k long, price double, status string",
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    merge_upsert_write_pruned(
+        p_path,
+        spark.createDataFrame(
+            [(2, 22.0, "u2"), (2_000, 2.0, "DEL")],
+            "k long, price double, status string",
+        ),
+        "k",
+        delete_when=F.col("s.status") == "DEL",
+        vacuum_keep_last=None,
+    )
+    drain("ckpt_a")  # catch-up: two commit steps in one availableNow run
+    assert same()
+    assert replica.app_metadata_of()["cdc_last_applied_version"] == 3
+
+    # more primary commits, then LOSE the checkpoint: the fresh stream
+    # re-seeds startingVersion from the replica's durable watermark and
+    # replays at-least-once — apply_changes idempotency converges it
+    merge_upsert_write_pruned(
+        p_path,
+        spark.createDataFrame(
+            [(3, 33.0, "u3")], "k long, price double, status string"
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    drain("ckpt_b_fresh")
+    assert same()
+    assert replica.app_metadata_of()["cdc_last_applied_version"] == 4
+    # replaying AGAIN with yet another fresh checkpoint is a no-op
+    v_before = replica.current_version()
+    drain("ckpt_c_fresh")
+    assert same() and replica.app_metadata_of()[
+        "cdc_last_applied_version"
+    ] == 4
+    # an empty replay commits nothing
+    assert replica.current_version() == v_before
+
+    # unseeded replica refuses to sync
+    import pytest as _pytest
+
+    bare = str(tmp_path / "sr_bare")
+    VersionedParquetTable(bare).commit_with_manifest(
+        base, "k", cluster_partitions=4
+    )
+    with _pytest.raises(ValueError, match="no cdc_last_applied_version"):
+        sync_replica_stream(
+            spark, p_path, bare, "k", checkpoint_dir=str(tmp_path / "x")
+        )
