@@ -109,6 +109,16 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         key_opt = options.get("key")
         self.keys = key_opt.split(",") if key_opt else None
         self.starting = options.get("startingversion")
+        # back-pressure: cap how many commit steps one micro-batch may
+        # span (a consumer catching up 1000 commits must not material-
+        # ize them as ONE batch — Delta's maxFilesPerTrigger analog).
+        # None = unbounded (availableNow still drains everything, just
+        # in bounded slices when the cap is set).
+        mvpb = options.get("maxversionsperbatch")
+        self.max_versions = int(mvpb) if mvpb is not None else None
+        self._last_end: int | None = None  # set by partitions(): true progress
+        self._probe_base: int | None = None  # stall detection, see below
+        self._stalled_probes = 0
 
     # -- local manifest/pointer probes (the table contract is local fs)
     def _current(self) -> int | None:
@@ -132,9 +142,35 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         return {"v": self._current() or 0}
 
     def latestOffset(self) -> dict:
-        return {"v": self._current() or 0}
+        head = self._current() or 0
+        if self.max_versions is None:
+            return {"v": head}
+        # The cap's base is the last end this run actually PLANNED
+        # (partitions() records it).  Before any planning we only have
+        # initialOffset — which on a checkpoint RESUME understates the
+        # true committed offset (the JVM offset log is not visible
+        # here), so a fixed window could sit forever below it and the
+        # stream would stall with "no new data".  Stall-proofing: if
+        # repeated probes see no planning progress, widen the window
+        # geometrically — it passes any committed offset in O(log)
+        # probes, then planning resumes and resets the window.  Head is
+        # always an upper bound, so the cap never invents offsets.
+        base = (
+            self._last_end
+            if self._last_end is not None
+            else self.initialOffset()["v"]
+        )
+        if base == self._probe_base:
+            self._stalled_probes += 1
+        else:
+            self._stalled_probes = 0
+            self._probe_base = base
+        window = self.max_versions << min(self._stalled_probes, 32)
+        return {"v": min(head, base + window)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        prev = self._last_end
+        self._last_end = end["v"] if prev is None else max(prev, end["v"])
         out: list[InputPartition] = []
         for v in range(start["v"] + 1, end["v"] + 1):
             man_f = self._manifest(v - 1)
@@ -220,7 +256,10 @@ class VersionedChangesDataSource(DataSource):
     (comma-separated key columns; default = manifest key /
     stats_columns), ``startingVersion`` (emit changes AFTER this
     committed snapshot; default = table head at stream start, i.e.
-    only new commits)."""
+    only new commits), ``maxVersionsPerBatch`` (back-pressure: cap the
+    commit steps one micro-batch spans — a 1000-commit catch-up
+    becomes bounded slices instead of one giant batch; Delta's
+    ``maxFilesPerTrigger`` analog)."""
 
     @classmethod
     def name(cls) -> str:
@@ -270,10 +309,18 @@ def register_versioned_changes(spark) -> None:
         spark._versioned_changes_registered = True
 
 
-def read_changes_stream(spark, path: str, *, starting_version: int | None = None):
+def read_changes_stream(
+    spark,
+    path: str,
+    *,
+    starting_version: int | None = None,
+    max_versions_per_batch: int | None = None,
+):
     """Convenience: a streaming DataFrame of the table's change feed."""
     register_versioned_changes(spark)
     r = spark.readStream.format("versioned_changes").option("path", path)
     if starting_version is not None:
         r = r.option("startingVersion", str(starting_version))
+    if max_versions_per_batch is not None:
+        r = r.option("maxVersionsPerBatch", str(max_versions_per_batch))
     return r.load()

@@ -644,3 +644,69 @@ def test_stream_replication_converges_and_survives_checkpoint_loss(
         sync_replica_stream(
             spark, p_path, bare, "k", checkpoint_dir=str(tmp_path / "x")
         )
+
+
+def test_stream_cdf_max_versions_per_batch_bounds_catchup(spark, tmp_path):
+    """Back-pressure: maxVersionsPerBatch bounds how many commit steps
+    a micro-batch spans; repeated drains over one checkpoint consume
+    the backlog in slices and converge (best-effort across restarts —
+    the geometric stall-widening may let a resumed drain slightly
+    exceed the cap, never stall; exact within a live run)."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    root = str(tmp_path / "cap")
+    t = VersionedParquetTable(root)
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(i, "base") for i in range(200)], "k long, v string"
+        ),
+        "k",
+        cluster_partitions=2,
+    )
+    for c in range(6):  # commits 2..7
+        merge_upsert_write_pruned(
+            root,
+            spark.createDataFrame([(c, f"u{c}")], "k long, v string"),
+            "k",
+            vacuum_keep_last=None,
+        )
+
+    ckpt = str(tmp_path / "ckpt_cap")
+    batches: list[list[int]] = []
+
+    def drain():
+        def bf(df, _eid):
+            vs = sorted(
+                r["_commit_version"]
+                for r in df.select("_commit_version").distinct().collect()
+            )
+            if vs:
+                batches.append(vs)
+
+        q = (
+            read_changes_stream(
+                spark, root, starting_version=1, max_versions_per_batch=2
+            )
+            .writeStream.foreachBatch(bf)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for _ in range(6):
+        drain()
+        if sorted(v for b in batches for v in b) == list(range(2, 8)):
+            break
+    consumed = sorted(v for b in batches for v in b)
+    assert consumed == list(range(2, 8))  # nothing lost, nothing doubled
+    assert len(batches) >= 3              # sliced, not one giant batch
+    assert batches[0] == [2, 3]           # first fresh batch is exact
