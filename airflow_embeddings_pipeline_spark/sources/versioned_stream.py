@@ -79,12 +79,17 @@ class _ChangeStep(InputPartition):
         keys: list[str],
         payload: list[str],
         v_to: int,
+        arrow_schema=None,
     ):
         self.removed = removed
         self.added = added
         self.keys = keys
         self.payload = payload
         self.v_to = v_to
+        # payload's arrow schema (v_to): aligns the PRE-image side when
+        # a column evolved in after v_from (reads as typed nulls, the
+        # batch changes_between rule)
+        self.arrow_schema = arrow_schema
 
 
 def _eq_nullsafe(a, b) -> bool:
@@ -193,6 +198,8 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             keys = self.keys or man_t.get("stats_columns") or [man_t["key"]]
             if isinstance(keys, str):
                 keys = [keys]
+            from pyspark.sql.pandas.types import to_arrow_schema
+
             pf = {e["path"] for e in man_f["files"]}
             pt = {e["path"] for e in man_t["files"]}
             out.append(
@@ -206,45 +213,147 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     keys=list(keys),
                     payload=self.payload,
                     v_to=v,
+                    arrow_schema=to_arrow_schema(schema_t),
                 )
             )
         return out or [_ChangeStep([], [], [], self.payload, end["v"])]
 
-    def read(self, partition: _ChangeStep) -> Iterator[tuple]:
+    def read(self, partition: _ChangeStep):
+        """Vectorized per-step diff, yielded as Arrow RecordBatches.
+
+        The two file sets are loaded as Arrow tables; only the KEY
+        columns round-trip through pandas (for the outer merge that
+        classifies insert/delete/update candidates by row index) — the
+        payload never leaves Arrow, so values and types reach Spark
+        exactly as parquet stored them (``take`` by index, no per-row
+        Python objects).  Row-difference for update candidates is
+        computed null-safely in pyarrow.compute with NaN==NaN treated
+        as equal (a float NaN must not emit an update every commit).
+        Assumes the table invariant that a key is unique within a
+        version (what MERGE maintains); rewritten-unchanged rows
+        (compaction carry-through) compare equal and emit nothing.
+        """
         if not partition.removed and not partition.added:
             return
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        def rows(paths: list[str]) -> dict[tuple, dict]:
-            got: dict[tuple, dict] = {}
-            for p in paths:
-                for row in pq.read_table(
-                    p, columns=None
-                ).to_pylist():
-                    k = tuple(row.get(c) for c in partition.keys)
-                    got[k] = row
-            return got
+        target = partition.arrow_schema
 
-        old = rows(partition.removed)
-        new = rows(partition.added)
-        vals = [c for c in partition.payload if c not in partition.keys]
+        def load(paths):
+            if not paths:
+                return None
+            t = pa.concat_tables([pq.read_table(p) for p in paths])
+            # align to the v_to payload schema: evolved columns absent
+            # on the pre-image side surface as typed nulls (the batch
+            # changes_between rule); shared columns cast if the parquet
+            # physical type differs from the declared one
+            cols = []
+            for f in target:
+                if f.name in t.column_names:
+                    col = t.column(f.name)
+                    if col.type != f.type:
+                        col = pc.cast(col, f.type)
+                else:
+                    col = pa.nulls(t.num_rows, type=f.type)
+                cols.append(col)
+            return pa.table(cols, schema=target)
 
-        def out(row: dict, ctype: str) -> tuple:
-            return tuple(
-                [row.get(c) for c in partition.payload]
-                + [ctype, partition.v_to]
+        old_t, new_t = load(partition.removed), load(partition.added)
+        keys, payload = partition.keys, partition.payload
+        vals = [c for c in payload if c not in keys]
+
+        def key_frame(t, tag):
+            df = t.select(keys).to_pandas()
+            df[f"_idx_{tag}"] = np.arange(len(df), dtype=np.int64)
+            return df
+
+        if old_t is None:
+            ins_idx = np.arange(new_t.num_rows, dtype=np.int64)
+            del_idx = np.array([], dtype=np.int64)
+            pair_o = pair_n = np.array([], dtype=np.int64)
+        elif new_t is None:
+            ins_idx = np.array([], dtype=np.int64)
+            del_idx = np.arange(old_t.num_rows, dtype=np.int64)
+            pair_o = pair_n = np.array([], dtype=np.int64)
+        else:
+            m = key_frame(old_t, "o").merge(
+                key_frame(new_t, "n"), on=keys, how="outer", indicator=True
+            )
+            ins_idx = m.loc[
+                m["_merge"] == "right_only", "_idx_n"
+            ].to_numpy(dtype=np.int64)
+            del_idx = m.loc[
+                m["_merge"] == "left_only", "_idx_o"
+            ].to_numpy(dtype=np.int64)
+            both = m[m["_merge"] == "both"]
+            pair_o = both["_idx_o"].to_numpy(dtype=np.int64)
+            pair_n = both["_idx_n"].to_numpy(dtype=np.int64)
+
+        def stamped(t, idx, ctype):
+            sub = t.take(pa.array(idx)).select(payload)
+            n = sub.num_rows
+            return sub.append_column(
+                "_change_type", pa.array([ctype] * n, pa.string())
+            ).append_column(
+                "_commit_version",
+                pa.array(np.full(n, partition.v_to, dtype=np.int64)),
             )
 
-        for k in sorted(set(old) | set(new), key=lambda t: tuple(map(str, t))):
-            o, n = old.get(k), new.get(k)
-            if o is None:
-                yield out(n, "insert")
-            elif n is None:
-                yield out(o, "delete")
-            elif not all(_eq_nullsafe(o.get(c), n.get(c)) for c in vals):
-                yield out(o, "update_preimage")
-                yield out(n, "update_postimage")
-            # equal rows: rewritten-unchanged content, not a change
+        out = []
+        if len(del_idx):
+            out.append(stamped(old_t, del_idx, "delete"))
+        if len(ins_idx):
+            out.append(stamped(new_t, ins_idx, "insert"))
+        if len(pair_o):
+            o_sub = old_t.take(pa.array(pair_o))
+            n_sub = new_t.take(pa.array(pair_n))
+            changed = None
+            for c in vals:
+                a, b = o_sub.column(c), n_sub.column(c)
+                try:
+                    eq = pc.fill_null(pc.equal(a, b), False)
+                    both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+                    same = pc.or_(eq, both_null)
+                    if pa.types.is_floating(a.type):
+                        # NULL-safe is not enough for floats: NaN != NaN
+                        both_nan = pc.and_(
+                            pc.fill_null(pc.is_nan(a), False),
+                            pc.fill_null(pc.is_nan(b), False),
+                        )
+                        same = pc.or_(same, both_nan)
+                except pa.lib.ArrowNotImplementedError:
+                    # nested types (array/struct payloads, e.g. an
+                    # embedding column) have no kernel — compare
+                    # row-wise for THIS column only
+                    same = pa.array(
+                        [
+                            _eq_nullsafe(x, y)
+                            for x, y in zip(a.to_pylist(), b.to_pylist())
+                        ],
+                        pa.bool_(),
+                    )
+                diff = pc.invert(same)
+                changed = diff if changed is None else pc.or_(changed, diff)
+            if changed is not None:
+                mask = changed.combine_chunks() if isinstance(
+                    changed, pa.ChunkedArray
+                ) else changed
+                upd_o = o_sub.filter(mask)
+                upd_n = n_sub.filter(mask)
+                if upd_o.num_rows:
+                    out.append(
+                        stamped(upd_o, np.arange(upd_o.num_rows),
+                                "update_preimage")
+                    )
+                    out.append(
+                        stamped(upd_n, np.arange(upd_n.num_rows),
+                                "update_postimage")
+                    )
+        for t in out:
+            yield from t.to_batches(max_chunksize=65536)
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in Spark's checkpoint, nothing external
