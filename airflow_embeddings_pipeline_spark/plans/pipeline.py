@@ -936,3 +936,98 @@ register(
         tags=("S4", "E3", "S9", "scale"),
     )
 )
+
+
+# ------------------------------- streaming CDC replication (composed)
+# The full always-on replication pipe as ONE oracled query: primary
+# pruned MERGE → STREAMING change feed (commit-version offsets) →
+# foreachBatch net-to-last-change → apply_changes onto the replica as
+# one file-pruned merge — replica read-back oracled against the
+# primary's post-merge state (the same SQL as the batch s_cdc_apply
+# entry, proving the streaming pipe ≡ the batch pipe ≡ the primary).
+def t_stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import (
+        merge_upsert_write_pruned,
+        sync_replica_stream,
+    )
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 97 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("double") * 2).alias("price"),
+        F.lit("UPD").alias("status"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 97 == 2).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0.0).alias("price"),
+        F.lit("DEL").alias("status"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 997 == 3).select(
+        (F.col("o_orderkey") + _PRUNED_INS_OFFSET).alias("k"),
+        (F.col("o_totalprice").cast("double") + 1.0).alias("price"),
+        F.lit("INS").alias("status"),
+    )
+    source = updates.unionAll(deletes).unionAll(inserts)
+
+    p_path = _scratch_dir("/tmp/spark_graft_scdc_primary", sf_dir)
+    primary = VersionedParquetTable(p_path)
+    primary.commit_with_manifest(target, "k", cluster_partitions=16)
+    r_path = _scratch_dir("/tmp/spark_graft_scdc_replica", sf_dir)
+    replica = VersionedParquetTable(r_path)
+    replica.commit_with_manifest(
+        target, "k", cluster_partitions=16,
+        app_metadata={"cdc_last_applied_version": 1},
+    )
+
+    merge_upsert_write_pruned(
+        p_path, source, "k",
+        delete_when=F.col("s.status") == "DEL", vacuum_keep_last=None,
+    )
+
+    import tempfile
+
+    q = sync_replica_stream(
+        spark, p_path, r_path, "k",
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_scdc_"),
+        vacuum_keep_last=None,
+    )
+    q.awaitTermination()
+    return replica.read(spark).orderBy("k")
+
+
+register(
+    Query(
+        name="t_stream_cdc_replication",
+        build=t_stream_cdc_replication,
+        oracle=f"""
+        WITH target AS (
+            SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+                   o_orderstatus AS status
+            FROM orders
+        )
+        SELECT k,
+               CASE WHEN k % 97 = 1 THEN price * 2 ELSE price END AS price,
+               CASE WHEN k % 97 = 1 THEN 'UPD' ELSE status END AS status
+        FROM target WHERE k % 97 <> 2
+        UNION ALL
+        SELECT o_orderkey + {_PRUNED_INS_OFFSET} AS k,
+               CAST(o_totalprice AS DOUBLE) + 1.0 AS price, 'INS' AS status
+        FROM orders WHERE o_orderkey % 997 = 3
+        ORDER BY k
+        """,
+        doc=(
+            "streaming CDC replication end-to-end: primary pruned MERGE → "
+            "streaming change feed → foreachBatch net-to-last-change → "
+            "apply_changes pruned merge onto the replica — replica read-back "
+            "oracled against the primary's post-merge state (stream pipe ≡ "
+            "batch pipe ≡ primary; T4/S9 at 100 TB)"
+        ),
+        tags=("T4", "S9", "streaming", "scale"),
+    )
+)
