@@ -816,12 +816,26 @@ class VersionedParquetTable:
                 checked = df.sparkSession.read.schema(df.schema).parquet(
                     *[os.path.join(self.root, e["path"]) for e in new_entries]
                 )
-                for cname, cexpr in constraints.items():
-                    n_bad = checked.filter(
-                        ~F.coalesce(F.expr(cexpr), F.lit(True))
-                    ).count()
-                    if n_bad:
-                        raise ConstraintViolationError(cname, cexpr, n_bad)
+                names = list(constraints)
+                # ONE pass over the new files for all constraints
+                row = checked.agg(
+                    *[
+                        F.sum(
+                            F.when(
+                                ~F.coalesce(
+                                    F.expr(constraints[n]), F.lit(True)
+                                ),
+                                1,
+                            ).otherwise(0)
+                        ).alias(f"c{i}")
+                        for i, n in enumerate(names)
+                    ]
+                ).collect()[0]
+                for i, n in enumerate(names):
+                    if row[f"c{i}"]:
+                        raise ConstraintViolationError(
+                            n, constraints[n], int(row[f"c{i}"])
+                        )
             man = {
                 "key": key,
                 "schema": df.schema.jsonValue(),
