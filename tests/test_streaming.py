@@ -710,3 +710,51 @@ def test_stream_cdf_max_versions_per_batch_bounds_catchup(spark, tmp_path):
     assert consumed == list(range(2, 8))  # nothing lost, nothing doubled
     assert len(batches) >= 3              # sliced, not one giant batch
     assert batches[0] == [2, 3]           # first fresh batch is exact
+
+
+def test_restore_propagates_through_stream_replication(spark, tmp_path):
+    """RESTORE is an ordinary commit to the CDC pipe: a replica syncing
+    the streaming feed lands on the restored state (the undo diff rides
+    the same change feed as any merge)."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+        sync_replica_stream,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    p_path = str(tmp_path / "rs_primary")
+    r_path = str(tmp_path / "rs_replica")
+    base = spark.createDataFrame(
+        [(i, "good") for i in range(500)], "k long, v string"
+    )
+    primary = VersionedParquetTable(p_path)
+    primary.commit_with_manifest(base, "k", cluster_partitions=4)
+    replica = VersionedParquetTable(r_path)
+    replica.commit_with_manifest(
+        base, "k", cluster_partitions=4,
+        app_metadata={"cdc_last_applied_version": 1},
+    )
+
+    merge_upsert_write_pruned(
+        p_path,
+        spark.createDataFrame(
+            [(1, "BAD"), (9_999, "BAD-INS")], "k long, v string"
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    primary.restore(spark, 1)  # v3 = undo of v2
+
+    q = sync_replica_stream(
+        spark, p_path, r_path, "k",
+        checkpoint_dir=str(tmp_path / "ckpt_rs"), vacuum_keep_last=None,
+    )
+    q.awaitTermination()
+    # replica caught BOTH the bad merge and its undo in one catch-up;
+    # the per-key netting collapses them and the replica equals v1
+    assert sorted(map(tuple, replica.read(spark).collect())) == sorted(
+        map(tuple, primary.read_version(spark, 1).collect())
+    )
+    assert replica.app_metadata_of()["cdc_last_applied_version"] == 3
