@@ -1899,3 +1899,90 @@ def test_check_constraints_enforced_and_propagated(spark, tmp_path):
         vacuum_keep_last=None,
     )
     assert t.read(spark).filter("price < 0").count() == 1
+
+
+def test_changes_between_composite_key(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "cdf_comp")
+    t = VersionedParquetTable(path)
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(300)],
+            "a long, b long, x double",
+        ),
+        "a",
+        stats_columns=["a", "b"],
+    )
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame(
+            [(1, 1, 99.0), (10_000, 0, 1.0)], "a long, b long, x double"
+        ),
+        ["a", "b"],
+        vacuum_keep_last=None,
+    )
+    got = {
+        (r["a"], r["b"], r["_change_type"])
+        for r in t.changes_between(spark, 1, 2).collect()
+    }
+    assert (1, 1, "update_preimage") in got
+    assert (1, 1, "update_postimage") in got
+    assert (10_000, 0, "insert") in got
+    # no single-column-key misclassification: (1, 0) and (1, 2) exist in
+    # the base but only (1, 1) changed
+    assert not any(k[:2] == (1, 0) or k[:2] == (1, 2) for k in got)
+
+
+def test_stream_cdf_composite_key(spark, tmp_path):
+    import tempfile
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    path = str(tmp_path / "scdf_comp")
+    t = VersionedParquetTable(path)
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(300)],
+            "a long, b long, x double",
+        ),
+        "a",
+        stats_columns=["a", "b"],
+    )
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame(
+            [(1, 1, 99.0), (10_000, 0, 1.0)], "a long, b long, x double"
+        ),
+        ["a", "b"],
+        vacuum_keep_last=None,
+    )
+    q = (
+        read_changes_stream(spark, path, starting_version=1)
+        .writeStream.format("memory")
+        .queryName("scdf_comp_q")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_scdfc_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("scdf_comp_q").collect()))
+    exp = sorted(map(tuple, t.changes_between(spark, 1, 2).collect()))
+    assert got == exp  # the stream keys off stats_columns automatically
