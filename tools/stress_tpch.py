@@ -120,7 +120,17 @@ def main() -> None:
         scale = 100  # this tool's whole point is the scaled warehouse
 
     staged = scale_tpch(sf_dir, scale)
-    spark = get_spark("stress-tpch")
+    # Size shuffle partitions to the staged volume, not the core count:
+    # at ×1000 (≈SF 100) a 32-partition fact⨝fact shuffle puts ~19M rows
+    # in each task's hash build and the JVM hits GCLocker allocation
+    # stalls (q5 measured 258 s).  Over-partitioning is cheap — AQE
+    # coalesces small post-shuffle partitions back — so this is exactly
+    # the "partitions must fit in executor memory at the target SF"
+    # sizing a real cluster job does.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        "stress-tpch", shuffle_partitions=max(cpus, scale // 4)
+    )
     catalog = get_catalog()
     timings: dict[str, float] = {}
     for name in only or _DEFAULT_OPS:
