@@ -1393,7 +1393,11 @@ class VersionedParquetTable:
 
     # ----------------------------------------------------------- vacuum
     def vacuum(
-        self, keep_last: int = 2, *, retain_seconds: float | None = None
+        self,
+        keep_last: int = 2,
+        *,
+        retain_seconds: float | None = None,
+        dry_run: bool = False,
     ) -> list[int]:
         """Reclaim crash orphans (version dirs without a ``_COMMITTED``
         marker that are not current) and all but the newest
@@ -1409,6 +1413,10 @@ class VersionedParquetTable:
         in commit count (commit count is the wrong unit on a table
         whose daily merge count varies).  The two retention rules
         compose as a UNION — vacuum only ever keeps more, never less.
+
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``): report the
+        versions whose directories WOULD be fully removed and delete
+        nothing — not even the partial per-file GC runs.
 
         Manifest-aware: a kept version's manifest may reference data
         files BY REFERENCE inside older (non-kept) version directories
@@ -1451,8 +1459,11 @@ class VersionedParquetTable:
                 r for r in referenced if r.startswith(vname + os.sep)
             }
             if not refs_here:
-                shutil.rmtree(vdir, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(vdir, ignore_errors=True)
                 dropped.append(v)
+                continue
+            if dry_run:
                 continue
             # partial GC: the version is dead but some of its files are
             # carried by live manifests — delete only the unreferenced

@@ -1986,3 +1986,21 @@ def test_stream_cdf_composite_key(spark, tmp_path):
     got = sorted(map(tuple, spark.table("scdf_comp_q").collect()))
     exp = sorted(map(tuple, t.changes_between(spark, 1, 2).collect()))
     assert got == exp  # the stream keys off stats_columns automatically
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "vac_dry")
+    t = VersionedParquetTable(path)
+    for i in range(4):
+        t.commit(spark.createDataFrame([(i, "x")], "k long, v string"))
+    would = t.vacuum(keep_last=1, dry_run=True)
+    assert would == [1, 2, 3]
+    assert t.versions() == [1, 2, 3, 4]  # nothing deleted
+    assert t.read_version(spark, 1).count() == 1
+    # the real run drops exactly what the dry run reported
+    assert t.vacuum(keep_last=1) == would
+    assert t.versions() == [4]
