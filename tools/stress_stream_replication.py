@@ -12,6 +12,11 @@ the replica's durable app-metadata watermark and an at-least-once
 replay that must converge (apply_changes idempotency).
 
 Usage: python tools/stress_stream_replication.py [rows] [cycles] [drain_every]
+       [--maintain N]   # run primary.maintain() every N cycles: the
+                        # consumer must stay convergent across
+                        # compaction/recluster commits (they rewrite
+                        # bytes but net zero row changes — the classic
+                        # CDC-across-OPTIMIZE breakage point)
 """
 
 from __future__ import annotations
@@ -27,9 +32,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-    drain_every = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    argv = list(sys.argv[1:])
+    maintain_every = None
+    if "--maintain" in argv:
+        i = argv.index("--maintain")
+        maintain_every = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    rows = int(argv[0]) if len(argv) > 0 else 2_000_000
+    cycles = int(argv[1]) if len(argv) > 1 else 24
+    drain_every = int(argv[2]) if len(argv) > 2 else 3
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -112,6 +123,10 @@ def main() -> int:
             delete_when=F.col("s.status") == "DEL",
             vacuum_keep_last=None,
         )
+        if maintain_every and c % maintain_every == 0:
+            # maintenance commit(s) on the primary: rewrites bytes, nets
+            # zero row changes — the consumer's diff must emit nothing
+            primary.maintain(spark)
         if c % drain_every == 0 or c == cycles:
             if len(drains) == 3:  # inject: lose the checkpoint once
                 shutil.rmtree(ckpt, ignore_errors=True)
