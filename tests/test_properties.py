@@ -420,3 +420,108 @@ def test_document_store_compaction_preserves_rows_and_pruning(spark, batches, th
                 assert b["min_id"] <= b["max_id"]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------- CDC history law
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.fixed_dictionaries(
+                {
+                    "op": st.just("merge"),
+                    "upd": st.lists(
+                        st.integers(0, 49), min_size=0, max_size=5,
+                        unique=True,
+                    ),
+                    "ins": st.lists(
+                        st.integers(100, 149), min_size=0, max_size=3,
+                        unique=True,
+                    ),
+                    "dele": st.lists(
+                        st.integers(0, 49), min_size=0, max_size=3,
+                        unique=True,
+                    ),
+                }
+            ),
+            st.just({"op": "compact"}),
+            st.just({"op": "restore"}),
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_cdc_replication_law_random_histories(spark, tmp_path_factory, ops):
+    """For ANY history of pruned merges, compactions, and restores, a
+    replica consuming the change feed equals the primary — through the
+    batch pipe after every commit, and through ONE streaming catch-up
+    drain of the whole history at the end."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+        sync_replica,
+        sync_replica_stream,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    base_dir = tmp_path_factory.mktemp("cdc_law")
+    p_path = str(base_dir / "primary")
+    r_path = str(base_dir / "replica")
+    s_path = str(base_dir / "stream_replica")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k long, v string"
+    )
+    primary = VersionedParquetTable(p_path)
+    primary.commit_with_manifest(base, "k", cluster_partitions=2)
+    for path in (r_path, s_path):
+        VersionedParquetTable(path).commit_with_manifest(
+            base, "k", cluster_partitions=2,
+            app_metadata={"cdc_last_applied_version": 1},
+        )
+    replica = VersionedParquetTable(r_path)
+    stream_replica = VersionedParquetTable(s_path)
+
+    tag = 0
+    for step in ops:
+        if step["op"] == "merge":
+            tag += 1
+            rows = (
+                [(k, f"u{tag}") for k in step["upd"] if k not in step["dele"]]
+                + [(k, f"i{tag}") for k in step["ins"]]
+                + [(k, "DEL") for k in step["dele"]]
+            )
+            if not rows:
+                continue
+            merge_upsert_write_pruned(
+                p_path,
+                spark.createDataFrame(rows, "k long, v string"),
+                "k",
+                delete_when=F.col("s.v") == "DEL",
+                vacuum_keep_last=None,
+            )
+        elif step["op"] == "compact":
+            primary.compact(spark, min_file_bytes=1 << 30)
+        else:  # restore to the first version (the deepest rollback)
+            if primary.current_version() > 1:
+                primary.restore(spark, 1)
+        # batch pipe after every commit
+        sync_replica(spark, p_path, r_path, "k", vacuum_keep_last=None)
+        assert sorted(map(tuple, replica.read(spark).collect())) == sorted(
+            map(tuple, primary.read(spark).collect())
+        )
+
+    # stream pipe once over the whole history
+    q = sync_replica_stream(
+        spark, p_path, s_path, "k",
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_law_"),
+        vacuum_keep_last=None,
+    )
+    q.awaitTermination()
+    assert sorted(
+        map(tuple, stream_replica.read(spark).collect())
+    ) == sorted(map(tuple, primary.read(spark).collect()))
