@@ -486,15 +486,31 @@ def _pruned_merge_attempt(
         delete_when=delete_when,
         evolution_exclude=evolution_exclude,
     )
-    # layout hint: out-of-range inserts (keys beyond every touched
-    # file's stats range) get their own file(s) so no output file's
-    # [min, max] spans the gap between the touched region and the
-    # append region — wide-range files would intersect most carried
-    # files and inflate every later merge's touched set (measured by
-    # tools/stress_merge_longhorizon.py)
-    t_lo = [e["min"] for e in touched_entries if e["min"] is not None]
-    t_hi = [e["max"] for e in touched_entries if e["max"] is not None]
-    split = (min(t_lo), max(t_hi)) if t_lo and t_hi else None
+    # layout hint: the merged subset clusters WITHIN the touched files'
+    # disjoint range COMPONENTS, and out-of-range inserts (keys beyond
+    # every touched range) get their own file(s) — so no output file's
+    # [min, max] spans a gap, neither between touched bands (a batch
+    # hitting two distant key regions must not mint a file covering
+    # both) nor between the touched region and the append region.
+    # Gap-spanning files intersect most carried files, inflating every
+    # later merge's touched set (measured by
+    # tools/stress_merge_longhorizon.py), and defeat the CDF source's
+    # intra-step range splitting.  Purely a layout decision: same rows,
+    # same manifest semantics.
+    ranged = sorted(
+        (
+            (e["min"], e["max"])
+            for e in touched_entries
+            if e["min"] is not None and e["max"] is not None
+        ),
+    )
+    bands: list[tuple] = []
+    for lo, hi in ranged:
+        if bands and lo <= bands[-1][1]:
+            bands[-1] = (bands[-1][0], max(bands[-1][1], hi))
+        else:
+            bands.append((lo, hi))
+    split = bands if len(bands) > 1 else (bands[0] if bands else None)
     # app metadata: prior keys persist until overwritten (Delta txn
     # analog) — merged with this commit's, new keys winning
     prior_meta = table.app_metadata_of()

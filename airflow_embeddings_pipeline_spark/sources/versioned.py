@@ -26,7 +26,9 @@ for Delta/Iceberg (same commit semantics, jar-provided).
 
 from __future__ import annotations
 
+import functools
 import json
+import operator
 import os
 import re
 import shutil
@@ -777,32 +779,69 @@ class VersionedParquetTable:
                     .parquet(vdir)
                 )
             else:
-                lo, hi = append_split
-                in_range = (F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi))
-                # one upstream execution feeds both writes
+                # one band (lo, hi) or a LIST of disjoint bands: rows of
+                # each band cluster into their OWN files so no output
+                # file's [min, max] spans a gap between bands — a merge
+                # touching two distant key regions must not mint a
+                # gap-spanning file (it would intersect most carried
+                # files, inflating every later merge's touched set, and
+                # it defeats the CDF's intra-step range splitting)
+                bands = (
+                    [append_split]
+                    if not isinstance(append_split, list)
+                    else list(append_split)
+                )
+                in_band = [
+                    (F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi))
+                    for lo, hi in bands
+                ]
+                any_band = functools.reduce(operator.or_, in_band)
+                # one upstream execution feeds all writes
                 df = df.persist()
                 try:
-                    (
-                        df.filter(in_range)
-                        .repartitionByRange(n_out, F.col(key))
-                        .sortWithinPartitions(key)
-                        .write.mode("overwrite")
-                        .parquet(vdir)
-                    )
-                    outside = df.filter(~in_range)
-                    # appends cluster into files sized like the in-range
-                    # ones: ceil(outside / (rows per in-range partition))
-                    n_in = df.filter(in_range).count()
-                    n_out_rows = df.count() - n_in
+                    counts_row = df.agg(
+                        *[
+                            F.sum(F.when(c, 1).otherwise(0)).alias(f"b{i}")
+                            for i, c in enumerate(in_band)
+                        ],
+                        F.count(F.lit(1)).alias("all"),
+                    ).collect()[0]
+                    n_in = sum(counts_row[f"b{i}"] or 0
+                               for i in range(len(bands)))
+                    first = True
+                    for i, cond in enumerate(in_band):
+                        n_b = counts_row[f"b{i}"] or 0
+                        if not n_b:
+                            continue
+                        # partitions proportional to the band's share
+                        parts = max(1, round(n_out * n_b / max(1, n_in)))
+                        (
+                            df.filter(cond)
+                            .repartitionByRange(parts, F.col(key))
+                            .sortWithinPartitions(key)
+                            .write.mode("overwrite" if first else "append")
+                            .parquet(vdir)
+                        )
+                        first = False
+                    n_out_rows = (counts_row["all"] or 0) - n_in
                     if n_out_rows:
+                        # appends cluster into files sized like the
+                        # in-band ones
                         per_part = max(1, n_in // n_out) if n_in else n_out_rows
                         parts = max(1, -(-n_out_rows // per_part))
                         (
-                            outside.repartitionByRange(parts, F.col(key))
+                            df.filter(~any_band)
+                            .repartitionByRange(parts, F.col(key))
                             .sortWithinPartitions(key)
-                            .write.mode("append")
+                            .write.mode("overwrite" if first else "append")
                             .parquet(vdir)
                         )
+                        first = False
+                    if first:
+                        # fully-empty merged subset (e.g. a delete-only
+                        # batch emptied the touched files): the version
+                        # dir must still exist to carry the manifest
+                        df.limit(0).write.mode("overwrite").parquet(vdir)
                 finally:
                     df.unpersist()
             extras = tuple(c for c in (stats_columns or ()) if c != key)

@@ -105,6 +105,65 @@ def _eq_nullsafe(a, b) -> bool:
     return a == b
 
 
+def _range_components(removed, added, splittable):
+    """Split one commit step's file diff into independently-diffable
+    KEY-RANGE components — the intra-step parallelism axis.
+
+    Both sides' files are range-clustered on the table's key, so every
+    pre/post image of a key lives in files whose [min, max] contain it:
+    files whose ranges don't transitively overlap across the UNION of
+    both sides can be diffed in separate partitions (a full-rewrite
+    commit's feed then fans out across the cluster instead of
+    materializing in one task).  Touching ranges (shared boundary
+    value — repartitionByRange may split equal keys at a partition
+    edge) union into one component.  NULL-key rows sort NULLS FIRST
+    into each side's lowest-range file while parquet stats exclude
+    nulls, so the two sides' lowest-range files are force-unioned.
+    Any file without usable stats, or a reader keyed off a non-
+    clustering column (``key`` option override), degrades to a single
+    component — grouping is conservative: it only ever costs
+    parallelism, never correctness."""
+    if not (removed or added):
+        return []
+    both = [("r", e) for e in removed] + [("a", e) for e in added]
+    if not splittable or any(
+        e["min"] is None or e["max"] is None for _s, e in both
+    ):
+        return [(removed, added)]
+    items = sorted(both, key=lambda t: (t[1]["min"], t[1]["max"]))
+    comps = [[items[0]]]
+    hi = items[0][1]["max"]
+    for it in items[1:]:
+        if it[1]["min"] <= hi:
+            comps[-1].append(it)
+            hi = max(hi, it[1]["max"])
+        else:
+            comps.append([it])
+            hi = it[1]["max"]
+
+    def lowest_comp(side):
+        files = [e for s, e in both if s == side]
+        if not files:
+            return None
+        lowest = min(files, key=lambda e: (e["min"], e["max"]))
+        for i, comp in enumerate(comps):
+            if any(e is lowest for _s, e in comp):
+                return i
+        return None
+
+    i_r, i_a = lowest_comp("r"), lowest_comp("a")
+    if i_r is not None and i_a is not None and i_r != i_a:
+        lo, hi_i = sorted((i_r, i_a))
+        comps[lo] = comps[lo] + comps.pop(hi_i)
+    return [
+        (
+            [e for s, e in comp if s == "r"],
+            [e for s, e in comp if s == "a"],
+        )
+        for comp in comps
+    ]
+
+
 class VersionedChangesStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.root = options["path"]
@@ -200,22 +259,28 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 keys = [keys]
             from pyspark.sql.pandas.types import to_arrow_schema
 
-            pf = {e["path"] for e in man_f["files"]}
-            pt = {e["path"] for e in man_t["files"]}
-            out.append(
-                _ChangeStep(
-                    removed=[
-                        os.path.join(self.root, p) for p in sorted(pf - pt)
-                    ],
-                    added=[
-                        os.path.join(self.root, p) for p in sorted(pt - pf)
-                    ],
-                    keys=list(keys),
-                    payload=self.payload,
-                    v_to=v,
-                    arrow_schema=to_arrow_schema(schema_t),
+            ent_f = {e["path"]: e for e in man_f["files"]}
+            ent_t = {e["path"]: e for e in man_t["files"]}
+            removed = [ent_f[p] for p in sorted(set(ent_f) - set(ent_t))]
+            added = [ent_t[p] for p in sorted(set(ent_t) - set(ent_f))]
+            arrow = to_arrow_schema(schema_t)
+            for rem_c, add_c in _range_components(
+                removed, added, keys[0] == (man_t.get("key") or keys[0])
+            ):
+                out.append(
+                    _ChangeStep(
+                        removed=[
+                            os.path.join(self.root, e["path"]) for e in rem_c
+                        ],
+                        added=[
+                            os.path.join(self.root, e["path"]) for e in add_c
+                        ],
+                        keys=list(keys),
+                        payload=self.payload,
+                        v_to=v,
+                        arrow_schema=arrow,
+                    )
                 )
-            )
         return out or [_ChangeStep([], [], [], self.payload, end["v"])]
 
     def read(self, partition: _ChangeStep):

@@ -758,3 +758,110 @@ def test_restore_propagates_through_stream_replication(spark, tmp_path):
         map(tuple, primary.read_version(spark, 1).collect())
     )
     assert replica.app_metadata_of()["cdc_last_applied_version"] == 3
+
+
+def test_cdf_step_splits_into_range_components(spark, tmp_path):
+    """A commit touching two DISTANT key bands fans its feed out as
+    multiple partitions (intra-step parallelism) — and the emitted rows
+    still equal the batch CDF exactly."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+        read_changes_stream,
+    )
+
+    root = str(tmp_path / "comp_split")
+    t = VersionedParquetTable(root)
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(i, float(i), "base") for i in range(10_000)],
+            "k long, price double, status string",
+        ),
+        "k",
+        cluster_partitions=8,  # 8 range-disjoint files
+    )
+    # one commit touching two far-apart bands
+    batch = spark.createDataFrame(
+        [(10, 1.0, "lo"), (9_990, 2.0, "hi")],
+        "k long, price double, status string",
+    )
+    merge_upsert_write_pruned(root, batch, "k", vacuum_keep_last=None)
+
+    decl = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("price", DoubleType()),
+            StructField("status", StringType()),
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+        ]
+    )
+    reader = VersionedChangesStreamReader(decl, {"path": root})
+    parts = reader.partitions({"v": 1}, {"v": 2})
+    assert len(parts) >= 2  # the two bands diff independently
+
+    q = (
+        read_changes_stream(spark, root, starting_version=1)
+        .writeStream.format("memory")
+        .queryName("comp_split_q")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_comp_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("comp_split_q").collect()))
+    exp = sorted(map(tuple, t.changes_between(spark, 1, 2).collect()))
+    assert got == exp
+
+
+def test_range_components_edges():
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        _range_components,
+    )
+
+    def e(lo, hi):
+        return {"path": f"p{lo}_{hi}", "min": lo, "max": hi}
+
+    # the lowest files of BOTH sides are force-unioned (null-key rows
+    # cluster NULLS FIRST into them while parquet stats exclude nulls),
+    # so removed-lowest [0,10]+[10,20] and added-lowest [100,110]
+    # collapse into one component despite the gap:
+    comps = _range_components([e(0, 10), e(10, 20)], [e(100, 110)], True)
+    assert len(comps) == 1
+
+    # a true 3-band split where both sides share the lowest band
+    comps = _range_components(
+        [e(0, 10), e(500, 510)], [e(5, 9), e(900, 910)], True
+    )
+    spans = sorted(
+        tuple(sorted([x["min"] for x in r] + [x["min"] for x in a]))
+        for r, a in comps
+    )
+    assert spans == [(0, 5), (500,), (900,)]
+
+    # missing stats -> single conservative component
+    comps = _range_components([e(0, 10), {"path": "x", "min": None,
+                                          "max": None}], [e(50, 60)], True)
+    assert len(comps) == 1
+    # non-clustering key override -> single component
+    comps = _range_components([e(0, 10)], [e(50, 60)], False)
+    assert len(comps) == 1
+    # empty diff -> no partitions
+    assert _range_components([], [], True) == []
