@@ -101,8 +101,9 @@ def table_bytes(root: str) -> int:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--policy"]
+    args = [a for a in sys.argv[1:] if a not in ("--policy", "--bimodal")]
     policy = "--policy" in sys.argv[1:]
+    bimodal = "--bimodal" in sys.argv[1:]
     n_rows = int(args[0]) if len(args) > 0 else 2_000_000
     cycles = int(args[1]) if len(args) > 1 else 60
     out_json = args[2] if len(args) > 2 else None
@@ -154,7 +155,21 @@ def main() -> int:
     next_insert = n_rows  # dense 0..n_rows-1 initially; appends go above
     records = []
     for c in range(1, cycles + 1):
-        if c % 2 == 1:
+        if bimodal:
+            # adversarial: EVERY cycle touches two DISTANT bands (one
+            # low, one high, both rotating) — before the gap-free
+            # layout fix the rewrite minted a file spanning the gap
+            # each cycle, compounding overlap; healthy = overlap flat
+            half = upd_keys // 2
+            off_lo = (c * 37_000) % max(1, n_rows // 2 - half)
+            off_hi = n_rows // 2 + (c * 53_000) % max(1, n_rows // 2 - half)
+            upd = spark.range(half).select(
+                (F.col("id") + off_lo).alias("k")
+            ).unionAll(
+                spark.range(half).select((F.col("id") + off_hi).alias("k"))
+            )
+            shape = "bimodal"
+        elif c % 2 == 1:
             # narrow: contiguous run at a rotating offset
             off = (c * 37_000) % max(1, n_rows - upd_keys)
             upd = spark.range(upd_keys).select((F.col("id") + off).alias("k"))
