@@ -87,23 +87,23 @@ def merge_upsert(
         update_columns = [c for c in tcols if c not in keys and c in scols]
     upd = set(update_columns)
 
-    t = target.alias("t")
-    s = source.alias("s")
+    # side-presence after the outer join must come from an explicit
+    # marker, NOT from key nullability: a NULL-key source row (legal —
+    # SQL equality never matches NULL, it passes through as an
+    # unmatched INSERT, same semantics as Snowflake MERGE) has its key
+    # columns all-null while the side is very much present, and a
+    # key-null test would misread it as side-absent and null out its
+    # values.  A literal marker is constant-folded and costs nothing.
+    t_mark, s_mark = "__merge_t__", "__merge_s__"
+    t = target.withColumn(t_mark, F.lit(True)).alias("t")
+    s = source.withColumn(s_mark, F.lit(True)).alias("s")
     cond = functools.reduce(
         operator.and_,
         [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
     )
     joined = t.join(s, cond, "full_outer")
-    # side-presence after the outer join: any key column non-null (a
-    # side's key columns are all-null exactly when that side is absent;
-    # SQL equality never matches a NULL key, so null-keyed rows pass
-    # through as unmatched — same semantics as Snowflake MERGE)
-    s_present = functools.reduce(
-        operator.or_, [F.col(f"s.{k}").isNotNull() for k in keys]
-    )
-    t_present = functools.reduce(
-        operator.or_, [F.col(f"t.{k}").isNotNull() for k in keys]
-    )
+    s_present = F.col(f"s.{s_mark}").isNotNull()
+    t_present = F.col(f"t.{t_mark}").isNotNull()
     if delete_when is not None:
         # drop matched-and-tombstoned rows AND tombstone-only inserts;
         # target-only rows (no s side ⇒ predicate NULL ⇒ kept) survive

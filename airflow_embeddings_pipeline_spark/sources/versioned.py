@@ -829,8 +829,15 @@ class VersionedParquetTable:
                         # in-band ones
                         per_part = max(1, n_in // n_out) if n_in else n_out_rows
                         parts = max(1, -(-n_out_rows // per_part))
+                        # NULL-key rows: every band predicate is NULL for
+                        # them, so a bare ~any_band (NULL) would silently
+                        # drop them from the write — coalesce to False so
+                        # they route into this out-of-band append, where
+                        # repartitionByRange's NULLS FIRST ordering
+                        # clusters them into the lowest-range file (the
+                        # same place the CDF reader expects them)
                         (
-                            df.filter(~any_band)
+                            df.filter(~F.coalesce(any_band, F.lit(False)))
                             .repartitionByRange(parts, F.col(key))
                             .sortWithinPartitions(key)
                             .write.mode("overwrite" if first else "append")

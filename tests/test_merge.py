@@ -917,6 +917,44 @@ def test_pruned_merge_append_split_keeps_ranges_disjoint(spark, tmp_path):
     assert any(lo == 100_000 for lo, _ in ranges)
 
 
+def test_pruned_merge_null_key_insert_survives_append_split(spark, tmp_path):
+    """A NULL-key source row must INSERT (SQL equality never matches
+    NULL — the merge docstring's contract), including on the pruned
+    path where the commit splits the write by band predicates: every
+    band predicate evaluates to NULL for a NULL key, so a bare
+    ``~any_band`` filter would silently drop the row from all writes.
+    Regression for the coalesce(any_band, False) routing: the NULL-key
+    row lands in the out-of-band append, clustered NULLS FIRST into
+    the lowest-range file, and the read-back equals the full
+    relational MERGE."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_write_pruned,
+    )
+
+    path, table = _pruned_setup(spark, tmp_path)
+    n_before = table.read(spark).count()
+    # one in-range update (forces the append_split band path) and one
+    # NULL-key insert
+    source = spark.createDataFrame(
+        [(0, "upd-0", "new"), (None, "ins-null", "new")],
+        "k long, ref string, cat string",
+    )
+    expect = sorted(
+        map(tuple, merge_upsert(table.read(spark), source, "k").collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    stats = merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
+    assert stats["files_touched"] == 1
+    got = sorted(
+        map(tuple, table.read(spark).collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert len(got) == n_before + 1  # the NULL-key row was not dropped
+    assert got == expect
+    assert any(t[1] == "ins-null" for t in got)
+
+
 def test_pruned_merge_composite_trailing_column_pruning_bites(spark, tmp_path):
     """Per-file stats are recorded for EVERY key column: a source tuple
     whose leading key sits inside a file's range but whose trailing key
