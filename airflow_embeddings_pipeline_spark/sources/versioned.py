@@ -492,7 +492,13 @@ class VersionedParquetTable:
             out.append(entry)
         return out
 
-    def restore(self, spark: SparkSession, version: int) -> int:
+    def restore(
+        self,
+        spark: SparkSession,
+        version: int,
+        *,
+        verify_constraints: bool = True,
+    ) -> int:
         """Roll the table back to a prior committed version as a NEW
         commit (Delta ``RESTORE TABLE ... TO VERSION AS OF`` analog) —
         history is preserved (the rolled-back commits stay
@@ -512,7 +518,22 @@ class VersionedParquetTable:
         restore into a loud :class:`SnapshotConflictError` rather than
         a silent interleave.  ``app_metadata`` records
         ``restored_from``; a restore to the current version is a no-op.
+
+        The LIVE constraint set survives the restore (constraints are
+        table properties, not data) — so when it is non-empty the
+        restored snapshot is VETTED first, the same one-scan check
+        :meth:`add_constraint` runs over existing data: ordinary
+        commits enforce constraints on NEW files only, and a restore
+        carries the target version's files by reference, so a version
+        predating ``add_constraint`` could otherwise silently
+        reintroduce violating rows into a table that still declares
+        the constraint.  Violation ⇒ :class:`ConstraintViolationError`,
+        nothing published.  ``verify_constraints=False`` skips the scan
+        (the caller accepts a possibly-violating restored state — e.g.
+        restoring precisely to then drop the constraint).
         """
+        from pyspark.sql import functions as F
+
         cur = self.current_version()
         if version == cur:
             return cur
@@ -520,6 +541,25 @@ class VersionedParquetTable:
             raise FileNotFoundError(
                 f"version {version} not available (never committed or vacuumed)"
             )
+        live_cons = self.constraints_of()
+        if verify_constraints and live_cons:
+            names = list(live_cons)
+            # one pass over the restored snapshot for all constraints
+            row = self.read_version(spark, version).agg(
+                *[
+                    F.sum(
+                        F.when(
+                            ~F.coalesce(F.expr(live_cons[n]), F.lit(True)), 1
+                        ).otherwise(0)
+                    ).alias(f"c{i}")
+                    for i, n in enumerate(names)
+                ]
+            ).collect()[0]
+            for i, n in enumerate(names):
+                if row[f"c{i}"]:
+                    raise ConstraintViolationError(
+                        n, live_cons[n], int(row[f"c{i}"])
+                    )
         man = self.manifest(version)
         if man is None:
             return self.commit(

@@ -170,6 +170,17 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         meta = {"_change_type", "_commit_version"}
         self.fields = [f.name for f in schema.fields]
         self.payload = [c for c in self.fields if c not in meta]
+        # full (name, type) signature of the stream-start payload
+        # schema: the mid-stream evolution guard must catch TYPE-only
+        # changes too (a column widened int->long with unchanged names
+        # would otherwise slip past a name-only check and read() would
+        # emit RecordBatches typed to the NEW schema while Spark still
+        # holds the stream-start schema)
+        self._payload_sig = [
+            (f.name, f.dataType.json())
+            for f in schema.fields
+            if f.name not in meta
+        ]
         key_opt = options.get("key")
         self.keys = key_opt.split(",") if key_opt else None
         self.starting = options.get("startingversion")
@@ -219,11 +230,20 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # geometrically — it passes any committed offset in O(log)
         # probes, then planning resumes and resets the window.  Head is
         # always an upper bound, so the cap never invents offsets.
-        base = (
-            self._last_end
-            if self._last_end is not None
-            else self.initialOffset()["v"]
-        )
+        if self._last_end is not None:
+            # planning has run: base is TRUE progress, so the fixed
+            # window is always correct — and widening here would be
+            # actively harmful: a live stream's idle polls would grow
+            # the window toward max_versions<<32, so the first
+            # post-idle commit burst arrives as one effectively
+            # uncapped micro-batch, defeating the back-pressure
+            # exactly when a burst needs it.
+            return {"v": min(head, self._last_end + self.max_versions)}
+        # checkpoint resume: initialOffset understates the committed
+        # offset (the JVM offset log is invisible here), so a fixed
+        # window could sit forever below it — widen geometrically
+        # until planning resumes and _last_end takes over.
+        base = self.initialOffset()["v"]
         if base == self._probe_base:
             self._stalled_probes += 1
         else:
@@ -247,12 +267,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     "changes_between / re-seed the consumer)"
                 )
             schema_t = StructType.fromJson(man_t["schema"])
-            if [f.name for f in schema_t.fields] != self.payload:
+            sig_t = [(f.name, f.dataType.json()) for f in schema_t.fields]
+            if sig_t != self._payload_sig:
                 raise RuntimeError(
                     f"{self.root}: schema changed at v{v} "
-                    f"({[f.name for f in schema_t.fields]} != "
-                    f"{self.payload}); restart the stream with a fresh "
-                    "checkpoint to adopt the evolved schema"
+                    f"({sig_t} != {self._payload_sig}); restart the "
+                    "stream with a fresh checkpoint to adopt the "
+                    "evolved schema"
                 )
             keys = self.keys or man_t.get("stats_columns") or [man_t["key"]]
             if isinstance(keys, str):

@@ -1842,6 +1842,56 @@ def test_restore_is_zero_copy_and_cdc_visible(spark, tmp_path):
         t.restore(spark, 2)
 
 
+def test_restore_vets_live_constraints(spark, tmp_path):
+    """Restoring to a version that PREDATES add_constraint must not
+    silently reintroduce violating rows: ordinary commits enforce
+    constraints on new files only and a restore carries files by
+    reference, so restore() vets the restored snapshot against the
+    LIVE constraint set (one scan, same as add_constraint) and aborts
+    pre-publish on violation.  verify_constraints=False is the
+    documented escape hatch."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        ConstraintViolationError,
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "restore_cons")
+    t = VersionedParquetTable(path)
+    # v1 contains a negative price
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(0, -5.0)] + [(i, float(i)) for i in range(1, 100)],
+            "k long, price double",
+        ),
+        "k",
+        cluster_partitions=4,
+    )
+    # v2 repairs it; v3 declares the constraint (vets v2's data: clean)
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(0, 5.0)], "k long, price double"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    t.add_constraint(spark, "price_nonneg", "price >= 0")
+    head = t.current_version()
+
+    with pytest.raises(ConstraintViolationError) as ei:
+        t.restore(spark, 1)
+    assert ei.value.name == "price_nonneg"
+    assert t.current_version() == head  # nothing published
+
+    # explicit opt-out restores the violating snapshot
+    v = t.restore(spark, 1, verify_constraints=False)
+    assert v == head + 1
+    assert t.read(spark).filter("price < 0").count() == 1
+    # the live constraint set still declares the rule (table property)
+    assert t.constraints_of() == {"price_nonneg": "price >= 0"}
+
+
 def test_vacuum_retain_seconds_extends_retention(spark, tmp_path):
     from airflow_embeddings_pipeline_spark.sources.versioned import (
         VersionedParquetTable,

@@ -865,3 +865,110 @@ def test_range_components_edges():
     assert len(comps) == 1
     # empty diff -> no partitions
     assert _range_components([], [], True) == []
+
+
+def _cdf_decl():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("k", LongType()),
+            StructField("price", DoubleType()),
+            StructField("status", StringType()),
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+        ]
+    )
+
+
+def test_cdf_stream_backpressure_window_fixed_after_planning(
+    spark, tmp_path
+):
+    """maxVersionsPerBatch stall-widening applies ONLY before the first
+    planning call (the checkpoint-resume case it exists for).  Once
+    partitions() has recorded true progress, idle latestOffset polls
+    must NOT widen the window — otherwise a live stream's idle stretch
+    grows it toward max_versions<<32 and the first post-idle burst
+    arrives as one effectively uncapped micro-batch, defeating the
+    back-pressure exactly when a burst needs it."""
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    root = str(tmp_path / "bp_window")
+    t = VersionedParquetTable(root)
+    for i in range(6):  # v1..v6
+        t.commit_with_manifest(
+            spark.createDataFrame(
+                [(j, float(i), "s") for j in range(10)],
+                "k long, price double, status string",
+            ),
+            "k",
+            cluster_partitions=1,
+        )
+
+    # resume case: no planning yet — repeated idle polls widen
+    # geometrically so the window passes any committed offset
+    r = VersionedChangesStreamReader(
+        _cdf_decl(),
+        {"path": root, "startingversion": "1", "maxversionsperbatch": "1"},
+    )
+    assert r.latestOffset()["v"] == 2  # base 1 + window 1
+    assert r.latestOffset()["v"] == 3  # widened: 1 + 2
+    assert r.latestOffset()["v"] == 5  # widened: 1 + 4
+    assert r.latestOffset()["v"] == 6  # capped at head
+
+    # after planning: the window is FIXED at max_versions no matter how
+    # many idle polls pass
+    r2 = VersionedChangesStreamReader(
+        _cdf_decl(),
+        {"path": root, "startingversion": "1", "maxversionsperbatch": "1"},
+    )
+    r2.partitions({"v": 1}, {"v": 2})  # planning establishes _last_end=2
+    for _ in range(10):  # a long idle stretch
+        assert r2.latestOffset()["v"] == 3  # always last_end + 1
+
+
+def test_cdf_stream_schema_guard_catches_type_only_change(spark, tmp_path):
+    """The mid-stream evolution guard compares full (name, type)
+    signatures: a column widened int->long with unchanged names must
+    raise the same loud restart error as a name change — otherwise
+    read() emits RecordBatches typed to the NEW schema while Spark
+    still holds the stream-start schema."""
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    root = str(tmp_path / "type_guard")
+    t = VersionedParquetTable(root)
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(1, 1.0, "a")], "k long, price double, status string"
+        ),
+        "k",
+        cluster_partitions=1,
+    )
+    # v2 widens price double -> decimal-free type change via a cast to
+    # float (names identical, type differs)
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(1, 1.0, "a")], "k long, price float, status string"
+        ),
+        "k",
+        cluster_partitions=1,
+    )
+    r = VersionedChangesStreamReader(_cdf_decl(), {"path": root})
+    with pytest.raises(RuntimeError, match="schema changed"):
+        r.partitions({"v": 1}, {"v": 2})
