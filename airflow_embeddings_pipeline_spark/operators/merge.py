@@ -51,6 +51,7 @@ def merge_upsert(
     schema_evolution: bool = False,
     delete_when=None,
     evolution_exclude: Sequence[str] = (),
+    strategy: str = "outer",
 ) -> DataFrame:
     """Relational MERGE: upsert ``source`` into ``target`` on ``key``
     (a column name or a COMPOSITE key — a sequence of names ANDed into
@@ -79,6 +80,24 @@ def merge_upsert(
     ``evolution_exclude`` — source columns that schema evolution must
     NOT append (control columns like a CDC tombstone flag that exist to
     steer the merge, not to land in the table).
+
+    ``strategy`` — physical plan choice, NEVER a semantics choice (a
+    hypothesis-driven parity test asserts row-identical output):
+
+    * ``"outer"`` (default): one FULL OUTER join.  Spark cannot
+      broadcast a full-outer side, so both sides shuffle full-width —
+      right when target and source are comparable in size (the
+      in-memory pipeline queries).
+    * ``"decompose"``: target LEFT JOIN source (update/delete leg —
+      broadcastable when the batch is small, so the target streams
+      WITHOUT shuffling) unioned with source LEFT ANTI target-keys
+      (insert leg — shuffles only the KEY columns of the target, not
+      its full width).  Matched multiplicity is identical to the
+      outer join's (every t×s key pair emits a row — duplicate keys
+      on either side multiply the same way).  This is the plan for a
+      narrow batch against a large target: the pruned MERGE write
+      path uses it, because there the source is by construction small
+      relative to the touched-file subset.
     """
     keys = _as_keys(key)
     tcols = target.columns
@@ -86,6 +105,16 @@ def merge_upsert(
     if update_columns is None:
         update_columns = [c for c in tcols if c not in keys and c in scols]
     upd = set(update_columns)
+    if strategy not in ("outer", "decompose"):
+        raise ValueError(f"unknown merge strategy: {strategy!r}")
+
+    if strategy == "decompose":
+        return _merge_decomposed(
+            target, source, keys, upd,
+            schema_evolution=schema_evolution,
+            delete_when=delete_when,
+            evolution_exclude=evolution_exclude,
+        )
 
     # side-presence after the outer join must come from an explicit
     # marker, NOT from key nullability: a NULL-key source row (legal —
@@ -132,6 +161,88 @@ def merge_upsert(
                 # outer join already yields NULL for target-only rows
                 out_cols.append(F.col(f"s.{c}").alias(c))
     return joined.select(*out_cols)
+
+
+def _merge_decomposed(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    upd: set,
+    *,
+    schema_evolution: bool,
+    delete_when,
+    evolution_exclude: Sequence[str],
+) -> DataFrame:
+    """The ``strategy="decompose"`` plan for :func:`merge_upsert` —
+    row-for-row identical output to the full-outer rewrite (every
+    matched t×s key pair emits one row with the same column choices;
+    NULL keys never match on either side), but as two broadcast-friendly
+    joins instead of one never-broadcastable full outer:
+
+    * update leg: ``target LEFT JOIN source`` — the target side never
+      shuffles when Spark broadcasts the batch; matched pairs take
+      source values for the update set, unmatched target rows carry
+      through, tombstoned pairs drop.
+    * insert leg: ``source LEFT ANTI target(keys)`` — only the target's
+      KEY columns reach the shuffle (column pruning cuts a wide table
+      to its key bytes); surviving source rows insert.
+    """
+    tcols = target.columns
+    scols = set(source.columns)
+    evolved = (
+        [
+            c
+            for c in source.columns
+            if c not in tcols and c not in set(evolution_exclude)
+        ]
+        if schema_evolution
+        else []
+    )
+    s_mark = "__merge_s__"
+    t = target.alias("t")
+    s = source.withColumn(s_mark, F.lit(True)).alias("s")
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+    )
+    joined = t.join(s, cond, "left_outer")
+    s_present = F.col(f"s.{s_mark}").isNotNull()
+    if delete_when is not None:
+        joined = joined.filter(
+            ~s_present | ~F.coalesce(delete_when, F.lit(False))
+        )
+    upd_cols = []
+    for c in tcols:
+        if c in keys or c not in scols:
+            expr = F.col(f"t.{c}")
+        elif c in upd:
+            expr = F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        else:
+            # insert-only column: the target side is always present here
+            expr = F.col(f"t.{c}")
+        upd_cols.append(expr.alias(c))
+    upd_cols += [F.col(f"s.{c}").alias(c) for c in evolved]
+    upd_leg = joined.select(*upd_cols)
+
+    ins = source.alias("s")
+    if delete_when is not None:
+        ins = ins.filter(~F.coalesce(delete_when, F.lit(False)))
+    anti_cond = functools.reduce(
+        operator.and_,
+        [F.col(f"s.{k}") == F.col(f"t.{k}") for k in keys],
+    )
+    ins = ins.join(
+        target.select(*keys).alias("t"), anti_cond, "left_anti"
+    )
+    ins_cols = []
+    for c in tcols:
+        if c in keys or c in scols:
+            expr = F.col(f"s.{c}")
+        else:
+            expr = F.lit(None).cast(target.schema[c].dataType)
+        ins_cols.append(expr.alias(c))
+    ins_cols += [F.col(f"s.{c}").alias(c) for c in evolved]
+    return upd_leg.unionByName(ins.select(*ins_cols))
 
 
 def merge_counts(
@@ -477,6 +588,11 @@ def _pruned_merge_attempt(
         subset = spark.read.schema(schema).parquet(*paths)
     else:
         subset = spark.createDataFrame([], schema)
+    # decompose: the batch is by construction small relative to the
+    # touched-file subset (that asymmetry is the whole point of
+    # pruning), so the update leg broadcasts the batch and the subset
+    # files stream through un-shuffled; the insert leg shuffles only
+    # the subset's key columns.
     merged = merge_upsert(
         subset,
         source,
@@ -485,6 +601,7 @@ def _pruned_merge_attempt(
         schema_evolution=schema_evolution,
         delete_when=delete_when,
         evolution_exclude=evolution_exclude,
+        strategy="decompose",
     )
     # layout hint: the merged subset clusters WITHIN the touched files'
     # disjoint range COMPONENTS, and out-of-range inserts (keys beyond
@@ -511,16 +628,36 @@ def _pruned_merge_attempt(
         else:
             bands.append((lo, hi))
     split = bands if len(bands) > 1 else (bands[0] if bands else None)
+    # per-band row estimates from the manifest stats the prune already
+    # holds (each ranged touched file lies inside exactly one band):
+    # they size the commit's first band write so it needs no dedicated
+    # count job — exact counts ride that write's observed metrics
+    band_rows = [
+        sum(
+            e.get("n_rows") or 0
+            for e in touched_entries
+            if e["min"] is not None and lo <= e["min"] and e["max"] <= hi
+        )
+        for lo, hi in bands
+    ]
+    # ONE prior-manifest read serves both the app-metadata carry-over
+    # and the constraint inheritance (the commit used to re-read it);
+    # the CAS below guarantees the snapshot is still live at publish.
+    prior_man = (
+        table.manifest(base_version) if base_version is not None else None
+    ) or {}
     # app metadata: prior keys persist until overwritten (Delta txn
     # analog) — merged with this commit's, new keys winning
-    prior_meta = table.app_metadata_of()
+    prior_meta = dict(prior_man.get("app_metadata") or {})
     version = table.commit_with_manifest(
         merged, lead, carried=carried,
         cluster_partitions=max(1, len(touched_entries)),
         append_split=split,
+        band_rows_hint=band_rows if split is not None else None,
         stats_columns=keys if trail else None,
         app_metadata={**prior_meta, **(app_metadata or {})} or None,
         expected_base_version=base_version,
+        constraints=prior_man.get("constraints") or {},
     )
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)

@@ -707,6 +707,7 @@ class VersionedParquetTable:
         carried: list[dict] | None = None,
         cluster_partitions: int | None = None,
         append_split: tuple | None = None,
+        band_rows_hint: list | tuple | None = None,
         stats_columns: list | tuple | None = None,
         app_metadata: dict | None = None,
         expected_base_version=_NO_CAS,
@@ -734,6 +735,13 @@ class VersionedParquetTable:
         merge's touched set (the long-horizon probe measured
         overlap_max ≈ 25 of 32 files without the split).  Purely a
         layout decision: same rows, same manifest semantics.
+
+        ``band_rows_hint`` — optional per-band estimated row counts
+        (aligned with ``append_split`` when it is a list), typically
+        the summed manifest ``n_rows`` of the touched files in each
+        band: it sizes the FIRST band write so no dedicated count job
+        runs; exact counts ride that write's observed metrics and size
+        everything after.
 
         ``stats_columns`` — additional columns whose per-file [min, max]
         are recorded in the manifest next to the clustering key's (the
@@ -811,10 +819,23 @@ class VersionedParquetTable:
             n_out = cluster_partitions or int(
                 df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
             )
+
+            def _clustered(sub: DataFrame, parts: int) -> DataFrame:
+                # range clustering; a single output partition needs no
+                # range bounds, and repartitionByRange would still run
+                # its sampling JOB to compute them — repartition(1) +
+                # sort is row-identical and sampling-free (the narrow
+                # daily-batch commit writes exactly one file, so this
+                # saves a job on the common path)
+                if parts == 1:
+                    return sub.repartition(1).sortWithinPartitions(key)
+                return sub.repartitionByRange(
+                    parts, F.col(key)
+                ).sortWithinPartitions(key)
+
             if append_split is None:
                 (
-                    df.repartitionByRange(n_out, F.col(key))
-                    .sortWithinPartitions(key)
+                    _clustered(df, n_out)
                     .write.mode("overwrite")
                     .parquet(vdir)
                 )
@@ -836,34 +857,62 @@ class VersionedParquetTable:
                     for lo, hi in bands
                 ]
                 any_band = functools.reduce(operator.or_, in_band)
-                # one upstream execution feeds all writes
-                df = df.persist()
+                # Per-band row counts WITHOUT a dedicated count job: the
+                # caller's manifest-stats hint sizes the FIRST band
+                # write, and exact counts ride that write's observed
+                # metrics (the persisted upstream materializes fully on
+                # its first action, so CollectMetrics sees every row
+                # exactly once) — later bands and the out-of-band append
+                # size from the exact counts.  This folds what used to
+                # be a separate aggregate job per commit into the first
+                # write's own execution.
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                df = df.observe(
+                    obs,
+                    *[
+                        F.sum(F.when(c, 1).otherwise(0)).alias(f"b{i}")
+                        for i, c in enumerate(in_band)
+                    ],
+                    F.count(F.lit(1)).alias("all"),
+                ).persist()
                 try:
-                    counts_row = df.agg(
-                        *[
-                            F.sum(F.when(c, 1).otherwise(0)).alias(f"b{i}")
-                            for i, c in enumerate(in_band)
-                        ],
-                        F.count(F.lit(1)).alias("all"),
-                    ).collect()[0]
-                    n_in = sum(counts_row[f"b{i}"] or 0
-                               for i in range(len(bands)))
-                    first = True
+                    hints = list(band_rows_hint or [])
+                    hints += [None] * (len(bands) - len(hints))
+                    h_tot = sum(h for h in hints if h)
+                    counts = None
+                    n_in = 0
+                    wrote = False
                     for i, cond in enumerate(in_band):
-                        n_b = counts_row[f"b{i}"] or 0
-                        if not n_b:
-                            continue
-                        # partitions proportional to the band's share
-                        parts = max(1, round(n_out * n_b / max(1, n_in)))
+                        if counts is None:
+                            # first write: partitions proportional to the
+                            # hinted share (touched-file rows from the
+                            # manifest), evenly split when unhinted
+                            parts = (
+                                max(1, round(n_out * hints[i] / h_tot))
+                                if h_tot and hints[i]
+                                else max(1, n_out // len(bands))
+                            )
+                        else:
+                            n_b = counts[f"b{i}"] or 0
+                            if not n_b:
+                                continue
+                            # partitions proportional to the band's share
+                            parts = max(1, round(n_out * n_b / max(1, n_in)))
                         (
-                            df.filter(cond)
-                            .repartitionByRange(parts, F.col(key))
-                            .sortWithinPartitions(key)
-                            .write.mode("overwrite" if first else "append")
+                            _clustered(df.filter(cond), parts)
+                            .write.mode("append" if wrote else "overwrite")
                             .parquet(vdir)
                         )
-                        first = False
-                    n_out_rows = (counts_row["all"] or 0) - n_in
+                        wrote = True
+                        if counts is None:
+                            counts = obs.get
+                            n_in = sum(
+                                counts[f"b{i}"] or 0
+                                for i in range(len(bands))
+                            )
+                    n_out_rows = (counts["all"] or 0) - n_in
                     if n_out_rows:
                         # appends cluster into files sized like the
                         # in-band ones
@@ -877,14 +926,17 @@ class VersionedParquetTable:
                         # clusters them into the lowest-range file (the
                         # same place the CDF reader expects them)
                         (
-                            df.filter(~F.coalesce(any_band, F.lit(False)))
-                            .repartitionByRange(parts, F.col(key))
-                            .sortWithinPartitions(key)
-                            .write.mode("overwrite" if first else "append")
+                            _clustered(
+                                df.filter(
+                                    ~F.coalesce(any_band, F.lit(False))
+                                ),
+                                parts,
+                            )
+                            .write.mode("append" if wrote else "overwrite")
                             .parquet(vdir)
                         )
-                        first = False
-                    if first:
+                        wrote = True
+                    if not wrote:
                         # fully-empty merged subset (e.g. a delete-only
                         # batch emptied the touched files): the version
                         # dir must still exist to carry the manifest

@@ -56,6 +56,24 @@ def main() -> None:
     warm_df = next(iter(bench_queries.values())).build(spark, sf_dir).limit(1)
     warm_df.write.format("noop").mode("overwrite").save()
 
+    # I/O-dimension host probe (r7 lesson: the CPU probes below agreed
+    # across three runs while scan-bound headline walls doubled — the
+    # host drift lives in the I/O/page-cache dimension they don't
+    # touch).  Full materialization of the staged lineitem through the
+    # parquet reader (noop sink reads EVERY column — a count() would
+    # prune the scan to metadata): first run recorded as "cold"
+    # (first-touch in this process), median-of-3 after as "warm".  The
+    # headline is also emitted normalized by the warm probe so
+    # round-over-round comparisons cancel host scan speed.
+    li = load_table(spark, sf_dir, "lineitem")
+    scan_runs = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        li.write.format("noop").mode("overwrite").save()
+        scan_runs.append(round(time.perf_counter() - t0, 3))
+    scan_cold = scan_runs[0]
+    scan_warm = round(sorted(scan_runs[1:])[1], 3)
+
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
         # median-of-3: single-tenant wall clock on a shared host is noisy
@@ -93,17 +111,27 @@ def main() -> None:
         a = a @ a * 1e-3
     np_probe = round(time.perf_counter() - t0, 3)
 
+    headline_wall = round(sum(timings[n] for n in headline), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_sec",
-                "value": round(sum(timings[n] for n in headline), 3),
+                "value": headline_wall,
                 "unit": "sec",
                 "queries": timings,
                 "headline_queries": headline,
                 "full_suite_wall_sec": round(sum(timings.values()), 3),
                 "host_probe_py_sec": py_probe,
                 "host_probe_np_sec": np_probe,
+                "host_probe_scan_cold_sec": scan_cold,
+                "host_probe_scan_warm_sec": scan_warm,
+                # host-drift-proof comparison metric: headline divided
+                # by the warm staged-lineitem full-scan wall on the
+                # SAME host/run (dimensionless; see BASELINE.md
+                # "Host-normalized headline")
+                "headline_per_scan_probe": round(
+                    headline_wall / scan_warm, 2
+                ) if scan_warm else None,
                 "sf": sf,
             }
         )

@@ -525,3 +525,50 @@ def test_cdc_replication_law_random_histories(spark, tmp_path_factory, ops):
     assert sorted(
         map(tuple, stream_replica.read(spark).collect())
     ) == sorted(map(tuple, primary.read(spark).collect()))
+
+
+# ---------------------------------------------------------------- MERGE
+# strategy="decompose" (left join + anti insert leg) must be ROW-
+# IDENTICAL to the full-outer rewrite on arbitrary inputs — including
+# duplicate keys on either side (matched groups multiply m×n both
+# ways), NULL keys (never match, target rows carry, source rows
+# insert), tombstones, partial update sets, and schema evolution.
+_MERGE_ROW = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from(["a", "b", "DEL"]),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(_MERGE_ROW, min_size=0, max_size=12),
+    st.lists(_MERGE_ROW, min_size=0, max_size=12),
+    st.booleans(),
+    st.booleans(),
+)
+def test_merge_decompose_strategy_matches_outer(
+    spark, t_rows, s_rows, partial_update, with_delete
+):
+    from airflow_embeddings_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(k, v, f) for k, v, f in t_rows], "k int, v int, flag string"
+    )
+    # source carries an extra column for the evolution path
+    source = spark.createDataFrame(
+        [(k, v, f, v * 10) for k, v, f in s_rows],
+        "k int, v int, flag string, extra int",
+    )
+    kwargs = dict(
+        update_columns=["v"] if partial_update else None,
+        schema_evolution=True,
+        delete_when=(F.col("s.flag") == "DEL") if with_delete else None,
+    )
+    outer = merge_upsert(target, source, "k", strategy="outer", **kwargs)
+    dec = merge_upsert(target, source, "k", strategy="decompose", **kwargs)
+    assert outer.columns == dec.columns
+    key = lambda r: tuple("" if x is None else str(x) for x in r)
+    assert sorted(map(tuple, outer.collect()), key=key) == sorted(
+        map(tuple, dec.collect()), key=key
+    )
