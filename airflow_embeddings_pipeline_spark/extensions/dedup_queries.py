@@ -562,7 +562,11 @@ def _plan_is_trivial(df: DataFrame) -> bool:
     projections, filters only) — recomputing it ×4 is then as cheap as
     reading it from cache, so auto mode skips the persist.  Any
     recomputation-heavy node (join, aggregate, union, explode, window,
-    dedup) makes the plan non-trivial.  Inspection failure (plan string
+    dedup) makes the plan non-trivial.  A bare ``Sort`` does NOT: a
+    scan+orderBy recomputes for the price of the scan (the operator
+    re-shuffles by shingle anyway, so the input order is irrelevant),
+    and counting it heavy made auto mode persist corpora for no
+    benefit (r7 verdict).  Inspection failure (plan string
     unavailable) is treated as trivial: not persisting is always
     correct, merely slower."""
     try:
@@ -571,7 +575,7 @@ def _plan_is_trivial(df: DataFrame) -> bool:
         return True
     heavy = (
         "Join", "Aggregate", "Union", "Generate", "Window",
-        "Deduplicate", "Distinct", "Expand", "Sort",
+        "Deduplicate", "Distinct", "Expand",
     )
     return not any(node in plan for node in heavy)
 

@@ -582,6 +582,103 @@ class VersionedParquetTable:
             expected_base_version=cur,
         )
 
+    def clone_to(
+        self,
+        dest_root: str,
+        *,
+        version: int | None = None,
+        set_cdc_watermark: bool = True,
+        app_metadata: dict | None = None,
+    ) -> int:
+        """Zero-copy CLONE: publish this table's snapshot as version 1
+        of a FRESH table at ``dest_root`` (Delta ``CREATE TABLE ...
+        SHALLOW CLONE`` analog) — no data is read or rewritten, the
+        clone costs one hardlink per data file plus one manifest write
+        regardless of table size, and runs no Spark job at all.
+
+        Files are HARDLINKED into the clone's own version directory, so
+        the two tables share inodes but own independent lifecycles:
+        either side's ``vacuum`` merely unlinks its own names and can
+        never break the other (the object-store equivalent is Delta's
+        path-by-reference shallow clone, which instead needs retention
+        protection on the source — hardlinks make that caveat vanish on
+        a filesystem).  Cross-device targets degrade to a file copy,
+        still manifest-driven and Spark-free.
+
+        Per-file stats, ``stats_columns``, and CHECK constraints carry
+        over verbatim (a clone of a vetted table is vetted — the files
+        are bit-identical).  ``app_metadata`` records ``cloned_from``;
+        with ``set_cdc_watermark`` (default) it also seeds
+        ``cdc_last_applied_version`` to the cloned version, which is
+        exactly the watermark :func:`~..operators.merge.sync_replica` /
+        ``sync_replica_stream`` resume from — so CDC replica seeding is
+        ``clone_to`` + sync, with no full-copy seed step.
+
+        Requires a keyed-manifest snapshot (``version`` defaults to the
+        live one); a plain full-directory version has no file list to
+        reference — adopt it first (any manifest commit does).
+        """
+        src_v = self.current_version() if version is None else version
+        if src_v is None or src_v not in self.versions():
+            raise FileNotFoundError(
+                f"version {src_v} not available (never committed or vacuumed)"
+            )
+        man = self.manifest(src_v)
+        if man is None:
+            raise ValueError(
+                f"{self.root} v{src_v} is a plain full-directory version "
+                "with no manifest to clone by reference — commit it "
+                "through commit_with_manifest (e.g. a keyed adopt) first"
+            )
+        dest = VersionedParquetTable(dest_root)
+        dest._acquire_lock()
+        try:
+            if dest._versions_on_disk() or dest.current_version() is not None:
+                raise ValueError(
+                    f"clone target {dest_root} is not a fresh root "
+                    "(it already has versions)"
+                )
+            vdir = dest._version_dir(1)
+            os.makedirs(vdir, exist_ok=True)
+            new_entries = []
+            for e in man["files"]:
+                src_p = os.path.join(self.root, e["path"])
+                # flatten "v00000003/part-x.parquet" → unique flat name
+                dst_p = os.path.join(vdir, e["path"].replace(os.sep, "_"))
+                try:
+                    os.link(src_p, dst_p)
+                except OSError:
+                    shutil.copy2(src_p, dst_p)
+                new_entries.append(
+                    {**e, "path": os.path.relpath(dst_p, dest.root)}
+                )
+            meta = dict(man.get("app_metadata") or {})
+            meta["cloned_from"] = {"root": self.root, "version": src_v}
+            if set_cdc_watermark:
+                meta["cdc_last_applied_version"] = src_v
+            meta.update(app_metadata or {})
+            new_man = {
+                "key": man["key"],
+                "schema": man["schema"],
+                "files": new_entries,
+                "app_metadata": meta,
+            }
+            if man.get("stats_columns"):
+                new_man["stats_columns"] = list(man["stats_columns"])
+            if man.get("constraints"):
+                new_man["constraints"] = dict(man["constraints"])
+            tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(new_man, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(vdir, _MANIFEST))
+            dest._write_marker(vdir)
+            dest._swap_pointer(1)
+            return 1
+        finally:
+            dest._release_lock()
+
     # ------------------------------------------------------ constraints
     def constraints_of(self, version: int | None = None) -> dict:
         """The CHECK constraints recorded in a version's manifest

@@ -439,6 +439,11 @@ def test_setsim_persist_auto_rule_and_release(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     # bare scan + filter + project: recomputes for free → no persist
     assert _plan_is_trivial(docs.select("doc_id", "text").filter("doc_id > 0"))
+    # scan + orderBy: a Sort is recompute-cheap (and the operator
+    # re-shuffles anyway) → still trivial, no persist (r7 verdict #7)
+    assert _plan_is_trivial(
+        docs.select("doc_id", "text").orderBy("doc_id")
+    )
     # UNION ALL corpus: non-trivial → auto-persist
     assert not _plan_is_trivial(_ssj_corpus(spark, sf_dir))
 

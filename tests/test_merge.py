@@ -2092,3 +2092,154 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     # the real run drops exactly what the dry run reported
     assert t.vacuum(keep_last=1) == would
     assert t.versions() == [4]
+
+
+# ------------------------------------------------------------- CLONE
+def _clone_fixture(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / "primary")
+    t = VersionedParquetTable(path)
+    base = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    t.commit_with_manifest(base, "k", cluster_partitions=4)
+    # second commit so the clone source manifest REFERENCES files from
+    # two version dirs (carried v1 files + v2 rewrites)
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(5, 99.0)], "k long, v double"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    return t, path
+
+
+def test_clone_is_zero_copy_and_reads_identically(spark, tmp_path):
+    import os
+
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    t, path = _clone_fixture(spark, tmp_path)
+    dest = str(tmp_path / "replica")
+    v = t.clone_to(dest)
+    assert v == 1
+    c = VersionedParquetTable(dest)
+    # same rows
+    assert sorted(map(tuple, c.read(spark).collect())) == sorted(
+        map(tuple, t.read(spark).collect())
+    )
+    # inode identity: every clone data file hardlinks a primary file
+    src_inodes = {}
+    for e in (t.manifest(t.current_version()) or {})["files"]:
+        st = os.stat(os.path.join(path, e["path"]))
+        src_inodes[st.st_ino] = e["path"]
+    for e in (c.manifest(1) or {})["files"]:
+        st = os.stat(os.path.join(dest, e["path"]))
+        assert st.st_nlink >= 2 and st.st_ino in src_inodes
+    # stats/constraints/watermark metadata carried
+    man = c.manifest(1)
+    assert man["app_metadata"]["cdc_last_applied_version"] == 2
+    assert man["app_metadata"]["cloned_from"]["version"] == 2
+
+
+def test_clone_survives_source_vacuum_and_vice_versa(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    t, path = _clone_fixture(spark, tmp_path)
+    dest = str(tmp_path / "replica")
+    t.clone_to(dest)
+    c = VersionedParquetTable(dest)
+    snapshot = sorted(map(tuple, c.read(spark).collect()))
+
+    # advance the primary and vacuum it down to ONE version: the dirs
+    # holding every file the clone references are unlinked on the
+    # primary side — the clone's hardlinks keep the inodes alive
+    for i in range(3):
+        merge_upsert_write_pruned(
+            path,
+            spark.createDataFrame([(i, -1.0)], "k long, v double"),
+            "k",
+            vacuum_keep_last=None,
+        )
+    t.vacuum(keep_last=1)
+    assert sorted(map(tuple, c.read(spark).collect())) == snapshot
+
+    # and the clone's own vacuum doesn't disturb the primary
+    merge_upsert_write_pruned(
+        dest,
+        spark.createDataFrame([(1, 7.0)], "k long, v double"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    c.vacuum(keep_last=1)
+    assert len(sorted(map(tuple, t.read(spark).collect()))) == 10_000
+
+
+def test_clone_seeds_cdc_replication(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+        sync_replica,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    t, path = _clone_fixture(spark, tmp_path)
+    dest = str(tmp_path / "replica")
+    t.clone_to(dest)
+    # new primary commits after the clone
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(3, 42.0), (20_000, 1.0)], "k long, v double"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    # the clone's seeded watermark lets sync_replica take over directly
+    stats = sync_replica(spark, path, dest, "k", vacuum_keep_last=None)
+    assert stats["rows_upserted"] == 2
+    assert sorted(
+        map(tuple, VersionedParquetTable(dest).read(spark).collect())
+    ) == sorted(map(tuple, t.read(spark).collect()))
+
+
+def test_clone_validation(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    # plain (manifest-less) version refuses to clone
+    plain = str(tmp_path / "plain")
+    spark.range(10).select(F.col("id").alias("k")).write.parquet(plain)
+    pt = VersionedParquetTable(plain)
+    pt.commit(spark.range(10).select(F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="plain full-directory"):
+        pt.clone_to(str(tmp_path / "nope"))
+
+    # non-fresh destination refuses
+    t, _ = _clone_fixture(spark, tmp_path)
+    dest = str(tmp_path / "replica")
+    t.clone_to(dest)
+    with pytest.raises(ValueError, match="not a fresh root"):
+        t.clone_to(dest)

@@ -116,11 +116,10 @@ def main() -> int:
     )
     primary = VersionedParquetTable(p_path)
     v0 = primary.commit_with_manifest(snap, "k", cluster_partitions=32)
+    # zero-copy seed: hardlink CLONE with the CDC watermark recorded in
+    # the clone commit itself — no second snapshot write
     replica = VersionedParquetTable(r_path)
-    replica.commit_with_manifest(
-        snap, "k", cluster_partitions=32,
-        app_metadata={"cdc_last_applied_version": v0},
-    )
+    primary.clone_to(r_path)
     write_wm(wm_path, v0)
 
     max_k = n_rows  # next insert key; advances each cycle
