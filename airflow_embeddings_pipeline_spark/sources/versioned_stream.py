@@ -191,6 +191,15 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # in bounded slices when the cap is set).
         mvpb = options.get("maxversionsperbatch")
         self.max_versions = int(mvpb) if mvpb is not None else None
+        # byte-mass guardrail: each range COMPONENT of a commit step is
+        # what one task materializes in Arrow — bound it by the summed
+        # manifest bytes of its file diff, driver-side at planning
+        # time.  A component over the bound means a table-scale rewrite
+        # landed in the feed; failing loud with batch-API guidance
+        # beats OOMing a worker.  <= 0 disables.  Default 8 GiB of
+        # compressed parquet per component (~2-4x that in memory).
+        mbps = options.get("maxbytesperstep")
+        self.max_bytes = int(mbps) if mbps is not None else 8 << 30
         self._last_end: int | None = None  # set by partitions(): true progress
         self._probe_base: int | None = None  # stall detection, see below
         self._stalled_probes = 0
@@ -288,6 +297,21 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             for rem_c, add_c in _range_components(
                 removed, added, keys[0] == (man_t.get("key") or keys[0])
             ):
+                comp_bytes = sum(
+                    e.get("bytes") or 0 for e in rem_c
+                ) + sum(e.get("bytes") or 0 for e in add_c)
+                if self.max_bytes > 0 and comp_bytes > self.max_bytes:
+                    raise RuntimeError(
+                        f"{self.root}: commit step v{v - 1}->v{v} has a "
+                        f"range component whose file diff is "
+                        f"{comp_bytes} bytes (> maxBytesPerStep="
+                        f"{self.max_bytes}) — a table-scale rewrite "
+                        "does not belong in the streaming feed. Export "
+                        "that commit range with the batch "
+                        "changes_between API (or raise the "
+                        "maxBytesPerStep option if the workers have "
+                        "the memory for it)."
+                    )
                 out.append(
                     _ChangeStep(
                         removed=[
@@ -454,7 +478,11 @@ class VersionedChangesDataSource(DataSource):
     only new commits), ``maxVersionsPerBatch`` (back-pressure: cap the
     commit steps one micro-batch spans — a 1000-commit catch-up
     becomes bounded slices instead of one giant batch; Delta's
-    ``maxFilesPerTrigger`` analog)."""
+    ``maxFilesPerTrigger`` analog), ``maxBytesPerStep`` (guardrail:
+    max summed manifest bytes one step range-component may
+    materialize in a worker; over it the stream FAILS LOUD at
+    planning time with batch-API guidance instead of OOMing —
+    default 8 GiB, <= 0 disables)."""
 
     @classmethod
     def name(cls) -> str:
@@ -510,6 +538,7 @@ def read_changes_stream(
     *,
     starting_version: int | None = None,
     max_versions_per_batch: int | None = None,
+    max_bytes_per_step: int | None = None,
 ):
     """Convenience: a streaming DataFrame of the table's change feed."""
     register_versioned_changes(spark)
@@ -518,4 +547,6 @@ def read_changes_stream(
         r = r.option("startingVersion", str(starting_version))
     if max_versions_per_batch is not None:
         r = r.option("maxVersionsPerBatch", str(max_versions_per_batch))
+    if max_bytes_per_step is not None:
+        r = r.option("maxBytesPerStep", str(max_bytes_per_step))
     return r.load()

@@ -972,3 +972,52 @@ def test_cdf_stream_schema_guard_catches_type_only_change(spark, tmp_path):
     r = VersionedChangesStreamReader(_cdf_decl(), {"path": root})
     with pytest.raises(RuntimeError, match="schema changed"):
         r.partitions({"v": 1}, {"v": 2})
+
+
+def test_stream_cdf_max_bytes_per_step_guardrail(spark, tmp_path):
+    """A full-rewrite commit (whole-table byte mass in one step
+    component) must FAIL LOUD at planning time under a low
+    maxBytesPerStep, and pass with the bound raised — the guardrail
+    enforces what the scale-contract docstring used to merely hope the
+    caller read."""
+    import pytest
+
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    root, t = _cdf_table(spark, tmp_path, "cdf_guard")
+    # full rewrite: every row changes -> the step's diff carries the
+    # whole table on both sides
+    t.commit_with_manifest(
+        spark.createDataFrame(
+            [(i, float(i) * 2, "rewrite") for i in range(1_000)],
+            "k long, price double, status string",
+        ),
+        "k",
+        cluster_partitions=4,
+    )
+
+    # low bound: loud planning-time failure with batch-API guidance
+    with pytest.raises(Exception, match="maxBytesPerStep"):
+        _drain(
+            spark,
+            read_changes_stream(
+                spark, root, starting_version=1, max_bytes_per_step=1_000
+            ),
+            tmp_path,
+            "cdf_guard_low",
+        )
+
+    # high bound: the same stream drains fine
+    got = _drain(
+        spark,
+        read_changes_stream(
+            spark, root, starting_version=1,
+            max_bytes_per_step=1 << 40,
+        ),
+        tmp_path,
+        "cdf_guard_high",
+    )
+    # every key rewritten: pre+post image for each of the 1000 rows
+    assert got.count() == 2_000
