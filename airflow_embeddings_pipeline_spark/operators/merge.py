@@ -457,9 +457,22 @@ def _pruned_merge_attempt(
         )
 
     # the snapshot this whole computation is valid against; the commit
-    # below CASes on it (see merge_upsert_write_pruned's retry loop)
+    # below CASes on it (see merge_upsert_write_pruned's retry loop).
+    # ONE prior-manifest read serves the stats-name mapping here, the
+    # app-metadata carry-over, and the constraint inheritance at commit.
     base_version = table.current_version()
+    prior_man = (
+        table.manifest(base_version) if base_version is not None else None
+    ) or {}
     entries, schema = table.file_entries(spark, lead, extra_columns=trail)
+    # manifest per-file stats are keyed PHYSICALLY (column mapping);
+    # the caller's keys are logical
+    _cmap = {
+        f["name"]: (prior_man.get("column_mapping") or {}).get(
+            f["name"], f["name"]
+        )
+        for f in (prior_man.get("schema") or {}).get("fields", [])
+    }
 
     def _key_ranges(e: dict) -> list:
         """Per-key-column (lo, hi) for a file entry; None = no usable
@@ -473,7 +486,7 @@ def _pruned_merge_attempt(
                     else (e["min"], e["max"])
                 )
             else:
-                s = (e.get("stats") or {}).get(kcol)
+                s = (e.get("stats") or {}).get(_cmap.get(kcol, kcol))
                 r = None if not s or s[0] is None or s[1] is None else (s[0], s[1])
             out.append(r)
         return out
@@ -582,9 +595,13 @@ def _pruned_merge_attempt(
     touched_entries = [e for i, e in enumerate(entries) if touched(i, e)]
     carried = [e for i, e in enumerate(entries) if not touched(i, e)]
 
-    # ---- merge only the touched subset (step 4)
+    # ---- merge only the touched subset (step 4) — read through the
+    # manifest mapping (files store PHYSICAL names; the merge, like
+    # every public surface, speaks logical)
     paths = [os.path.join(table.root, e["path"]) for e in touched_entries]
-    if paths:
+    if paths and prior_man:
+        subset = table._read_manifest_files(spark, prior_man, paths)
+    elif paths:
         subset = spark.read.schema(schema).parquet(*paths)
     else:
         subset = spark.createDataFrame([], schema)
@@ -640,12 +657,6 @@ def _pruned_merge_attempt(
         )
         for lo, hi in bands
     ]
-    # ONE prior-manifest read serves both the app-metadata carry-over
-    # and the constraint inheritance (the commit used to re-read it);
-    # the CAS below guarantees the snapshot is still live at publish.
-    prior_man = (
-        table.manifest(base_version) if base_version is not None else None
-    ) or {}
     # app metadata: prior keys persist until overwritten (Delta txn
     # analog) — merged with this commit's, new keys winning
     prior_meta = dict(prior_man.get("app_metadata") or {})
@@ -658,6 +669,8 @@ def _pruned_merge_attempt(
         app_metadata={**prior_meta, **(app_metadata or {})} or None,
         expected_base_version=base_version,
         constraints=prior_man.get("constraints") or {},
+        column_mapping=prior_man.get("column_mapping") or {},
+        retired_physical=prior_man.get("retired_physical") or [],
     )
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)

@@ -407,6 +407,87 @@ register(
 )
 
 
+# ---------------------------------------------- column mapping (ALTER)
+# Snowflake gives the reference ALTER TABLE RENAME / type changes for
+# free on its warehouse target (CONFIGURATION.md:100-112).  The engine's
+# analog is Delta-style column mapping: rename and type-widening are
+# METADATA-ONLY commits (one manifest write, zero data rewritten — the
+# physical column names in the files never change), and a post-rename
+# pruned MERGE keeps pruning on the untouched physical stats.  The
+# oracle reproduces the final logical state in plain SQL, so the entry
+# proves the whole chain: rename -> widen -> merge -> read-back.
+def s_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert_write_pruned
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("int").alias("cust"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    path = _scratch_dir("/tmp/spark_graft_column_mapping", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    table.rename_column("prio", "priority")  # metadata-only
+    table.widen_column("cust", "bigint")  # metadata-only
+    # merge AFTER the alters, in the new logical vocabulary, with
+    # values only the widened type can hold
+    source = orders.filter(F.col("o_orderkey") % 97 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey").cast("bigint") * F.lit(1_000_000_000)).alias(
+            "cust"
+        ),
+        F.lit("U").alias("priority"),
+    ).unionAll(
+        orders.filter(F.col("o_orderkey") % 997 == 3).select(
+            (F.col("o_orderkey") + F.lit(100_000_000)).alias("k"),
+            F.lit(1).cast("bigint").alias("cust"),
+            F.lit("I").alias("priority"),
+        )
+    )
+    merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
+    return table.read(spark).orderBy("k")
+
+
+register(
+    Query(
+        name="s_column_mapping",
+        build=s_column_mapping,
+        oracle="""
+        WITH target AS (
+            SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS cust,
+                   o_orderpriority AS priority
+            FROM orders
+        ), source AS (
+            SELECT o_orderkey AS k,
+                   CAST(o_custkey AS BIGINT) * 1000000000 AS cust,
+                   'U' AS priority
+            FROM orders WHERE o_orderkey % 97 = 1
+            UNION ALL
+            SELECT o_orderkey + 100000000 AS k, CAST(1 AS BIGINT) AS cust,
+                   'I' AS priority
+            FROM orders WHERE o_orderkey % 997 = 3
+        )
+        SELECT coalesce(t.k, s.k) AS k,
+               CASE WHEN s.k IS NOT NULL THEN s.cust ELSE t.cust END AS cust,
+               CASE WHEN s.k IS NOT NULL THEN s.priority
+                    ELSE t.priority END AS priority
+        FROM target t FULL OUTER JOIN source s ON t.k = s.k
+        ORDER BY k
+        """,
+        doc=(
+            "column mapping: metadata-only RENAME + type WIDENING "
+            "(Delta column-mapping analog of the reference's warehouse "
+            "ALTER TABLE, CONFIGURATION.md:100-112), then a pruned MERGE "
+            "in the new vocabulary and a read-back oracled in plain SQL "
+            "(S9)"
+        ),
+        tags=("S9", "scale"),
+    )
+)
+
+
 # ------------------------------------------- manifest data skipping
 # The reader-side payoff of the same per-file stats the pruned MERGE
 # writes: read_range scans only the files whose [min, max] key range

@@ -205,6 +205,56 @@ def scan_file_stats(
     return entries
 
 
+def _mapping_of(man: dict | None) -> dict:
+    """Identity-completed ``{logical name -> physical name}`` for a
+    manifest.  The manifest stores only the NON-identity entries
+    (``column_mapping``); every logical field missing from it maps to
+    itself — so tables that never renamed pay nothing and old
+    manifests stay readable unchanged."""
+    if not man:
+        return {}
+    explicit = dict(man.get("column_mapping") or {})
+    out = {}
+    for f in (man.get("schema") or {}).get("fields", []):
+        out[f["name"]] = explicit.get(f["name"], f["name"])
+    return out
+
+
+def _inverse_mapping_of(man: dict | None) -> dict:
+    """``{physical name -> logical name}`` for a manifest."""
+    return {p: l for l, p in _mapping_of(man).items()}
+
+
+def _physical_schema(man: dict):
+    """The read schema for a manifest's data files: LOGICAL field
+    order and (possibly widened) LOGICAL types under PHYSICAL column
+    names.  Spark's parquet reader natively upcasts files written
+    before a widen (int32 under bigint, float under double), so one
+    wide schema reads a mixed-width file set."""
+    from pyspark.sql.types import StructField, StructType
+
+    logical = StructType.fromJson(man["schema"])
+    m = _mapping_of(man)
+    return StructType(
+        [
+            StructField(m.get(f.name, f.name), f.dataType, f.nullable)
+            for f in logical.fields
+        ]
+    )
+
+
+# column type widenings that are metadata-only: Spark's vectorized
+# parquet reader upcasts the narrow physical values natively, so old
+# files need no rewrite (verified empirically for this Spark version
+# by tests/test_merge.py::test_widen_column_zero_copy)
+_WIDENINGS = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
 class VersionedParquetTable:
     """A directory of immutable version subdirs + a ``_CURRENT`` pointer.
 
@@ -282,6 +332,29 @@ class VersionedParquetTable:
         man = self.manifest(version)
         return dict((man or {}).get("app_metadata") or {})
 
+    def _read_manifest_files(
+        self, spark: SparkSession, man: dict, paths: list
+    ) -> DataFrame:
+        """Read data files of a manifest version as a LOGICAL frame:
+        scan under the physical-named (possibly widened-typed) schema,
+        then alias back to the logical column names.  Files written
+        before a column was evolved surface it as NULL; files written
+        before a widen upcast natively."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        logical = StructType.fromJson(man["schema"])
+        if not paths:
+            return spark.createDataFrame([], logical)
+        m = _mapping_of(man)
+        df = spark.read.schema(_physical_schema(man)).parquet(*paths)
+        return df.select(
+            *[
+                F.col(m.get(f.name, f.name)).alias(f.name)
+                for f in logical.fields
+            ]
+        )
+
     def _read_resolved(self, spark: SparkSession, version: int) -> DataFrame:
         """Read a version through its manifest when it has one (file
         list + recorded schema — old files missing newly-evolved
@@ -289,24 +362,35 @@ class VersionedParquetTable:
         man = self.manifest(version)
         if man is None:
             return spark.read.parquet(self._version_dir(version))
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(man["schema"])
         paths = [os.path.join(self.root, e["path"]) for e in man["files"]]
-        if not paths:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+        return self._read_manifest_files(spark, man, paths)
+
+    def column_mapping_of(self, version: int | None = None) -> dict:
+        """Identity-completed ``{logical -> physical}`` column mapping
+        of a version's manifest (live by default); ``{}`` for plain
+        versions.  Physical names are what the data files and the
+        manifest's ``key`` / ``stats_columns`` / per-file stats use;
+        renames and drops are metadata-only, so the physical name of a
+        column never changes once allocated."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return {}
+        return _mapping_of(self.manifest(v))
 
     def file_entries(
         self, spark: SparkSession, key: str, extra_columns: tuple | list = ()
     ) -> tuple[list[dict], object]:
         """The live version's data-file entries (manifest entries when
         present, else an ADOPTION footer scan of the plain directory)
-        plus the table schema.  Entries whose recorded key differs from
-        ``key`` — or whose recorded stats don't cover every requested
-        ``extra_columns`` — are re-scanned: stats for the wrong column
-        must not prune, and missing columns must not silently read as
-        always-touched when a footer walk can supply them."""
+        plus the table schema.  ``key`` / ``extra_columns`` are LOGICAL
+        names; the returned entries' stats are keyed PHYSICALLY (what
+        the files store — translate lookups via
+        :meth:`column_mapping_of`).  Entries whose recorded key differs
+        from ``key`` — or whose recorded stats don't cover every
+        requested ``extra_columns`` — are re-scanned: stats for the
+        wrong column must not prune, and missing columns must not
+        silently read as always-touched when a footer walk can supply
+        them."""
         from pyspark.sql.types import StructType
 
         extras = tuple(c for c in extra_columns if c != key)
@@ -319,15 +403,18 @@ class VersionedParquetTable:
             )
             return entries, df.schema
         man = self.manifest(v)
+        m = _mapping_of(man)
+        p_key = m.get(key, key)
+        p_extras = tuple(m.get(c, c) for c in extras)
         if (
             man is not None
-            and man.get("key") == key
-            and set(extras) <= set(man.get("stats_columns", [key]))
+            and man.get("key") == p_key
+            and set(p_extras) <= set(man.get("stats_columns", [p_key]))
         ):
             return list(man["files"]), StructType.fromJson(man["schema"])
         vdir = self._version_dir(v)
         entries = scan_file_stats(
-            vdir, key, relative_to=self.root, extra_columns=extras
+            vdir, p_key, relative_to=self.root, extra_columns=p_extras
         )
         if man is not None:
             # manifest keyed on a DIFFERENT column (or lacking stats
@@ -343,7 +430,8 @@ class VersionedParquetTable:
                     by_dir[d] = {
                         os.path.basename(s["path"]): s
                         for s in scan_file_stats(
-                            d, key, relative_to=self.root, extra_columns=extras
+                            d, p_key, relative_to=self.root,
+                            extra_columns=p_extras,
                         )
                     }
                 s = by_dir[d].get(os.path.basename(full))
@@ -572,13 +660,18 @@ class VersionedParquetTable:
         empty = spark.createDataFrame([], schema)
         meta = dict(man.get("app_metadata") or {})
         meta["restored_from"] = version
+        inv = _inverse_mapping_of(man)  # manifest key/stats are physical
         return self.commit_with_manifest(
             empty,
-            man["key"],
+            inv.get(man["key"], man["key"]),
             carried=man["files"],
             cluster_partitions=1,
-            stats_columns=man.get("stats_columns"),
+            stats_columns=[
+                inv.get(c, c) for c in man.get("stats_columns") or []
+            ] or None,
             app_metadata=meta,
+            column_mapping=man.get("column_mapping") or {},
+            retired_physical=man.get("retired_physical") or [],
             expected_base_version=cur,
         )
 
@@ -665,6 +758,10 @@ class VersionedParquetTable:
             }
             if man.get("stats_columns"):
                 new_man["stats_columns"] = list(man["stats_columns"])
+            if man.get("column_mapping"):
+                new_man["column_mapping"] = dict(man["column_mapping"])
+            if man.get("retired_physical"):
+                new_man["retired_physical"] = list(man["retired_physical"])
             if man.get("constraints"):
                 new_man["constraints"] = dict(man["constraints"])
             tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
@@ -688,29 +785,189 @@ class VersionedParquetTable:
             return {}
         return (self.manifest(v) or {}).get("constraints") or {}
 
+    def _manifest_only_commit(self, mutate) -> int:
+        """Publish a METADATA-ONLY commit: the live manifest document,
+        transformed by ``mutate(man_copy) -> man``, becomes the next
+        version with every data file carried by reference — no Spark
+        job, no data read or written, one manifest write at any table
+        size (the shape of Delta's ALTER TABLE commits).  Runs wholly
+        under the writer lock, so the read-modify-write is serial by
+        construction (no CAS window).  CDC consumers see a commit whose
+        file diff is empty — the change feed is silent, correctly: no
+        row changed."""
+        self._acquire_lock()
+        try:
+            cur = self.current_version()
+            man = self.manifest(cur) if cur is not None else None
+            if man is None:
+                raise ValueError(
+                    f"{self.root}: metadata commits need a committed keyed "
+                    "manifest version (adopt the table with "
+                    "commit_with_manifest first)"
+                )
+            new_man = mutate(json.loads(json.dumps(man)))
+            self._reconcile_orphans()
+            versions = self._versions_on_disk()
+            next_v = (versions[-1] + 1) if versions else 1
+            vdir = self._version_dir(next_v)
+            os.makedirs(vdir, exist_ok=True)
+            tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(new_man, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(vdir, _MANIFEST))
+            self._write_marker(vdir)
+            self._swap_pointer(next_v)
+            return next_v
+        finally:
+            self._release_lock()
+
     def _metadata_commit(self, spark: SparkSession, constraints: dict) -> int:
         """Zero-copy commit that changes only the constraint set (all
         data files carried by reference; same shape as restore)."""
-        from pyspark.sql.types import StructType
 
-        cur = self.current_version()
-        man = self.manifest(cur) if cur is not None else None
-        if man is None:
-            raise ValueError(
-                f"{self.root}: constraints need a committed keyed manifest "
-                "version (adopt the table with commit_with_manifest first)"
-            )
-        empty = spark.createDataFrame([], StructType.fromJson(man["schema"]))
-        return self.commit_with_manifest(
-            empty,
-            man["key"],
-            carried=man["files"],
-            cluster_partitions=1,
-            stats_columns=man.get("stats_columns"),
-            app_metadata=man.get("app_metadata"),
-            constraints=constraints,
-            expected_base_version=cur,
-        )
+        def mutate(man):
+            if constraints:
+                man["constraints"] = dict(constraints)
+            else:
+                man.pop("constraints", None)
+            return man
+
+        return self._manifest_only_commit(mutate)
+
+    # ------------------------------------------------- column mapping
+    def _constraint_referencing(self, man: dict, col: str) -> str | None:
+        """Name of a CHECK constraint whose expression references
+        ``col`` (word-boundary match — conservative), else None."""
+        for n, expr in (man.get("constraints") or {}).items():
+            if re.search(rf"\b{re.escape(col)}\b", expr, re.IGNORECASE):
+                return n
+        return None
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column RENAME (Delta column-mapping analog):
+        the logical schema renames; the PHYSICAL column name in every
+        data file — and therefore the manifest's key / stats /
+        clustering layout — never changes, so the commit is one
+        manifest write at any table size and pruning stats survive
+        untouched (renaming the clustering key included).
+
+        Blocked while a CHECK constraint references ``old`` (its
+        expression would silently stop binding) — drop the constraint,
+        rename, re-add it under the new name.  The batch CDF maps
+        pre-images across the rename by PHYSICAL identity (the renamed
+        column's history stays one column); the STREAMING CDF source
+        fails loud at the rename boundary (stream-start schema pins
+        logical names) — restart it past the rename, or export the
+        spanning range with the batch API."""
+        def mutate(man):
+            fields = man["schema"]["fields"]
+            names = [f["name"] for f in fields]
+            if old not in names:
+                raise KeyError(f"no column named {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            bad = self._constraint_referencing(man, old)
+            if bad:
+                raise ValueError(
+                    f"cannot rename {old!r}: CHECK constraint {bad!r} "
+                    "references it — drop the constraint first"
+                )
+            mapping = _mapping_of(man)
+            phys = mapping.pop(old)
+            mapping[new] = phys
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new
+            sparse = {l: p for l, p in mapping.items() if l != p}
+            if sparse:
+                man["column_mapping"] = sparse
+            else:
+                man.pop("column_mapping", None)
+            return man
+
+        return self._manifest_only_commit(mutate)
+
+    def drop_column(self, col: str) -> int:
+        """Metadata-only column DROP: the column leaves the logical
+        schema and the mapping; the physical column stays in existing
+        files (never read again) and its physical NAME is retired so a
+        later re-add under the same logical name allocates a fresh
+        physical name instead of resurrecting orphaned values.
+        Blocked for the clustering key, for recorded stats columns
+        (pruning depends on them), and while a CHECK constraint
+        references the column."""
+        def mutate(man):
+            names = [f["name"] for f in man["schema"]["fields"]]
+            if col not in names:
+                raise KeyError(f"no column named {col!r}")
+            mapping = _mapping_of(man)
+            phys = mapping[col]
+            if phys == man.get("key"):
+                raise ValueError(
+                    f"cannot drop {col!r}: it is the clustering key"
+                )
+            if phys in (man.get("stats_columns") or []):
+                raise ValueError(
+                    f"cannot drop {col!r}: it is a recorded stats column "
+                    "(composite-key pruning depends on it)"
+                )
+            bad = self._constraint_referencing(man, col)
+            if bad:
+                raise ValueError(
+                    f"cannot drop {col!r}: CHECK constraint {bad!r} "
+                    "references it — drop the constraint first"
+                )
+            man["schema"]["fields"] = [
+                f for f in man["schema"]["fields"] if f["name"] != col
+            ]
+            mapping.pop(col)
+            sparse = {l: p for l, p in mapping.items() if l != p}
+            if sparse:
+                man["column_mapping"] = sparse
+            else:
+                man.pop("column_mapping", None)
+            retired = list(man.get("retired_physical") or [])
+            if phys not in retired:
+                retired.append(phys)
+            man["retired_physical"] = retired
+            return man
+
+        return self._manifest_only_commit(mutate)
+
+    def widen_column(self, col: str, new_type: str) -> int:
+        """Metadata-only TYPE WIDENING: the logical type widens; files
+        written before keep the narrow physical type and Spark's
+        parquet reader upcasts them natively on scan, so no data is
+        rewritten.  Allowed widenings are the reader-supported
+        upcasts: tinyint/smallint/int up the integer ladder and
+        float->double (anything else raises — a narrowing or a
+        cross-family cast would need a rewrite, which this
+        deliberately is not).  Widening the clustering key is fine:
+        file stats compare numerically across widths."""
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        def mutate(man):
+            fields = man["schema"]["fields"]
+            names = [f["name"] for f in fields]
+            if col not in names:
+                raise KeyError(f"no column named {col!r}")
+            cur_t = StructType.fromJson(man["schema"])[col].dataType
+            want = _parse_datatype_string(new_type)
+            cur_s, want_s = cur_t.simpleString(), want.simpleString()
+            if want_s not in _WIDENINGS.get(cur_s, ()):  # noqa: E501
+                raise ValueError(
+                    f"cannot widen {col!r} {cur_s} -> {want_s}: not a "
+                    f"supported metadata-only widening "
+                    f"({_WIDENINGS.get(cur_s) or 'none from this type'})"
+                )
+            for f in fields:
+                if f["name"] == col:
+                    f["type"] = want.jsonValue()
+            return man
+
+        return self._manifest_only_commit(mutate)
 
     def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
         """Add a table CHECK constraint (Delta ``ALTER TABLE ... ADD
@@ -807,6 +1064,8 @@ class VersionedParquetTable:
         band_rows_hint: list | tuple | None = None,
         stats_columns: list | tuple | None = None,
         app_metadata: dict | None = None,
+        column_mapping: dict | None = None,
+        retired_physical: list | None = None,
         expected_base_version=_NO_CAS,
         constraints: dict | None = None,
     ) -> int:
@@ -889,6 +1148,18 @@ class VersionedParquetTable:
         expression is literally FALSE (NULL passes, standard CHECK).
         Violation ⇒ :class:`ConstraintViolationError` BEFORE the marker
         and pointer — nothing becomes visible.
+
+        ``column_mapping`` / ``retired_physical`` — the column-mapping
+        state to record (Delta column-mapping analog; normally
+        inherited from the live manifest — only the metadata ops and
+        ``restore`` pass them).  ``df``, ``key`` and ``stats_columns``
+        are always LOGICAL; data files are written under PHYSICAL
+        names, so renames/drops stay metadata-only.  A column new to
+        the mapping (schema evolution) gets physical = logical unless
+        that physical name was ever used before (``retired_physical``
+        or a current mapping target), in which case a fresh
+        ``<name>__v<version>`` physical name avoids colliding with the
+        orphaned column still present in old files.
         """
         from pyspark.sql import functions as F
 
@@ -913,6 +1184,62 @@ class VersionedParquetTable:
             versions = self._versions_on_disk()
             next_v = (versions[-1] + 1) if versions else 1
             vdir = self._version_dir(next_v)
+
+            # ---- column mapping: resolve logical -> physical space.
+            # The manifest's schema stays LOGICAL; data files, key,
+            # stats_columns and per-file stats are PHYSICAL.  The
+            # prior manifest is read only when the caller didn't
+            # supply the inherited state (the pruned merge passes all
+            # of it from its own single read).
+            prior_man = (
+                self.manifest(cur)
+                if cur is not None
+                and (
+                    column_mapping is None
+                    or retired_physical is None
+                    or constraints is None
+                )
+                else None
+            )
+            if column_mapping is None:
+                column_mapping = dict(
+                    (prior_man or {}).get("column_mapping") or {}
+                )
+            else:
+                column_mapping = dict(column_mapping)
+            if retired_physical is None:
+                retired_physical = list(
+                    (prior_man or {}).get("retired_physical") or []
+                )
+            logical_schema = df.schema
+            used_phys = set(column_mapping.values()) | set(retired_physical)
+            for f in logical_schema.fields:
+                if f.name not in column_mapping:
+                    phys = (
+                        f.name
+                        if f.name not in used_phys
+                        else f"{f.name}__v{next_v}"
+                    )
+                    if phys != f.name:
+                        column_mapping[f.name] = phys
+                    used_phys.add(phys)
+            # sparse store: identity entries are implicit
+            column_mapping = {
+                l: p for l, p in column_mapping.items() if l != p
+            }
+            _p = lambda c: column_mapping.get(c, c)
+            key = _p(key)
+            stats_columns = (
+                [_p(c) for c in stats_columns] if stats_columns else None
+            )
+            if column_mapping:
+                df = df.select(
+                    *[
+                        F.col(f.name).alias(_p(f.name))
+                        for f in logical_schema.fields
+                    ]
+                )
+
             n_out = cluster_partitions or int(
                 df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
             )
@@ -1045,11 +1372,17 @@ class VersionedParquetTable:
                 vdir, key, relative_to=self.root, extra_columns=extras
             )
             if constraints is None:
-                prior_man = self.manifest(cur) if cur is not None else None
                 constraints = (prior_man or {}).get("constraints") or {}
             if constraints and new_entries:
+                # constraint exprs are LOGICAL: read the new files
+                # (physical names) and alias back before evaluating
                 checked = df.sparkSession.read.schema(df.schema).parquet(
                     *[os.path.join(self.root, e["path"]) for e in new_entries]
+                ).select(
+                    *[
+                        F.col(_p(f.name)).alias(f.name)
+                        for f in logical_schema.fields
+                    ]
                 )
                 names = list(constraints)
                 # ONE pass over the new files for all constraints
@@ -1073,11 +1406,15 @@ class VersionedParquetTable:
                         )
             man = {
                 "key": key,
-                "schema": df.schema.jsonValue(),
+                "schema": logical_schema.jsonValue(),
                 "files": list(carried or []) + new_entries,
             }
             if extras:
                 man["stats_columns"] = [key, *extras]
+            if column_mapping:
+                man["column_mapping"] = dict(column_mapping)
+            if retired_physical:
+                man["retired_physical"] = list(retired_physical)
             if constraints:
                 man["constraints"] = dict(constraints)
             if app_metadata:
@@ -1248,15 +1585,18 @@ class VersionedParquetTable:
                 "bytes_rewritten": 0,
                 "bytes_carried": sum(e["bytes"] for e in man["files"]),
             }
-        schema = StructType.fromJson(man["schema"])
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, e["path"]) for e in small]
+        df = self._read_manifest_files(
+            spark, man, [os.path.join(self.root, e["path"]) for e in small]
         )
+        inv = _inverse_mapping_of(man)  # manifest key/stats are physical
         small_bytes = sum(e["bytes"] for e in small)
         n_out = cluster_partitions or max(1, small_bytes // (128 << 20) + 1)
         new_v = self.commit_with_manifest(
-            df, man["key"], carried=large, cluster_partitions=n_out,
-            stats_columns=man.get("stats_columns"),
+            df, inv.get(man["key"], man["key"]),
+            carried=large, cluster_partitions=n_out,
+            stats_columns=[
+                inv.get(c, c) for c in man.get("stats_columns") or []
+            ] or None,
             app_metadata=man.get("app_metadata"),
             expected_base_version=v,  # CAS: rewrite was computed against v
         )
@@ -1343,7 +1683,7 @@ class VersionedParquetTable:
         }
         actions: list[dict] = []
         if signals["overlap_files"] > max_overlap_files:
-            schema = StructType.fromJson(man["schema"])
+            inv = _inverse_mapping_of(man)  # manifest key/stats physical
             for comp in comps:
                 base_v = self.current_version()
                 man_now = self.manifest(base_v)
@@ -1352,16 +1692,19 @@ class VersionedParquetTable:
                     e for e in man_now["files"] if e["path"] not in comp_paths
                 ]
                 comp_bytes = sum(e["bytes"] for e in comp)
-                df = spark.read.schema(schema).parquet(
-                    *[os.path.join(self.root, e["path"]) for e in comp]
+                df = self._read_manifest_files(
+                    spark, man,
+                    [os.path.join(self.root, e["path"]) for e in comp],
                 )
                 nv = self.commit_with_manifest(
                     df,
-                    man["key"],
+                    inv.get(man["key"], man["key"]),
                     carried=carried,
                     cluster_partitions=cluster_partitions
                     or max(1, comp_bytes // (128 << 20) + 1),
-                    stats_columns=man.get("stats_columns"),
+                    stats_columns=[
+                        inv.get(c, c) for c in man.get("stats_columns") or []
+                    ] or None,
                     app_metadata=man_now.get("app_metadata"),
                     expected_base_version=base_v,
                 )
@@ -1402,15 +1745,17 @@ class VersionedParquetTable:
 
         v = self.current_version()
         man = self.manifest(v) if v is not None else None
+        # manifest stats are keyed PHYSICALLY; the caller's key is logical
+        p_key = _mapping_of(man).get(key, key) if man is not None else key
 
         def col_range(e: dict):
-            if man is not None and man.get("key") == key:
+            if man is not None and man.get("key") == p_key:
                 return e["min"], e["max"]
-            r = (e.get("stats") or {}).get(key)
+            r = (e.get("stats") or {}).get(p_key)
             return (r[0], r[1]) if r else (None, None)
 
         has_stats = man is not None and (
-            man.get("key") == key or key in man.get("stats_columns", [])
+            man.get("key") == p_key or p_key in man.get("stats_columns", [])
         )
         if not has_stats:
             df = self.read(spark)
@@ -1427,15 +1772,8 @@ class VersionedParquetTable:
                     )
                 ):
                     kept.append(e)
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(man["schema"])
             paths = [os.path.join(self.root, e["path"]) for e in kept]
-            df = (
-                spark.read.schema(schema).parquet(*paths)
-                if paths
-                else spark.createDataFrame([], schema)
-            )
+            df = self._read_manifest_files(spark, man, paths)
         if lo is not None:
             df = df.filter(F.col(key) >= lo)
         if hi is not None:
@@ -1510,11 +1848,13 @@ class VersionedParquetTable:
                 )
         man_f, man_t = self.manifest(v_from), self.manifest(v_to)
         if key is None:
-            key = (man_t or {}).get("key") or (man_f or {}).get("key")
-            if key is None:
+            # manifest keys are PHYSICAL; the feed speaks logical
+            p = (man_t or {}).get("key") or (man_f or {}).get("key")
+            if p is None:
                 raise ValueError(
                     "key required: neither version has a keyed manifest"
                 )
+            key = _inverse_mapping_of(man_t or man_f).get(p, p)
         keys = [key] if isinstance(key, str) else list(key)
 
         if man_f is not None and man_t is not None:
@@ -1523,14 +1863,24 @@ class VersionedParquetTable:
             schema_t = StructType.fromJson(man_t["schema"])
 
             def side(man, only):
-                schema = StructType.fromJson(man["schema"])
                 paths = [os.path.join(self.root, p) for p in sorted(only)]
-                if not paths:
-                    return spark.createDataFrame([], schema)
-                return spark.read.schema(schema).parquet(*paths)
+                return self._read_manifest_files(spark, man, paths)
 
             old = side(man_f, set(pf) - set(pt))
             new = side(man_t, set(pt) - set(pf))
+            # align RENAMED columns by PHYSICAL identity: a column
+            # renamed between v_from and v_to is the SAME column (same
+            # physical name in the files), so its pre-images carry the
+            # old values under the NEW logical name — not drop+add
+            inv_t = _inverse_mapping_of(man_t)
+            ren = {
+                ol: inv_t[phys]
+                for ol, phys in _mapping_of(man_f).items()
+                if phys in inv_t
+            }
+            old = old.select(
+                *[F.col(c).alias(ren.get(c, c)) for c in old.columns]
+            )
         else:
             old = self._read_resolved(spark, v_from)
             new = self._read_resolved(spark, v_to)

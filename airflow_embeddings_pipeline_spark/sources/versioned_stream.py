@@ -80,6 +80,7 @@ class _ChangeStep(InputPartition):
         payload: list[str],
         v_to: int,
         arrow_schema=None,
+        physical: list | None = None,
     ):
         self.removed = removed
         self.added = added
@@ -90,6 +91,9 @@ class _ChangeStep(InputPartition):
         # a column evolved in after v_from (reads as typed nulls, the
         # batch changes_between rule)
         self.arrow_schema = arrow_schema
+        # PHYSICAL column name per arrow_schema field (column mapping:
+        # data files store physical names; the feed speaks logical)
+        self.physical = physical
 
 
 def _eq_nullsafe(a, b) -> bool:
@@ -284,9 +288,22 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     "stream with a fresh checkpoint to adopt the "
                     "evolved schema"
                 )
-            keys = self.keys or man_t.get("stats_columns") or [man_t["key"]]
-            if isinstance(keys, str):
-                keys = [keys]
+            # column mapping: files store PHYSICAL names, the feed and
+            # the manifest key/stats_columns relate through it
+            cmap = {
+                f.name: (man_t.get("column_mapping") or {}).get(
+                    f.name, f.name
+                )
+                for f in schema_t.fields
+            }
+            inv = {p: l for l, p in cmap.items()}
+            if self.keys:
+                keys = list(self.keys)  # user option: logical names
+            else:
+                phys_keys = man_t.get("stats_columns") or [man_t["key"]]
+                if isinstance(phys_keys, str):
+                    phys_keys = [phys_keys]
+                keys = [inv.get(k, k) for k in phys_keys]
             from pyspark.sql.pandas.types import to_arrow_schema
 
             ent_f = {e["path"]: e for e in man_f["files"]}
@@ -294,8 +311,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             removed = [ent_f[p] for p in sorted(set(ent_f) - set(ent_t))]
             added = [ent_t[p] for p in sorted(set(ent_t) - set(ent_f))]
             arrow = to_arrow_schema(schema_t)
+            physical = [cmap.get(f.name, f.name) for f in schema_t.fields]
             for rem_c, add_c in _range_components(
-                removed, added, keys[0] == (man_t.get("key") or keys[0])
+                removed, added,
+                cmap.get(keys[0], keys[0])
+                == (man_t.get("key") or cmap.get(keys[0], keys[0])),
             ):
                 comp_bytes = sum(
                     e.get("bytes") or 0 for e in rem_c
@@ -324,6 +344,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         payload=self.payload,
                         v_to=v,
                         arrow_schema=arrow,
+                        physical=physical,
                     )
                 )
         return out or [_ChangeStep([], [], [], self.payload, end["v"])]
@@ -352,24 +373,33 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
         target = partition.arrow_schema
 
+        phys = partition.physical or [f.name for f in target]
+
         def load(paths):
+            # align each file to the v_to payload schema BEFORE concat
+            # (files may differ from each other after a type widening):
+            # files store PHYSICAL column names (column mapping) and
+            # the feed speaks logical; evolved columns absent on the
+            # pre-image side surface as typed nulls (the batch
+            # changes_between rule); shared columns cast if the parquet
+            # physical type differs from the declared one (widening
+            # upcasts here)
             if not paths:
                 return None
-            t = pa.concat_tables([pq.read_table(p) for p in paths])
-            # align to the v_to payload schema: evolved columns absent
-            # on the pre-image side surface as typed nulls (the batch
-            # changes_between rule); shared columns cast if the parquet
-            # physical type differs from the declared one
-            cols = []
-            for f in target:
-                if f.name in t.column_names:
-                    col = t.column(f.name)
-                    if col.type != f.type:
-                        col = pc.cast(col, f.type)
-                else:
-                    col = pa.nulls(t.num_rows, type=f.type)
-                cols.append(col)
-            return pa.table(cols, schema=target)
+            tabs = []
+            for p in paths:
+                t = pq.read_table(p)
+                cols = []
+                for f, pn in zip(target, phys):
+                    if pn in t.column_names:
+                        col = t.column(pn)
+                        if col.type != f.type:
+                            col = pc.cast(col, f.type)
+                    else:
+                        col = pa.nulls(t.num_rows, type=f.type)
+                    cols.append(col)
+                tabs.append(pa.table(cols, schema=target))
+            return pa.concat_tables(tabs)
 
         old_t, new_t = load(partition.removed), load(partition.added)
         keys, payload = partition.keys, partition.payload

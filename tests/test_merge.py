@@ -2243,3 +2243,253 @@ def test_clone_validation(spark, tmp_path):
     t.clone_to(dest)
     with pytest.raises(ValueError, match="not a fresh root"):
         t.clone_to(dest)
+
+
+# ---------------------------------------------- column mapping (ALTER)
+def _mapped_table(spark, tmp_path, name="cm"):
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    path = str(tmp_path / name)
+    t = VersionedParquetTable(path)
+    t.commit_with_manifest(
+        spark.range(1_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 100).cast("int").alias("amt"),
+            F.lit("x").alias("tag"),
+        ),
+        "k",
+        cluster_partitions=4,
+    )
+    return t, path
+
+
+def test_rename_column_is_metadata_only_and_merge_survives(spark, tmp_path):
+    import os
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    t, path = _mapped_table(spark, tmp_path)
+    files_before = {
+        e["path"] for e in t.manifest(t.current_version())["files"]
+    }
+    v = t.rename_column("amt", "amount")
+    # metadata-only: same data files carried by reference, no new data
+    man = t.manifest(v)
+    assert {e["path"] for e in man["files"]} == files_before
+    assert t.read(spark).columns == ["k", "amount", "tag"]
+    assert man["column_mapping"] == {"amount": "amt"}
+    # logical rename, physical stats untouched: a pruned merge still
+    # touches ONE file out of four
+    stats = merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(5, 999, "u")], "k long, amount int, tag string"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    assert stats["files_touched"] == 1 and stats["files_carried"] == 3
+    got = {r["k"]: r for r in t.read(spark).filter("k in (5, 6)").collect()}
+    assert got[5]["amount"] == 999
+    # regression: rows sharing the touched FILE must keep their values
+    # (the subset read must resolve the physical column names)
+    assert got[6]["amount"] == 6 % 100 and got[6]["tag"] == "x"
+
+
+def test_rename_clustering_key_keeps_pruning(spark, tmp_path):
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    t, path = _mapped_table(spark, tmp_path, "cmkey")
+    t.rename_column("k", "pk")
+    assert t.read(spark).columns == ["pk", "amt", "tag"]
+    stats = merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(5, 1, "u")], "pk long, amt int, tag string"),
+        "pk",
+        vacuum_keep_last=None,
+    )
+    assert stats["files_touched"] == 1 and stats["files_carried"] == 3
+    # read_range prunes on the renamed key's (physical) stats
+    assert t.read_range(spark, "pk", 3, 8).count() == 6
+
+
+def test_drop_column_and_fresh_physical_on_readd(spark, tmp_path):
+    import pytest
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    t, path = _mapped_table(spark, tmp_path, "cmdrop")
+    t.drop_column("tag")
+    assert t.read(spark).columns == ["k", "amt"]
+    # re-add via schema evolution: fresh physical name, values from
+    # old files must NOT resurrect
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(5, 1, "fresh")], "k long, amt int, tag string"),
+        "k",
+        schema_evolution=True,
+        vacuum_keep_last=None,
+    )
+    man = t.manifest(t.current_version())
+    assert man["retired_physical"] == ["tag"]
+    assert man["column_mapping"]["tag"].startswith("tag__v")
+    out = {r["k"]: r for r in t.read(spark).collect()}
+    assert out[5]["tag"] == "fresh" and out[6]["tag"] is None
+    # clustering key cannot drop
+    with pytest.raises(ValueError, match="clustering key"):
+        t.drop_column("k")
+
+
+def test_widen_column_zero_copy(spark, tmp_path):
+    import pytest
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    t, path = _mapped_table(spark, tmp_path, "cmwide")
+    files_before = {
+        e["path"] for e in t.manifest(t.current_version())["files"]
+    }
+    v = t.widen_column("amt", "bigint")
+    assert {e["path"] for e in t.manifest(v)["files"]} == files_before
+    assert dict(t.read(spark).dtypes)["amt"] == "bigint"
+    # values beyond int range land in NEW files; old narrow files
+    # upcast natively in the same scan
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(7, 1 << 40, "w")], "k long, amt long, tag string"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    got = {r["k"]: r["amt"] for r in t.read(spark).collect()}
+    assert got[7] == 1 << 40 and got[8] == 8 % 100
+    # narrowing / cross-family refuse
+    with pytest.raises(ValueError, match="not a supported"):
+        t.widen_column("amt", "int")
+    with pytest.raises(ValueError, match="not a supported"):
+        t.widen_column("tag", "bigint")
+
+
+def test_alter_blocked_while_constraint_references_column(spark, tmp_path):
+    import pytest
+
+    t, path = _mapped_table(spark, tmp_path, "cmcons")
+    t.add_constraint(spark, "amt_nonneg", "amt >= 0")
+    with pytest.raises(ValueError, match="amt_nonneg"):
+        t.rename_column("amt", "amount")
+    with pytest.raises(ValueError, match="amt_nonneg"):
+        t.drop_column("amt")
+    # after dropping the constraint, the rename goes through and the
+    # remaining machinery still enforces OTHER constraints
+    t.drop_constraint(spark, "amt_nonneg")
+    t.rename_column("amt", "amount")
+    assert "amount" in t.read(spark).columns
+
+
+def test_time_travel_and_restore_across_rename(spark, tmp_path):
+    t, path = _mapped_table(spark, tmp_path, "cmtt")
+    v1 = t.current_version()
+    t.rename_column("amt", "amount")
+    # time travel shows each version under ITS OWN logical schema
+    assert t.read_version(spark, v1).columns == ["k", "amt", "tag"]
+    assert t.read(spark).columns == ["k", "amount", "tag"]
+    # restore to the pre-rename version brings the old logical schema
+    # back as a NEW commit (zero-copy)
+    t.restore(spark, v1)
+    assert t.read(spark).columns == ["k", "amt", "tag"]
+
+
+def test_batch_cdf_maps_renames_by_physical_identity(spark, tmp_path):
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+
+    t, path = _mapped_table(spark, tmp_path, "cmcdf")
+    v1 = t.current_version()
+    t.rename_column("amt", "amount")
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(5, 999, "u")], "k long, amount int, tag string"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    ch = t.changes_between(spark, v1, t.current_version())
+    rows = sorted(
+        (r["_change_type"], r["k"], r["amount"]) for r in ch.collect()
+    )
+    # the renamed column's pre-image carries the OLD value under the
+    # NEW logical name — one column's history, not drop+add
+    assert rows == [
+        ("update_postimage", 5, 999),
+        ("update_preimage", 5, 5 % 100),
+    ]
+
+
+def test_stream_cdf_rename_boundary_loud_and_post_rename_streams(
+    spark, tmp_path
+):
+    import pytest
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    t, path = _mapped_table(spark, tmp_path, "cmstream")
+    v1 = t.current_version()
+    # pre-rename DATA commit, then the rename
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(5, 50, "u")], "k long, amt int, tag string"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    t.rename_column("amt", "amount")
+    v_ren = t.current_version()
+
+    def drain(start, qname):
+        q = (
+            read_changes_stream(spark, path, starting_version=start)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(qname)
+
+    # a span crossing a PRE-rename data commit fails loud: that step's
+    # manifest schema (old logical names) cannot bind to the stream's
+    # pinned post-rename schema
+    with pytest.raises(Exception, match="schema changed"):
+        drain(v1, "cm_rename_cross")
+
+    # started AT the rename boundary, the stream maps post-rename
+    # commits correctly (and the rename commit itself is silent —
+    # empty file diff)
+    merge_upsert_write_pruned(
+        path,
+        spark.createDataFrame([(6, 66, "u")], "k long, amount int, tag string"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    got = drain(v_ren, "cm_rename_post")
+    rows = sorted(
+        (r["_change_type"], r["k"], r["amount"]) for r in got.collect()
+    )
+    assert rows == [
+        ("update_postimage", 6, 66),
+        ("update_preimage", 6, 6 % 100),
+    ]
