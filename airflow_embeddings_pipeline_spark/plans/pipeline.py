@@ -488,6 +488,83 @@ register(
 )
 
 
+# ----------------------------------------------------- zero-copy CLONE
+# Delta SHALLOW CLONE analog on the versioned table: the snapshot
+# publishes as version 1 of a fresh table via hardlinks — one manifest
+# write, zero Spark jobs, shared inodes with independent vacuum — and
+# the clone commit seeds the CDC watermark, so replica seeding is
+# clone + sync with no full copy.  The entry proves the whole seed
+# path: clone a merged table, sync ONE post-clone commit across, read
+# the replica — oracled against the primary's final state in plain SQL.
+def s_clone_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert_write_pruned, sync_replica
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    path = _scratch_dir("/tmp/spark_graft_clone_primary", sf_dir)
+    replica = _scratch_dir("/tmp/spark_graft_clone_replica", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    # primary evolves before the clone...
+    merge_upsert_write_pruned(
+        path,
+        orders.filter(F.col("o_orderkey") % 151 == 7).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice").cast("double") * 2).alias("price"),
+            F.lit("C1").alias("status"),
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    table.clone_to(replica)  # hardlink seed, watermark recorded
+    # ...and once more AFTER it; one sync round catches the replica up
+    merge_upsert_write_pruned(
+        path,
+        orders.filter(F.col("o_orderkey") % 151 == 8).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(-1.0).alias("price"),
+            F.lit("C2").alias("status"),
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    sync_replica(spark, path, replica, "k", vacuum_keep_last=None)
+    return VersionedParquetTable(replica).read(spark).orderBy("k")
+
+
+register(
+    Query(
+        name="s_clone_replica",
+        build=s_clone_replica,
+        oracle="""
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 151 = 7
+                    THEN CAST(o_totalprice AS DOUBLE) * 2
+                    WHEN o_orderkey % 151 = 8 THEN -1.0
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+               CASE WHEN o_orderkey % 151 = 7 THEN 'C1'
+                    WHEN o_orderkey % 151 = 8 THEN 'C2'
+                    ELSE o_orderstatus END AS status
+        FROM orders
+        ORDER BY k
+        """,
+        doc=(
+            "zero-copy CLONE replica seeding (Delta SHALLOW CLONE "
+            "analog): hardlink snapshot commit with seeded CDC "
+            "watermark, then one sync_replica round replays the "
+            "post-clone commit; replica read-back oracled vs the "
+            "primary's final state (S9/T6)"
+        ),
+        tags=("S9", "T6", "scale"),
+    )
+)
+
+
 # ------------------------------------------- manifest data skipping
 # The reader-side payoff of the same per-file stats the pruned MERGE
 # writes: read_range scans only the files whose [min, max] key range
