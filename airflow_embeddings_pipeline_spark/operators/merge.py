@@ -321,9 +321,29 @@ def merge_upsert_write_pruned(
     vacuum_keep_last: int | None = 2,
     max_exact_keys: int = 200_000,
     conflict_retries: int = 2,
+    write_mode: str = "cow",
+    max_dv_rows: int = 2_000_000,
 ) -> dict:
     """File-pruned MERGE with optimistic concurrency — see
     :func:`_pruned_merge_attempt` for the pruning mechanics.
+
+    ``write_mode`` — physical write strategy, never a semantics choice
+    (``read(result)`` is row-identical either way, parity-tested):
+
+    * ``"cow"`` (default, copy-on-write): the touched files are
+      rewritten merged — read amplification and write amplification
+      are both bounded by the touched-file mass.
+    * ``"mor"`` (merge-on-read, Delta deletion-vectors analog): the
+      matched target rows are marked deleted in per-file DELETION
+      VECTOR sidecars and the batch's update/insert images are
+      APPENDED as new files; the touched files themselves are carried
+      by reference.  Write amplification drops to O(batch + DV delta)
+      — the right plan when a small batch's keys SCATTER across many
+      large files (copy-on-write would rewrite the full touched mass
+      to change a few rows per file).  Falls back to copy-on-write
+      when the batch has NULL-key rows (degenerate insert case) or
+      the matched-row count exceeds ``max_dv_rows`` (a rewrite-scale
+      update wants rewrite).  ``maintain()`` later purges heavy DVs.
 
     The merge reads the live file set, computes the touched subset
     OUTSIDE the commit lock, and publishes with
@@ -340,6 +360,8 @@ def merge_upsert_write_pruned(
     """
     from ..sources.versioned import SnapshotConflictError
 
+    if write_mode not in ("cow", "mor"):
+        raise ValueError(f"unknown write_mode: {write_mode!r}")
     attempt = 0
     while True:
         try:
@@ -354,6 +376,8 @@ def merge_upsert_write_pruned(
                 app_metadata=app_metadata,
                 vacuum_keep_last=vacuum_keep_last,
                 max_exact_keys=max_exact_keys,
+                write_mode=write_mode,
+                max_dv_rows=max_dv_rows,
             )
         except SnapshotConflictError:
             if attempt >= conflict_retries:
@@ -373,6 +397,8 @@ def _pruned_merge_attempt(
     app_metadata: dict | None = None,
     vacuum_keep_last: int | None = 2,
     max_exact_keys: int = 200_000,
+    write_mode: str = "cow",
+    max_dv_rows: int = 2_000_000,
 ) -> dict:
     """File-pruned MERGE: rewrite ONLY the target files the source
     batch can touch; carry every other file into the new version BY
@@ -595,13 +621,52 @@ def _pruned_merge_attempt(
     touched_entries = [e for i, e in enumerate(entries) if touched(i, e)]
     carried = [e for i, e in enumerate(entries) if not touched(i, e)]
 
+    if write_mode == "mor" and touched_entries:
+        # NULL-key source rows always insert and cannot be expressed as
+        # "merged rows whose key matches a source key" — the degenerate
+        # case falls back to copy-on-write (same result, parity-tested)
+        if pruning == "exact":
+            has_null_key = any(
+                any(x is None for x in r) for r in head
+            )
+        else:
+            has_null_key = not source.select(*keys).filter(
+                functools.reduce(
+                    operator.or_, [F.col(k).isNull() for k in keys]
+                )
+            ).isEmpty()
+        if not has_null_key:
+            mor = _mor_merge_attempt(
+                table,
+                prior_man,
+                source,
+                keys,
+                touched_entries,
+                carried,
+                base_version=base_version,
+                update_columns=update_columns,
+                schema_evolution=schema_evolution,
+                delete_when=delete_when,
+                evolution_exclude=evolution_exclude,
+                app_metadata=app_metadata,
+                vacuum_keep_last=vacuum_keep_last,
+                max_dv_rows=max_dv_rows,
+                n_src=n_src,
+                pruning=pruning,
+            )
+            if mor is not None:
+                return mor
+        # fall through: copy-on-write handles the degenerate cases
+
     # ---- merge only the touched subset (step 4) — read through the
     # manifest mapping (files store PHYSICAL names; the merge, like
     # every public surface, speaks logical)
-    paths = [os.path.join(table.root, e["path"]) for e in touched_entries]
-    if paths and prior_man:
-        subset = table._read_manifest_files(spark, prior_man, paths)
-    elif paths:
+    if touched_entries and prior_man:
+        subset = table._read_manifest_files(
+            spark, prior_man, touched_entries
+        )
+    elif touched_entries:
+        paths = [os.path.join(table.root, e["path"]) for e in touched_entries]
         subset = spark.read.schema(schema).parquet(*paths)
     else:
         subset = spark.createDataFrame([], schema)
@@ -687,6 +752,138 @@ def _pruned_merge_attempt(
         "bytes_carried": sum(e["bytes"] for e in carried),
         "rows_source": n_src,
         "pruning": pruning,
+        "write_mode": "cow",
+    }
+
+
+def _mor_merge_attempt(
+    table,
+    prior_man: dict,
+    source: DataFrame,
+    keys: list[str],
+    touched_entries: list[dict],
+    carried: list[dict],
+    *,
+    base_version: int,
+    update_columns,
+    schema_evolution: bool,
+    delete_when,
+    evolution_exclude,
+    app_metadata,
+    vacuum_keep_last,
+    max_dv_rows: int,
+    n_src: int,
+    pruning: str,
+) -> dict | None:
+    """The merge-on-read write plan for :func:`_pruned_merge_attempt`
+    (Delta deletion-vectors MERGE analog).  Semantics are IDENTICAL to
+    copy-on-write — only the physical layout differs:
+
+    * the touched subset is read once WITH row positions
+      (``_read_entries_with_pos``: existing DVs applied, so an
+      already-deleted row never re-matches);
+    * matched target rows' ``(file, position)`` pairs become DV deltas
+      — collected driver-side, bounded by ``max_dv_rows`` (above the
+      bound this returns None and the caller runs copy-on-write: a
+      rewrite-scale update WANTS a rewrite);
+    * the appended output is exactly ``merge_upsert(subset, source)``
+      restricted to rows whose key appears in the batch — the update
+      images (source values for the update set, target values kept
+      elsewhere) plus the inserts; tombstoned rows (``delete_when``)
+      appear in neither the append nor the kept set, because their
+      positions are DV'd and ``merge_upsert`` drops them.  The
+      restriction is what makes parity a construction, not a hope:
+      kept-in-place rows (key ∉ batch) and appended/deleted rows
+      (key ∈ batch) partition the merged output exactly.
+
+    Write amplification: O(batch + DV delta + prior DV mass of the
+    touched files) vs copy-on-write's O(touched file bytes) — the win
+    when a small batch's keys scatter across many large files.
+    """
+    spark = source.sparkSession
+
+    subset_pos = table._read_entries_with_pos(
+        spark, prior_man, touched_entries
+    )
+    sk = (
+        source.select(*keys)
+        .na.drop("any", subset=list(keys))
+        .distinct()
+    )
+    matched = subset_pos.join(sk, on=list(keys), how="left_semi").select(
+        "__file", "__pos"
+    )
+    hits = matched.limit(max_dv_rows + 1).collect()
+    if len(hits) > max_dv_rows:
+        return None  # rewrite-scale update: copy-on-write is the plan
+    dv_updates: dict[str, list[int]] = {}
+    for r in hits:
+        dv_updates.setdefault(r["__file"], []).append(r["__pos"])
+
+    subset = subset_pos.drop("__file", "__pos")
+    appended = merge_upsert(
+        subset,
+        source,
+        keys,
+        update_columns=update_columns,
+        schema_evolution=schema_evolution,
+        delete_when=delete_when,
+        evolution_exclude=evolution_exclude,
+        strategy="decompose",
+    ).join(sk, on=list(keys), how="left_semi")
+
+    # same gap-free band layout as copy-on-write: the appended images
+    # cluster within the touched files' disjoint range components,
+    # out-of-range inserts get their own file(s)
+    ranged = sorted(
+        (e["min"], e["max"])
+        for e in touched_entries
+        if e["min"] is not None and e["max"] is not None
+    )
+    bands: list[tuple] = []
+    for lo, hi in ranged:
+        if bands and lo <= bands[-1][1]:
+            bands[-1] = (bands[-1][0], max(bands[-1][1], hi))
+        else:
+            bands.append((lo, hi))
+    split = bands if len(bands) > 1 else (bands[0] if bands else None)
+
+    lead = keys[0]
+    prior_meta = dict(prior_man.get("app_metadata") or {})
+    version = table.commit_with_manifest(
+        appended,
+        lead,
+        carried=carried + touched_entries,
+        cluster_partitions=max(1, len(bands) or 1),
+        append_split=split,
+        stats_columns=keys if len(keys) > 1 else None,
+        app_metadata={**prior_meta, **(app_metadata or {})} or None,
+        expected_base_version=base_version,
+        constraints=prior_man.get("constraints") or {},
+        column_mapping=prior_man.get("column_mapping") or {},
+        retired_physical=prior_man.get("retired_physical") or [],
+        dv_updates=dv_updates or None,
+    )
+    if vacuum_keep_last is not None:
+        table.vacuum(keep_last=vacuum_keep_last)
+    new_man = table.manifest(version) or {"files": []}
+    appended_entries = [
+        e
+        for e in new_man["files"]
+        if e["path"].startswith(f"v{version:08d}") and not e.get("dv")
+    ]
+    return {
+        "version": version,
+        "files_total": len(carried) + len(touched_entries),
+        "files_touched": len(touched_entries),
+        "files_carried": len(carried),
+        "bytes_rewritten": sum(e["bytes"] for e in appended_entries),
+        "bytes_carried": sum(e["bytes"] for e in carried),
+        "rows_source": n_src,
+        "pruning": pruning,
+        "write_mode": "mor",
+        "dv_rows_added": len(hits),
+        "dv_files": len(dv_updates),
     }
 
 

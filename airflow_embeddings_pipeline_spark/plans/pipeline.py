@@ -326,6 +326,142 @@ register(
 )
 
 
+# ------------------------------------------ merge-on-read MERGE (DV)
+# The same pruned MERGE, written with DELETION VECTORS instead of
+# copy-on-write (Delta DV MERGE analog): matched target rows are
+# marked deleted in per-file position sidecars and the batch's
+# update/insert images are APPENDED — the touched files are carried by
+# reference, so write amplification is O(batch + DV delta) instead of
+# O(touched-file bytes).  Oracled with the same relational FULL OUTER
+# JOIN semantics as the copy-on-write entry (plus the tombstone
+# clause), proving the physical strategy never leaks into results.
+def j_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert_write_pruned
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 97 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("double") * 2).alias("price"),
+        F.lit("UPD").alias("status"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 97 == 2).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0.0).alias("price"),
+        F.lit("DEL").alias("status"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 997 == 3).select(
+        (F.col("o_orderkey") + _PRUNED_INS_OFFSET).alias("k"),
+        (F.col("o_totalprice").cast("double") + 1.0).alias("price"),
+        F.lit("INS").alias("status"),
+    )
+    source = updates.unionAll(deletes).unionAll(inserts)
+
+    path = _scratch_dir("/tmp/spark_graft_mor_merge", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    stats = merge_upsert_write_pruned(
+        path, source, "k",
+        delete_when=F.col("s.status") == "DEL",
+        write_mode="mor", vacuum_keep_last=None,
+    )
+    assert stats["write_mode"] == "mor", stats  # must not fall back
+    return table.read(spark).orderBy("k")
+
+
+register(
+    Query(
+        name="j_merge_mor",
+        build=j_merge_mor,
+        oracle=f"""
+        WITH target AS (
+            SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+                   o_orderstatus AS status
+            FROM orders
+        ), source AS (
+            SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) * 2 AS price,
+                   'UPD' AS status
+            FROM orders WHERE o_orderkey % 97 = 1
+            UNION ALL
+            SELECT o_orderkey AS k, 0.0 AS price, 'DEL' AS status
+            FROM orders WHERE o_orderkey % 97 = 2
+            UNION ALL
+            SELECT o_orderkey + {_PRUNED_INS_OFFSET} AS k,
+                   CAST(o_totalprice AS DOUBLE) + 1.0 AS price, 'INS' AS status
+            FROM orders WHERE o_orderkey % 997 = 3
+        )
+        SELECT coalesce(t.k, s.k) AS k,
+               CASE WHEN s.k IS NOT NULL THEN s.price ELSE t.price END AS price,
+               CASE WHEN s.k IS NOT NULL THEN s.status ELSE t.status END AS status
+        FROM target t FULL OUTER JOIN source s ON t.k = s.k
+        WHERE coalesce(s.status, '') <> 'DEL'
+        ORDER BY k
+        """,
+        doc=(
+            "merge-on-read MERGE: matched rows deleted via per-file DELETION "
+            "VECTOR sidecars (row-position anti-join at read), update/insert "
+            "images appended, touched files carried by reference — write "
+            "amplification O(batch + DV delta), not O(touched bytes); "
+            "read-back oracled against plain FULL OUTER JOIN + tombstone "
+            "semantics (Delta deletion-vectors analog, S9/J2/J3 at 100 TB)"
+        ),
+        tags=("J2", "J3", "S9", "scale"),
+    )
+)
+
+
+# ------------------------------------------- merge-on-read DELETE (DV)
+# Row-level DELETE without rewriting any data file: matched positions
+# land in a sidecar, the manifest re-points, readers anti-join them
+# out.  TWO deletes stack (the second unions into a fresh sidecar), so
+# the entry also proves DV accumulation; oracled as plain WHERE NOT.
+def s_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    path = _scratch_dir("/tmp/spark_graft_delete_where", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    table.delete_where(spark, "k % 89 = 7")
+    table.delete_where(spark, "status = 'F' AND k % 41 = 3")
+    return table.read(spark).orderBy("k")
+
+
+register(
+    Query(
+        name="s_delete_where",
+        build=s_delete_where,
+        oracle="""
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderstatus AS status
+        FROM orders
+        WHERE NOT (o_orderkey % 89 = 7)
+          AND NOT (o_orderstatus = 'F' AND o_orderkey % 41 = 3)
+        ORDER BY k
+        """,
+        doc=(
+            "merge-on-read DELETE via deletion vectors: two stacked "
+            "delete_where commits write position sidecars only (zero data "
+            "files rewritten — write cost O(deleted rows)); read-back "
+            "oracled as plain WHERE NOT filters (Delta DV DELETE analog, "
+            "S9 at 100 TB: a scattered GDPR-style erasure must not rewrite "
+            "the touched-file mass)"
+        ),
+        tags=("S9", "scale"),
+    )
+)
+
+
 # --------------------------------------------- composite-key MERGE
 # Snowflake MERGE joins on arbitrary conjunctions (the reference's
 # single-column ``ON t.main_refco = s.main_refco``, embeddings-

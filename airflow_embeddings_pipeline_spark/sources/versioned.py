@@ -165,7 +165,9 @@ def scan_file_stats(
     cols = [key] + [c for c in extra_columns if c != key]
     entries: list[dict] = []
     for fn in sorted(os.listdir(dirpath)):
-        if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+        # "dv-" names are deletion-vector SIDECARS (deleted row
+        # positions of a data file), never data files themselves
+        if not fn.endswith(".parquet") or fn.startswith(("_", ".", "dv-")):
             continue
         p = os.path.join(dirpath, fn)
         md = pq.ParquetFile(p).metadata
@@ -203,6 +205,54 @@ def scan_file_stats(
             entry["stats"] = ranges
         entries.append(entry)
     return entries
+
+
+def _dv_read_positions(root: str, sidecar_rel: str, data_rel: str):
+    """Deleted row positions of ``data_rel`` recorded in a DV sidecar,
+    as a sorted numpy int64 array (driver-side footer+page read — DV
+    mass is bounded by policy, see ``delete_where``'s ``max_dv_rows``
+    and ``maintain()``'s purge trigger, so this is a small read)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(root, sidecar_rel),
+        filters=[("_path", "=", data_rel)],
+    )
+    return np.sort(t.column("_pos").to_numpy(zero_copy_only=False))
+
+
+def _dv_write_sidecar(vdir: str, positions_by_path: dict) -> str:
+    """Write ONE deletion-vector sidecar parquet for a commit, holding
+    the FULL deleted-position set of every data file it covers:
+    columns ``_path`` (manifest-relative data file path) and ``_pos``
+    (row index within that file).  Returns the sidecar's basename.
+    One sidecar per commit — entries whose DV this commit did not
+    touch keep referencing their older sidecar (sidecars are immutable
+    and vacuumed by reference, like data files)."""
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths, poss = [], []
+    for rel, pos in sorted(positions_by_path.items()):
+        arr = np.asarray(sorted(pos), dtype=np.int64)
+        paths.extend([rel] * len(arr))
+        poss.append(arr)
+    name = f"dv-{uuid.uuid4().hex[:16]}.parquet"
+    t = pa.table(
+        {
+            "_path": pa.array(paths, pa.string()),
+            "_pos": pa.array(
+                np.concatenate(poss) if poss else [], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(t, os.path.join(vdir, name))
+    return name
 
 
 def _mapping_of(man: dict | None) -> dict:
@@ -333,26 +383,204 @@ class VersionedParquetTable:
         return dict((man or {}).get("app_metadata") or {})
 
     def _read_manifest_files(
-        self, spark: SparkSession, man: dict, paths: list
+        self, spark: SparkSession, man: dict, entries: list
     ) -> DataFrame:
-        """Read data files of a manifest version as a LOGICAL frame:
-        scan under the physical-named (possibly widened-typed) schema,
-        then alias back to the logical column names.  Files written
-        before a column was evolved surface it as NULL; files written
-        before a widen upcast natively."""
+        """Read manifest file ENTRIES as a LOGICAL frame: scan under
+        the physical-named (possibly widened-typed) schema, apply each
+        entry's deletion vector, then alias back to the logical column
+        names.  Files written before a column was evolved surface it
+        as NULL; files written before a widen upcast natively.
+
+        Deletion vectors (merge-on-read): an entry carrying
+        ``{"dv": {"path": sidecar, "rows": n}}`` has its deleted row
+        positions filtered out via a broadcast anti-join on
+        ``(_metadata.file_path, _metadata.row_index)`` — the DV frame
+        is bounded by the table's live DV mass (capped by
+        ``delete_where``'s ``max_dv_rows`` and purged by
+        ``maintain()``), so the join build side is always small.
+        Entries without a DV keep the plain scan path untouched
+        (pushdown/pruning exactly as before — zero overhead for
+        DV-free tables)."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         logical = StructType.fromJson(man["schema"])
-        if not paths:
+        if not entries:
             return spark.createDataFrame([], logical)
         m = _mapping_of(man)
-        df = spark.read.schema(_physical_schema(man)).parquet(*paths)
+        phys = _physical_schema(man)
+        plain = [e for e in entries if not e.get("dv")]
+        dvd = [e for e in entries if e.get("dv")]
+        parts = []
+        if plain:
+            parts.append(
+                spark.read.schema(phys).parquet(
+                    *[os.path.join(self.root, e["path"]) for e in plain]
+                )
+            )
+        if dvd:
+            # manifest-relative path = the last two components of the
+            # scan's file URI (entries always name "vXXXXXXXX/<file>")
+            scan = (
+                spark.read.schema(phys)
+                .parquet(*[os.path.join(self.root, e["path"]) for e in dvd])
+                .withColumn(
+                    "__dv_f",
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+                    ),
+                )
+                .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            )
+            sidecars = sorted({e["dv"]["path"] for e in dvd})
+            dvdf = spark.read.parquet(
+                *[os.path.join(self.root, p) for p in sidecars]
+            ).select(
+                F.col("_path").alias("__dvp"), F.col("_pos").alias("__dvi")
+            )
+            parts.append(
+                scan.join(
+                    F.broadcast(dvdf),
+                    (F.col("__dv_f") == F.col("__dvp"))
+                    & (F.col("__dv_pos") == F.col("__dvi")),
+                    "left_anti",
+                ).drop("__dv_f", "__dv_pos")
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df.select(
             *[
                 F.col(m.get(f.name, f.name)).alias(f.name)
                 for f in logical.fields
             ]
+        )
+
+    def _dv_positions_of(self, entry: dict):
+        """Sorted int64 deleted-position array of an entry's DV
+        (empty array when the entry has none)."""
+        import numpy as np
+
+        dv = entry.get("dv")
+        if not dv:
+            return np.empty(0, dtype=np.int64)
+        return _dv_read_positions(self.root, dv["path"], entry["path"])
+
+    def _read_entry_positions(
+        self, spark: SparkSession, man: dict, entry_map: dict, pos_by_path: dict
+    ) -> DataFrame:
+        """Read ONLY the rows at the given per-file positions (a
+        bounded set — DV deltas) as a LOGICAL frame.  One scan over
+        the named files, semi-joined against a broadcast positions
+        frame on ``(_metadata.file_path, _metadata.row_index)``."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        logical = StructType.fromJson(man["schema"])
+        m = _mapping_of(man)
+        scan = (
+            spark.read.schema(_physical_schema(man))
+            .parquet(
+                *[
+                    os.path.join(self.root, entry_map[p]["path"])
+                    for p in sorted(pos_by_path)
+                ]
+            )
+            .withColumn(
+                "__dv_f",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+                ),
+            )
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        )
+        rows = [
+            (p, int(i)) for p, arr in pos_by_path.items() for i in arr
+        ]
+        pdf = spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("__dvp", StringType(), False),
+                    StructField("__dvi", LongType(), False),
+                ]
+            ),
+        )
+        return (
+            scan.join(
+                F.broadcast(pdf),
+                (F.col("__dv_f") == F.col("__dvp"))
+                & (F.col("__dv_pos") == F.col("__dvi")),
+                "left_semi",
+            )
+            .drop("__dv_f", "__dv_pos")
+            .select(
+                *[
+                    F.col(m.get(f.name, f.name)).alias(f.name)
+                    for f in logical.fields
+                ]
+            )
+        )
+
+    def _read_entries_with_pos(
+        self, spark: SparkSession, man: dict, entries: list
+    ) -> DataFrame:
+        """Read manifest entries as a LOGICAL frame carrying two extra
+        provenance columns — ``__file`` (manifest-relative data file
+        path) and ``__pos`` (row index within that file) — with each
+        entry's existing deletion vector applied (an already-deleted
+        row must never match again).  This is the merge-on-read WRITE
+        path's input: the positions of matched rows become the next
+        DV delta."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        logical = StructType.fromJson(man["schema"])
+        m = _mapping_of(man)
+        if not entries:
+            return (
+                spark.createDataFrame([], logical)
+                .withColumn("__file", F.lit(None).cast("string"))
+                .withColumn("__pos", F.lit(None).cast("long"))
+            )
+        scan = (
+            spark.read.schema(_physical_schema(man))
+            .parquet(*[os.path.join(self.root, e["path"]) for e in entries])
+            .withColumn(
+                "__file",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+                ),
+            )
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        sidecars = sorted(
+            {e["dv"]["path"] for e in entries if e.get("dv")}
+        )
+        if sidecars:
+            dvdf = spark.read.parquet(
+                *[os.path.join(self.root, p) for p in sidecars]
+            ).select(
+                F.col("_path").alias("__dvp"), F.col("_pos").alias("__dvi")
+            )
+            scan = scan.join(
+                F.broadcast(dvdf),
+                (F.col("__file") == F.col("__dvp"))
+                & (F.col("__pos") == F.col("__dvi")),
+                "left_anti",
+            )
+        return scan.select(
+            *[
+                F.col(m.get(f.name, f.name)).alias(f.name)
+                for f in logical.fields
+            ],
+            "__file",
+            "__pos",
         )
 
     def _read_resolved(self, spark: SparkSession, version: int) -> DataFrame:
@@ -362,8 +590,7 @@ class VersionedParquetTable:
         man = self.manifest(version)
         if man is None:
             return spark.read.parquet(self._version_dir(version))
-        paths = [os.path.join(self.root, e["path"]) for e in man["files"]]
-        return self._read_manifest_files(spark, man, paths)
+        return self._read_manifest_files(spark, man, man["files"])
 
     def column_mapping_of(self, version: int | None = None) -> dict:
         """Identity-completed ``{logical -> physical}`` column mapping
@@ -436,6 +663,12 @@ class VersionedParquetTable:
                     }
                 s = by_dir[d].get(os.path.basename(full))
                 if s is not None:
+                    # a footer rescan knows nothing of deletion
+                    # vectors — carry the manifest entry's DV ref (the
+                    # stats stay conservative: deleted rows only ever
+                    # NARROW the true range)
+                    if e.get("dv"):
+                        s = {**s, "dv": e["dv"]}
                     entries.append(s)
             return entries, StructType.fromJson(man["schema"])
         return entries, spark.read.parquet(vdir).schema
@@ -733,18 +966,37 @@ class VersionedParquetTable:
                 )
             vdir = dest._version_dir(1)
             os.makedirs(vdir, exist_ok=True)
-            new_entries = []
-            for e in man["files"]:
-                src_p = os.path.join(self.root, e["path"])
+            def _link_in(rel: str) -> str:
+                src_p = os.path.join(self.root, rel)
                 # flatten "v00000003/part-x.parquet" → unique flat name
-                dst_p = os.path.join(vdir, e["path"].replace(os.sep, "_"))
-                try:
-                    os.link(src_p, dst_p)
-                except OSError:
-                    shutil.copy2(src_p, dst_p)
-                new_entries.append(
-                    {**e, "path": os.path.relpath(dst_p, dest.root)}
-                )
+                dst_p = os.path.join(vdir, rel.replace(os.sep, "_"))
+                if not os.path.exists(dst_p):
+                    try:
+                        os.link(src_p, dst_p)
+                    except OSError:
+                        shutil.copy2(src_p, dst_p)
+                return os.path.relpath(dst_p, dest.root)
+
+            new_entries = []
+            dv_positions: dict[str, object] = {}
+            for e in man["files"]:
+                ne = {**e, "path": _link_in(e["path"])}
+                if e.get("dv"):
+                    # a DV sidecar's _path column keys on the SOURCE
+                    # table's entry paths, which the clone flattens —
+                    # rewrite the positions into ONE fresh sidecar
+                    # keyed on the clone's paths (O(DV mass), the data
+                    # files themselves stay zero-copy hardlinks)
+                    dv_positions[ne["path"]] = _dv_read_positions(
+                        self.root, e["dv"]["path"], e["path"]
+                    )
+                new_entries.append(ne)
+            if dv_positions:
+                sc = _dv_write_sidecar(vdir, dv_positions)
+                sc_rel = os.path.relpath(os.path.join(vdir, sc), dest.root)
+                for ne in new_entries:
+                    if ne.get("dv"):
+                        ne["dv"] = {"path": sc_rel, "rows": ne["dv"]["rows"]}
             meta = dict(man.get("app_metadata") or {})
             meta["cloned_from"] = {"root": self.root, "version": src_v}
             if set_cdc_watermark:
@@ -1068,6 +1320,8 @@ class VersionedParquetTable:
         retired_physical: list | None = None,
         expected_base_version=_NO_CAS,
         constraints: dict | None = None,
+        dv_updates: dict | None = None,
+        skip_data_write: bool = False,
     ) -> int:
         """Commit ``df``'s rows as NEW data files plus ``carried``
         prior-version file entries BY REFERENCE, under one manifest.
@@ -1148,6 +1402,19 @@ class VersionedParquetTable:
         expression is literally FALSE (NULL passes, standard CHECK).
         Violation ⇒ :class:`ConstraintViolationError` BEFORE the marker
         and pointer — nothing becomes visible.
+
+        ``dv_updates`` — merge-on-read deletes: ``{carried entry path →
+        iterable of NEWLY-deleted row positions}``.  The commit writes
+        ONE immutable DV sidecar parquet into its version directory
+        holding each touched entry's FULL deleted-position set (prior
+        DV ∪ delta) and re-points those carried entries' ``dv`` refs at
+        it; an entry whose positions cover every physical row is
+        dropped from the manifest outright.  Write cost is
+        O(delta + prior DV mass) — never the data file mass — which is
+        the whole point: a scattered small DELETE/MERGE should not
+        rewrite the files it touches (Delta deletion vectors analog).
+        Readers apply DVs via a broadcast anti-join on
+        ``_metadata.row_index`` (see :meth:`_read_manifest_files`).
 
         ``column_mapping`` / ``retired_physical`` — the column-mapping
         state to record (Delta column-mapping analog; normally
@@ -1240,9 +1507,19 @@ class VersionedParquetTable:
                     ]
                 )
 
-            n_out = cluster_partitions or int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
-            )
+            if skip_data_write:
+                # metadata-shape commit (delete_where, restore): the
+                # caller guarantees df carries no rows — the version is
+                # carried entries (+ DV updates) only, and no Spark job
+                # runs at all
+                os.makedirs(vdir, exist_ok=True)
+                n_out = 1
+            else:
+                n_out = cluster_partitions or int(
+                    df.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions", "8"
+                    )
+                )
 
             def _clustered(sub: DataFrame, parts: int) -> DataFrame:
                 # range clustering; a single output partition needs no
@@ -1257,7 +1534,9 @@ class VersionedParquetTable:
                     parts, F.col(key)
                 ).sortWithinPartitions(key)
 
-            if append_split is None:
+            if skip_data_write:
+                pass
+            elif append_split is None:
                 (
                     _clustered(df, n_out)
                     .write.mode("overwrite")
@@ -1368,9 +1647,61 @@ class VersionedParquetTable:
                 finally:
                     df.unpersist()
             extras = tuple(c for c in (stats_columns or ()) if c != key)
-            new_entries = scan_file_stats(
-                vdir, key, relative_to=self.root, extra_columns=extras
+            new_entries = (
+                []
+                if skip_data_write
+                else scan_file_stats(
+                    vdir, key, relative_to=self.root, extra_columns=extras
+                )
             )
+            if dv_updates:
+                import numpy as np
+
+                by_path = {e["path"]: e for e in (carried or [])}
+                missing = set(dv_updates) - set(by_path)
+                if missing:
+                    raise ValueError(
+                        "dv_updates paths must name carried entries; "
+                        f"unknown: {sorted(missing)[:3]}"
+                    )
+                full: dict[str, object] = {}
+                for rel, delta in dv_updates.items():
+                    pos = np.union1d(
+                        self._dv_positions_of(by_path[rel]),
+                        np.asarray(sorted(set(delta)), dtype=np.int64),
+                    )
+                    n_file = by_path[rel]["n_rows"]
+                    if len(pos) and (pos[0] < 0 or pos[-1] >= n_file):
+                        raise ValueError(
+                            f"dv position out of range for {rel} "
+                            f"({pos[0]}..{pos[-1]} vs {n_file} rows)"
+                        )
+                    full[rel] = pos
+                alive = {
+                    r: p
+                    for r, p in full.items()
+                    if len(p) < by_path[r]["n_rows"]
+                }
+                sidecar_rel = None
+                if alive:
+                    os.makedirs(vdir, exist_ok=True)
+                    sidecar_rel = os.path.join(
+                        f"v{next_v:08d}", _dv_write_sidecar(vdir, alive)
+                    )
+                rewritten_carried = []
+                for e in carried or []:
+                    if e["path"] in full:
+                        if e["path"] not in alive:
+                            continue  # every row deleted: drop entry
+                        e = {
+                            **e,
+                            "dv": {
+                                "path": sidecar_rel,
+                                "rows": int(len(full[e["path"]])),
+                            },
+                        }
+                    rewritten_carried.append(e)
+                carried = rewritten_carried
             if constraints is None:
                 constraints = (prior_man or {}).get("constraints") or {}
             if constraints and new_entries:
@@ -1536,6 +1867,93 @@ class VersionedParquetTable:
             os.close(dfd)
 
     # --------------------------------------------------------- optimize
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        *,
+        max_dv_rows: int = 2_000_000,
+    ) -> dict:
+        """Merge-on-read DELETE: mark every live row matching the SQL
+        ``condition`` as deleted in per-file DELETION VECTORS instead
+        of rewriting the files that hold them (Delta deletion-vector
+        DELETE analog; the reference's warehouse deletes via
+        Snowflake's own micro-partition DML).
+
+        Why it matters at 100 TB: a scattered delete (a GDPR erasure,
+        a bad-record purge) touches a few rows in MANY files — the
+        copy-on-write path would rewrite the full touched-file mass.
+        This path writes one small sidecar parquet of
+        ``(file, row_position)`` pairs and one manifest: write cost is
+        O(deleted rows + prior DV mass of the touched files), never
+        O(file bytes).  Readers apply DVs via a broadcast anti-join on
+        ``_metadata.row_index``; ``maintain()`` later folds heavy DVs
+        back into clean files (purge), bounding the read-side join.
+
+        Scale contract of the matching scan itself: ``condition`` is
+        pushed into the parquet scan by Catalyst as usual, and only
+        the MATCHED rows' ``(file, position)`` pairs are collected —
+        capped at ``max_dv_rows`` (default 2M).  A delete larger than
+        the cap is a rewrite-scale operation; the raised error says to
+        run it as a copy-on-write MERGE (or raise the cap knowingly).
+
+        Commits with CAS on the snapshot it scanned; returns
+        ``{"version", "rows_deleted", "files_affected"}`` — version
+        unchanged when nothing matches.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        v = self.current_version()
+        man = self.manifest(v) if v is not None else None
+        if man is None:
+            raise ValueError(
+                f"{self.root}: delete_where() needs a keyed manifest "
+                "version (adopt a plain table with any "
+                "commit_with_manifest / pruned merge first)"
+            )
+        frame = self._read_entries_with_pos(spark, man, man["files"])
+        hits = (
+            frame.filter(F.expr(condition))
+            .select("__file", "__pos")
+            .limit(max_dv_rows + 1)
+            .collect()
+        )
+        if len(hits) > max_dv_rows:
+            raise ValueError(
+                f"{self.root}: delete_where matched more than "
+                f"max_dv_rows={max_dv_rows} rows — that is a "
+                "rewrite-scale delete; run it as a copy-on-write MERGE "
+                "(merge_upsert_write_pruned with delete_when) or raise "
+                "max_dv_rows if the DV mass is acceptable"
+            )
+        if not hits:
+            return {"version": v, "rows_deleted": 0, "files_affected": 0}
+        dv_updates: dict[str, list[int]] = {}
+        for r in hits:
+            dv_updates.setdefault(r["__file"], []).append(r["__pos"])
+        schema = StructType.fromJson(man["schema"])
+        inv = _inverse_mapping_of(man)
+        new_v = self.commit_with_manifest(
+            spark.createDataFrame([], schema),
+            inv.get(man["key"], man["key"]),
+            carried=man["files"],
+            cluster_partitions=1,
+            stats_columns=[
+                inv.get(c, c) for c in man.get("stats_columns") or []
+            ]
+            or None,
+            app_metadata=man.get("app_metadata"),
+            expected_base_version=v,
+            dv_updates=dv_updates,
+            skip_data_write=True,
+        )
+        return {
+            "version": new_v,
+            "rows_deleted": len(hits),
+            "files_affected": len(dv_updates),
+        }
+
     def compact(
         self,
         spark: SparkSession,
@@ -1585,9 +2003,7 @@ class VersionedParquetTable:
                 "bytes_rewritten": 0,
                 "bytes_carried": sum(e["bytes"] for e in man["files"]),
             }
-        df = self._read_manifest_files(
-            spark, man, [os.path.join(self.root, e["path"]) for e in small]
-        )
+        df = self._read_manifest_files(spark, man, small)
         inv = _inverse_mapping_of(man)  # manifest key/stats are physical
         small_bytes = sum(e["bytes"] for e in small)
         n_out = cluster_partitions or max(1, small_bytes // (128 << 20) + 1)
@@ -1620,6 +2036,7 @@ class VersionedParquetTable:
         min_file_bytes: int = 32 << 20,
         max_small_files: int = 8,
         max_overlap_files: int = 0,
+        max_dv_ratio: float = 0.3,
         cluster_partitions: int | None = None,
     ) -> dict:
         """Policy-driven OPTIMIZE — the auto-trigger a daily MERGE
@@ -1643,6 +2060,15 @@ class VersionedParquetTable:
           files under ``min_file_bytes`` (each incremental merge adds a
           few; scan task count would otherwise grow with history) runs
           :meth:`compact`.
+        * DELETION-VECTOR MASS — the live DV'd row fraction
+          (``Σ dv.rows / Σ n_rows``, pure manifest arithmetic) exceeds
+          ``max_dv_ratio``: merge-on-read writes (``delete_where``,
+          ``write_mode="mor"`` merges) trade write amplification for a
+          read-side anti-join whose build side is the DV mass — the
+          PURGE rewrites exactly the DV'd files clean (cost bounded by
+          their mass, never table size) and drops the DV refs, resetting
+          the read path to plain scans (Delta's
+          ``REORG TABLE ... APPLY (PURGE)`` analog).
 
         Returns ``{"triggered", "signals", "actions"}`` where signals
         reports the inspected counts and actions the commits performed
@@ -1657,6 +2083,51 @@ class VersionedParquetTable:
         from pyspark.sql.types import StructType
 
         files = man["files"]
+        dvd = [e for e in files if e.get("dv")]
+        dv_rows = sum(e["dv"]["rows"] for e in dvd)
+        total_rows = sum(e.get("n_rows") or 0 for e in files)
+        dv_signals = {
+            "dv_files": len(dvd),
+            "dv_rows": dv_rows,
+            "dv_ratio": (dv_rows / total_rows) if total_rows else 0.0,
+        }
+        dv_actions: list[dict] = []
+        if dvd and dv_signals["dv_ratio"] > max_dv_ratio:
+            # PURGE: rewrite exactly the DV'd files clean (their own
+            # read applies the DVs), carry everything else — the
+            # sidecars become unreferenced and vacuum reclaims them.
+            # Runs FIRST and the layout signals below recompute from
+            # the post-purge manifest (the purge replaces file paths;
+            # acting on the stale entries would re-add purged rows).
+            dvd_paths = {e["path"] for e in dvd}
+            kept = [e for e in files if e["path"] not in dvd_paths]
+            inv0 = _inverse_mapping_of(man)
+            df = self._read_manifest_files(spark, man, dvd)
+            nv = self.commit_with_manifest(
+                df,
+                inv0.get(man["key"], man["key"]),
+                carried=kept,
+                cluster_partitions=cluster_partitions
+                or max(1, sum(e["bytes"] for e in dvd) // (128 << 20) + 1),
+                stats_columns=[
+                    inv0.get(c, c) for c in man.get("stats_columns") or []
+                ]
+                or None,
+                app_metadata=man.get("app_metadata"),
+                expected_base_version=v,
+            )
+            dv_actions.append(
+                {
+                    "action": "purge_dv",
+                    "version": nv,
+                    "files_rewritten": len(dvd),
+                    "dv_rows_purged": dv_rows,
+                    "bytes_rewritten": sum(e["bytes"] for e in dvd),
+                }
+            )
+            v = nv
+            man = self.manifest(v)
+            files = man["files"]
         small = [e for e in files if e["bytes"] < min_file_bytes]
         ranged = sorted(
             (e for e in files if e.get("min") is not None),
@@ -1680,8 +2151,9 @@ class VersionedParquetTable:
             "small_files": len(small),
             "overlap_files": sum(len(c) for c in comps),
             "overlap_components": len(comps),
+            **dv_signals,
         }
-        actions: list[dict] = []
+        actions: list[dict] = list(dv_actions)
         if signals["overlap_files"] > max_overlap_files:
             inv = _inverse_mapping_of(man)  # manifest key/stats physical
             for comp in comps:
@@ -1692,10 +2164,7 @@ class VersionedParquetTable:
                     e for e in man_now["files"] if e["path"] not in comp_paths
                 ]
                 comp_bytes = sum(e["bytes"] for e in comp)
-                df = self._read_manifest_files(
-                    spark, man,
-                    [os.path.join(self.root, e["path"]) for e in comp],
-                )
+                df = self._read_manifest_files(spark, man, comp)
                 nv = self.commit_with_manifest(
                     df,
                     inv.get(man["key"], man["key"]),
@@ -1772,8 +2241,7 @@ class VersionedParquetTable:
                     )
                 ):
                     kept.append(e)
-            paths = [os.path.join(self.root, e["path"]) for e in kept]
-            df = self._read_manifest_files(spark, man, paths)
+            df = self._read_manifest_files(spark, man, kept)
         if lo is not None:
             df = df.filter(F.col(key) >= lo)
         if hi is not None:
@@ -1792,12 +2260,21 @@ class VersionedParquetTable:
         man_f, man_t = self.manifest(v_from), self.manifest(v_to)
         if man_f is None or man_t is None:
             return {"files_old": None, "files_new": None, "files_carried": None}
-        pf = {e["path"] for e in man_f["files"]}
-        pt = {e["path"] for e in man_t["files"]}
+        ef = {e["path"]: e for e in man_f["files"]}
+        et = {e["path"]: e for e in man_t["files"]}
+        pf, pt = set(ef), set(et)
+        # a carried file whose deletion vector changed is NOT carried
+        # content-wise: its DV delta positions are read (only those)
+        dv_changed = sum(
+            1
+            for p in pf & pt
+            if (ef[p].get("dv") or None) != (et[p].get("dv") or None)
+        )
         return {
             "files_old": len(pf - pt),
             "files_new": len(pt - pf),
-            "files_carried": len(pf & pt),
+            "files_carried": len(pf & pt) - dv_changed,
+            "files_dv_changed": dv_changed,
         }
 
     def changes_between(
@@ -1862,12 +2339,48 @@ class VersionedParquetTable:
             pt = {e["path"]: e for e in man_t["files"]}
             schema_t = StructType.fromJson(man_t["schema"])
 
-            def side(man, only):
-                paths = [os.path.join(self.root, p) for p in sorted(only)]
-                return self._read_manifest_files(spark, man, paths)
+            def side(man, ents):
+                return self._read_manifest_files(spark, man, ents)
 
-            old = side(man_f, set(pf) - set(pt))
-            new = side(man_t, set(pt) - set(pf))
+            # a file present in BOTH manifests with a DIFFERENT
+            # deletion vector holds changed LOGICAL content while its
+            # bytes are identical: the rows at positions in the new DV
+            # but not the old disappeared (merge-on-read deletes), the
+            # reverse direction reappeared (a restore across a DV
+            # commit).  Only those DELTA positions are read — never
+            # the whole carried file.
+            dv_changed = [
+                p
+                for p in set(pf) & set(pt)
+                if (pf[p].get("dv") or None) != (pt[p].get("dv") or None)
+            ]
+            old = side(
+                man_f, [pf[p] for p in sorted(set(pf) - set(pt))]
+            )
+            new = side(
+                man_t, [pt[p] for p in sorted(set(pt) - set(pf))]
+            )
+            if dv_changed:
+                gone, back = {}, {}
+                for p in dv_changed:
+                    po = self._dv_positions_of(pf[p])
+                    pn = self._dv_positions_of(pt[p])
+                    import numpy as np
+
+                    d = np.setdiff1d(pn, po)
+                    r = np.setdiff1d(po, pn)
+                    if len(d):
+                        gone[p] = d
+                    if len(r):
+                        back[p] = r
+                if gone:
+                    old = old.unionByName(
+                        self._read_entry_positions(spark, man_f, pf, gone)
+                    )
+                if back:
+                    new = new.unionByName(
+                        self._read_entry_positions(spark, man_t, pt, back)
+                    )
             # align RENAMED columns by PHYSICAL identity: a column
             # renamed between v_from and v_to is the SAME column (same
             # physical name in the files), so its pre-images carry the
@@ -2034,6 +2547,11 @@ class VersionedParquetTable:
             man = self.manifest(v)
             if man is not None:
                 referenced.update(e["path"] for e in man["files"])
+                # DV sidecars are referenced files too: a kept entry's
+                # deletion vector must survive as long as the entry
+                referenced.update(
+                    e["dv"]["path"] for e in man["files"] if e.get("dv")
+                )
         dropped = []
         for v in self._versions_on_disk():
             if v in keep:

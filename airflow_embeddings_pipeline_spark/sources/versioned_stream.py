@@ -308,8 +308,61 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
             ent_f = {e["path"]: e for e in man_f["files"]}
             ent_t = {e["path"]: e for e in man_t["files"]}
-            removed = [ent_f[p] for p in sorted(set(ent_f) - set(ent_t))]
-            added = [ent_t[p] for p in sorted(set(ent_t) - set(ent_f))]
+            # deletion vectors: a removed/added entry carrying a DV is
+            # read MINUS its deleted positions ("_dv_skip"); a file
+            # present on both sides whose DV changed contributes ONLY
+            # the delta positions ("_dv_take") — rows newly deleted are
+            # pre-image-side deletes, rows un-deleted (a restore) are
+            # post-image-side inserts.  Positions are resolved
+            # driver-side here and shipped by value, so read() stays
+            # self-contained in the worker.
+            from .versioned import _dv_read_positions
+
+            def _pos(ent):
+                return _dv_read_positions(
+                    self.root, ent["dv"]["path"], ent["path"]
+                )
+
+            def _with_skip(ent):
+                if not ent.get("dv"):
+                    return ent
+                return {**ent, "_dv_skip": [int(i) for i in _pos(ent)]}
+
+            removed = [
+                _with_skip(ent_f[p])
+                for p in sorted(set(ent_f) - set(ent_t))
+            ]
+            added = [
+                _with_skip(ent_t[p])
+                for p in sorted(set(ent_t) - set(ent_f))
+            ]
+            for p in sorted(set(ent_f) & set(ent_t)):
+                if (ent_f[p].get("dv") or None) == (
+                    ent_t[p].get("dv") or None
+                ):
+                    continue
+                import numpy as np
+
+                po = (
+                    _pos(ent_f[p])
+                    if ent_f[p].get("dv")
+                    else np.empty(0, dtype=np.int64)
+                )
+                pn = (
+                    _pos(ent_t[p])
+                    if ent_t[p].get("dv")
+                    else np.empty(0, dtype=np.int64)
+                )
+                gone = np.setdiff1d(pn, po)
+                back = np.setdiff1d(po, pn)
+                if len(gone):
+                    removed.append(
+                        {**ent_f[p], "_dv_take": [int(i) for i in gone]}
+                    )
+                if len(back):
+                    added.append(
+                        {**ent_t[p], "_dv_take": [int(i) for i in back]}
+                    )
             arrow = to_arrow_schema(schema_t)
             physical = [cmap.get(f.name, f.name) for f in schema_t.fields]
             for rem_c, add_c in _range_components(
@@ -332,14 +385,17 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         "maxBytesPerStep option if the workers have "
                         "the memory for it)."
                     )
+                def _spec(e):
+                    return (
+                        os.path.join(self.root, e["path"]),
+                        e.get("_dv_take"),
+                        e.get("_dv_skip"),
+                    )
+
                 out.append(
                     _ChangeStep(
-                        removed=[
-                            os.path.join(self.root, e["path"]) for e in rem_c
-                        ],
-                        added=[
-                            os.path.join(self.root, e["path"]) for e in add_c
-                        ],
+                        removed=[_spec(e) for e in rem_c],
+                        added=[_spec(e) for e in add_c],
                         keys=list(keys),
                         payload=self.payload,
                         v_to=v,
@@ -375,7 +431,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
         phys = partition.physical or [f.name for f in target]
 
-        def load(paths):
+        def load(specs):
             # align each file to the v_to payload schema BEFORE concat
             # (files may differ from each other after a type widening):
             # files store PHYSICAL column names (column mapping) and
@@ -383,12 +439,27 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             # pre-image side surface as typed nulls (the batch
             # changes_between rule); shared columns cast if the parquet
             # physical type differs from the declared one (widening
-            # upcasts here)
-            if not paths:
+            # upcasts here).  Each spec is (path, take, skip): "take"
+            # keeps ONLY those row positions (a DV delta — the rows a
+            # deletion-vector commit logically removed or restored),
+            # "skip" drops them (the file's deleted rows).
+            if not specs:
                 return None
             tabs = []
-            for p in paths:
+            for p, take, skip in specs:
                 t = pq.read_table(p)
+                if take is not None:
+                    # positions index the ORIGINAL file; mutually
+                    # exclusive with skip by construction
+                    t = t.take(
+                        pa.array(np.asarray(sorted(take), dtype=np.int64))
+                    )
+                elif skip:
+                    keep = np.setdiff1d(
+                        np.arange(t.num_rows, dtype=np.int64),
+                        np.asarray(skip, dtype=np.int64),
+                    )
+                    t = t.take(pa.array(keep))
                 cols = []
                 for f, pn in zip(target, phys):
                     if pn in t.column_names:

@@ -1,0 +1,354 @@
+"""Deletion vectors (merge-on-read) — the row-level write path that
+does NOT rewrite data files.
+
+Reference parity: the reference's warehouse gets row-level DELETE /
+UPDATE from Snowflake's micro-partition DML (embeddings-pipeline.py:
+294-352 relies on MERGE ... WHEN MATCHED THEN UPDATE/DELETE); Delta's
+deletion vectors are the lakehouse analog.  This suite asserts:
+
+* ``delete_where`` marks rows in sidecars, never rewrites data files;
+* repeated deletes accumulate; a fully-deleted file drops its entry;
+* every reader (read / time travel / read_range / pruned merge
+  subset) applies DVs;
+* MERGE ``write_mode="mor"`` is row-identical to copy-on-write,
+  including its CDF feed;
+* vacuum / clone / restore / maintain(purge) keep DV lifecycles
+  correct.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_embeddings_pipeline_spark.operators.merge import (
+    merge_upsert_write_pruned,
+)
+from airflow_embeddings_pipeline_spark.sources.versioned import (
+    VersionedParquetTable,
+)
+
+
+def _mk(spark, root, n=1000, parts=4):
+    t = VersionedParquetTable(root)
+    t.commit_with_manifest(
+        spark.range(n).selectExpr(
+            "id as k", "id * 2 as v", "concat('x', id) as s"
+        ),
+        "k",
+        cluster_partitions=parts,
+    )
+    return t
+
+
+def _data_files(root):
+    return {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(root, "v*", "*.parquet"))
+        if not os.path.basename(p).startswith(("dv-", "_", "."))
+    }
+
+
+class TestDeleteWhere:
+    def test_marks_rows_without_rewriting_files(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        before = _data_files(root)
+        r = t.delete_where(spark, "k % 100 = 7")
+        assert r["rows_deleted"] == 10
+        assert _data_files(root) == before  # zero data files written
+        live = t.read(spark)
+        assert live.count() == 990
+        assert live.filter("k % 100 = 7").count() == 0
+
+    def test_accumulates_and_time_travels(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k < 10")
+        t.delete_where(spark, "k >= 990")
+        assert t.read(spark).count() == 980
+        assert t.read_version(spark, 1).count() == 1000
+        assert t.read_version(spark, 2).count() == 990
+        # idempotent re-delete: rows already DV'd never re-match
+        r = t.delete_where(spark, "k < 10")
+        assert r["rows_deleted"] == 0
+
+    def test_fully_deleted_file_drops_entry(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)  # 4 files of 250 rows
+        n_before = len(t.manifest(1)["files"])
+        t.delete_where(spark, "k >= 750")
+        man = t.manifest(t.current_version())
+        assert len(man["files"]) == n_before - 1
+        assert t.read(spark).count() == 750
+
+    def test_cap_raises_with_cow_guidance(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        with pytest.raises(ValueError, match="copy-on-write"):
+            t.delete_where(spark, "k >= 0", max_dv_rows=10)
+
+    def test_read_range_applies_dv(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k in (100, 150, 200)")
+        got = t.read_range(spark, "k", 100, 200)
+        assert got.count() == 98
+        assert got.filter("k in (100, 150, 200)").count() == 0
+
+    def test_noop_keeps_version(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        r = t.delete_where(spark, "k = -1")
+        assert r == {"version": 1, "rows_deleted": 0, "files_affected": 0}
+
+
+class TestMorMerge:
+    def _src(self, spark):
+        upd = spark.range(40).selectExpr(
+            "id * 23 as k",
+            "id * 1000 as v",
+            "concat('upd', id) as s",
+            "id % 5 = 2 as dead",
+        )
+        ins = spark.range(15).selectExpr(
+            "5000 + id as k", "id as v", "concat('new', id) as s",
+            "false as dead",
+        )
+        return upd.union(ins)
+
+    def test_parity_with_cow(self, spark, tmp_path):
+        ra, rb = str(tmp_path / "cow"), str(tmp_path / "mor")
+        ta, tb = _mk(spark, ra), _mk(spark, rb)
+        src = self._src(spark)
+        kw = dict(
+            update_columns=["v", "s"],
+            delete_when=F.col("s.dead"),
+            evolution_exclude=["dead"],
+        )
+        r_cow = merge_upsert_write_pruned(ra, src, "k", write_mode="cow", **kw)
+        r_mor = merge_upsert_write_pruned(rb, src, "k", write_mode="mor", **kw)
+        assert r_cow["write_mode"] == "cow"
+        assert r_mor["write_mode"] == "mor"
+        assert r_mor["dv_rows_added"] == 40  # every matched key DV'd
+        # MoR writes orders of magnitude less: batch-sized appends
+        assert r_mor["bytes_rewritten"] < r_cow["bytes_rewritten"]
+        a, b = ta.read(spark), tb.read(spark)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        # the CDF of the MoR commit is identical to copy-on-write's
+        ca = ta.changes_between(spark, 1, 2).orderBy("k", "_change_type")
+        cb = tb.changes_between(spark, 1, 2).orderBy("k", "_change_type")
+        assert ca.toPandas().equals(cb.toPandas())
+
+    def test_two_rounds_accumulate(self, spark, tmp_path):
+        ra, rb = str(tmp_path / "cow"), str(tmp_path / "mor")
+        ta, tb = _mk(spark, ra), _mk(spark, rb)
+        for mult in (23, 41):
+            src = spark.range(30).selectExpr(
+                f"id * {mult} as k", "id as v", f"'m{mult}' as s"
+            )
+            merge_upsert_write_pruned(
+                ra, src, "k", update_columns=["v", "s"], write_mode="cow"
+            )
+            merge_upsert_write_pruned(
+                rb, src, "k", update_columns=["v", "s"], write_mode="mor"
+            )
+        a, b = ta.read(spark), tb.read(spark)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_null_key_falls_back_to_cow(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        src = spark.sql(
+            "select * from values (cast(null as long), 1L, 'n') as t(k, v, s)"
+        )
+        r = merge_upsert_write_pruned(root, src, "k", write_mode="mor")
+        assert r["write_mode"] == "cow"  # degenerate case: fallback
+        live = t.read(spark)
+        assert live.count() == 1001
+        assert live.filter("k is null").count() == 1
+
+    def test_dv_cap_falls_back_to_cow(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        src = spark.range(500).selectExpr("id as k", "id as v", "'u' as s")
+        r = merge_upsert_write_pruned(
+            root, src, "k", write_mode="mor", max_dv_rows=100
+        )
+        assert r["write_mode"] == "cow"
+        assert t.read(spark).count() == 1000
+
+    def test_mor_after_delete_where(self, spark, tmp_path):
+        # a deleted row must never re-match a later merge
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k = 46")  # 46 = 2*23
+        src = spark.range(5).selectExpr("id * 23 as k", "id as v", "'u' as s")
+        r = merge_upsert_write_pruned(
+            root, src, "k", update_columns=["v", "s"], write_mode="mor"
+        )
+        assert r["write_mode"] == "mor"
+        live = t.read(spark)
+        # k=46 was deleted, then re-inserted by the merge (source key)
+        assert live.filter("k = 46").count() == 1
+        assert live.filter("k = 46").first()["s"] == "u"
+        assert live.count() == 1000 + 0  # 1 deleted, 1 re-inserted, 4 updated
+
+    def test_cow_merge_reads_dv_subset(self, spark, tmp_path):
+        # copy-on-write after delete_where: deleted rows must not
+        # resurrect into the rewritten files
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k in (10, 20, 30)")
+        src = spark.range(3).selectExpr("11 + id as k", "0 as v", "'u' as s")
+        merge_upsert_write_pruned(
+            root, src, "k", update_columns=["v", "s"], write_mode="cow"
+        )
+        live = t.read(spark)
+        assert live.filter("k in (10, 20, 30)").count() == 0
+        assert live.count() == 997
+
+
+class TestLifecycles:
+    def test_vacuum_keeps_referenced_sidecars(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k % 100 = 7")
+        t.delete_where(spark, "k in (1, 2, 3)")
+        t.vacuum(keep_last=1)
+        assert t.read(spark).count() == 987  # sidecars survived
+        # the v2 sidecar is still referenced by v3 entries
+        assert glob.glob(os.path.join(root, "v*", "dv-*.parquet"))
+
+    def test_maintain_purges_heavy_dv(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k % 2 = 0")  # dv_ratio 0.5
+        m = t.maintain(spark, max_small_files=1000)
+        assert [a["action"] for a in m["actions"]] == ["purge_dv"]
+        assert m["signals"]["dv_ratio"] == 0.5
+        man = t.manifest(t.current_version())
+        assert not any(e.get("dv") for e in man["files"])
+        assert t.read(spark).count() == 500
+        t.vacuum(keep_last=1)
+        assert not glob.glob(os.path.join(root, "v*", "dv-*.parquet"))
+        assert t.read(spark).count() == 500
+
+    def test_maintain_below_ratio_no_purge(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k = 1")
+        m = t.maintain(spark, max_small_files=1000)
+        assert all(a["action"] != "purge_dv" for a in m["actions"])
+        assert m["signals"]["dv_files"] == 1
+
+    def test_clone_rewrites_dv_sidecar(self, spark, tmp_path):
+        root, dest = str(tmp_path / "t"), str(tmp_path / "c")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k % 100 = 7")
+        t.clone_to(dest)
+        tc = VersionedParquetTable(dest)
+        got = tc.read(spark)
+        assert got.count() == 990
+        assert got.filter("k % 100 = 7").count() == 0
+        # independent lifecycles
+        tc.delete_where(spark, "k = 10")
+        assert tc.read(spark).count() == 989
+        assert t.read(spark).count() == 990
+
+    def test_restore_resurrects_via_cdf(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, n=100, parts=2)
+        t.delete_where(spark, "k in (5, 50, 99)")
+        ch = t.changes_between(spark, 1, 2)
+        assert sorted(
+            (r["k"], r["_change_type"]) for r in ch.collect()
+        ) == [(5, "delete"), (50, "delete"), (99, "delete")]
+        t.restore(spark, 1)
+        ch2 = t.changes_between(spark, 2, 3)
+        assert sorted(
+            (r["k"], r["_change_type"]) for r in ch2.collect()
+        ) == [(5, "insert"), (50, "insert"), (99, "insert")]
+        assert t.read(spark).count() == 100
+
+    def test_changes_file_diff_counts_dv(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k = 500")
+        v = t.current_version()
+        d = t.changes_file_diff(v - 1, v)
+        assert d["files_dv_changed"] == 1
+        assert d["files_old"] == 0 and d["files_new"] == 0
+
+    def test_stream_cdf_matches_batch_across_dv_commits(
+        self, spark, tmp_path
+    ):
+        # the streaming CDF source reads DV deltas (only the delta
+        # positions, never the whole carried file) — stream ≡ batch
+        # per-commit across a DV delete, a MoR merge, and a restore
+        from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+            read_changes_stream,
+        )
+
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k in (5, 500)")
+        src = spark.range(2).selectExpr(
+            "5 + id * 700 as k", "42 as v", "'mor' as s"
+        )
+        merge_upsert_write_pruned(
+            root, src, "k", update_columns=["v", "s"], write_mode="mor",
+            vacuum_keep_last=None,
+        )
+        t.restore(spark, 2)  # undo the merge; its DV delta reverses
+        q = (
+            read_changes_stream(spark, root, starting_version=1)
+            .writeStream.format("memory")
+            .queryName("dv_cdf_q")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("dv_cdf_q")
+        exp = (
+            t.changes_between(spark, 1, 2)
+            .unionAll(t.changes_between(spark, 2, 3))
+            .unionAll(t.changes_between(spark, 3, 4))
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, exp.collect())
+        )
+        # v1→v2 is the two deletes; v3→v4 (restore) reverses the merge
+        assert (
+            got.filter("_commit_version = 2 and _change_type = 'delete'")
+            .count()
+            == 2
+        )
+
+    def test_net_cdf_across_delete_and_merge(self, spark, tmp_path):
+        # multi-commit NET diff spanning a DV delete then a MoR merge
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k in (100, 200)")
+        src = spark.range(2).selectExpr(
+            "100 + id * 100 as k", "7 as v", "'re' as s"
+        )
+        merge_upsert_write_pruned(
+            root, src, "k", update_columns=["v", "s"], write_mode="mor",
+            vacuum_keep_last=None,
+        )
+        # net: delete(old image) + insert(new image) nets to UPDATE
+        ch = t.changes_since(spark, 1)
+        got = sorted((r["k"], r["_change_type"], r["v"]) for r in ch.collect())
+        assert got == [
+            (100, "update_postimage", 7),
+            (100, "update_preimage", 200),
+            (200, "update_postimage", 7),
+            (200, "update_preimage", 400),
+        ]
