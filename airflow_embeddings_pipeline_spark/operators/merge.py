@@ -548,6 +548,7 @@ def _pruned_merge_attempt(
         )
         leads = [t[0] for t in tuples]
         pruning = "exact"
+        _bloom_cache: dict = {}
 
         def touched(i: int, e: dict) -> bool:
             rs = _key_ranges(e)
@@ -555,6 +556,7 @@ def _pruned_merge_attempt(
                 return True
             import bisect
 
+            cands = []
             j = bisect.bisect_left(leads, rs[0][0])
             while j < len(tuples) and tuples[j][0] <= rs[0][1]:
                 t = tuples[j]
@@ -562,9 +564,36 @@ def _pruned_merge_attempt(
                     r is None or v is None or r[0] <= v <= r[1]
                     for r, v in zip(rs[1:], t[1:])
                 ):
-                    return True
+                    cands.append(t)
                 j += 1
-            return False
+            if not cands:
+                return False
+            # bloom refinement (add_bloom_index): a file whose bloom
+            # proves every range-surviving key ABSENT is untouched —
+            # the equality pruning range stats cannot give when key
+            # values do not correlate with the clustering layout.
+            # NULL components never probe (conservative keep).
+            from ..sources.versioned import _bloom_might_contain
+
+            for ci, kcol in enumerate(keys):
+                bloom = table._bloom_of(
+                    e, _cmap.get(kcol, kcol), _bloom_cache
+                )
+                if bloom is None:
+                    continue
+                vals = [t[ci] for t in cands if t[ci] is not None]
+                if not vals:
+                    continue
+                mask = _bloom_might_contain(bloom, vals)
+                it = iter(mask)
+                cands = [
+                    t
+                    for t in cands
+                    if t[ci] is None or bool(next(it))
+                ]
+                if not cands:
+                    return False
+            return True
 
     else:
         # batch too large to collect keys: broadcast the per-file
@@ -736,6 +765,7 @@ def _pruned_merge_attempt(
         constraints=prior_man.get("constraints") or {},
         column_mapping=prior_man.get("column_mapping") or {},
         retired_physical=prior_man.get("retired_physical") or [],
+        bloom_columns=prior_man.get("bloom_columns") or [],
     )
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)
@@ -832,36 +862,29 @@ def _mor_merge_attempt(
         strategy="decompose",
     ).join(sk, on=list(keys), how="left_semi")
 
-    # same gap-free band layout as copy-on-write: the appended images
-    # cluster within the touched files' disjoint range components,
-    # out-of-range inserts get their own file(s)
-    ranged = sorted(
-        (e["min"], e["max"])
-        for e in touched_entries
-        if e["min"] is not None and e["max"] is not None
-    )
-    bands: list[tuple] = []
-    for lo, hi in ranged:
-        if bands and lo <= bands[-1][1]:
-            bands[-1] = (bands[-1][0], max(bands[-1][1], hi))
-        else:
-            bands.append((lo, hi))
-    split = bands if len(bands) > 1 else (bands[0] if bands else None)
-
+    # NO band-split here, deliberately: copy-on-write bands exist so a
+    # TABLE-scale rewrite never mints a gap-spanning file (such a file
+    # would inflate every later merge's touched set by its mass).  MoR
+    # appends are BATCH-scale by construction — a scattered batch's
+    # single appended file may span many bands, but reading it costs
+    # O(batch), and maintain()'s compact/recluster folds the
+    # accumulation.  Banding a 2k-row append into 32 per-band files
+    # costs 32 write jobs and 32 mini-files per commit (measured in
+    # tools/stress_dv_amplification.py before this choice).
     lead = keys[0]
     prior_meta = dict(prior_man.get("app_metadata") or {})
     version = table.commit_with_manifest(
         appended,
         lead,
         carried=carried + touched_entries,
-        cluster_partitions=max(1, len(bands) or 1),
-        append_split=split,
+        cluster_partitions=max(1, -(-n_src // 2_000_000)),
         stats_columns=keys if len(keys) > 1 else None,
         app_metadata={**prior_meta, **(app_metadata or {})} or None,
         expected_base_version=base_version,
         constraints=prior_man.get("constraints") or {},
         column_mapping=prior_man.get("column_mapping") or {},
         retired_physical=prior_man.get("retired_physical") or [],
+        bloom_columns=prior_man.get("bloom_columns") or [],
         dv_updates=dv_updates or None,
     )
     if vacuum_keep_last is not None:

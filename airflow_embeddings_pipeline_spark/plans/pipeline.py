@@ -462,6 +462,67 @@ register(
 )
 
 
+# -------------------------------------------- bloom-indexed lookup
+# Per-file bloom filters (Delta bloomFilter column-index analog) buy
+# EQUALITY pruning where range stats cannot: the table clusters on
+# o_orderkey, so a lookup by o_custkey gets nothing from [min, max]
+# stats — every file's custkey range spans the domain.  The entry
+# commits the table, declares a bloom index on the custkey column
+# (backfill = one columnar read per file), and point-reads a
+# deterministic value set; the oracle is the plain IN filter.  The
+# pruning itself (files kept vs total) is unit-asserted in
+# tests/test_bloom_index.py; here the gate is answer correctness.
+def s_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    path = _scratch_dir("/tmp/spark_graft_bloom_lookup", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    table.add_bloom_index("cust")
+    vals = [
+        r["cust"]
+        for r in table.read(spark)
+        .filter(F.col("k") <= 64)
+        .select("cust")
+        .distinct()
+        .collect()
+    ]
+    return table.read_eq(spark, "cust", vals).orderBy("k")
+
+
+register(
+    Query(
+        name="s_bloom_lookup",
+        build=s_bloom_lookup,
+        oracle="""
+        SELECT o_orderkey AS k, o_custkey AS cust,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_orderkey <= 64
+        )
+        ORDER BY k
+        """,
+        doc=(
+            "bloom-filter file skipping: per-file bloom sidecars on a "
+            "NON-clustering column (add_bloom_index backfill + automatic "
+            "maintenance on later commits) prune an equality lookup that "
+            "range stats cannot — read_eq scans only maybe-containing "
+            "files; oracled as the plain IN filter (Delta bloomFilter "
+            "index analog, S9 at 100 TB: point lookups and scattered-key "
+            "merges on uncorrelated keys)"
+        ),
+        tags=("S9", "scale"),
+    )
+)
+
+
 # --------------------------------------------- composite-key MERGE
 # Snowflake MERGE joins on arbitrary conjunctions (the reference's
 # single-column ``ON t.main_refco = s.main_refco``, embeddings-

@@ -165,9 +165,11 @@ def scan_file_stats(
     cols = [key] + [c for c in extra_columns if c != key]
     entries: list[dict] = []
     for fn in sorted(os.listdir(dirpath)):
-        # "dv-" names are deletion-vector SIDECARS (deleted row
-        # positions of a data file), never data files themselves
-        if not fn.endswith(".parquet") or fn.startswith(("_", ".", "dv-")):
+        # "dv-" / "bloom-" names are SIDECARS (deleted row positions /
+        # bloom indexes of data files), never data files themselves
+        if not fn.endswith(".parquet") or fn.startswith(
+            ("_", ".", "dv-", "bloom-")
+        ):
             continue
         p = os.path.join(dirpath, fn)
         md = pq.ParquetFile(p).metadata
@@ -252,6 +254,177 @@ def _dv_write_sidecar(vdir: str, positions_by_path: dict) -> str:
         }
     )
     pq.write_table(t, os.path.join(vdir, name))
+    return name
+
+
+def _bloom_canon(values, kind: str | None = None):
+    """Canonicalize values for bloom hashing so the BUILD side (a
+    pyarrow column) and the PROBE side (python scalars) hash
+    identically: integers → int64, floats → float64, everything else →
+    str objects.  Returns (canonical numpy array, kind char)."""
+    import numpy as np
+
+    arr = np.asarray(values)
+    if kind is None:
+        if arr.dtype.kind in ("i", "u", "b"):
+            kind = "i"
+        elif arr.dtype.kind == "f":
+            kind = "f"
+        else:
+            kind = "s"
+    if kind == "i":
+        return arr.astype(np.int64), kind
+    if kind == "f":
+        return arr.astype(np.float64), kind
+    return np.array([str(v) for v in arr.tolist()], dtype=object), kind
+
+
+def _bloom_build(values, bits_per_value: int = 10, k: int = 7):
+    """Build a bloom filter over ``values`` (nulls excluded by the
+    caller): returns ``{"m": bits, "k": hashes, "kind": kind,
+    "bits": bytes}``.  Double hashing over pandas' stable 64-bit value
+    hash (`pd.util.hash_array`, fixed default key — deterministic
+    across processes, which persistence requires).  ~10 bits/value at
+    k=7 ⇒ ~1% false-positive rate; false positives only ever COST a
+    file read, never correctness."""
+    import numpy as np
+    import pandas as pd
+
+    arr, kind = _bloom_canon(values)
+    m = max(1024, int(len(arr) * bits_per_value))
+    h1 = pd.util.hash_array(arr, categorize=False)
+    # splitmix64 finalizer for the second hash stream
+    z = (h1 + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h2 = (z ^ (z >> np.uint64(31))) | np.uint64(1)
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        # bitwise_or.at, NOT fancy |=: duplicate byte indexes must
+        # each apply their own bit (fancy indexing buffers one write)
+        np.bitwise_or.at(
+            bits,
+            (idx >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+        )
+    return {"m": m, "k": k, "kind": kind, "bits": bits.tobytes()}
+
+
+def _bloom_might_contain(bloom: dict, values) -> "object":
+    """Vectorized membership probe: boolean numpy array, one per
+    value.  True = maybe present, False = DEFINITELY absent."""
+    import numpy as np
+    import pandas as pd
+
+    arr, _ = _bloom_canon(values, bloom["kind"])
+    m = np.uint64(bloom["m"])
+    bits = np.frombuffer(bloom["bits"], dtype=np.uint8)
+    h1 = pd.util.hash_array(arr, categorize=False)
+    z = (h1 + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h2 = (z ^ (z >> np.uint64(31))) | np.uint64(1)
+    out = np.ones(len(arr), dtype=bool)
+    for i in range(int(bloom["k"])):
+        idx = (h1 + np.uint64(i) * h2) % m
+        out &= (
+            bits[(idx >> np.uint64(3)).astype(np.int64)]
+            >> (idx & np.uint64(7)).astype(np.uint8)
+        ) & 1 == 1
+    return out
+
+
+def _bloom_write_sidecar(vdir: str, blooms_by_path: dict) -> str:
+    """Write one bloom-index sidecar parquet for a commit:
+    ``(_path, _col, _m, _k, _kind, _bits)`` — one row per (data file,
+    indexed column).  Returns the sidecar basename.  Immutable and
+    vacuumed by reference, exactly like DV sidecars."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {"_path": [], "_col": [], "_m": [], "_k": [], "_kind": [], "_bits": []}
+    for rel, by_col in sorted(blooms_by_path.items()):
+        for col, b in sorted(by_col.items()):
+            rows["_path"].append(rel)
+            rows["_col"].append(col)
+            rows["_m"].append(b["m"])
+            rows["_k"].append(b["k"])
+            rows["_kind"].append(b["kind"])
+            rows["_bits"].append(b["bits"])
+    name = f"bloom-{uuid.uuid4().hex[:16]}.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "_path": pa.array(rows["_path"], pa.string()),
+                "_col": pa.array(rows["_col"], pa.string()),
+                "_m": pa.array(rows["_m"], pa.int64()),
+                "_k": pa.array(rows["_k"], pa.int64()),
+                "_kind": pa.array(rows["_kind"], pa.string()),
+                "_bits": pa.array(rows["_bits"], pa.binary()),
+            }
+        ),
+        os.path.join(vdir, name),
+    )
+    return name
+
+
+def _bloom_read_sidecar(root: str, sidecar_rel: str, data_rel: str) -> dict:
+    """Load ``{col: bloom}`` for one data file from its bloom sidecar."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(root, sidecar_rel),
+        filters=[("_path", "=", data_rel)],
+    )
+    out = {}
+    for i in range(t.num_rows):
+        out[t.column("_col")[i].as_py()] = {
+            "m": t.column("_m")[i].as_py(),
+            "k": t.column("_k")[i].as_py(),
+            "kind": t.column("_kind")[i].as_py(),
+            "bits": t.column("_bits")[i].as_py(),
+        }
+    return out
+
+
+def _bloom_build_for_files(
+    root: str, vdir: str, entries: list, cols: list
+) -> str | None:
+    """Build blooms for the given (new) file entries over ``cols``
+    (PHYSICAL names), write ONE sidecar into ``vdir``, and attach
+    ``entry["bloom"]`` refs in place.  Cost: one columnar read of the
+    indexed columns per new file — delta-bounded, the same contract as
+    footer stats collection (Delta builds its bloom indexes inside the
+    write transaction the same way).  Returns the sidecar basename."""
+    import pyarrow.parquet as pq
+
+    blooms: dict[str, dict] = {}
+    for e in entries:
+        p = os.path.join(root, e["path"])
+        present = [
+            c for c in cols if c in pq.ParquetFile(p).schema_arrow.names
+        ]
+        if not present:
+            continue  # file predates the column (evolution): no bloom
+        t = pq.read_table(p, columns=present)
+        by_col = {}
+        for c in present:
+            col = t.column(c).drop_null()
+            if len(col) == 0:
+                continue
+            by_col[c] = _bloom_build(col.to_numpy(zero_copy_only=False))
+        if by_col:
+            blooms[e["path"]] = by_col
+    if not blooms:
+        return None
+    name = _bloom_write_sidecar(vdir, blooms)
+    rel = os.path.join(os.path.basename(vdir), name)
+    for e in entries:
+        if e["path"] in blooms:
+            e["bloom"] = {"path": rel, "cols": sorted(blooms[e["path"]])}
     return name
 
 
@@ -664,11 +837,12 @@ class VersionedParquetTable:
                 s = by_dir[d].get(os.path.basename(full))
                 if s is not None:
                     # a footer rescan knows nothing of deletion
-                    # vectors — carry the manifest entry's DV ref (the
-                    # stats stay conservative: deleted rows only ever
-                    # NARROW the true range)
-                    if e.get("dv"):
-                        s = {**s, "dv": e["dv"]}
+                    # vectors or bloom indexes — carry the manifest
+                    # entry's refs (the stats stay conservative:
+                    # deleted rows only ever NARROW the true range)
+                    for aux in ("dv", "bloom"):
+                        if e.get(aux):
+                            s = {**s, aux: e[aux]}
                     entries.append(s)
             return entries, StructType.fromJson(man["schema"])
         return entries, spark.read.parquet(vdir).schema
@@ -979,16 +1153,21 @@ class VersionedParquetTable:
 
             new_entries = []
             dv_positions: dict[str, object] = {}
+            blooms: dict[str, dict] = {}
             for e in man["files"]:
                 ne = {**e, "path": _link_in(e["path"])}
                 if e.get("dv"):
-                    # a DV sidecar's _path column keys on the SOURCE
+                    # DV / bloom sidecars key their rows on the SOURCE
                     # table's entry paths, which the clone flattens —
-                    # rewrite the positions into ONE fresh sidecar
-                    # keyed on the clone's paths (O(DV mass), the data
-                    # files themselves stay zero-copy hardlinks)
+                    # rewrite each into ONE fresh sidecar keyed on the
+                    # clone's paths (O(sidecar mass), the data files
+                    # themselves stay zero-copy hardlinks)
                     dv_positions[ne["path"]] = _dv_read_positions(
                         self.root, e["dv"]["path"], e["path"]
+                    )
+                if e.get("bloom"):
+                    blooms[ne["path"]] = _bloom_read_sidecar(
+                        self.root, e["bloom"]["path"], e["path"]
                     )
                 new_entries.append(ne)
             if dv_positions:
@@ -997,6 +1176,15 @@ class VersionedParquetTable:
                 for ne in new_entries:
                     if ne.get("dv"):
                         ne["dv"] = {"path": sc_rel, "rows": ne["dv"]["rows"]}
+            if blooms:
+                sc = _bloom_write_sidecar(vdir, blooms)
+                sc_rel = os.path.relpath(os.path.join(vdir, sc), dest.root)
+                for ne in new_entries:
+                    if ne.get("bloom"):
+                        ne["bloom"] = {
+                            "path": sc_rel,
+                            "cols": sorted(blooms[ne["path"]]),
+                        }
             meta = dict(man.get("app_metadata") or {})
             meta["cloned_from"] = {"root": self.root, "version": src_v}
             if set_cdc_watermark:
@@ -1016,6 +1204,8 @@ class VersionedParquetTable:
                 new_man["retired_physical"] = list(man["retired_physical"])
             if man.get("constraints"):
                 new_man["constraints"] = dict(man["constraints"])
+            if man.get("bloom_columns"):
+                new_man["bloom_columns"] = list(man["bloom_columns"])
             tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
             with open(tmp, "w") as f:
                 json.dump(new_man, f)
@@ -1057,12 +1247,20 @@ class VersionedParquetTable:
                     "manifest version (adopt the table with "
                     "commit_with_manifest first)"
                 )
-            new_man = mutate(json.loads(json.dumps(man)))
             self._reconcile_orphans()
             versions = self._versions_on_disk()
             next_v = (versions[-1] + 1) if versions else 1
             vdir = self._version_dir(next_v)
             os.makedirs(vdir, exist_ok=True)
+            import inspect
+
+            copy = json.loads(json.dumps(man))
+            if len(inspect.signature(mutate).parameters) >= 2:
+                # mutate may also place sidecar files (bloom indexes)
+                # into the version dir it is committing
+                new_man = mutate(copy, vdir)
+            else:
+                new_man = mutate(copy)
             tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
             with open(tmp, "w") as f:
                 json.dump(new_man, f)
@@ -1322,6 +1520,7 @@ class VersionedParquetTable:
         constraints: dict | None = None,
         dv_updates: dict | None = None,
         skip_data_write: bool = False,
+        bloom_columns: list | None = None,
     ) -> int:
         """Commit ``df``'s rows as NEW data files plus ``carried``
         prior-version file entries BY REFERENCE, under one manifest.
@@ -1403,6 +1602,20 @@ class VersionedParquetTable:
         Violation ⇒ :class:`ConstraintViolationError` BEFORE the marker
         and pointer — nothing becomes visible.
 
+        ``bloom_columns`` — LOGICAL column names whose per-file BLOOM
+        FILTERS this table maintains (Delta bloom-filter-index analog):
+        every commit builds blooms for its NEW files over these columns
+        (one columnar read per new file — delta-bounded, like footer
+        stats) into one immutable ``bloom-*.parquet`` sidecar; carried
+        entries keep their existing blooms (bit-identical data).
+        ``None`` inherits the live manifest's set (the default — like
+        constraints); declare via :meth:`add_bloom_index`, which also
+        backfills existing files.  Blooms serve EQUALITY pruning where
+        range stats cannot — a point lookup or a merge on a key whose
+        values do not correlate with the clustering layout.  False
+        positives cost a file read; false negatives are impossible, so
+        pruning stays conservative.
+
         ``dv_updates`` — merge-on-read deletes: ``{carried entry path →
         iterable of NEWLY-deleted row positions}``.  The commit writes
         ONE immutable DV sidecar parquet into its version directory
@@ -1465,6 +1678,7 @@ class VersionedParquetTable:
                     column_mapping is None
                     or retired_physical is None
                     or constraints is None
+                    or bloom_columns is None
                 )
                 else None
             )
@@ -1654,6 +1868,16 @@ class VersionedParquetTable:
                     vdir, key, relative_to=self.root, extra_columns=extras
                 )
             )
+            if bloom_columns is None:
+                bloom_columns = list(
+                    (prior_man or {}).get("bloom_columns") or []
+                )
+            else:
+                bloom_columns = [_p(c) for c in bloom_columns]
+            if bloom_columns and new_entries:
+                _bloom_build_for_files(
+                    self.root, vdir, new_entries, bloom_columns
+                )
             if dv_updates:
                 import numpy as np
 
@@ -1748,6 +1972,8 @@ class VersionedParquetTable:
                 man["retired_physical"] = list(retired_physical)
             if constraints:
                 man["constraints"] = dict(constraints)
+            if bloom_columns:
+                man["bloom_columns"] = list(bloom_columns)
             if app_metadata:
                 man["app_metadata"] = dict(app_metadata)
             tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
@@ -2198,6 +2424,109 @@ class VersionedParquetTable:
             "actions": actions,
         }
 
+    def add_bloom_index(self, column: str) -> int:
+        """Declare per-file BLOOM FILTERS on ``column`` (logical name)
+        and BACKFILL them for every existing data file — Delta's
+        ``delta.bloomFilter`` column index analog.  Future commits
+        maintain blooms for their new files automatically (inherited
+        like constraints).  The backfill is one columnar read of
+        ``column`` per live file, under the writer lock; the blooms
+        land in one immutable ``bloom-*.parquet`` sidecar in the new
+        (otherwise metadata-only) version.
+
+        Blooms buy EQUALITY pruning where range stats cannot: a point
+        lookup (:meth:`read_eq`) or a pruned MERGE whose key values do
+        not correlate with the clustering layout skips every file whose
+        bloom proves absence (~1% false-positive rate at 10 bits/row —
+        a false positive costs a file read, never correctness)."""
+
+        def mutate(man, vdir):
+            m = _mapping_of(man)
+            names = {f["name"] for f in man["schema"]["fields"]}
+            if column not in names:
+                raise ValueError(
+                    f"{self.root}: no column {column!r} to bloom-index"
+                )
+            p = m.get(column, column)
+            cols = list(man.get("bloom_columns") or [])
+            if p not in cols:
+                cols.append(p)
+            entries = [dict(e) for e in man["files"]]
+            need = [
+                e
+                for e in entries
+                if p not in (e.get("bloom") or {}).get("cols", [])
+            ]
+            # files that need the new column rebuild their FULL bloom
+            # set into the fresh sidecar (one ref per entry)
+            _bloom_build_for_files(self.root, vdir, need, cols)
+            man["files"] = entries
+            man["bloom_columns"] = cols
+            return man
+
+        return self._manifest_only_commit(mutate)
+
+    def _bloom_of(self, entry: dict, p_col: str, cache: dict) -> dict | None:
+        """The entry's bloom for a physical column, or None (no index
+        for that column on this file).  ``cache`` memoizes sidecar
+        reads per (sidecar, entry) across a pruning pass."""
+        b = entry.get("bloom")
+        if not b or p_col not in b.get("cols", []):
+            return None
+        key = (b["path"], entry["path"])
+        if key not in cache:
+            cache[key] = _bloom_read_sidecar(
+                self.root, b["path"], entry["path"]
+            )
+        return cache[key].get(p_col)
+
+    def _eq_prune(self, man: dict, column: str, values) -> list[dict]:
+        """Entries that may hold any of ``values`` in ``column``
+        (logical name): range-stats check where recorded, then bloom
+        check where indexed — both conservative."""
+        import numpy as np
+
+        p = _mapping_of(man).get(column, column)
+        vals = list(values)
+        cache: dict = {}
+        kept = []
+        for e in man["files"]:
+            if man.get("key") == p:
+                rng = (e["min"], e["max"])
+            else:
+                s = (e.get("stats") or {}).get(p)
+                rng = (s[0], s[1]) if s else (None, None)
+            if rng[0] is not None and rng[1] is not None:
+                if not any(rng[0] <= v <= rng[1] for v in vals):
+                    continue
+            bloom = self._bloom_of(e, p, cache)
+            if bloom is not None and not bool(
+                np.any(_bloom_might_contain(bloom, vals))
+            ):
+                continue
+            kept.append(e)
+        return kept
+
+    def read_eq(self, spark: SparkSession, column: str, values) -> DataFrame:
+        """Point-lookup read: scan only the files whose range stats AND
+        bloom filter (where indexed, :meth:`add_bloom_index`) admit one
+        of ``values``, then apply the exact ``IN`` predicate — the
+        equality companion of :meth:`read_range`.  On a high-cardinality
+        column uncorrelated with the layout, range stats keep nearly
+        every file and the bloom does the real skipping.  Degrades to a
+        full scan + filter on a plain version (correct, unpruned)."""
+        from pyspark.sql import functions as F
+
+        vals = list(values) if isinstance(values, (list, tuple, set)) else [values]
+        v = self.current_version()
+        man = self.manifest(v) if v is not None else None
+        if man is None:
+            return self.read(spark).filter(F.col(column).isin(vals))
+        kept = self._eq_prune(man, column, vals)
+        return self._read_manifest_files(spark, man, kept).filter(
+            F.col(column).isin(vals)
+        )
+
     def read_range(self, spark: SparkSession, key: str, lo=None, hi=None) -> DataFrame:
         """Manifest-stats data skipping on the READ path: scan only the
         files whose [min, max] range of ``key`` can intersect
@@ -2547,10 +2876,16 @@ class VersionedParquetTable:
             man = self.manifest(v)
             if man is not None:
                 referenced.update(e["path"] for e in man["files"])
-                # DV sidecars are referenced files too: a kept entry's
-                # deletion vector must survive as long as the entry
+                # DV / bloom sidecars are referenced files too: a kept
+                # entry's deletion vector and bloom index must survive
+                # as long as the entry
                 referenced.update(
                     e["dv"]["path"] for e in man["files"] if e.get("dv")
+                )
+                referenced.update(
+                    e["bloom"]["path"]
+                    for e in man["files"]
+                    if e.get("bloom")
                 )
         dropped = []
         for v in self._versions_on_disk():
