@@ -599,8 +599,8 @@ class VersionedParquetTable:
                 .parquet(*[os.path.join(self.root, e["path"]) for e in dvd])
                 .withColumn(
                     "__dv_f",
-                    F.regexp_extract(
-                        F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+                    F.substring_index(
+                        F.col("_metadata.file_path"), "/", -2
                     ),
                 )
                 .withColumn("__dv_pos", F.col("_metadata.row_index"))
@@ -666,8 +666,8 @@ class VersionedParquetTable:
             )
             .withColumn(
                 "__dv_f",
-                F.regexp_extract(
-                    F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/", -2
                 ),
             )
             .withColumn("__dv_pos", F.col("_metadata.row_index"))
@@ -726,8 +726,8 @@ class VersionedParquetTable:
             .parquet(*[os.path.join(self.root, e["path"]) for e in entries])
             .withColumn(
                 "__file",
-                F.regexp_extract(
-                    F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/", -2
                 ),
             )
             .withColumn("__pos", F.col("_metadata.row_index"))
