@@ -2273,10 +2273,16 @@ class VersionedParquetTable:
         acts only when a bound is crossed, so it is safe and cheap to
         call after every merge:
 
-        * RANGE OVERLAP — more than ``max_overlap_files`` files whose
-          [min, max] key ranges transitively overlap (overlap inflates
-          every later merge's touched set; append-split layouts hold 0,
-          the 60-cycle probe's flat curve).  Each overlap COMPONENT
+        * RANGE OVERLAP — more than ``max_overlap_files`` files of at
+          least ``min_file_bytes`` whose [min, max] key ranges
+          transitively overlap (overlap inflates every later merge's
+          touched set; append-split layouts hold 0, the 60-cycle
+          probe's flat curve).  Smaller files are EXCLUDED from the
+          signal: a batch-scale merge-on-read append spans many bands
+          by design, and counting it would union the large disjoint
+          files it bridges into one table-wide component — a full
+          rewrite triggered by a 2 MB file.  Small wide files cost
+          their own small mass to read and are compact's job.  Each overlap COMPONENT
           (maximal run of transitively-overlapping intervals — its
           interval union is contiguous, so component spans never
           enclose an outside file) is re-clustered in its own commit:
@@ -2355,8 +2361,19 @@ class VersionedParquetTable:
             man = self.manifest(v)
             files = man["files"]
         small = [e for e in files if e["bytes"] < min_file_bytes]
+        # the overlap signal considers only files of at least
+        # min_file_bytes: a SMALL wide file (a merge-on-read append
+        # spanning many bands) costs its own small mass to read and is
+        # compact's job — counting it would make one batch-scale
+        # append look like a table-wide overlap component and trigger
+        # a full-table recluster every pass
         ranged = sorted(
-            (e for e in files if e.get("min") is not None),
+            (
+                e
+                for e in files
+                if e.get("min") is not None
+                and e["bytes"] >= min_file_bytes
+            ),
             key=lambda e: (e["min"], e["max"]),
         )
         comps: list[list[dict]] = []
@@ -2518,8 +2535,18 @@ class VersionedParquetTable:
         from pyspark.sql import functions as F
 
         vals = list(values) if isinstance(values, (list, tuple, set)) else [values]
+        # SQL equality never matches NULL — drop None probes (and an
+        # all-None list short-circuits to the empty result)
+        vals = [x for x in vals if x is not None]
         v = self.current_version()
         man = self.manifest(v) if v is not None else None
+        if not vals:
+            base = (
+                self.read(spark)
+                if man is None
+                else self._read_manifest_files(spark, man, [])
+            )
+            return base.limit(0)
         if man is None:
             return self.read(spark).filter(F.col(column).isin(vals))
         kept = self._eq_prune(man, column, vals)

@@ -1253,7 +1253,11 @@ def test_maintain_overlap_trigger_reclusters_component(spark, tmp_path):
         for e in table.manifest(table.current_version())["files"]
         if e["max"] < 100 or e["min"] > 300
     }
-    out = table.maintain(spark, max_small_files=10_000)
+    # min_file_bytes=1: the overlap signal weighs only files of at
+    # least that size (a small wide file is compact's job, not a
+    # recluster trigger — see the MoR-append hazard in maintain's
+    # docstring); fixture files are tiny, so opt them all in here
+    out = table.maintain(spark, min_file_bytes=1, max_small_files=10_000)
     assert out["triggered"]
     assert [a["action"] for a in out["actions"]] == ["recluster"]
     assert out["signals"]["overlap_components"] == 1
@@ -1266,7 +1270,12 @@ def test_maintain_overlap_trigger_reclusters_component(spark, tmp_path):
     assert untouched_before <= {e["path"] for e in man_after["files"]}
     assert sorted(map(tuple, table.read(spark).collect())) == before
     # and the healed layout is a no-op on the next call
-    assert table.maintain(spark, max_small_files=10_000)["triggered"] is False
+    assert (
+        table.maintain(spark, min_file_bytes=1, max_small_files=10_000)[
+            "triggered"
+        ]
+        is False
+    )
 
 
 def test_changes_since_nets_across_commits_and_empty(spark, tmp_path):

@@ -19,7 +19,13 @@ Also verifies row-identical state between the two tables every cycle
 (exceptAll both ways == 0) — a stress that lies about correctness
 measures nothing.
 
-Usage: python tools/stress_dv_amplification.py [n_rows] [cycles] [out_json]
+Long-horizon mode: ``--maintain-every N`` interleaves the production
+maintenance policy (``maintain()``: DV purge + small-file compact +
+overlap recluster) every N cycles on the MoR table — the steady-state
+probe: file count, DV mass, and read walls must stay BOUNDED over the
+horizon instead of growing with history.
+
+Usage: python tools/stress_dv_amplification.py [n_rows] [cycles] [out_json] [--maintain-every N]
 """
 
 from __future__ import annotations
@@ -42,9 +48,15 @@ def table_bytes(root: str) -> int:
 
 
 def main() -> int:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
-    cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    out_json = sys.argv[3] if len(sys.argv) > 3 else None
+    argv = list(sys.argv[1:])
+    maintain_every = 0
+    if "--maintain-every" in argv:
+        i = argv.index("--maintain-every")
+        maintain_every = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    n_rows = int(argv[0]) if len(argv) > 0 else 5_000_000
+    cycles = int(argv[1]) if len(argv) > 1 else 10
+    out_json = argv[2] if len(argv) > 2 else None
     batch = 2_000
 
     from pyspark.sql import functions as F
@@ -117,6 +129,20 @@ def main() -> int:
             row[f"{m}_read_s"] = round(time.time() - t0, 2)
         a, b = tabs["mor"].read(spark), tabs["cow"].read(spark)
         row["diff"] = a.exceptAll(b).count() + b.exceptAll(a).count()
+        if maintain_every and (c + 1) % maintain_every == 0:
+            t0 = time.time()
+            mres = tabs["mor"].maintain(spark, min_file_bytes=8 << 20)
+            man_now = tabs["mor"].manifest(tabs["mor"].current_version())
+            row["maintain"] = {
+                "wall_s": round(time.time() - t0, 2),
+                "actions": [x["action"] for x in mres["actions"]],
+                "files_after": len(man_now["files"]),
+                "dv_rows_after": sum(
+                    e["dv"]["rows"]
+                    for e in man_now["files"]
+                    if e.get("dv")
+                ),
+            }
         per_cycle.append(row)
         print(json.dumps(row), flush=True)
         assert row["diff"] == 0, "MoR diverged from CoW"
