@@ -523,6 +523,81 @@ register(
 )
 
 
+# ------------------------------- corpus curation via MoR deletes (DV)
+# The LLM-data shape the deletion vectors exist for: a training corpus
+# lives as a versioned table; curation passes (exact-dup removal, a
+# quality floor) DELETE scattered rows — a few documents per file
+# across the whole corpus.  Copy-on-write would rewrite the corpus to
+# drop 1-2% of it; merge-on-read writes position sidecars only.  The
+# entry composes the engine's own exact-dedup fingerprint (keep the
+# lowest doc_id per content hash) with delete_where, then stacks a
+# quality-floor delete, and reads the curated corpus back — oracled as
+# a window-rank + WHERE in plain SQL.
+def x_corpus_purge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text import fingerprint
+    from ..sources.versioned import VersionedParquetTable
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = _scratch_dir("/tmp/spark_graft_corpus_purge", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(docs, "doc_id", cluster_partitions=8)
+
+    # exact-dup losers: every doc but the lowest doc_id per fingerprint
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    losers = [
+        r["doc_id"]
+        for r in table.read(spark)
+        .select("doc_id", fingerprint("text").alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .collect()
+    ]
+    if losers:
+        table.delete_where(
+            spark, f"doc_id IN ({', '.join(map(str, sorted(losers)))})"
+        )
+    table.delete_where(spark, "n_chars < 200")
+    return (
+        table.read(spark)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    Query(
+        name="x_corpus_purge_mor",
+        build=x_corpus_purge_mor,
+        oracle=r"""
+        WITH fp AS (
+            SELECT doc_id, lang, source, n_chars,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+            FROM documents
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+            FROM fp
+        )
+        SELECT doc_id, lang, source, n_chars
+        FROM ranked
+        WHERE rn = 1 AND n_chars >= 200
+        ORDER BY doc_id
+        """,
+        doc=(
+            "corpus curation as merge-on-read deletes: exact-dup losers "
+            "(engine fingerprint, keep lowest doc_id per content hash) and "
+            "a quality floor removed from a versioned corpus via stacked "
+            "delete_where DV commits — zero corpus files rewritten; "
+            "read-back oracled as window-rank + WHERE (X1 + S9 composed: "
+            "the curation pass a 100 TB training corpus actually runs)"
+        ),
+        tags=("X1", "S9", "scale"),
+    )
+)
+
+
 # --------------------------------------------- composite-key MERGE
 # Snowflake MERGE joins on arbitrary conjunctions (the reference's
 # single-column ``ON t.main_refco = s.main_refco``, embeddings-
