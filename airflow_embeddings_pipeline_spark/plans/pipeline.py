@@ -523,6 +523,57 @@ register(
 )
 
 
+# -------------------------------------------- merge-on-read UPDATE (DV)
+# Row-level UPDATE completing the DML triad (DELETE/UPDATE/MERGE all
+# merge-on-read): matched rows DV'd, updated images appended — zero
+# touched files rewritten; assignments see the PRE-update row (SQL
+# UPDATE semantics).  Oracled as CASE WHEN.
+def s_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    path = _scratch_dir("/tmp/spark_graft_update_where", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    table.update_where(
+        spark,
+        "k % 89 = 7",
+        {"price": "price * 1.1", "status": "'REPRICED'"},
+    )
+    return table.read(spark).orderBy("k")
+
+
+register(
+    Query(
+        name="s_update_where",
+        build=s_update_where,
+        oracle="""
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 89 = 7
+                    THEN CAST(o_totalprice AS DOUBLE) * 1.1
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+               CASE WHEN o_orderkey % 89 = 7
+                    THEN 'REPRICED' ELSE o_orderstatus END AS status
+        FROM orders
+        ORDER BY k
+        """,
+        doc=(
+            "merge-on-read UPDATE via deletion vectors: matched rows DV'd, "
+            "updated images appended (assignments see the pre-update row) — "
+            "zero data files rewritten, write cost O(matched rows); "
+            "read-back oracled as CASE WHEN (completes the row-level DML "
+            "triad with delete_where and write_mode='mor' MERGE, S9)"
+        ),
+        tags=("S9", "scale"),
+    )
+)
+
+
 # ------------------------------- corpus curation via MoR deletes (DV)
 # The LLM-data shape the deletion vectors exist for: a training corpus
 # lives as a versioned table; curation passes (exact-dup removal, a

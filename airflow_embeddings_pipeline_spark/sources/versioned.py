@@ -2180,6 +2180,97 @@ class VersionedParquetTable:
             "files_affected": len(dv_updates),
         }
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        assignments: dict,
+        *,
+        max_dv_rows: int = 2_000_000,
+    ) -> dict:
+        """Merge-on-read UPDATE: rows matching the SQL ``condition``
+        are marked deleted in deletion vectors and their UPDATED images
+        (``assignments``: {column → SQL expression over the row}) are
+        appended as new files — completing the row-level DML triad
+        (DELETE = :meth:`delete_where`, MERGE =
+        ``merge_upsert_write_pruned(write_mode="mor")``) without
+        rewriting any touched file.  Write cost O(matched rows);
+        the same ``max_dv_rows`` rewrite-scale guard as delete_where.
+
+        SQL UPDATE semantics: a NULL condition does not match; columns
+        absent from ``assignments`` keep their values; expressions see
+        the PRE-update row.  Commits with CAS on the scanned snapshot.
+        Returns ``{"version", "rows_updated", "files_affected"}``.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        v = self.current_version()
+        man = self.manifest(v) if v is not None else None
+        if man is None:
+            raise ValueError(
+                f"{self.root}: update_where() needs a keyed manifest "
+                "version (adopt a plain table with any "
+                "commit_with_manifest / pruned merge first)"
+            )
+        schema = StructType.fromJson(man["schema"])
+        unknown = set(assignments) - {f.name for f in schema.fields}
+        if unknown:
+            raise ValueError(
+                f"update_where assignments name unknown columns: "
+                f"{sorted(unknown)} (schema evolution belongs to MERGE)"
+            )
+        frame = self._read_entries_with_pos(spark, man, man["files"])
+        hits = frame.filter(F.expr(condition))
+        pos = hits.select("__file", "__pos").limit(max_dv_rows + 1).collect()
+        if len(pos) > max_dv_rows:
+            raise ValueError(
+                f"{self.root}: update_where matched more than "
+                f"max_dv_rows={max_dv_rows} rows — that is a "
+                "rewrite-scale update; run it as a copy-on-write MERGE "
+                "or raise max_dv_rows if the DV mass is acceptable"
+            )
+        if not pos:
+            return {"version": v, "rows_updated": 0, "files_affected": 0}
+        dv_updates: dict[str, list[int]] = {}
+        for r in pos:
+            dv_updates.setdefault(r["__file"], []).append(r["__pos"])
+        # updated images: expressions see the PRE-update row
+        from pyspark.sql import Column
+
+        def _assigned(f):
+            a = assignments[f.name]
+            col = a if isinstance(a, Column) else F.expr(str(a))
+            return col.cast(f.dataType)
+
+        images = hits.select(
+            *[
+                (
+                    _assigned(f) if f.name in assignments else F.col(f.name)
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        inv = _inverse_mapping_of(man)
+        new_v = self.commit_with_manifest(
+            images,
+            inv.get(man["key"], man["key"]),
+            carried=man["files"],
+            cluster_partitions=max(1, -(-len(pos) // 2_000_000)),
+            stats_columns=[
+                inv.get(c, c) for c in man.get("stats_columns") or []
+            ]
+            or None,
+            app_metadata=man.get("app_metadata"),
+            expected_base_version=v,
+            dv_updates=dv_updates,
+        )
+        return {
+            "version": new_v,
+            "rows_updated": len(pos),
+            "files_affected": len(dv_updates),
+        }
+
     def compact(
         self,
         spark: SparkSession,

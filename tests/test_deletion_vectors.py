@@ -214,6 +214,64 @@ class TestMorMerge:
         assert live.count() == 997
 
 
+class TestUpdateWhere:
+    def test_updates_without_rewriting_files(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        before = _data_files(root)
+        r = t.update_where(
+            spark, "k % 100 = 7", {"v": "v + 1000000", "s": "'touched'"}
+        )
+        assert r["rows_updated"] == 10
+        # only the appended images are new; touched files untouched
+        assert before <= _data_files(root)
+        live = t.read(spark)
+        assert live.count() == 1000
+        got = live.filter("s = 'touched'").orderBy("k").collect()
+        assert [x["k"] for x in got] == [7 + 100 * i for i in range(10)]
+        assert got[0]["v"] == 14 + 1000000  # pre-update row visible
+
+    def test_expressions_see_pre_update_row(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        # swap-style: both assignments read the OLD values
+        t.update_where(spark, "k = 5", {"v": "k", "k": "v"})
+        live = t.read(spark)
+        assert live.filter("k = 10 and v = 5").count() == 1
+        assert live.filter("k = 5").count() == 0
+
+    def test_cdf_classifies_update(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, n=100, parts=2)
+        t.update_where(spark, "k = 42", {"v": "999"})
+        ch = t.changes_between(spark, 1, 2)
+        got = sorted((r["_change_type"], r["v"]) for r in ch.collect())
+        assert got == [("update_postimage", 999), ("update_preimage", 84)]
+
+    def test_noop_and_unknown_column(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        assert t.update_where(spark, "k = -1", {"v": "0"}) == {
+            "version": 1,
+            "rows_updated": 0,
+            "files_affected": 0,
+        }
+        with pytest.raises(ValueError, match="unknown columns"):
+            t.update_where(spark, "k = 1", {"nope": "0"})
+
+    def test_constraint_enforced_on_updated_images(self, spark, tmp_path):
+        from airflow_embeddings_pipeline_spark.sources.versioned import (
+            ConstraintViolationError,
+        )
+
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.add_constraint(spark, "v_nonneg", "v >= 0")
+        with pytest.raises(ConstraintViolationError):
+            t.update_where(spark, "k = 3", {"v": "-1"})
+        assert t.read(spark).filter("v < 0").count() == 0
+
+
 class TestLifecycles:
     def test_vacuum_keeps_referenced_sidecars(self, spark, tmp_path):
         root = str(tmp_path / "t")
