@@ -2093,12 +2093,28 @@ class VersionedParquetTable:
             os.close(dfd)
 
     # --------------------------------------------------------- optimize
+    def _dml_retry(self, fn, conflict_retries: int):
+        """Optimistic-concurrency retry shared by the row-level DML
+        paths (the same loop the pruned MERGE runs): on
+        :class:`SnapshotConflictError` the whole computation re-runs
+        against the new live snapshot — positions are snapshot-relative
+        and must never be replayed over a different file set."""
+        attempt = 0
+        while True:
+            try:
+                return fn()
+            except SnapshotConflictError:
+                if attempt >= conflict_retries:
+                    raise
+                attempt += 1
+
     def delete_where(
         self,
         spark: SparkSession,
         condition: str,
         *,
         max_dv_rows: int = 2_000_000,
+        conflict_retries: int = 2,
     ) -> dict:
         """Merge-on-read DELETE: mark every live row matching the SQL
         ``condition`` as deleted in per-file DELETION VECTORS instead
@@ -2123,10 +2139,21 @@ class VersionedParquetTable:
         the cap is a rewrite-scale operation; the raised error says to
         run it as a copy-on-write MERGE (or raise the cap knowingly).
 
-        Commits with CAS on the snapshot it scanned; returns
+        Commits with CAS on the snapshot it scanned (recompute-and-
+        retry on a racing writer, up to ``conflict_retries``); returns
         ``{"version", "rows_deleted", "files_affected"}`` — version
         unchanged when nothing matches.
         """
+        return self._dml_retry(
+            lambda: self._delete_where_attempt(
+                spark, condition, max_dv_rows
+            ),
+            conflict_retries,
+        )
+
+    def _delete_where_attempt(
+        self, spark: SparkSession, condition: str, max_dv_rows: int
+    ) -> dict:
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
@@ -2187,6 +2214,7 @@ class VersionedParquetTable:
         assignments: dict,
         *,
         max_dv_rows: int = 2_000_000,
+        conflict_retries: int = 2,
     ) -> dict:
         """Merge-on-read UPDATE: rows matching the SQL ``condition``
         are marked deleted in deletion vectors and their UPDATED images
@@ -2199,9 +2227,25 @@ class VersionedParquetTable:
 
         SQL UPDATE semantics: a NULL condition does not match; columns
         absent from ``assignments`` keep their values; expressions see
-        the PRE-update row.  Commits with CAS on the scanned snapshot.
-        Returns ``{"version", "rows_updated", "files_affected"}``.
+        the PRE-update row.  Commits with CAS on the scanned snapshot
+        (recompute-and-retry on a racing writer, up to
+        ``conflict_retries``).  Returns ``{"version", "rows_updated",
+        "files_affected"}``.
         """
+        return self._dml_retry(
+            lambda: self._update_where_attempt(
+                spark, condition, assignments, max_dv_rows
+            ),
+            conflict_retries,
+        )
+
+    def _update_where_attempt(
+        self,
+        spark: SparkSession,
+        condition: str,
+        assignments: dict,
+        max_dv_rows: int,
+    ) -> dict:
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 

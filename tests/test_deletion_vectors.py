@@ -272,6 +272,56 @@ class TestUpdateWhere:
         assert t.read(spark).filter("v < 0").count() == 0
 
 
+class TestDmlConcurrency:
+    def test_racing_deletes_both_land(self, spark, tmp_path):
+        # the DML paths CAS on their scanned snapshot and
+        # recompute-on-conflict (same loop as the pruned MERGE): two
+        # racing deletes must both apply, never silently lose one
+        import threading
+        import time
+
+        from airflow_embeddings_pipeline_spark.sources.versioned import (
+            ConcurrentCommitError,
+            SnapshotConflictError,
+        )
+
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        errs = []
+
+        def run(cond):
+            # lock contention (ConcurrentCommitError) is the CALLER's
+            # to retry (single-writer contract, same as the merge
+            # stress); snapshot conflicts recompute inside delete_where
+            try:
+                for _ in range(60):
+                    try:
+                        VersionedParquetTable(root).delete_where(
+                            spark, cond, conflict_retries=5
+                        )
+                        return
+                    except SnapshotConflictError:
+                        raise
+                    except ConcurrentCommitError:
+                        time.sleep(0.1)
+                errs.append(TimeoutError(cond))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ths = [
+            threading.Thread(target=run, args=(c,))
+            for c in ("k < 10", "k >= 990", "k = 500")
+        ]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join()
+        assert not errs, errs
+        live = t.read(spark)
+        assert live.count() == 1000 - 10 - 10 - 1
+        assert live.filter("k < 10 or k >= 990 or k = 500").count() == 0
+
+
 class TestLifecycles:
     def test_vacuum_keeps_referenced_sidecars(self, spark, tmp_path):
         root = str(tmp_path / "t")
