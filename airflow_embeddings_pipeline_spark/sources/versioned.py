@@ -371,23 +371,30 @@ def _bloom_write_sidecar(vdir: str, blooms_by_path: dict) -> str:
     return name
 
 
-def _bloom_read_sidecar(root: str, sidecar_rel: str, data_rel: str) -> dict:
-    """Load ``{col: bloom}`` for one data file from its bloom sidecar."""
+def _bloom_load_sidecar(root: str, sidecar_rel: str) -> dict:
+    """Load a WHOLE bloom sidecar as ``{data_rel: {col: bloom}}`` —
+    one read serves every entry referencing it (a backfilled table's
+    single sidecar covers all files; reading it per entry would make a
+    pruning pass O(files) reads of the same file)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        os.path.join(root, sidecar_rel),
-        filters=[("_path", "=", data_rel)],
-    )
-    out = {}
+    t = pq.read_table(os.path.join(root, sidecar_rel))
+    out: dict[str, dict] = {}
     for i in range(t.num_rows):
-        out[t.column("_col")[i].as_py()] = {
+        out.setdefault(t.column("_path")[i].as_py(), {})[
+            t.column("_col")[i].as_py()
+        ] = {
             "m": t.column("_m")[i].as_py(),
             "k": t.column("_k")[i].as_py(),
             "kind": t.column("_kind")[i].as_py(),
             "bits": t.column("_bits")[i].as_py(),
         }
     return out
+
+
+def _bloom_read_sidecar(root: str, sidecar_rel: str, data_rel: str) -> dict:
+    """Load ``{col: bloom}`` for one data file from its bloom sidecar."""
+    return _bloom_load_sidecar(root, sidecar_rel).get(data_rel, {})
 
 
 def _bloom_build_for_files(
@@ -2620,17 +2627,15 @@ class VersionedParquetTable:
 
     def _bloom_of(self, entry: dict, p_col: str, cache: dict) -> dict | None:
         """The entry's bloom for a physical column, or None (no index
-        for that column on this file).  ``cache`` memoizes sidecar
-        reads per (sidecar, entry) across a pruning pass."""
+        for that column on this file).  ``cache`` memoizes WHOLE
+        sidecar loads per sidecar path across a pruning pass — one
+        read serves every entry the sidecar covers."""
         b = entry.get("bloom")
         if not b or p_col not in b.get("cols", []):
             return None
-        key = (b["path"], entry["path"])
-        if key not in cache:
-            cache[key] = _bloom_read_sidecar(
-                self.root, b["path"], entry["path"]
-            )
-        return cache[key].get(p_col)
+        if b["path"] not in cache:
+            cache[b["path"]] = _bloom_load_sidecar(self.root, b["path"])
+        return cache[b["path"]].get(entry["path"], {}).get(p_col)
 
     def _eq_prune(self, man: dict, column: str, values) -> list[dict]:
         """Entries that may hold any of ``values`` in ``column``
