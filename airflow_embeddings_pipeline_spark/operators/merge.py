@@ -766,6 +766,7 @@ def _pruned_merge_attempt(
         column_mapping=prior_man.get("column_mapping") or {},
         retired_physical=prior_man.get("retired_physical") or [],
         bloom_columns=prior_man.get("bloom_columns") or [],
+        operation="MERGE",
     )
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)
@@ -886,6 +887,7 @@ def _mor_merge_attempt(
         retired_physical=prior_man.get("retired_physical") or [],
         bloom_columns=prior_man.get("bloom_columns") or [],
         dv_updates=dv_updates or None,
+        operation="MERGE[mor]",
     )
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)

@@ -952,25 +952,35 @@ class VersionedParquetTable:
     def history(self) -> list[dict]:
         """Commit log of the retained versions, newest first — the
         DESCRIBE HISTORY analog: ``{"version", "committed_at",
-        "n_files", "n_rows", "bytes", "kind", "app_metadata"}``.
-        ``kind`` is ``"manifest"`` (file list + stats) or ``"plain"``
-        (full directory rewrite); row/byte totals come from the
-        manifest when present, else from a directory walk (footer-free
-        either way — this never scans data)."""
+        "n_files", "n_rows", "bytes", "kind", "operation", "dv_rows",
+        "app_metadata"}``.  ``kind`` is ``"manifest"`` (file list +
+        stats) or ``"plain"`` (full directory rewrite); ``operation``
+        is the engine write that produced the version (DELETE /
+        UPDATE / MERGE / MERGE[mor] / OPTIMIZE[...] / RESTORE / ALTER
+        ops — None for plain/user commits); ``n_rows`` is LOGICAL
+        (physical rows minus deletion-vector rows, reported separately
+        as ``dv_rows``).  Row/byte totals come from the manifest when
+        present, else from a directory walk (footer-free either way —
+        this never scans data)."""
         out = []
         for v in reversed(self.versions()):
             man = self.manifest(v)
             if man is not None:
                 files = man["files"]
+                dv_rows = sum(
+                    e["dv"]["rows"] for e in files if e.get("dv")
+                )
                 n_rows = sum(e.get("n_rows") or 0 for e in files)
                 n_bytes = sum(e.get("bytes") or 0 for e in files)
                 entry = {
                     "version": v,
                     "committed_at": self.committed_at(v),
                     "n_files": len(files),
-                    "n_rows": n_rows,
+                    "n_rows": n_rows - dv_rows,
+                    "dv_rows": dv_rows,
                     "bytes": n_bytes,
                     "kind": "manifest",
+                    "operation": man.get("operation"),
                     "app_metadata": man.get("app_metadata") or {},
                 }
             else:
@@ -985,10 +995,12 @@ class VersionedParquetTable:
                     "committed_at": self.committed_at(v),
                     "n_files": len(fs),
                     "n_rows": None,
+                    "dv_rows": 0,
                     "bytes": sum(
                         os.path.getsize(os.path.join(vdir, fn)) for fn in fs
                     ),
                     "kind": "plain",
+                    "operation": None,
                     "app_metadata": {},
                 }
             out.append(entry)
@@ -1087,6 +1099,7 @@ class VersionedParquetTable:
             column_mapping=man.get("column_mapping") or {},
             retired_physical=man.get("retired_physical") or [],
             expected_base_version=cur,
+            operation="RESTORE",
         )
 
     def clone_to(
@@ -1213,6 +1226,7 @@ class VersionedParquetTable:
                 new_man["constraints"] = dict(man["constraints"])
             if man.get("bloom_columns"):
                 new_man["bloom_columns"] = list(man["bloom_columns"])
+            new_man["operation"] = "CLONE"
             tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
             with open(tmp, "w") as f:
                 json.dump(new_man, f)
@@ -1262,6 +1276,9 @@ class VersionedParquetTable:
             import inspect
 
             copy = json.loads(json.dumps(man))
+            # operation attribution is PER-COMMIT, never inherited —
+            # the mutator sets its own (ALTER[...]) if it wants one
+            copy.pop("operation", None)
             if len(inspect.signature(mutate).parameters) >= 2:
                 # mutate may also place sidecar files (bloom indexes)
                 # into the version dir it is committing
@@ -1289,6 +1306,7 @@ class VersionedParquetTable:
                 man["constraints"] = dict(constraints)
             else:
                 man.pop("constraints", None)
+            man["operation"] = "ALTER[constraints]"
             return man
 
         return self._manifest_only_commit(mutate)
@@ -1342,6 +1360,7 @@ class VersionedParquetTable:
                 man["column_mapping"] = sparse
             else:
                 man.pop("column_mapping", None)
+            man["operation"] = "ALTER[rename]"
             return man
 
         return self._manifest_only_commit(mutate)
@@ -1389,6 +1408,7 @@ class VersionedParquetTable:
             if phys not in retired:
                 retired.append(phys)
             man["retired_physical"] = retired
+            man["operation"] = "ALTER[drop]"
             return man
 
         return self._manifest_only_commit(mutate)
@@ -1422,6 +1442,7 @@ class VersionedParquetTable:
             for f in fields:
                 if f["name"] == col:
                     f["type"] = want.jsonValue()
+            man["operation"] = "ALTER[widen]"
             return man
 
         return self._manifest_only_commit(mutate)
@@ -1528,6 +1549,7 @@ class VersionedParquetTable:
         dv_updates: dict | None = None,
         skip_data_write: bool = False,
         bloom_columns: list | None = None,
+        operation: str | None = None,
     ) -> int:
         """Commit ``df``'s rows as NEW data files plus ``carried``
         prior-version file entries BY REFERENCE, under one manifest.
@@ -1981,6 +2003,10 @@ class VersionedParquetTable:
                 man["constraints"] = dict(constraints)
             if bloom_columns:
                 man["bloom_columns"] = list(bloom_columns)
+            if operation:
+                # per-commit DESCRIBE HISTORY attribution (never
+                # inherited): what kind of write produced this version
+                man["operation"] = operation
             if app_metadata:
                 man["app_metadata"] = dict(app_metadata)
             tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
@@ -2207,6 +2233,7 @@ class VersionedParquetTable:
             expected_base_version=v,
             dv_updates=dv_updates,
             skip_data_write=True,
+            operation="DELETE",
         )
         return {
             "version": new_v,
@@ -2315,6 +2342,7 @@ class VersionedParquetTable:
             app_metadata=man.get("app_metadata"),
             expected_base_version=v,
             dv_updates=dv_updates,
+            operation="UPDATE",
         )
         return {
             "version": new_v,
@@ -2383,6 +2411,7 @@ class VersionedParquetTable:
             ] or None,
             app_metadata=man.get("app_metadata"),
             expected_base_version=v,  # CAS: rewrite was computed against v
+            operation="OPTIMIZE[compact]",
         )
         new_man = self.manifest(new_v) or {"files": []}
         return {
@@ -2489,6 +2518,7 @@ class VersionedParquetTable:
                 or None,
                 app_metadata=man.get("app_metadata"),
                 expected_base_version=v,
+                operation="OPTIMIZE[purge-dv]",
             )
             dv_actions.append(
                 {
@@ -2561,6 +2591,7 @@ class VersionedParquetTable:
                     ] or None,
                     app_metadata=man_now.get("app_metadata"),
                     expected_base_version=base_v,
+                    operation="OPTIMIZE[recluster]",
                 )
                 actions.append(
                     {
@@ -2621,6 +2652,7 @@ class VersionedParquetTable:
             _bloom_build_for_files(self.root, vdir, need, cols)
             man["files"] = entries
             man["bloom_columns"] = cols
+            man["operation"] = "ALTER[bloom-index]"
             return man
 
         return self._manifest_only_commit(mutate)

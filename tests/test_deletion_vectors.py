@@ -272,6 +272,36 @@ class TestUpdateWhere:
         assert t.read(spark).filter("v < 0").count() == 0
 
 
+class TestHistoryAttribution:
+    def test_history_operations_and_logical_rows(self, spark, tmp_path):
+        # DESCRIBE HISTORY analog: engine writes self-attribute, and
+        # n_rows is LOGICAL (physical minus deletion-vector rows)
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k < 5")
+        t.update_where(spark, "k = 10", {"v": "0"})
+        src = spark.range(2).selectExpr(
+            "id * 100 as k", "id as v", "'m' as s"
+        )
+        merge_upsert_write_pruned(
+            root, src, "k", write_mode="mor", vacuum_keep_last=None
+        )
+        t.compact(spark, min_file_bytes=1 << 30)
+        h = {e["version"]: e for e in t.history()}
+        assert h[1]["operation"] is None
+        assert h[2]["operation"] == "DELETE"
+        assert h[2]["n_rows"] == 995 and h[2]["dv_rows"] == 5
+        assert h[3]["operation"] == "UPDATE"
+        assert h[4]["operation"] == "MERGE[mor]"
+        assert h[5]["operation"] == "OPTIMIZE[compact]"
+        assert h[5]["dv_rows"] == 0  # compact folded the DVs
+        # logical rows track the MoR history: the merge re-inserts
+        # k=0 (deleted at v2) and updates k=100 → +1 row; compact
+        # changes nothing logically
+        assert h[3]["n_rows"] == 995
+        assert h[4]["n_rows"] == h[5]["n_rows"] == 996
+
+
 class TestDmlConcurrency:
     def test_racing_deletes_both_land(self, spark, tmp_path):
         # the DML paths CAS on their scanned snapshot and
