@@ -431,7 +431,13 @@ def _pruned_merge_attempt(
        each range; range-join: the broadcast containment test) — files
        without usable stats are always touched (conservative),
        NULL-key source rows touch nothing (SQL equality never matches
-       NULL, they insert);
+       NULL, they insert).  On the EXACT tier, files carrying a bloom
+       index for a key column (``add_bloom_index``) further refine:
+       range-surviving keys the bloom proves ABSENT cannot touch, so a
+       scattered absent-key batch appends without touching anything.
+       The range-join tier stays stats-only by design — its batches
+       exceed the key-collect cap, and a batch that large touches most
+       files regardless;
     4. only the touched files are read and full-outer-merged with the
        batch; the merged subset is written range-clustered on ``key``
        as the new version's data files, untouched entries are carried
