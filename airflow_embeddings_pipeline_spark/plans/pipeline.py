@@ -1018,6 +1018,83 @@ register(
 )
 
 
+# Streaming ingest with MERGE-ON-READ writes: the same stream →
+# foreachBatch → pruned MERGE loop, but each micro-batch lands as DV
+# deltas + appended images instead of rewritten files — the always-on
+# ingest shape for scattered-key feeds (CDC consumers, log upserts) at
+# 100 TB.  Shares the copy-on-write stream entry's oracle verbatim:
+# the physical write strategy must never leak into results.
+def t_stream_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.merge import merge_upsert_write_pruned
+    from ..sources.versioned import VersionedParquetTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    target_rows = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    batch_rows = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.lit("upd").alias("lang"),
+        (F.col("n_chars").cast("long") + 1).alias("n_chars"),
+    )
+    path = _scratch_dir("/tmp/spark_graft_stream_merge_mor", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target_rows, "doc_id", cluster_partitions=8)
+    stage_dir = tempfile.mkdtemp(prefix="stream_merge_mor_src_")
+    batch_rows.write.mode("overwrite").parquet(stage_dir)
+
+    def batch_fn(df, _epoch):
+        merge_upsert_write_pruned(
+            path, df, "doc_id", write_mode="mor", vacuum_keep_last=None
+        )
+
+    q = (
+        spark.readStream.schema(batch_rows.schema)
+        .parquet(stage_dir)
+        .writeStream.foreachBatch(batch_fn)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="ckpt_stream_merge_mor_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(spark).orderBy("doc_id")
+
+
+register(
+    Query(
+        name="t_stream_merge_mor",
+        build=t_stream_merge_mor,
+        oracle="""
+        WITH target AS (
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents WHERE doc_id % 3 = 0
+        ), batch AS (
+            SELECT doc_id, 'upd' AS lang, CAST(n_chars AS BIGINT) + 1 AS n_chars
+            FROM documents WHERE doc_id % 2 = 0
+        )
+        SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN b.doc_id IS NOT NULL THEN b.lang ELSE t.lang END AS lang,
+               CASE WHEN b.doc_id IS NOT NULL THEN b.n_chars ELSE t.n_chars END AS n_chars
+        FROM target t FULL OUTER JOIN batch b ON t.doc_id = b.doc_id
+        ORDER BY doc_id
+        """,
+        doc=(
+            "streaming MERGE with merge-on-read writes: stream → foreachBatch "
+            "→ MoR pruned MERGE (DV deltas + appended images, touched files "
+            "carried) → committed read-back — shares the copy-on-write stream "
+            "entry's oracle verbatim, proving the write strategy never leaks "
+            "into results (T4 + S9 + deletion vectors composed)"
+        ),
+        tags=("T4", "S9", "J2", "J3", "streaming", "scale"),
+    )
+)
+
+
 # --------------------------------------------- change data feed (CDC)
 # The reference consumes row-level CDC from Snowflake table streams on
 # the MERGE target (embeddings-pipeline.py:294-352); the engine's

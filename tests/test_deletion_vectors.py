@@ -272,6 +272,77 @@ class TestUpdateWhere:
         assert t.read(spark).filter("v < 0").count() == 0
 
 
+class TestDmlSequenceModel:
+    def test_random_dml_sequence_matches_model(self, spark, tmp_path):
+        """Property-style: a seeded random sequence of delete_where /
+        update_where / MoR merges tracks a pure-pandas model exactly —
+        the DV read path, accumulation, and image appends compose
+        under arbitrary interleavings, not just the curated cases."""
+        import random
+
+        import pandas as pd
+
+        rng = random.Random(0xD5)
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, n=500, parts=4)
+        model = pd.DataFrame(
+            {
+                "k": range(500),
+                "v": [i * 2 for i in range(500)],
+                "s": [f"x{i}" for i in range(500)],
+            }
+        )
+        for step in range(12):
+            op = rng.choice(["delete", "update", "merge"])
+            if op == "delete":
+                lo = rng.randrange(0, 900)
+                hi = lo + rng.randrange(1, 60)
+                t.delete_where(spark, f"k >= {lo} and k < {hi}")
+                model = model[~((model.k >= lo) & (model.k < hi))]
+            elif op == "update":
+                m = rng.randrange(3, 9)
+                r = rng.randrange(0, m)
+                t.update_where(
+                    spark, f"k % {m} = {r}", {"v": f"v + {step + 1}"}
+                )
+                mask = (model.k % m) == r
+                model = model.copy()
+                model.loc[mask, "v"] += step + 1
+            else:
+                ks = sorted(rng.sample(range(0, 900), 8))
+                src = spark.createDataFrame(
+                    [(k, step, f"m{step}") for k in ks],
+                    "k long, v long, s string",
+                )
+                merge_upsert_write_pruned(
+                    root, src, "k", update_columns=["v", "s"],
+                    write_mode="mor", vacuum_keep_last=None,
+                )
+                model = model[~model.k.isin(ks)]
+                model = pd.concat(
+                    [
+                        model,
+                        pd.DataFrame(
+                            {
+                                "k": ks,
+                                "v": [step] * len(ks),
+                                "s": [f"m{step}"] * len(ks),
+                            }
+                        ),
+                    ]
+                )
+            got = (
+                t.read(spark)
+                .orderBy("k")
+                .toPandas()
+                .reset_index(drop=True)
+            )
+            want = model.sort_values("k").reset_index(drop=True)
+            assert got["k"].tolist() == want["k"].tolist(), f"step {step}"
+            assert got["v"].tolist() == want["v"].tolist(), f"step {step}"
+            assert got["s"].tolist() == want["s"].tolist(), f"step {step}"
+
+
 class TestHistoryAttribution:
     def test_history_operations_and_logical_rows(self, spark, tmp_path):
         # DESCRIBE HISTORY analog: engine writes self-attribute, and
