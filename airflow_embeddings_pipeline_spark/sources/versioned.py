@@ -2853,13 +2853,26 @@ class VersionedParquetTable:
                 )
         man_f, man_t = self.manifest(v_from), self.manifest(v_to)
         if key is None:
-            # manifest keys are PHYSICAL; the feed speaks logical
-            p = (man_t or {}).get("key") or (man_f or {}).get("key")
-            if p is None:
+            # manifest keys are PHYSICAL; the feed speaks logical.
+            # Default to stats_columns when recorded — a COMPOSITE-key
+            # merge writes them, and its row identity is the full
+            # tuple, not the clustering lead (joining a 50-value lead
+            # alone would explode the diff) — the same rule the
+            # streaming CDF source applies.  A table whose
+            # stats_columns are pure skip columns (not key components)
+            # should pass ``key=`` explicitly.
+            man_k = man_t or man_f
+            if man_k is None:
                 raise ValueError(
                     "key required: neither version has a keyed manifest"
                 )
-            key = _inverse_mapping_of(man_t or man_f).get(p, p)
+            phys = man_k.get("stats_columns") or [man_k.get("key")]
+            if phys == [None]:
+                raise ValueError(
+                    "key required: neither version has a keyed manifest"
+                )
+            inv_k = _inverse_mapping_of(man_k)
+            key = [inv_k.get(p, p) for p in phys]
         keys = [key] if isinstance(key, str) else list(key)
 
         if man_f is not None and man_t is not None:

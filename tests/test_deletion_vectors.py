@@ -161,6 +161,41 @@ class TestMorMerge:
         assert a.exceptAll(b).count() == 0
         assert b.exceptAll(a).count() == 0
 
+    def test_composite_key_parity(self, spark, tmp_path):
+        def mk2(root):
+            t = VersionedParquetTable(root)
+            t.commit_with_manifest(
+                spark.range(5000).selectExpr(
+                    "id % 50 as k1",
+                    "id as k2",
+                    "id * 3 as v",
+                ),
+                "k1",
+                stats_columns=["k1", "k2"],
+                cluster_partitions=4,
+            )
+            return t
+
+        ra, rb = str(tmp_path / "cow"), str(tmp_path / "mor")
+        ta, tb = mk2(ra), mk2(rb)
+        src = spark.range(20).selectExpr(
+            "id % 50 as k1", "id * 100 as k2", "0 as v"
+        )
+        r_cow = merge_upsert_write_pruned(
+            ra, src, ["k1", "k2"], write_mode="cow", vacuum_keep_last=None
+        )
+        r_mor = merge_upsert_write_pruned(
+            rb, src, ["k1", "k2"], write_mode="mor", vacuum_keep_last=None
+        )
+        assert r_mor["write_mode"] == "mor"
+        a, b = ta.read(spark), tb.read(spark)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        # composite-key CDF agrees across the two strategies
+        ca = ta.changes_between(spark, 1, 2).orderBy("k1", "k2", "_change_type")
+        cb = tb.changes_between(spark, 1, 2).orderBy("k1", "k2", "_change_type")
+        assert ca.toPandas().equals(cb.toPandas())
+
     def test_null_key_falls_back_to_cow(self, spark, tmp_path):
         root = str(tmp_path / "t")
         t = _mk(spark, root)
