@@ -1064,7 +1064,11 @@ def sync_replica(
             "— seed the replica from a primary snapshot and record the "
             "snapshot version before syncing"
         )
-    feed = primary.changes_since(spark, w)
+    # the feed's row identity must be the SAME key the apply merges on
+    # (defaulting would resolve to the primary's stats_columns — right
+    # for composite-key tables, wrong when stats_columns carry extra
+    # skip-only columns)
+    feed = primary.changes_since(spark, w, key=key)
     return apply_changes(replica_path, feed, key, **apply_kwargs)
 
 
