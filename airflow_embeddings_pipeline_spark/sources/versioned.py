@@ -949,6 +949,42 @@ class VersionedParquetTable:
             )
         return self._read_resolved(spark, max(eligible))
 
+    def detail(self) -> dict:
+        """One-snapshot summary of the LIVE version (DESCRIBE DETAIL
+        analog), pure manifest arithmetic — no data scan:
+        ``{"version", "n_files", "n_rows" (logical), "dv_rows",
+        "dv_files", "bytes", "key", "stats_columns", "bloom_columns",
+        "constraints", "column_mapping", "operation"}``."""
+        v = self.current_version()
+        man = self.manifest(v) if v is not None else None
+        if man is None:
+            raise ValueError(
+                f"{self.root}: detail() needs a committed keyed manifest "
+                "version (adopt a plain table with any "
+                "commit_with_manifest / pruned merge first)"
+            )
+        files = man["files"]
+        inv = _inverse_mapping_of(man)
+        dv_rows = sum(e["dv"]["rows"] for e in files if e.get("dv"))
+        return {
+            "version": v,
+            "n_files": len(files),
+            "n_rows": sum(e.get("n_rows") or 0 for e in files) - dv_rows,
+            "dv_rows": dv_rows,
+            "dv_files": sum(1 for e in files if e.get("dv")),
+            "bytes": sum(e.get("bytes") or 0 for e in files),
+            "key": inv.get(man["key"], man["key"]),
+            "stats_columns": [
+                inv.get(c, c) for c in man.get("stats_columns") or []
+            ],
+            "bloom_columns": [
+                inv.get(c, c) for c in man.get("bloom_columns") or []
+            ],
+            "constraints": dict(man.get("constraints") or {}),
+            "column_mapping": dict(man.get("column_mapping") or {}),
+            "operation": man.get("operation"),
+        }
+
     def history(self) -> list[dict]:
         """Commit log of the retained versions, newest first — the
         DESCRIBE HISTORY analog: ``{"version", "committed_at",

@@ -408,6 +408,21 @@ class TestHistoryAttribution:
         assert h[4]["n_rows"] == h[5]["n_rows"] == 996
 
 
+class TestDetail:
+    def test_detail_summarizes_live_snapshot(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k < 5")
+        t.add_bloom_index("v")
+        t.rename_column("v", "val")
+        d = t.detail()
+        assert d["n_rows"] == 995 and d["dv_rows"] == 5
+        assert d["key"] == "k" and d["bloom_columns"] == ["val"]
+        assert d["operation"] == "ALTER[rename]"
+        # k < 5 is range-clustered into ONE file: exactly one DV
+        assert d["n_files"] == 4 and d["dv_files"] == 1
+
+
 class TestDmlConcurrency:
     def test_racing_deletes_both_land(self, spark, tmp_path):
         # the DML paths CAS on their scanned snapshot and
