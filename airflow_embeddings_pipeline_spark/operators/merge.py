@@ -322,7 +322,7 @@ def merge_upsert_write_pruned(
     max_exact_keys: int = 200_000,
     conflict_retries: int = 2,
     write_mode: str = "cow",
-    max_dv_rows: int = 2_000_000,
+    max_dv_rows: int = 100_000_000,
 ) -> dict:
     """File-pruned MERGE with optimistic concurrency — see
     :func:`_pruned_merge_attempt` for the pruning mechanics.
@@ -398,7 +398,7 @@ def _pruned_merge_attempt(
     vacuum_keep_last: int | None = 2,
     max_exact_keys: int = 200_000,
     write_mode: str = "cow",
-    max_dv_rows: int = 2_000_000,
+    max_dv_rows: int = 100_000_000,
 ) -> dict:
     """File-pruned MERGE: rewrite ONLY the target files the source
     batch can touch; carry every other file into the new version BY
@@ -485,7 +485,10 @@ def _pruned_merge_attempt(
     if table.current_version() is None:
         # adopt: one clustered full rewrite creates the manifest layout
         table.commit_with_manifest(
-            table.read(spark), lead, stats_columns=keys if trail else None
+            table.read(spark),
+            lead,
+            stats_columns=keys if trail else None,
+            key_columns=keys,
         )
 
     # the snapshot this whole computation is valid against; the commit
@@ -766,6 +769,7 @@ def _pruned_merge_attempt(
         append_split=split,
         band_rows_hint=band_rows if split is not None else None,
         stats_columns=keys if trail else None,
+        key_columns=keys,
         app_metadata={**prior_meta, **(app_metadata or {})} or None,
         expected_base_version=base_version,
         constraints=prior_man.get("constraints") or {},
@@ -820,9 +824,11 @@ def _mor_merge_attempt(
       (``_read_entries_with_pos``: existing DVs applied, so an
       already-deleted row never re-matches);
     * matched target rows' ``(file, position)`` pairs become DV deltas
-      — collected driver-side, bounded by ``max_dv_rows`` (above the
-      bound this returns None and the caller runs copy-on-write: a
-      rewrite-scale update WANTS a rewrite);
+      — written executor-side by the commit's sidecar Spark job; only
+      per-FILE counts reach the driver, and above ``max_dv_rows`` (a
+      read-amplification policy bound, not a memory one) this returns
+      None and the caller runs copy-on-write: a rewrite-scale update
+      WANTS a rewrite;
     * the appended output is exactly ``merge_upsert(subset, source)``
       restricted to rows whose key appears in the batch — the update
       images (source values for the update set, target values kept
@@ -850,12 +856,18 @@ def _mor_merge_attempt(
     matched = subset_pos.join(sk, on=list(keys), how="left_semi").select(
         "__file", "__pos"
     )
-    hits = matched.limit(max_dv_rows + 1).collect()
-    if len(hits) > max_dv_rows:
+    # rewrite-scale guard via a bounded per-file count collect (#files
+    # rows); the positions themselves never cross the driver — the
+    # commit writes the DV sidecar executor-side (dv_updates_df)
+    matched.persist()
+    dv_counts = {
+        r["__file"]: r["count"]
+        for r in matched.groupBy("__file").count().collect()
+    }
+    n_dv = sum(dv_counts.values())
+    if n_dv > max_dv_rows:
+        matched.unpersist()
         return None  # rewrite-scale update: copy-on-write is the plan
-    dv_updates: dict[str, list[int]] = {}
-    for r in hits:
-        dv_updates.setdefault(r["__file"], []).append(r["__pos"])
 
     subset = subset_pos.drop("__file", "__pos")
     appended = merge_upsert(
@@ -886,15 +898,18 @@ def _mor_merge_attempt(
         carried=carried + touched_entries,
         cluster_partitions=max(1, -(-n_src // 2_000_000)),
         stats_columns=keys if len(keys) > 1 else None,
+        key_columns=keys,
         app_metadata={**prior_meta, **(app_metadata or {})} or None,
         expected_base_version=base_version,
         constraints=prior_man.get("constraints") or {},
         column_mapping=prior_man.get("column_mapping") or {},
         retired_physical=prior_man.get("retired_physical") or [],
         bloom_columns=prior_man.get("bloom_columns") or [],
-        dv_updates=dv_updates or None,
+        dv_updates_df=matched if dv_counts else None,
+        dv_delta_counts=dv_counts or None,
         operation="MERGE[mor]",
     )
+    matched.unpersist()
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)
     new_man = table.manifest(version) or {"files": []}
@@ -913,8 +928,8 @@ def _mor_merge_attempt(
         "rows_source": n_src,
         "pruning": pruning,
         "write_mode": "mor",
-        "dv_rows_added": len(hits),
-        "dv_files": len(dv_updates),
+        "dv_rows_added": int(n_dv),
+        "dv_files": len(dv_counts),
     }
 
 

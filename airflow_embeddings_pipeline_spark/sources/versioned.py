@@ -257,26 +257,89 @@ def _dv_write_sidecar(vdir: str, positions_by_path: dict) -> str:
     return name
 
 
+def _to_epoch_us(v) -> int:
+    """One temporal probe value → epoch microseconds (int).  Accepts
+    datetime/date/pd.Timestamp/np.datetime64/ISO string; tz-aware
+    values convert through UTC (matching pyarrow's UTC-normalized
+    numpy conversion of tz-aware columns)."""
+    import pandas as pd
+
+    ts = pd.Timestamp(v)
+    if ts.tzinfo is not None:
+        ts = ts.tz_convert("UTC").tz_localize(None)
+    return ts.value // 1000
+
+
 def _bloom_canon(values, kind: str | None = None):
     """Canonicalize values for bloom hashing so the BUILD side (a
     pyarrow column) and the PROBE side (python scalars) hash
-    identically: integers → int64, floats → float64, everything else →
-    str objects.  Returns (canonical numpy array, kind char)."""
+    identically: integers → int64, floats → float64, temporals →
+    epoch-microsecond int64 (kind ``t``), everything else → str
+    objects.  Returns (canonical numpy array, kind char).
+
+    The temporal kind exists because str() is NOT a stable temporal
+    canonicalization: a Spark-written timestamp column reads back via
+    pyarrow as datetime64[ns], whose ``.tolist()`` yields epoch-ns
+    INTEGERS (datetime can't represent ns), while probe values are
+    datetime objects — the two stringify differently and the bloom
+    would return false NEGATIVES (silently corrupting merge pruning).
+    Epoch-us int64 is exact for both parquet units (us/ns-truncated)
+    and every python probe type."""
+    import datetime as _dt
+
     import numpy as np
 
     arr = np.asarray(values)
     if kind is None:
-        if arr.dtype.kind in ("i", "u", "b"):
+        if arr.dtype.kind in ("M", "m"):
+            kind = "t" if arr.dtype.kind == "M" else "s"
+        elif arr.dtype.kind in ("i", "u", "b"):
             kind = "i"
         elif arr.dtype.kind == "f":
             kind = "f"
+        elif arr.dtype == object:
+            first = next((v for v in arr.tolist() if v is not None), None)
+            kind = (
+                "t"
+                if isinstance(first, (_dt.datetime, _dt.date))
+                else "s"
+            )
         else:
             kind = "s"
     if kind == "i":
         return arr.astype(np.int64), kind
     if kind == "f":
         return arr.astype(np.float64), kind
+    if kind == "t":
+        if arr.dtype.kind == "M":
+            return arr.astype("datetime64[us]").astype(np.int64), kind
+        return (
+            np.array([_to_epoch_us(v) for v in arr.tolist()], np.int64),
+            kind,
+        )
     return np.array([str(v) for v in arr.tolist()], dtype=object), kind
+
+
+def _bloom_probe_compatible(bloom: dict, values) -> bool:
+    """False when the probe values are temporal but the persisted
+    bloom was built with the pre-``t``-kind string canonicalization —
+    such a bloom is unreliable for temporal probes (build/probe
+    stringifications diverge), so callers must treat the file as
+    maybe-present rather than trust a false negative."""
+    import datetime as _dt
+
+    import numpy as np
+
+    if bloom.get("kind") != "s":
+        return True
+    arr = np.asarray(values)
+    if arr.dtype.kind == "M":
+        return False
+    if arr.dtype == object:
+        first = next((v for v in arr.tolist() if v is not None), None)
+        if isinstance(first, (_dt.datetime, _dt.date)):
+            return False
+    return True
 
 
 def _bloom_build(values, bits_per_value: int = 10, k: int = 7):
@@ -317,6 +380,11 @@ def _bloom_might_contain(bloom: dict, values) -> "object":
     import numpy as np
     import pandas as pd
 
+    if not _bloom_probe_compatible(bloom, values):
+        # pre-fix sidecar built with string canonicalization over a
+        # temporal column: its negatives are not trustworthy — report
+        # maybe-present for every value (costs a read, never rows)
+        return np.ones(len(np.asarray(values)), dtype=bool)
     arr, _ = _bloom_canon(values, bloom["kind"])
     m = np.uint64(bloom["m"])
     bits = np.frombuffer(bloom["bits"], dtype=np.uint8)
@@ -645,6 +713,106 @@ class VersionedParquetTable:
         if not dv:
             return np.empty(0, dtype=np.int64)
         return _dv_read_positions(self.root, dv["path"], entry["path"])
+
+    def _dv_write_sidecar_distributed(
+        self,
+        vdir: str,
+        delta_df: DataFrame,
+        by_path: dict,
+        alive: list,
+        *,
+        expected_rows: int,
+    ) -> str:
+        """Write one commit's DV sidecar as a parquet DIRECTORY via a
+        SPARK JOB — the scale path of :func:`_dv_write_sidecar`: no
+        deleted position ever crosses the driver, so a 100M-row DV
+        costs a small shuffle (repartition by file) instead of a fatal
+        collect.  Content contract is identical to the single-file
+        form (``_path``/``_pos``, each covered file's FULL set = new
+        delta ∪ its prior sidecar's positions, sorted within file);
+        readers (`pq.read_table` / `spark.read.parquet`) take files
+        and directories alike.
+
+        Validation rides the write: an Observation counts
+        out-of-range positions against each file's physical row count
+        (broadcast manifest-side info), and the observed total must
+        equal ``expected_rows`` (delta counts + prior DV rows) — a
+        duplicate or overlapping position surfaces as a mismatch.
+        Both failure modes raise BEFORE the pointer swap, so a bad
+        batch can never publish."""
+        import uuid
+
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        spark = delta_df.sparkSession
+        name = f"dv-{uuid.uuid4().hex[:16]}"
+        out = os.path.join(vdir, name)
+        info = spark.createDataFrame(
+            [(r, by_path[r]["n_rows"]) for r in alive],
+            "_path string, __n long",
+        )
+        # inner join: drops rows of fully-deleted (non-alive) files
+        # AND attaches the row-count bound for range validation
+        delta = delta_df.select(
+            F.col("__file").alias("_path"),
+            F.col("__pos").cast("long").alias("_pos"),
+        )
+        parts = [delta.join(F.broadcast(info), "_path", "inner")]
+        prior_by_sidecar: dict[str, list] = {}
+        for r in alive:
+            dv = by_path[r].get("dv")
+            if dv:
+                prior_by_sidecar.setdefault(dv["path"], []).append(r)
+        for sc_path, rels in sorted(prior_by_sidecar.items()):
+            parts.append(
+                spark.read.parquet(os.path.join(self.root, sc_path))
+                .filter(F.col("_path").isin(rels))
+                .select("_path", "_pos")
+                .join(F.broadcast(info), "_path", "inner")
+            )
+        full = functools.reduce(DataFrame.unionByName, parts)
+        # observe AFTER the (_path, _pos) dedup: a duplicate within
+        # the delta or an overlap with the prior DV then surfaces as
+        # observed-count < expected — structurally impossible when the
+        # delta came from _read_entries_with_pos (live rows only), so
+        # a shortfall means an engine/caller bug and must fail loud
+        obs = Observation()
+        full = (
+            full.dropDuplicates(["_path", "_pos"])
+            .observe(
+                obs,
+                F.sum(
+                    F.when(
+                        (F.col("_pos") < 0)
+                        | (F.col("_pos") >= F.col("__n")),
+                        1,
+                    ).otherwise(0)
+                ).alias("bad"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("_path", "_pos")
+        )
+        (
+            full.repartition(min(32, max(1, len(alive))), "_path")
+            .sortWithinPartitions("_path", "_pos")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        got = obs.get
+        if got["bad"]:
+            raise ValueError(
+                f"{self.root}: {got['bad']} DV position(s) out of "
+                "range — the delta does not match the carried entries' "
+                "physical row counts"
+            )
+        if int(got["n"] or 0) != int(expected_rows):
+            raise ValueError(
+                f"{self.root}: DV sidecar distinct-position count "
+                f"{got['n']} != expected {expected_rows} — duplicate "
+                "or prior-overlapping positions in the delta"
+            )
+        return name
 
     def _read_entry_positions(
         self, spark: SparkSession, man: dict, entry_map: dict, pos_by_path: dict
@@ -977,6 +1145,9 @@ class VersionedParquetTable:
             "stats_columns": [
                 inv.get(c, c) for c in man.get("stats_columns") or []
             ],
+            "key_columns": [
+                inv.get(c, c) for c in man.get("key_columns") or []
+            ],
             "bloom_columns": [
                 inv.get(c, c) for c in man.get("bloom_columns") or []
             ],
@@ -1254,6 +1425,8 @@ class VersionedParquetTable:
             }
             if man.get("stats_columns"):
                 new_man["stats_columns"] = list(man["stats_columns"])
+            if man.get("key_columns"):
+                new_man["key_columns"] = list(man["key_columns"])
             if man.get("column_mapping"):
                 new_man["column_mapping"] = dict(man["column_mapping"])
             if man.get("retired_physical"):
@@ -1425,6 +1598,11 @@ class VersionedParquetTable:
                     f"cannot drop {col!r}: it is a recorded stats column "
                     "(composite-key pruning depends on it)"
                 )
+            if phys in (man.get("key_columns") or []):
+                raise ValueError(
+                    f"cannot drop {col!r}: it is a row-identity key "
+                    "component (the change feed and merges depend on it)"
+                )
             bad = self._constraint_referencing(man, col)
             if bad:
                 raise ValueError(
@@ -1577,12 +1755,15 @@ class VersionedParquetTable:
         append_split: tuple | None = None,
         band_rows_hint: list | tuple | None = None,
         stats_columns: list | tuple | None = None,
+        key_columns: list | tuple | None = None,
         app_metadata: dict | None = None,
         column_mapping: dict | None = None,
         retired_physical: list | None = None,
         expected_base_version=_NO_CAS,
         constraints: dict | None = None,
         dv_updates: dict | None = None,
+        dv_updates_df: DataFrame | None = None,
+        dv_delta_counts: dict | None = None,
         skip_data_write: bool = False,
         bloom_columns: list | None = None,
         operation: str | None = None,
@@ -1628,6 +1809,13 @@ class VersionedParquetTable:
         for independent multi-dim RANGE predicates, the
         ``o_zorder_layout`` use case, not for composite-equality
         pruning where the leading column already selects files).
+
+        ``key_columns`` — the table's ROW IDENTITY, recorded distinctly
+        from ``stats_columns`` (which may carry skip-only columns that
+        are not key components): the change feed (`changes_between` /
+        the streaming CDF source) defaults its join identity to this.
+        Inherited from the prior manifest when not passed, so the
+        identity survives metadata-only and carried-file commits.
 
         ``carried`` paths must be relative to the table root and name
         files in COMMITTED version directories at or below the current
@@ -1693,6 +1881,21 @@ class VersionedParquetTable:
         rewrite the files it touches (Delta deletion vectors analog).
         Readers apply DVs via a broadcast anti-join on
         ``_metadata.row_index`` (see :meth:`_read_manifest_files`).
+
+        ``dv_updates_df`` / ``dv_delta_counts`` — the DISTRIBUTED form
+        of ``dv_updates`` (mutually exclusive with it): a DataFrame of
+        NEWLY-deleted ``(__file, __pos)`` pairs plus the caller's
+        per-file delta counts (one bounded ``groupBy(__file).count()``
+        collect — #files rows, never #positions).  The sidecar is then
+        written by a SPARK JOB (delta ∪ prior positions of the touched
+        files, repartitioned by file, positions sorted within) into a
+        ``dv-*`` parquet DIRECTORY — no position ever crosses the
+        driver, so DV mass scales to billions of rows where the dict
+        form's driver collect would OOM.  Position-range validation
+        rides the write via an Observation (an out-of-range position
+        fails the commit before the pointer swap).  This is the path
+        row-level DML uses; the dict form remains for driver-known
+        small sets (clone's sidecar rewrite, restore).
 
         ``column_mapping`` / ``retired_physical`` — the column-mapping
         state to record (Delta column-mapping analog; normally
@@ -1778,6 +1981,16 @@ class VersionedParquetTable:
             stats_columns = (
                 [_p(c) for c in stats_columns] if stats_columns else None
             )
+            # row-identity columns, recorded DISTINCTLY from stats
+            # columns (stats may carry skip-only columns that are not
+            # key components); inherited from the prior manifest so
+            # the identity survives metadata and carried-file commits
+            if key_columns is not None:
+                key_columns = [_p(c) for c in key_columns]
+            else:
+                key_columns = list(
+                    (prior_man or {}).get("key_columns") or []
+                )
             if column_mapping:
                 df = df.select(
                     *[
@@ -1866,7 +2079,18 @@ class VersionedParquetTable:
                     counts = None
                     n_in = 0
                     wrote = False
-                    for i, cond in enumerate(in_band):
+                    # the FIRST write both sizes from the hint and
+                    # surfaces the observed counts — give that role to
+                    # the band the hint says is biggest, so a
+                    # hinted-empty band never burns the blind first
+                    # write (its zero-row output would be dropped by
+                    # scan_file_stats, but the job itself still costs)
+                    order = sorted(
+                        range(len(bands)),
+                        key=lambda i: -(hints[i] or 0),
+                    )
+                    for i in order:
+                        cond = in_band[i]
                         if counts is None:
                             # first write: partitions proportional to the
                             # hinted share (touched-file rows from the
@@ -1943,50 +2167,95 @@ class VersionedParquetTable:
                 _bloom_build_for_files(
                     self.root, vdir, new_entries, bloom_columns
                 )
-            if dv_updates:
+            if dv_updates and dv_updates_df is not None:
+                raise ValueError(
+                    "pass dv_updates OR dv_updates_df, not both"
+                )
+            if dv_updates_df is not None and not dv_delta_counts:
+                raise ValueError(
+                    "dv_updates_df requires dv_delta_counts (the "
+                    "caller's per-file groupBy count — it already ran "
+                    "one for its rewrite-scale guard)"
+                )
+            if dv_updates or dv_updates_df is not None:
                 import numpy as np
 
                 by_path = {e["path"]: e for e in (carried or [])}
-                missing = set(dv_updates) - set(by_path)
+                touched_dv = set(dv_updates or dv_delta_counts)
+                missing = touched_dv - set(by_path)
                 if missing:
                     raise ValueError(
                         "dv_updates paths must name carried entries; "
                         f"unknown: {sorted(missing)[:3]}"
                     )
-                full: dict[str, object] = {}
-                for rel, delta in dv_updates.items():
-                    pos = np.union1d(
-                        self._dv_positions_of(by_path[rel]),
-                        np.asarray(sorted(set(delta)), dtype=np.int64),
-                    )
-                    n_file = by_path[rel]["n_rows"]
-                    if len(pos) and (pos[0] < 0 or pos[-1] >= n_file):
-                        raise ValueError(
-                            f"dv position out of range for {rel} "
-                            f"({pos[0]}..{pos[-1]} vs {n_file} rows)"
+                if dv_updates:
+                    # driver path (small, driver-known sets): exact
+                    # union + range validation in numpy
+                    full: dict[str, object] = {}
+                    for rel, delta in dv_updates.items():
+                        pos = np.union1d(
+                            self._dv_positions_of(by_path[rel]),
+                            np.asarray(sorted(set(delta)), dtype=np.int64),
                         )
-                    full[rel] = pos
-                alive = {
-                    r: p
-                    for r, p in full.items()
-                    if len(p) < by_path[r]["n_rows"]
+                        n_file = by_path[rel]["n_rows"]
+                        if len(pos) and (pos[0] < 0 or pos[-1] >= n_file):
+                            raise ValueError(
+                                f"dv position out of range for {rel} "
+                                f"({pos[0]}..{pos[-1]} vs {n_file} rows)"
+                            )
+                        full[rel] = pos
+                    full_counts = {r: len(p) for r, p in full.items()}
+                else:
+                    # distributed path: counts are delta + prior — the
+                    # scan that produced the delta reads LIVE rows only
+                    # (existing DVs applied), so delta ∩ prior = ∅ and
+                    # the sum is exact; in-range rides the write job
+                    full_counts = {
+                        r: int(dv_delta_counts[r])
+                        + int((by_path[r].get("dv") or {}).get("rows") or 0)
+                        for r in touched_dv
+                    }
+                    for r, n in full_counts.items():
+                        if n > by_path[r]["n_rows"]:
+                            raise ValueError(
+                                f"dv delta for {r} implies {n} deleted "
+                                f"rows of {by_path[r]['n_rows']} — "
+                                "positions overlap the prior DV or "
+                                "fall out of range"
+                            )
+                alive_dv = {
+                    r
+                    for r in touched_dv
+                    if full_counts[r] < by_path[r]["n_rows"]
                 }
                 sidecar_rel = None
-                if alive:
+                if alive_dv:
                     os.makedirs(vdir, exist_ok=True)
-                    sidecar_rel = os.path.join(
-                        f"v{next_v:08d}", _dv_write_sidecar(vdir, alive)
-                    )
+                    if dv_updates:
+                        name = _dv_write_sidecar(
+                            vdir, {r: full[r] for r in alive_dv}
+                        )
+                    else:
+                        name = self._dv_write_sidecar_distributed(
+                            vdir,
+                            dv_updates_df,
+                            by_path,
+                            sorted(alive_dv),
+                            expected_rows=sum(
+                                full_counts[r] for r in alive_dv
+                            ),
+                        )
+                    sidecar_rel = os.path.join(f"v{next_v:08d}", name)
                 rewritten_carried = []
                 for e in carried or []:
-                    if e["path"] in full:
-                        if e["path"] not in alive:
+                    if e["path"] in touched_dv:
+                        if e["path"] not in alive_dv:
                             continue  # every row deleted: drop entry
                         e = {
                             **e,
                             "dv": {
                                 "path": sidecar_rel,
-                                "rows": int(len(full[e["path"]])),
+                                "rows": int(full_counts[e["path"]]),
                             },
                         }
                     rewritten_carried.append(e)
@@ -2031,6 +2300,8 @@ class VersionedParquetTable:
             }
             if extras:
                 man["stats_columns"] = [key, *extras]
+            if key_columns:
+                man["key_columns"] = list(key_columns)
             if column_mapping:
                 man["column_mapping"] = dict(column_mapping)
             if retired_physical:
@@ -2182,7 +2453,7 @@ class VersionedParquetTable:
         spark: SparkSession,
         condition: str,
         *,
-        max_dv_rows: int = 2_000_000,
+        max_dv_rows: int = 100_000_000,
         conflict_retries: int = 2,
     ) -> dict:
         """Merge-on-read DELETE: mark every live row matching the SQL
@@ -2202,11 +2473,15 @@ class VersionedParquetTable:
         back into clean files (purge), bounding the read-side join.
 
         Scale contract of the matching scan itself: ``condition`` is
-        pushed into the parquet scan by Catalyst as usual, and only
-        the MATCHED rows' ``(file, position)`` pairs are collected —
-        capped at ``max_dv_rows`` (default 2M).  A delete larger than
-        the cap is a rewrite-scale operation; the raised error says to
-        run it as a copy-on-write MERGE (or raise the cap knowingly).
+        pushed into the parquet scan by Catalyst as usual; matched
+        positions flow EXECUTOR-SIDE into the sidecar write (a Spark
+        job — see ``_dv_write_sidecar_distributed``) and the only
+        driver collect is the per-FILE count (#files rows).
+        ``max_dv_rows`` (default 100M ≈ an ~500 MB sidecar at the
+        measured ~4-5 B/row) is therefore a read-amplification POLICY
+        guard, not a memory bound: a delete larger than it is a
+        rewrite-scale operation — the raised error says to run it as
+        a copy-on-write MERGE (or raise the cap knowingly).
 
         Commits with CAS on the snapshot it scanned (recompute-and-
         retry on a racing writer, up to ``conflict_retries``); returns
@@ -2235,47 +2510,56 @@ class VersionedParquetTable:
                 "commit_with_manifest / pruned merge first)"
             )
         frame = self._read_entries_with_pos(spark, man, man["files"])
-        hits = (
-            frame.filter(F.expr(condition))
-            .select("__file", "__pos")
-            .limit(max_dv_rows + 1)
-            .collect()
-        )
-        if len(hits) > max_dv_rows:
-            raise ValueError(
-                f"{self.root}: delete_where matched more than "
-                f"max_dv_rows={max_dv_rows} rows — that is a "
-                "rewrite-scale delete; run it as a copy-on-write MERGE "
-                "(merge_upsert_write_pruned with delete_when) or raise "
-                "max_dv_rows if the DV mass is acceptable"
+        hits = frame.filter(F.expr(condition)).select("__file", "__pos")
+        hits.persist()
+        try:
+            # the rewrite-scale guard collects PER-FILE counts (#files
+            # rows), never positions — the positions flow executor-side
+            # into the sidecar write (dv_updates_df)
+            counts = {
+                r["__file"]: r["count"]
+                for r in hits.groupBy("__file").count().collect()
+            }
+            n_hits = sum(counts.values())
+            if n_hits > max_dv_rows:
+                raise ValueError(
+                    f"{self.root}: delete_where matched {n_hits} rows, "
+                    f"more than max_dv_rows={max_dv_rows} — that is a "
+                    "rewrite-scale delete; run it as a copy-on-write "
+                    "MERGE (merge_upsert_write_pruned with delete_when) "
+                    "or raise max_dv_rows if the DV mass is acceptable"
+                )
+            if not n_hits:
+                return {
+                    "version": v,
+                    "rows_deleted": 0,
+                    "files_affected": 0,
+                }
+            schema = StructType.fromJson(man["schema"])
+            inv = _inverse_mapping_of(man)
+            new_v = self.commit_with_manifest(
+                spark.createDataFrame([], schema),
+                inv.get(man["key"], man["key"]),
+                carried=man["files"],
+                cluster_partitions=1,
+                stats_columns=[
+                    inv.get(c, c) for c in man.get("stats_columns") or []
+                ]
+                or None,
+                app_metadata=man.get("app_metadata"),
+                expected_base_version=v,
+                dv_updates_df=hits,
+                dv_delta_counts=counts,
+                skip_data_write=True,
+                operation="DELETE",
             )
-        if not hits:
-            return {"version": v, "rows_deleted": 0, "files_affected": 0}
-        dv_updates: dict[str, list[int]] = {}
-        for r in hits:
-            dv_updates.setdefault(r["__file"], []).append(r["__pos"])
-        schema = StructType.fromJson(man["schema"])
-        inv = _inverse_mapping_of(man)
-        new_v = self.commit_with_manifest(
-            spark.createDataFrame([], schema),
-            inv.get(man["key"], man["key"]),
-            carried=man["files"],
-            cluster_partitions=1,
-            stats_columns=[
-                inv.get(c, c) for c in man.get("stats_columns") or []
-            ]
-            or None,
-            app_metadata=man.get("app_metadata"),
-            expected_base_version=v,
-            dv_updates=dv_updates,
-            skip_data_write=True,
-            operation="DELETE",
-        )
-        return {
-            "version": new_v,
-            "rows_deleted": len(hits),
-            "files_affected": len(dv_updates),
-        }
+            return {
+                "version": new_v,
+                "rows_deleted": int(n_hits),
+                "files_affected": len(counts),
+            }
+        finally:
+            hits.unpersist()
 
     def update_where(
         self,
@@ -2283,7 +2567,7 @@ class VersionedParquetTable:
         condition: str,
         assignments: dict,
         *,
-        max_dv_rows: int = 2_000_000,
+        max_dv_rows: int = 100_000_000,
         conflict_retries: int = 2,
     ) -> dict:
         """Merge-on-read UPDATE: rows matching the SQL ``condition``
@@ -2336,55 +2620,68 @@ class VersionedParquetTable:
             )
         frame = self._read_entries_with_pos(spark, man, man["files"])
         hits = frame.filter(F.expr(condition))
-        pos = hits.select("__file", "__pos").limit(max_dv_rows + 1).collect()
-        if len(pos) > max_dv_rows:
-            raise ValueError(
-                f"{self.root}: update_where matched more than "
-                f"max_dv_rows={max_dv_rows} rows — that is a "
-                "rewrite-scale update; run it as a copy-on-write MERGE "
-                "or raise max_dv_rows if the DV mass is acceptable"
+        hits.persist()  # one scan serves the guard, images, and DV job
+        try:
+            counts = {
+                r["__file"]: r["count"]
+                for r in hits.groupBy("__file").count().collect()
+            }
+            n_hits = sum(counts.values())
+            if n_hits > max_dv_rows:
+                raise ValueError(
+                    f"{self.root}: update_where matched {n_hits} rows, "
+                    f"more than max_dv_rows={max_dv_rows} — that is a "
+                    "rewrite-scale update; run it as a copy-on-write "
+                    "MERGE or raise max_dv_rows if the DV mass is "
+                    "acceptable"
+                )
+            if not n_hits:
+                return {
+                    "version": v,
+                    "rows_updated": 0,
+                    "files_affected": 0,
+                }
+            # updated images: expressions see the PRE-update row
+            from pyspark.sql import Column
+
+            def _assigned(f):
+                a = assignments[f.name]
+                col = a if isinstance(a, Column) else F.expr(str(a))
+                return col.cast(f.dataType)
+
+            images = hits.select(
+                *[
+                    (
+                        _assigned(f)
+                        if f.name in assignments
+                        else F.col(f.name)
+                    ).alias(f.name)
+                    for f in schema.fields
+                ]
             )
-        if not pos:
-            return {"version": v, "rows_updated": 0, "files_affected": 0}
-        dv_updates: dict[str, list[int]] = {}
-        for r in pos:
-            dv_updates.setdefault(r["__file"], []).append(r["__pos"])
-        # updated images: expressions see the PRE-update row
-        from pyspark.sql import Column
-
-        def _assigned(f):
-            a = assignments[f.name]
-            col = a if isinstance(a, Column) else F.expr(str(a))
-            return col.cast(f.dataType)
-
-        images = hits.select(
-            *[
-                (
-                    _assigned(f) if f.name in assignments else F.col(f.name)
-                ).alias(f.name)
-                for f in schema.fields
-            ]
-        )
-        inv = _inverse_mapping_of(man)
-        new_v = self.commit_with_manifest(
-            images,
-            inv.get(man["key"], man["key"]),
-            carried=man["files"],
-            cluster_partitions=max(1, -(-len(pos) // 2_000_000)),
-            stats_columns=[
-                inv.get(c, c) for c in man.get("stats_columns") or []
-            ]
-            or None,
-            app_metadata=man.get("app_metadata"),
-            expected_base_version=v,
-            dv_updates=dv_updates,
-            operation="UPDATE",
-        )
-        return {
-            "version": new_v,
-            "rows_updated": len(pos),
-            "files_affected": len(dv_updates),
-        }
+            inv = _inverse_mapping_of(man)
+            new_v = self.commit_with_manifest(
+                images,
+                inv.get(man["key"], man["key"]),
+                carried=man["files"],
+                cluster_partitions=max(1, -(-int(n_hits) // 2_000_000)),
+                stats_columns=[
+                    inv.get(c, c) for c in man.get("stats_columns") or []
+                ]
+                or None,
+                app_metadata=man.get("app_metadata"),
+                expected_base_version=v,
+                dv_updates_df=hits.select("__file", "__pos"),
+                dv_delta_counts=counts,
+                operation="UPDATE",
+            )
+            return {
+                "version": new_v,
+                "rows_updated": int(n_hits),
+                "files_affected": len(counts),
+            }
+        finally:
+            hits.unpersist()
 
     def compact(
         self,
@@ -2666,12 +2963,42 @@ class VersionedParquetTable:
         bloom proves absence (~1% false-positive rate at 10 bits/row —
         a false positive costs a file read, never correctness)."""
 
+        _BLOOMABLE = {
+            "byte",
+            "short",
+            "integer",
+            "long",
+            "float",
+            "double",
+            "string",
+            "boolean",
+            "timestamp",
+            "timestamp_ntz",
+            "date",
+        }
+
         def mutate(man, vdir):
             m = _mapping_of(man)
             names = {f["name"] for f in man["schema"]["fields"]}
             if column not in names:
                 raise ValueError(
                     f"{self.root}: no column {column!r} to bloom-index"
+                )
+            ftype = next(
+                f["type"]
+                for f in man["schema"]["fields"]
+                if f["name"] == column
+            )
+            # only types with a defined build/probe canonicalization
+            # (_bloom_canon) may be indexed — a decimal or binary
+            # column would stringify differently between the pyarrow
+            # build side and python probe side, yielding bloom false
+            # negatives (= silently wrong pruning), so fail loud here
+            if not isinstance(ftype, str) or ftype not in _BLOOMABLE:
+                raise ValueError(
+                    f"{self.root}: column {column!r} has type {ftype!r},"
+                    " which has no bloom canonicalization; indexable"
+                    f" types: {sorted(_BLOOMABLE)}"
                 )
             p = m.get(column, column)
             cols = list(man.get("bloom_columns") or [])
@@ -2890,19 +3217,35 @@ class VersionedParquetTable:
         man_f, man_t = self.manifest(v_from), self.manifest(v_to)
         if key is None:
             # manifest keys are PHYSICAL; the feed speaks logical.
-            # Default to stats_columns when recorded — a COMPOSITE-key
-            # merge writes them, and its row identity is the full
+            # Prefer the manifest's recorded ROW IDENTITY
+            # (``key_columns``, written by composite-key merges), then
+            # stats_columns — a composite merge's identity is the full
             # tuple, not the clustering lead (joining a 50-value lead
             # alone would explode the diff) — the same rule the
-            # streaming CDF source applies.  A table whose
-            # stats_columns are pure skip columns (not key components)
+            # streaming CDF source applies.  stats_columns may also
+            # carry skip-only columns that are NOT key components; a
+            # table written before key_columns existed gets a warning
+            # when that ambiguous multi-column fallback fires, and
             # should pass ``key=`` explicitly.
             man_k = man_t or man_f
             if man_k is None:
                 raise ValueError(
                     "key required: neither version has a keyed manifest"
                 )
-            phys = man_k.get("stats_columns") or [man_k.get("key")]
+            phys = man_k.get("key_columns") or None
+            if phys is None:
+                phys = man_k.get("stats_columns") or [man_k.get("key")]
+                if len(phys) > 1:
+                    import warnings
+
+                    warnings.warn(
+                        f"{self.root}: change-feed row identity defaulted"
+                        f" to the full stats_columns tuple {phys} (no"
+                        " key_columns recorded in the manifest); if any"
+                        " of these are skip-only stats columns rather"
+                        " than key components, pass key= explicitly",
+                        stacklevel=2,
+                    )
             if phys == [None]:
                 raise ValueError(
                     "key required: neither version has a keyed manifest"
@@ -3157,8 +3500,14 @@ class VersionedParquetTable:
                 rel = os.path.join(vname, fn)
                 if rel in refs_here:
                     continue
+                p = os.path.join(vdir, fn)
                 try:
-                    os.remove(os.path.join(vdir, fn))
+                    if os.path.isdir(p):
+                        # directory-form DV sidecars (the distributed
+                        # write path) GC like any other dead file
+                        shutil.rmtree(p, ignore_errors=True)
+                    else:
+                        os.remove(p)
                 except OSError:
                     pass
         return dropped

@@ -185,6 +185,20 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             for f in schema.fields
             if f.name not in meta
         ]
+        from pyspark.sql.types import StructType as _St
+
+        # the feed always SPEAKS the stream-start names: a mid-stream
+        # RENAME (column mapping, physical identity intact) continues
+        # under them — Spark holds this schema for the stream's whole
+        # life, so emitting the new name would break the sink anyway
+        self._start_payload_struct = _St(
+            [f for f in schema.fields if f.name not in meta]
+        )
+        # physical identity of the payload fields BY POSITION, pinned
+        # from the first processed step's pre-image manifest (renames
+        # never change physical names or field order, so the pin holds
+        # across every rename the stream later crosses)
+        self._payload_phys: list | None = None
         key_opt = options.get("key")
         self.keys = key_opt.split(",") if key_opt else None
         self.starting = options.get("startingversion")
@@ -281,13 +295,6 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 )
             schema_t = StructType.fromJson(man_t["schema"])
             sig_t = [(f.name, f.dataType.json()) for f in schema_t.fields]
-            if sig_t != self._payload_sig:
-                raise RuntimeError(
-                    f"{self.root}: schema changed at v{v} "
-                    f"({sig_t} != {self._payload_sig}); restart the "
-                    "stream with a fresh checkpoint to adopt the "
-                    "evolved schema"
-                )
             # column mapping: files store PHYSICAL names, the feed and
             # the manifest key/stats_columns relate through it
             cmap = {
@@ -296,14 +303,81 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 )
                 for f in schema_t.fields
             }
-            inv = {p: l for l, p in cmap.items()}
+            phys_t = [cmap[f.name] for f in schema_t.fields]
+            if self._payload_phys is None:
+                # pin from the first manifest whose logical schema
+                # MATCHES the stream's (man_t first — normal start;
+                # man_f — stream started just after an evolution step
+                # whose pre-image side is narrower); when neither
+                # matches by name (checkpoint resume whose base is
+                # already past a rename), positions align by TYPE and
+                # man_f's physicals carry the identity
+                pinned = None
+                for man_pin in (man_t, man_f):
+                    sp = StructType.fromJson(man_pin["schema"])
+                    if [
+                        (f.name, f.dataType.json()) for f in sp.fields
+                    ] == self._payload_sig:
+                        pinned = man_pin
+                        break
+                if pinned is None:
+                    s0 = StructType.fromJson(man_f["schema"])
+                    if [f.dataType.json() for f in s0.fields] == [
+                        t for _n, t in self._payload_sig
+                    ]:
+                        pinned = man_f
+                    else:
+                        raise RuntimeError(
+                            f"{self.root}: the stream's checkpointed "
+                            f"schema does not line up with step "
+                            f"v{v - 1}->v{v}'s manifests — restart the "
+                            "stream with a fresh checkpoint"
+                        )
+                sp = StructType.fromJson(pinned["schema"])
+                cp = pinned.get("column_mapping") or {}
+                self._payload_phys = [
+                    cp.get(f.name, f.name) for f in sp.fields
+                ]
+            if sig_t != self._payload_sig:
+                # RENAME-ONLY evolution continues: same field count,
+                # same types in order, and the PHYSICAL identity of
+                # every position unchanged — then the files' bytes are
+                # the same columns under new logical names, and the
+                # feed keeps emitting the stream-start names (the
+                # batch changes_between applies the same
+                # physical-identity alignment).  Anything else (add /
+                # drop / type change) still fails loud.
+                rename_only = (
+                    len(sig_t) == len(self._payload_sig)
+                    and [t for _n, t in sig_t]
+                    == [t for _n, t in self._payload_sig]
+                    and phys_t == self._payload_phys
+                )
+                if not rename_only:
+                    raise RuntimeError(
+                        f"{self.root}: schema changed at v{v} "
+                        f"({sig_t} != {self._payload_sig}) beyond a "
+                        "pure rename; restart the stream with a fresh "
+                        "checkpoint to adopt the evolved schema"
+                    )
+            start_names = [n for n, _t in self._payload_sig]
+            inv_start = dict(zip(self._payload_phys, start_names))
+            start_phys = dict(zip(start_names, self._payload_phys))
             if self.keys:
-                keys = list(self.keys)  # user option: logical names
+                keys = list(self.keys)  # user option: stream-start names
             else:
-                phys_keys = man_t.get("stats_columns") or [man_t["key"]]
+                # same identity rule as batch changes_between: the
+                # recorded key_columns win; stats_columns (which may
+                # carry skip-only columns) are the legacy fallback —
+                # mapped to STREAM-START names via physical identity
+                phys_keys = (
+                    man_t.get("key_columns")
+                    or man_t.get("stats_columns")
+                    or [man_t["key"]]
+                )
                 if isinstance(phys_keys, str):
                     phys_keys = [phys_keys]
-                keys = [inv.get(k, k) for k in phys_keys]
+                keys = [inv_start.get(k, k) for k in phys_keys]
             from pyspark.sql.pandas.types import to_arrow_schema
 
             ent_f = {e["path"]: e for e in man_f["files"]}
@@ -363,12 +437,15 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     added.append(
                         {**ent_t[p], "_dv_take": [int(i) for i in back]}
                     )
-            arrow = to_arrow_schema(schema_t)
-            physical = [cmap.get(f.name, f.name) for f in schema_t.fields]
+            # emitted schema = STREAM-START names (+ identical types);
+            # physical names drive the file reads, so a renamed column
+            # surfaces under the name the sink has held all along
+            arrow = to_arrow_schema(self._start_payload_struct)
+            physical = phys_t
             for rem_c, add_c in _range_components(
                 removed, added,
-                cmap.get(keys[0], keys[0])
-                == (man_t.get("key") or cmap.get(keys[0], keys[0])),
+                start_phys.get(keys[0], keys[0])
+                == (man_t.get("key") or start_phys.get(keys[0], keys[0])),
             ):
                 comp_bytes = sum(
                     e.get("bytes") or 0 for e in rem_c

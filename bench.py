@@ -112,6 +112,51 @@ def main() -> None:
     np_probe = round(time.perf_counter() - t0, 3)
 
     headline_wall = round(sum(timings[n] for n in headline), 3)
+
+    # Per-query probe-normalized regression tripwire (r8 lesson: the
+    # driver host ran 2.5x slower I/O than the builder's and three
+    # CPU-bound queries looked regressed until a by-hand git-diff +
+    # probe reading cleared them).  Normalize every query wall by the
+    # SAME-run warm scan probe, compare against the BEST normalized
+    # value any prior recorded round achieved (BENCH_r*.json that
+    # carries a scan probe), and flag >1.5x — a flagged query is a
+    # PLAN regression candidate, already host-corrected, no hand
+    # attribution needed.
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_norm: dict[str, float] = {}
+    import glob as _glob
+
+    for p in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                rec = json.load(f).get("parsed") or {}
+            probe = rec.get("host_probe_scan_warm_sec")
+            if not probe:
+                continue
+            for n, w in (rec.get("queries") or {}).items():
+                norm = w / probe
+                if n not in best_norm or norm < best_norm[n]:
+                    best_norm[n] = norm
+        except (OSError, ValueError):
+            continue
+    queries_norm = (
+        {n: round(w / scan_warm, 2) for n, w in timings.items()}
+        if scan_warm
+        else {}
+    )
+    regressions = [
+        {
+            "query": n,
+            "norm": queries_norm[n],
+            "best_prior_norm": round(best_norm[n], 2),
+            "ratio": round(queries_norm[n] / best_norm[n], 2),
+        }
+        for n in queries_norm
+        if n in best_norm
+        and best_norm[n] > 0
+        and queries_norm[n] / best_norm[n] > 1.5
+    ]
+
     print(
         json.dumps(
             {
@@ -132,6 +177,12 @@ def main() -> None:
                 "headline_per_scan_probe": round(
                     headline_wall / scan_warm, 2
                 ) if scan_warm else None,
+                # per-query normalized walls + the tripwire verdicts:
+                # queries whose normalized wall exceeds 1.5x the best
+                # prior round's (plan-regression candidates, host
+                # drift already cancelled)
+                "queries_per_scan_probe": queries_norm,
+                "regressions": regressions,
                 "sf": sf,
             }
         )

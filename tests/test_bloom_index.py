@@ -67,6 +67,56 @@ class TestBloomCore:
         bi = _bloom_build(np.arange(100, dtype=np.int64))
         assert bool(_bloom_might_contain(bi, [50])[0])
 
+    def test_build_probe_roundtrip_temporals(self):
+        """Build side = pyarrow column as numpy datetime64 (ns for
+        timestamps, D for dates), probe side = python datetime/date —
+        the exact pair that diverged under str() canonicalization
+        (datetime64[ns].tolist() yields epoch-ns INTEGERS)."""
+        import datetime as dt
+
+        import numpy as np
+        import pandas as pd
+
+        base = dt.datetime(2020, 1, 1, 5, 0, 0)
+        pys = [base + dt.timedelta(seconds=37 * i) for i in range(2_000)]
+        built = np.array(pys, dtype="datetime64[ns]")  # pyarrow view
+        b = _bloom_build(built)
+        assert b["kind"] == "t"
+        # python datetime probes (collected Spark rows / read_eq args)
+        assert bool(np.all(_bloom_might_contain(b, pys[:200])))
+        # pd.Timestamp and datetime64 probes hash identically too
+        assert bool(_bloom_might_contain(b, [pd.Timestamp(pys[3])])[0])
+        assert bool(
+            _bloom_might_contain(b, np.array(pys[:5], "datetime64[ns]"))[0]
+        )
+        absent = [base + dt.timedelta(seconds=37 * i + 11) for i in range(500)]
+        assert float(np.mean(_bloom_might_contain(b, absent))) < 0.05
+
+        days = [dt.date(2020, 1, 1) + dt.timedelta(days=i) for i in range(800)]
+        bd = _bloom_build(np.array(days, dtype="datetime64[D]"))
+        assert bd["kind"] == "t"
+        assert bool(np.all(_bloom_might_contain(bd, days[:100])))
+        far = [dt.date(2031, 1, 1) + dt.timedelta(days=i) for i in range(200)]
+        assert float(np.mean(_bloom_might_contain(bd, far))) < 0.05
+
+    def test_legacy_string_bloom_temporal_probe_is_conservative(self):
+        """A pre-fix sidecar (kind 's' built over stringified epoch-ns
+        ints) must never report a temporal probe absent — the guard
+        returns all-maybe instead of trusting a divergent hash."""
+        import datetime as dt
+
+        import numpy as np
+
+        legacy = _bloom_build(
+            np.array(["1577881815000000000"], dtype=object)
+        )
+        assert legacy["kind"] == "s"
+        probe = [dt.datetime(2020, 1, 1, 12, 30, 15)]
+        assert bool(_bloom_might_contain(legacy, probe)[0])
+        assert bool(_bloom_might_contain(legacy, [dt.date(2020, 1, 1)])[0])
+        # genuinely-string probes still prune through a string bloom
+        assert not bool(_bloom_might_contain(legacy, ["nope"])[0])
+
     def test_point_lookup_prunes_and_answers(self, spark, tmp_path):
         root = str(tmp_path / "t")
         t = _mk(spark, root)
@@ -84,6 +134,76 @@ class TestBloomCore:
         # absent value: definitely-absent files all pruned
         assert t.read_eq(spark, "u", 10**9).count() == 0
         assert len(t._eq_prune(man, "u", [10**9])) <= 1
+
+    def test_timestamp_bloom_end_to_end(self, spark, tmp_path):
+        """The ADVICE repro: add_bloom_index('ts') then read_eq on a
+        PRESENT timestamp must return the row (pre-fix: 0 rows), and a
+        pruned merge keyed on the timestamp must UPDATE, not duplicate."""
+        import datetime as dt
+
+        root = str(tmp_path / "t")
+        t = VersionedParquetTable(root)
+        base = dt.datetime(2020, 1, 1, 0, 0, 0)
+        df = spark.range(4_000).selectExpr(
+            "timestamp'2020-01-01 00:00:00' + make_interval(0,0,0,0,0,0,"
+            "id * 61) as ts",
+            "id as n",
+        )
+        t.commit_with_manifest(df, "n", cluster_partitions=8)
+        t.add_bloom_index("ts")
+        probe = base + dt.timedelta(seconds=61 * 777)
+        got = t.read_eq(spark, "ts", probe).collect()
+        assert [r["n"] for r in got] == [777]
+        man = t.manifest(t.current_version())
+        # bloom does the skipping (ts correlates with layout here, so
+        # range stats also help — assert the combined prune is tight)
+        assert len(t._eq_prune(man, "ts", [probe])) <= 2
+        # absent-but-in-range probe: blooms prove absence
+        absent = base + dt.timedelta(seconds=61 * 777 + 30)
+        assert t.read_eq(spark, "ts", absent).count() == 0
+        assert len(t._eq_prune(man, "ts", [absent])) <= 1
+
+        # merge keyed on ts: matched keys must route to their files
+        # (pre-fix the bloom refinement proved them "absent" → silent
+        # duplicate inserts)
+        src = spark.range(5).selectExpr(
+            "timestamp'2020-01-01 00:00:00' + make_interval(0,0,0,0,0,0,"
+            "id * 61 * 100) as ts",
+            "id + 900000 as n",
+        )
+        merge_upsert_write_pruned(
+            root, src, "ts", update_columns=["n"], vacuum_keep_last=None
+        )
+        assert t.read(spark).count() == 4_000  # updates, NOT inserts
+        assert t.read(spark).filter("n >= 900000").count() == 5
+
+    def test_date_bloom_end_to_end(self, spark, tmp_path):
+        import datetime as dt
+
+        root = str(tmp_path / "t")
+        t = VersionedParquetTable(root)
+        df = spark.range(2_000).selectExpr(
+            "date_add(date'2020-01-01', cast(id as int)) as d", "id as n"
+        )
+        t.commit_with_manifest(df, "n", cluster_partitions=4)
+        t.add_bloom_index("d")
+        got = t.read_eq(spark, "d", dt.date(2020, 1, 1) + dt.timedelta(days=365)).collect()
+        assert [r["n"] for r in got] == [365]
+        assert t.read_eq(spark, "d", dt.date(2035, 1, 1)).count() == 0
+
+    def test_unbloomable_type_rejected_loud(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = VersionedParquetTable(root)
+        df = spark.range(10).selectExpr(
+            "id as n",
+            "cast(id as decimal(10,2)) as dec",
+            "array(id) as arr",
+        )
+        t.commit_with_manifest(df, "n")
+        with pytest.raises(ValueError, match="no bloom canonicalization"):
+            t.add_bloom_index("dec")
+        with pytest.raises(ValueError, match="no bloom canonicalization"):
+            t.add_bloom_index("arr")
 
     def test_merge_absent_keys_touch_zero_files(self, spark, tmp_path):
         root = str(tmp_path / "t")

@@ -482,7 +482,7 @@ class TestLifecycles:
         t.vacuum(keep_last=1)
         assert t.read(spark).count() == 987  # sidecars survived
         # the v2 sidecar is still referenced by v3 entries
-        assert glob.glob(os.path.join(root, "v*", "dv-*.parquet"))
+        assert glob.glob(os.path.join(root, "v*", "dv-*"))  # file or dir form
 
     def test_maintain_purges_heavy_dv(self, spark, tmp_path):
         root = str(tmp_path / "t")
@@ -495,7 +495,7 @@ class TestLifecycles:
         assert not any(e.get("dv") for e in man["files"])
         assert t.read(spark).count() == 500
         t.vacuum(keep_last=1)
-        assert not glob.glob(os.path.join(root, "v*", "dv-*.parquet"))
+        assert not glob.glob(os.path.join(root, "v*", "dv-*"))
         assert t.read(spark).count() == 500
 
     def test_maintain_below_ratio_no_purge(self, spark, tmp_path):
@@ -611,3 +611,124 @@ class TestLifecycles:
             (200, "update_postimage", 7),
             (200, "update_preimage", 400),
         ]
+
+
+class TestDistributedSidecar:
+    """The r9 executor-side DV sidecar write: positions never cross
+    the driver (only per-file counts do), and the validation that the
+    driver path did in numpy rides the write job as an Observation."""
+
+    def test_sidecar_is_directory_and_sorted(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, n=10_000, parts=8)
+        t.delete_where(spark, "k % 5 = 2")
+        man = t.manifest(t.current_version())
+        dv_refs = {e["dv"]["path"] for e in man["files"] if e.get("dv")}
+        assert len(dv_refs) == 1
+        sc = os.path.join(root, dv_refs.pop())
+        assert os.path.isdir(sc)  # Spark-written directory form
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(sc)
+        assert tbl.column_names == ["_path", "_pos"]
+        assert tbl.num_rows == 2_000
+        # per-file positions sorted (the _dv_read_positions contract
+        # re-sorts anyway; this pins the write-side layout)
+        import numpy as np
+
+        for e in man["files"]:
+            if not e.get("dv"):
+                continue
+            pos = t._dv_positions_of(e)
+            assert len(pos) == e["dv"]["rows"]
+            assert bool(np.all(pos[:-1] < pos[1:]))
+
+    def test_out_of_range_position_fails_before_publish(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        man = t.manifest(1)
+        rel = man["files"][0]["path"]
+        bad = spark.createDataFrame(
+            [(rel, 10**9)], "__file string, __pos long"
+        )
+        with pytest.raises(ValueError, match="out of range"):
+            t.commit_with_manifest(
+                spark.createDataFrame([], "k long, v long, s string"),
+                "k",
+                carried=man["files"],
+                cluster_partitions=1,
+                dv_updates_df=bad,
+                dv_delta_counts={rel: 1},
+                skip_data_write=True,
+                expected_base_version=1,
+            )
+        assert t.current_version() == 1  # nothing published
+
+    def test_overlapping_delta_fails_loud(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k = 3")
+        man = t.manifest(t.current_version())
+        dv_e = next(e for e in man["files"] if e.get("dv"))
+        import numpy as np
+
+        prior = t._dv_positions_of(dv_e)
+        dup = spark.createDataFrame(
+            [(dv_e["path"], int(prior[0]))], "__file string, __pos long"
+        )
+        # delta + prior implies one MORE deleted row than the sidecar
+        # can hold distinct — the observed-count tripwire fires
+        with pytest.raises(ValueError, match="duplicate|overlap"):
+            t.commit_with_manifest(
+                spark.createDataFrame([], "k long, v long, s string"),
+                "k",
+                carried=man["files"],
+                cluster_partitions=1,
+                dv_updates_df=dup,
+                dv_delta_counts={dv_e["path"]: 1},
+                skip_data_write=True,
+                expected_base_version=t.current_version(),
+            )
+
+    def test_fully_deleted_file_dropped_from_manifest(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, n=1000, parts=4)
+        man1 = t.manifest(1)
+        lo_file = min(man1["files"], key=lambda e: e["min"])
+        # delete every row of the lowest-range file via the df path
+        r = t.delete_where(
+            spark, f"k >= {lo_file['min']} and k <= {lo_file['max']}"
+        )
+        assert r["rows_deleted"] == lo_file["n_rows"]
+        man2 = t.manifest(t.current_version())
+        assert lo_file["path"] not in {e["path"] for e in man2["files"]}
+        assert t.read(spark).count() == 1000 - lo_file["n_rows"]
+
+    def test_mutually_exclusive_forms_rejected(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        man = t.manifest(1)
+        rel = man["files"][0]["path"]
+        df = spark.createDataFrame([(rel, 0)], "__file string, __pos long")
+        with pytest.raises(ValueError, match="not both"):
+            t.commit_with_manifest(
+                spark.createDataFrame([], "k long, v long, s string"),
+                "k",
+                carried=man["files"],
+                dv_updates={rel: [0]},
+                dv_updates_df=df,
+                dv_delta_counts={rel: 1},
+                skip_data_write=True,
+            )
+        with pytest.raises(ValueError, match="dv_delta_counts"):
+            t.commit_with_manifest(
+                spark.createDataFrame([], "k long, v long, s string"),
+                "k",
+                carried=man["files"],
+                dv_updates_df=df,
+                skip_data_write=True,
+            )

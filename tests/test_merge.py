@@ -917,6 +917,44 @@ def test_pruned_merge_append_split_keeps_ranges_disjoint(spark, tmp_path):
     assert any(lo == 100_000 for lo, _ in ranges)
 
 
+def test_band_split_empty_hinted_band_leaves_clean_manifest(spark, tmp_path):
+    """A band whose hint says EMPTY must not poison the commit: the
+    write order puts the biggest-hinted band first (so the blind,
+    hint-sized first write is never spent on a hinted-empty band), and
+    any zero-row files an actually-empty band produces are dropped by
+    scan_file_stats — the manifest carries no null-stats entry for
+    later merges to conservatively touch."""
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    root = str(tmp_path / "t")
+    t = VersionedParquetTable(root)
+    df = spark.range(1_000).selectExpr("id as k", "concat('v', id) as s")
+    # two bands: [0, 499] genuinely empty, [500, 999] holds every row;
+    # the hint marks the first band empty — plus out-of-band appends
+    df2 = df.filter("k >= 500").union(
+        spark.range(5).selectExpr("id + 10000 as k", "'oob' as s")
+    )
+    t.commit_with_manifest(
+        df2,
+        "k",
+        append_split=[(0, 499), (500, 999)],
+        band_rows_hint=[0, 500],
+        cluster_partitions=4,
+    )
+    man = t.manifest(t.current_version())
+    assert man["files"], "manifest must carry the written files"
+    for e in man["files"]:
+        assert e["n_rows"] > 0, f"zero-row entry leaked: {e}"
+        assert e["min"] is not None and e["max"] is not None
+    assert t.read(spark).count() == 505
+    # no file spans the gap between the band and the appends
+    assert not any(
+        e["min"] <= 999 < 10_000 <= e["max"] for e in man["files"]
+    )
+
+
 def test_pruned_merge_null_key_insert_survives_append_split(spark, tmp_path):
     """A NULL-key source row must INSERT (SQL equality never matches
     NULL — the merge docstring's contract), including on the pruned
@@ -2502,3 +2540,87 @@ def test_stream_cdf_rename_boundary_loud_and_post_rename_streams(
         ("update_postimage", 6, 66),
         ("update_preimage", 6, 6 % 100),
     ]
+
+
+def test_change_feed_identity_prefers_recorded_key_columns(spark, tmp_path):
+    """The manifest records row identity (``key_columns``) DISTINCTLY
+    from skip-only stats columns: a table whose stats_columns carry a
+    non-key skip column must not silently widen the change feed's join
+    identity, and a composite-key merge's recorded identity survives
+    metadata commits.  Legacy manifests (stats only) warn when the
+    multi-column fallback fires."""
+    import warnings
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    # 1. single-key table whose stats_columns carry a SKIP-ONLY column
+    root = str(tmp_path / "skipstats")
+    t = VersionedParquetTable(root)
+    df = spark.range(200).selectExpr(
+        "id as k", "id % 7 as bucket", "concat('v', id) as s"
+    )
+    t.commit_with_manifest(
+        df, "k", stats_columns=["k", "bucket"], key_columns=["k"]
+    )
+    man = t.manifest(1)
+    assert man["stats_columns"] == ["k", "bucket"]
+    assert man["key_columns"] == ["k"]
+    # an UPDATE that keeps (k, bucket) pairs but changes s: with
+    # identity=k the feed sees one pre+post pair; a (k, bucket)
+    # identity would also work here, but a wrong identity on deletes
+    # would misalign — assert the DEFAULT equals the recorded key
+    t.commit_with_manifest(
+        df.withColumn("s", F.expr("concat('w', k)")),
+        "k",
+        stats_columns=["k", "bucket"],
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the default must NOT warn
+        ch = t.changes_between(spark, 1, 2)
+        pre = ch.filter("_change_type = 'update_preimage'").count()
+        post = ch.filter("_change_type = 'update_postimage'").count()
+    assert pre == 200 and post == 200
+
+    # 2. identity inherited through a metadata-only commit (rename of
+    # a non-key column) and through clone
+    t.rename_column("s", "text")
+    assert t.manifest(t.current_version())["key_columns"] == ["k"]
+    dest = str(tmp_path / "clone")
+    t.clone_to(dest)
+    assert VersionedParquetTable(dest).manifest(1)["key_columns"] == ["k"]
+
+    # 3. composite-key pruned merge records the full identity
+    root2 = str(tmp_path / "composite")
+    t2 = VersionedParquetTable(root2)
+    src = spark.range(100).selectExpr(
+        "id % 10 as k1", "id as k2", "concat('x', id) as v"
+    )
+    t2.commit_with_manifest(src, "k1")
+    merge_upsert_write_pruned(
+        root2,
+        spark.range(5).selectExpr(
+            "id as k1", "id as k2", "'upd' as v"
+        ),
+        ["k1", "k2"],
+        vacuum_keep_last=None,
+    )
+    man2 = t2.manifest(t2.current_version())
+    assert man2["key_columns"] == ["k1", "k2"]
+
+    # 4. legacy manifest (multi-column stats, NO key_columns): the
+    # ambiguous fallback warns
+    root3 = str(tmp_path / "legacy")
+    t3 = VersionedParquetTable(root3)
+    t3.commit_with_manifest(df, "k", stats_columns=["k", "bucket"])
+    t3.commit_with_manifest(
+        df.withColumn("s", F.expr("concat('w', k)")),
+        "k",
+        stats_columns=["k", "bucket"],
+    )
+    with pytest.warns(UserWarning, match="key_columns"):
+        t3.changes_between(spark, 1, 2).count()

@@ -1021,3 +1021,144 @@ def test_stream_cdf_max_bytes_per_step_guardrail(spark, tmp_path):
     )
     # every key rewritten: pre+post image for each of the 1000 rows
     assert got.count() == 2_000
+
+
+def test_stream_cdf_continues_across_rename_commit(spark, tmp_path):
+    """A column RENAME (column mapping: metadata-only, physical
+    identity intact) must NOT kill the stream: the feed keeps emitting
+    the STREAM-START names — the schema Spark pinned at start — while
+    reading the renamed files by physical name, and the content equals
+    the batch changes_between oracle (which speaks the new name;
+    aligned by position here).  The batch CDF already aligned renames
+    by physical identity; this closes the r8 batch/stream parity gap."""
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    root, t = _cdf_table(spark, tmp_path, "cdf_rename")
+    # v2: changes under the original names
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(1, 11.0, "u1"), (5_000, 1.0, "ins")],
+            "k long, price double, status string",
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    # v3: metadata-only rename (no change rows)
+    t.rename_column("price", "amount")
+    # v4: changes under the NEW name
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(2, 22.0, "u2"), (6_000, 2.0, "ins2")],
+            "k long, amount double, status string",
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    got = _drain(
+        spark,
+        read_changes_stream(spark, root, starting_version=1),
+        tmp_path,
+        "cdf_rename_q",
+    )
+    # the stream speaks its START schema — here the query started
+    # AFTER the rename, so the whole drain (including the pre-rename
+    # v1->v2 step, whose manifests speak "price") emits "amount"
+    assert "amount" in got.columns and "price" not in got.columns
+    # batch oracle: v1->v2 speaks price, v3->v4 speaks amount — align
+    # the renamed column (same physical identity) for the comparison
+    exp = t.changes_between(spark, 1, 2).withColumnRenamed(
+        "price", "amount"
+    ).unionAll(t.changes_between(spark, 3, 4))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+    # both the pre- and post-rename steps really are in the feed
+    assert got.filter(
+        (F.col("k") == 1) & (F.col("_commit_version") == 2)
+    ).count() == 2  # pre+post image under the old name's physical
+    assert got.filter(
+        (F.col("k") == 2) & (F.col("_commit_version") == 4)
+    ).count() == 2
+
+
+def test_stream_cdf_resume_across_rename_checkpoint(spark, tmp_path):
+    """Checkpoint resume crossing a rename: the resumed query
+    re-infers the source schema (the python streaming source is
+    reconstructed from the new DataFrame), so the tail drains under
+    the NEW logical name — with the VALUES still read correctly by
+    physical identity (the pin comes from the resume-base manifest by
+    position).  A RUNNING stream keeps its start names (previous
+    test); a resumed one adopts the rename — either way no restart is
+    forced and no value is lost or nulled."""
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    root, t = _cdf_table(spark, tmp_path, "cdf_rename_resume")
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(1, 11.0, "u1")], "k long, price double, status string"
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    # drain v2 with a persistent checkpoint (parquet sink — the memory
+    # sink cannot RECOVER from a checkpoint), then rename + more changes
+    sink = str(tmp_path / "sink_rr")
+    ckpt = str(tmp_path / "ckpt_rr")
+
+    def drain_once():
+        q = (
+            read_changes_stream(spark, root, starting_version=1)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain_once()
+    t.rename_column("price", "amount")
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(7, 77.0, "u7")], "k long, amount double, status string"
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    # resume from the SAME checkpoint: first new step is v2->v3
+    # (the rename itself — empty) then v3->v4, pinned from man(v2);
+    # the resumed query's schema is the re-inferred head schema, so
+    # the tail lands under "amount" (mergeSchema unions the two eras)
+    drain_once()
+    got = spark.read.option("mergeSchema", "true").parquet(sink)
+    assert {"price", "amount"} <= set(got.columns)
+    rows = sorted(
+        (r["k"], r["amount"], r["_change_type"], r["_commit_version"])
+        for r in got.filter("_commit_version >= 4").collect()
+    )
+    exp = t.changes_between(spark, 3, 4)
+    assert rows == sorted(
+        (r["k"], r["amount"], r["_change_type"], r["_commit_version"])
+        for r in exp.collect()
+    )
+    assert rows  # the post-rename step landed through the old checkpoint
+    # the pre-rename era is intact under the old name
+    assert (
+        got.filter("_commit_version = 2 and price is not null").count() == 2
+    )
