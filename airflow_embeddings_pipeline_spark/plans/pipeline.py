@@ -823,7 +823,12 @@ def s_clone_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import merge_upsert_write_pruned, sync_replica
     from ..sources.versioned import VersionedParquetTable
 
-    orders = load_table(spark, sf_dir, "orders")
+    # a 10% orders slice: clone/sync SEMANTICS need commits and a
+    # watermark, not row volume — this entry once cost 14.1 s of the
+    # 201-query oracle sweep staging the full table at 16 partitions
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
     target = orders.select(
         F.col("o_orderkey").alias("k"),
         F.col("o_totalprice").cast("double").alias("price"),
@@ -832,7 +837,7 @@ def s_clone_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch_dir("/tmp/spark_graft_clone_primary", sf_dir)
     replica = _scratch_dir("/tmp/spark_graft_clone_replica", sf_dir)
     table = VersionedParquetTable(path)
-    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    table.commit_with_manifest(target, "k", cluster_partitions=4)
     # primary evolves before the clone...
     merge_upsert_write_pruned(
         path,
@@ -874,6 +879,7 @@ register(
                     WHEN o_orderkey % 151 = 8 THEN 'C2'
                     ELSE o_orderstatus END AS status
         FROM orders
+        WHERE o_orderkey % 10 = 0
         ORDER BY k
         """,
         doc=(

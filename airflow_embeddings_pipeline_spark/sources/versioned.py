@@ -814,20 +814,61 @@ class VersionedParquetTable:
             )
         return name
 
-    def _read_entry_positions(
-        self, spark: SparkSession, man: dict, entry_map: dict, pos_by_path: dict
-    ) -> DataFrame:
-        """Read ONLY the rows at the given per-file positions (a
-        bounded set — DV deltas) as a LOGICAL frame.  One scan over
-        the named files, semi-joined against a broadcast positions
-        frame on ``(_metadata.file_path, _metadata.row_index)``."""
+    def _clone_dv_sidecar_spark(
+        self, spark: SparkSession, vdir: str, dest_root: str, dv_pairs: list
+    ) -> str:
+        """Clone-side DV sidecar remap as a SPARK JOB: read the source
+        sidecars (parquet), filter to the cloned entries, swap each
+        ``_path`` to the clone's flattened entry path via a broadcast
+        #files-row mapping, and write one directory sidecar into the
+        clone's version dir.  O(DV mass) executor-side — the heavy-DV
+        alternative to the driver rewrite in :meth:`clone_to`."""
+        import uuid
+
         from pyspark.sql import functions as F
-        from pyspark.sql.types import (
-            LongType,
-            StringType,
-            StructField,
-            StructType,
+
+        mapping = spark.createDataFrame(
+            [(e["path"], new) for e, new in dv_pairs],
+            "_path string, __new string",
         )
+        by_sc: dict[str, list] = {}
+        for e, _new in dv_pairs:
+            by_sc.setdefault(e["dv"]["path"], []).append(e["path"])
+        parts = [
+            spark.read.parquet(os.path.join(self.root, sc))
+            .filter(F.col("_path").isin(rels))
+            .select("_path", "_pos")
+            for sc, rels in sorted(by_sc.items())
+        ]
+        full = functools.reduce(DataFrame.unionByName, parts)
+        name = f"dv-{uuid.uuid4().hex[:16]}"
+        out = os.path.join(vdir, name)
+        (
+            full.join(F.broadcast(mapping), "_path", "inner")
+            .select(F.col("__new").alias("_path"), "_pos")
+            .repartition(min(32, max(1, len(dv_pairs))), "_path")
+            .sortWithinPartitions("_path", "_pos")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        return os.path.relpath(out, dest_root)
+
+    def _read_entry_positions_df(
+        self,
+        spark: SparkSession,
+        man: dict,
+        entry_map: dict,
+        paths: list,
+        pos_df: DataFrame,
+    ) -> DataFrame:
+        """Read ONLY the rows at the positions named by ``pos_df``
+        (columns ``_path``/``_pos`` — e.g. a DV-delta anti-join over
+        sidecar parquet, never collected) as a LOGICAL frame.  One
+        scan over ``paths``, semi-joined on ``(_metadata.file_path,
+        _metadata.row_index)``; the join strategy is AQE's call — a
+        small delta broadcasts, a 100M-row delta shuffles."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
 
         logical = StructType.fromJson(man["schema"])
         m = _mapping_of(man)
@@ -836,7 +877,7 @@ class VersionedParquetTable:
             .parquet(
                 *[
                     os.path.join(self.root, entry_map[p]["path"])
-                    for p in sorted(pos_by_path)
+                    for p in sorted(paths)
                 ]
             )
             .withColumn(
@@ -847,21 +888,13 @@ class VersionedParquetTable:
             )
             .withColumn("__dv_pos", F.col("_metadata.row_index"))
         )
-        rows = [
-            (p, int(i)) for p, arr in pos_by_path.items() for i in arr
-        ]
-        pdf = spark.createDataFrame(
-            rows,
-            StructType(
-                [
-                    StructField("__dvp", StringType(), False),
-                    StructField("__dvi", LongType(), False),
-                ]
-            ),
+        pos = pos_df.select(
+            F.col("_path").alias("__dvp"),
+            F.col("_pos").cast("long").alias("__dvi"),
         )
         return (
             scan.join(
-                F.broadcast(pdf),
+                pos,
                 (F.col("__dv_f") == F.col("__dvp"))
                 & (F.col("__dv_pos") == F.col("__dvi")),
                 "left_semi",
@@ -1316,12 +1349,19 @@ class VersionedParquetTable:
         version: int | None = None,
         set_cdc_watermark: bool = True,
         app_metadata: dict | None = None,
+        spark: SparkSession | None = None,
+        dv_spark_threshold: int = 5_000_000,
     ) -> int:
         """Zero-copy CLONE: publish this table's snapshot as version 1
         of a FRESH table at ``dest_root`` (Delta ``CREATE TABLE ...
         SHALLOW CLONE`` analog) — no data is read or rewritten, the
         clone costs one hardlink per data file plus one manifest write
-        regardless of table size, and runs no Spark job at all.
+        regardless of table size, and runs no Spark job at all — with
+        one exception: DV sidecars key rows on entry paths the clone
+        flattens, so they are rewritten; pass ``spark`` and a table
+        whose DV mass exceeds 5M rows remaps them with a bounded Spark
+        job instead of a driver read (below that, or without a
+        session, the driver rewrite is a few tens of MB).
 
         Files are HARDLINKED into the clone's own version directory, so
         the two tables share inodes but own independent lifecycles:
@@ -1379,7 +1419,7 @@ class VersionedParquetTable:
                 return os.path.relpath(dst_p, dest.root)
 
             new_entries = []
-            dv_positions: dict[str, object] = {}
+            dv_pairs: list[tuple] = []  # (source entry, clone rel path)
             blooms: dict[str, dict] = {}
             for e in man["files"]:
                 ne = {**e, "path": _link_in(e["path"])}
@@ -1389,17 +1429,33 @@ class VersionedParquetTable:
                     # rewrite each into ONE fresh sidecar keyed on the
                     # clone's paths (O(sidecar mass), the data files
                     # themselves stay zero-copy hardlinks)
-                    dv_positions[ne["path"]] = _dv_read_positions(
-                        self.root, e["dv"]["path"], e["path"]
-                    )
+                    dv_pairs.append((e, ne["path"]))
                 if e.get("bloom"):
                     blooms[ne["path"]] = _bloom_read_sidecar(
                         self.root, e["bloom"]["path"], e["path"]
                     )
                 new_entries.append(ne)
-            if dv_positions:
-                sc = _dv_write_sidecar(vdir, dv_positions)
-                sc_rel = os.path.relpath(os.path.join(vdir, sc), dest.root)
+            if dv_pairs:
+                total_dv = sum(e["dv"]["rows"] for e, _ in dv_pairs)
+                if spark is not None and total_dv > dv_spark_threshold:
+                    # heavy DV mass: remap the sidecar with a Spark
+                    # job (read source sidecars, broadcast-map the
+                    # entry paths, write a directory sidecar) — the
+                    # positions never cross the driver
+                    sc_rel = self._clone_dv_sidecar_spark(
+                        spark, vdir, dest.root, dv_pairs
+                    )
+                else:
+                    dv_positions = {
+                        new: _dv_read_positions(
+                            self.root, e["dv"]["path"], e["path"]
+                        )
+                        for e, new in dv_pairs
+                    }
+                    sc = _dv_write_sidecar(vdir, dv_positions)
+                    sc_rel = os.path.relpath(
+                        os.path.join(vdir, sc), dest.root
+                    )
                 for ne in new_entries:
                     if ne.get("dv"):
                         ne["dv"] = {"path": sc_rel, "rows": ne["dv"]["rows"]}
@@ -2804,7 +2860,12 @@ class VersionedParquetTable:
           PURGE rewrites exactly the DV'd files clean (cost bounded by
           their mass, never table size) and drops the DV refs, resetting
           the read path to plain scans (Delta's
-          ``REORG TABLE ... APPLY (PURGE)`` analog).
+          ``REORG TABLE ... APPLY (PURGE)`` analog).  When the
+          small-file signal fires on the SAME manifest, the purge
+          FOLDS the small files into its one rewrite (``reorg``
+          action) — bin-packed to the target size in one commit, so a
+          table needing both never pays purge-then-compact double
+          rewrites.
 
         Returns ``{"triggered", "signals", "actions"}`` where signals
         reports the inspected counts and actions the commits performed
@@ -2835,31 +2896,66 @@ class VersionedParquetTable:
             # Runs FIRST and the layout signals below recompute from
             # the post-purge manifest (the purge replaces file paths;
             # acting on the stale entries would re-add purged rows).
+            #
+            # REORG: when the SMALL-FILE signal also fires on the same
+            # manifest, the purge folds the small files into its one
+            # rewrite (Delta ``REORG ... APPLY (PURGE)`` + OPTIMIZE in
+            # one commit) — purging DV'd small files and then
+            # compacting the purge's own output would rewrite the same
+            # rows twice; the combined pass bin-packs everything to
+            # the target size once.
             dvd_paths = {e["path"] for e in dvd}
-            kept = [e for e in files if e["path"] not in dvd_paths]
+            small_now = [
+                e for e in files if e["bytes"] < min_file_bytes
+            ]
+            combine = len(small_now) > max_small_files
+            rewrite = (
+                dvd
+                + [e for e in small_now if e["path"] not in dvd_paths]
+                if combine
+                else dvd
+            )
+            rewrite_paths = {e["path"] for e in rewrite}
+            kept = [e for e in files if e["path"] not in rewrite_paths]
             inv0 = _inverse_mapping_of(man)
-            df = self._read_manifest_files(spark, man, dvd)
+            df = self._read_manifest_files(spark, man, rewrite)
+            # bin-pack by LOGICAL mass: a DV'd file's live fraction is
+            # what survives the rewrite
+            live_bytes = sum(
+                int(
+                    e["bytes"]
+                    * (
+                        1
+                        - (e["dv"]["rows"] / e["n_rows"])
+                        if e.get("dv") and e.get("n_rows")
+                        else 1
+                    )
+                )
+                for e in rewrite
+            )
             nv = self.commit_with_manifest(
                 df,
                 inv0.get(man["key"], man["key"]),
                 carried=kept,
                 cluster_partitions=cluster_partitions
-                or max(1, sum(e["bytes"] for e in dvd) // (128 << 20) + 1),
+                or max(1, live_bytes // (128 << 20) + 1),
                 stats_columns=[
                     inv0.get(c, c) for c in man.get("stats_columns") or []
                 ]
                 or None,
                 app_metadata=man.get("app_metadata"),
                 expected_base_version=v,
-                operation="OPTIMIZE[purge-dv]",
+                operation=(
+                    "OPTIMIZE[reorg]" if combine else "OPTIMIZE[purge-dv]"
+                ),
             )
             dv_actions.append(
                 {
-                    "action": "purge_dv",
+                    "action": "reorg" if combine else "purge_dv",
                     "version": nv,
-                    "files_rewritten": len(dvd),
+                    "files_rewritten": len(rewrite),
                     "dv_rows_purged": dv_rows,
-                    "bytes_rewritten": sum(e["bytes"] for e in dvd),
+                    "bytes_rewritten": sum(e["bytes"] for e in rewrite),
                 }
             )
             v = nv
@@ -3281,26 +3377,60 @@ class VersionedParquetTable:
                 man_t, [pt[p] for p in sorted(set(pt) - set(pf))]
             )
             if dv_changed:
-                gone, back = {}, {}
-                for p in dv_changed:
-                    po = self._dv_positions_of(pf[p])
-                    pn = self._dv_positions_of(pt[p])
-                    import numpy as np
+                # the DV delta is computed SPARK-SIDE (sidecars are
+                # parquet: read, anti-join each direction) — a 100M-row
+                # MoR delete's change feed must not collect its
+                # positions to the driver.  Only the per-file HIT list
+                # (#files rows) is collected, to scan just those files.
+                def side_positions(ents):
+                    by_sc: dict[str, list] = {}
+                    for p in dv_changed:
+                        dv = ents[p].get("dv")
+                        if dv:
+                            by_sc.setdefault(dv["path"], []).append(p)
+                    parts = [
+                        spark.read.parquet(os.path.join(self.root, sc))
+                        .filter(F.col("_path").isin(rels))
+                        .select("_path", "_pos")
+                        for sc, rels in sorted(by_sc.items())
+                    ]
+                    return (
+                        functools.reduce(DataFrame.unionByName, parts)
+                        if parts
+                        else None
+                    )
 
-                    d = np.setdiff1d(pn, po)
-                    r = np.setdiff1d(po, pn)
-                    if len(d):
-                        gone[p] = d
-                    if len(r):
-                        back[p] = r
-                if gone:
-                    old = old.unionByName(
-                        self._read_entry_positions(spark, man_f, pf, gone)
+                po_df = side_positions(pf)
+                pn_df = side_positions(pt)
+
+                def anti(a, b):
+                    if a is None or b is None:
+                        return a
+                    return a.join(b, ["_path", "_pos"], "left_anti")
+
+                gone_df = anti(pn_df, po_df)  # newly deleted: pre-image
+                back_df = anti(po_df, pn_df)  # un-deleted: post-image
+                for pos_df, man_s, ents, is_old in (
+                    (gone_df, man_f, pf, True),
+                    (back_df, man_t, pt, False),
+                ):
+                    if pos_df is None:
+                        continue
+                    hit = [
+                        r["_path"]
+                        for r in pos_df.select("_path")
+                        .distinct()
+                        .collect()
+                    ]
+                    if not hit:
+                        continue
+                    sub = self._read_entry_positions_df(
+                        spark, man_s, ents, hit, pos_df
                     )
-                if back:
-                    new = new.unionByName(
-                        self._read_entry_positions(spark, man_t, pt, back)
-                    )
+                    if is_old:
+                        old = old.unionByName(sub)
+                    else:
+                        new = new.unionByName(sub)
             # align RENAMED columns by PHYSICAL identity: a column
             # renamed between v_from and v_to is the SAME column (same
             # physical name in the files), so its pre-images carry the

@@ -732,3 +732,78 @@ class TestDistributedSidecar:
                 dv_updates_df=df,
                 skip_data_write=True,
             )
+
+
+class TestReorg:
+    def test_reorg_one_commit_purges_and_binpacks(self, spark, tmp_path):
+        """DV'd SMALL files + the small-file signal firing together
+        must produce ONE commit (OPTIMIZE[reorg]) that both purges the
+        DVs and bin-packs — not a purge whose output a second compact
+        commit rewrites again."""
+        root = str(tmp_path / "t")
+        t = VersionedParquetTable(root)
+        # 12 small files, all DV'd
+        t.commit_with_manifest(
+            spark.range(12_000).selectExpr(
+                "id as k", "id * 2 as v", "concat('x', id) as s"
+            ),
+            "k",
+            cluster_partitions=12,
+        )
+        t.delete_where(spark, "k % 2 = 0")  # dv_ratio 0.5 on every file
+        v_before = t.current_version()
+        m = t.maintain(spark, max_small_files=4)
+        assert [a["action"] for a in m["actions"]] == ["reorg"]
+        # exactly ONE new commit
+        assert t.current_version() == v_before + 1
+        man = t.manifest(t.current_version())
+        assert not any(e.get("dv") for e in man["files"])
+        # bin-packed: far fewer files than the 12 rewritten
+        assert len(man["files"]) < 12
+        assert t.read(spark).count() == 6_000
+        assert t.read(spark).filter("k % 2 = 0").count() == 0
+        # history attributes the combined op
+        assert t.history()[0]["operation"] == "OPTIMIZE[reorg]"
+        # second maintain is a no-op: both signals satisfied by one pass
+        m2 = t.maintain(spark, max_small_files=4)
+        assert m2["actions"] == []
+
+    def test_purge_alone_when_small_signal_quiet(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, n=1000, parts=2)
+        t.delete_where(spark, "k % 2 = 0")
+        m = t.maintain(spark, max_small_files=1000)
+        assert [a["action"] for a in m["actions"]] == ["purge_dv"]
+        assert t.history()[0]["operation"] == "OPTIMIZE[purge-dv]"
+
+
+class TestCloneDvSpark:
+    def test_clone_spark_dv_remap_matches_driver_path(
+        self, spark, tmp_path
+    ):
+        """Above the DV-mass threshold clone_to remaps the sidecar with
+        a Spark job (directory sidecar, no driver position read); the
+        clone must read identically to the driver-path clone."""
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, n=4_000, parts=4)
+        t.delete_where(spark, "k % 3 = 1")
+        a, b = str(tmp_path / "ca"), str(tmp_path / "cb")
+        t.clone_to(a)  # driver path (mass below default threshold)
+        t.clone_to(b, spark=spark, dv_spark_threshold=0)  # forced job
+        ta, tb = VersionedParquetTable(a), VersionedParquetTable(b)
+        ra = sorted(map(tuple, ta.read(spark).collect()))
+        rb = sorted(map(tuple, tb.read(spark).collect()))
+        assert ra == rb and len(ra) == 4_000 - len(
+            [k for k in range(4_000) if k % 3 == 1]
+        )
+        # the spark-path sidecar is a directory; refs and rows intact
+        man_b = tb.manifest(1)
+        dv_refs = {e["dv"]["path"] for e in man_b["files"] if e.get("dv")}
+        assert len(dv_refs) == 1
+        assert os.path.isdir(os.path.join(b, dv_refs.pop()))
+        assert sum(
+            e["dv"]["rows"] for e in man_b["files"] if e.get("dv")
+        ) == len([k for k in range(4_000) if k % 3 == 1])
+        # lifecycle: further DML on the spark-path clone works
+        tb.delete_where(spark, "k = 0")
+        assert tb.read(spark).count() == len(ra) - 1
