@@ -641,14 +641,14 @@ class VersionedParquetTable:
 
         Deletion vectors (merge-on-read): an entry carrying
         ``{"dv": {"path": sidecar, "rows": n}}`` has its deleted row
-        positions filtered out via a broadcast anti-join on
-        ``(_metadata.file_path, _metadata.row_index)`` — the DV frame
-        is bounded by the table's live DV mass (capped by
-        ``delete_where``'s ``max_dv_rows`` and purged by
-        ``maintain()``), so the join build side is always small.
-        Entries without a DV keep the plain scan path untouched
-        (pushdown/pruning exactly as before — zero overhead for
-        DV-free tables)."""
+        positions filtered out via an anti-join on
+        ``(_metadata.file_path, _metadata.row_index)`` — broadcast
+        while the manifest-known DV mass is policy-small (the
+        ``maintain()`` ``dv_ratio`` regime), shuffle above 5M rows (a
+        purge-scale mass must not OOM the driver as a forced build
+        side).  Entries without a DV keep the plain scan path
+        untouched (pushdown/pruning exactly as before — zero overhead
+        for DV-free tables)."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
@@ -686,9 +686,15 @@ class VersionedParquetTable:
             ).select(
                 F.col("_path").alias("__dvp"), F.col("_pos").alias("__dvi")
             )
+            # broadcast only while the manifest-known DV mass is small
+            # (the common policy-bounded case — maintain()'s dv_ratio
+            # purge keeps it there); a purge-scale mass must shuffle,
+            # not OOM the driver with a forced broadcast build
+            if sum(e["dv"]["rows"] for e in dvd) <= 5_000_000:
+                dvdf = F.broadcast(dvdf)
             parts.append(
                 scan.join(
-                    F.broadcast(dvdf),
+                    dvdf,
                     (F.col("__dv_f") == F.col("__dvp"))
                     & (F.col("__dv_pos") == F.col("__dvi")),
                     "left_anti",
@@ -949,8 +955,15 @@ class VersionedParquetTable:
             ).select(
                 F.col("_path").alias("__dvp"), F.col("_pos").alias("__dvi")
             )
+            # same broadcast gate as _read_manifest_files: shuffle
+            # instead of force-broadcasting a purge-scale DV mass
+            if (
+                sum(e["dv"]["rows"] for e in entries if e.get("dv"))
+                <= 5_000_000
+            ):
+                dvdf = F.broadcast(dvdf)
             scan = scan.join(
-                F.broadcast(dvdf),
+                dvdf,
                 (F.col("__file") == F.col("__dvp"))
                 & (F.col("__pos") == F.col("__dvi")),
                 "left_anti",

@@ -52,6 +52,33 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _MANIFEST = "_MANIFEST.json"
 
+# DV position sets at or below this resolve driver-side and ship BY
+# VALUE in partition specs (cheap, and the planner can drop empty
+# diffs); bigger sets ship as sidecar REFERENCES the worker resolves —
+# a heavily-DV'd file must not pickle millions of ints per spec
+_POS_INLINE_MAX = 100_000
+
+
+def _resolve_positions(spec):
+    """A partition spec's position set → sorted int64 numpy array.
+    ``spec`` is an inline int list, ``("sc", sidecar_abs, rel)`` (the
+    full recorded set), or ``("diff", a_abs, b_abs, rel)`` (positions
+    in sidecar a minus those in b; either side None = empty)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    def _sc(path, rel):
+        if path is None:
+            return np.empty(0, dtype=np.int64)
+        t = pq.read_table(path, filters=[("_path", "=", rel)])
+        return np.sort(t.column("_pos").to_numpy(zero_copy_only=False))
+
+    if isinstance(spec, tuple) and spec and spec[0] == "sc":
+        return _sc(spec[1], spec[2])
+    if isinstance(spec, tuple) and spec and spec[0] == "diff":
+        return np.setdiff1d(_sc(spec[1], spec[3]), _sc(spec[2], spec[3]))
+    return np.asarray(sorted(spec), dtype=np.int64)
+
 
 def _read_pointer(root: str) -> int | None:
     """Resolve the table's ``_CURRENT`` pointer (``v00000001`` form)
@@ -218,6 +245,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # compressed parquet per component (~2-4x that in memory).
         mbps = options.get("maxbytesperstep")
         self.max_bytes = int(mbps) if mbps is not None else 8 << 30
+        # DV position sets at or below this ship BY VALUE in partition
+        # specs; bigger ones ship as sidecar references the worker
+        # resolves (option mostly for tests — the default is right)
+        pim = options.get("posinlinemax")
+        self.pos_inline_max = (
+            int(pim) if pim is not None else _POS_INLINE_MAX
+        )
         self._last_end: int | None = None  # set by partitions(): true progress
         self._probe_base: int | None = None  # stall detection, see below
         self._stalled_probes = 0
@@ -387,9 +421,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             # present on both sides whose DV changed contributes ONLY
             # the delta positions ("_dv_take") — rows newly deleted are
             # pre-image-side deletes, rows un-deleted (a restore) are
-            # post-image-side inserts.  Positions are resolved
-            # driver-side here and shipped by value, so read() stays
-            # self-contained in the worker.
+            # post-image-side inserts.  SMALL position sets (manifest
+            # dv.rows ≤ the inline cap) resolve driver-side and ship
+            # by value; anything bigger ships as a sidecar REFERENCE
+            # the worker resolves itself — a heavily-DV'd file must
+            # not pickle millions of ints into every partition spec.
             from .versioned import _dv_read_positions
 
             def _pos(ent):
@@ -397,10 +433,20 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     self.root, ent["dv"]["path"], ent["path"]
                 )
 
+            def _sc_abs(ent):
+                return os.path.join(self.root, ent["dv"]["path"])
+
             def _with_skip(ent):
                 if not ent.get("dv"):
                     return ent
-                return {**ent, "_dv_skip": [int(i) for i in _pos(ent)]}
+                if ent["dv"]["rows"] <= self.pos_inline_max:
+                    return {
+                        **ent, "_dv_skip": [int(i) for i in _pos(ent)]
+                    }
+                return {
+                    **ent,
+                    "_dv_skip": ("sc", _sc_abs(ent), ent["path"]),
+                }
 
             removed = [
                 _with_skip(ent_f[p])
@@ -411,31 +457,46 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 for p in sorted(set(ent_t) - set(ent_f))
             ]
             for p in sorted(set(ent_f) & set(ent_t)):
-                if (ent_f[p].get("dv") or None) == (
-                    ent_t[p].get("dv") or None
-                ):
+                dv_f = ent_f[p].get("dv") or None
+                dv_t = ent_t[p].get("dv") or None
+                if dv_f == dv_t:
                     continue
-                import numpy as np
+                rows_f = dv_f["rows"] if dv_f else 0
+                rows_t = dv_t["rows"] if dv_t else 0
+                if max(rows_f, rows_t) <= self.pos_inline_max:
+                    import numpy as np
 
-                po = (
-                    _pos(ent_f[p])
-                    if ent_f[p].get("dv")
-                    else np.empty(0, dtype=np.int64)
-                )
-                pn = (
-                    _pos(ent_t[p])
-                    if ent_t[p].get("dv")
-                    else np.empty(0, dtype=np.int64)
-                )
-                gone = np.setdiff1d(pn, po)
-                back = np.setdiff1d(po, pn)
-                if len(gone):
-                    removed.append(
-                        {**ent_f[p], "_dv_take": [int(i) for i in gone]}
+                    po = (
+                        _pos(ent_f[p])
+                        if dv_f
+                        else np.empty(0, dtype=np.int64)
                     )
-                if len(back):
+                    pn = (
+                        _pos(ent_t[p])
+                        if dv_t
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    gone = np.setdiff1d(pn, po)
+                    back = np.setdiff1d(po, pn)
+                    if len(gone):
+                        removed.append(
+                            {**ent_f[p], "_dv_take": [int(i) for i in gone]}
+                        )
+                    if len(back):
+                        added.append(
+                            {**ent_t[p], "_dv_take": [int(i) for i in back]}
+                        )
+                else:
+                    # big sets: ship both sidecar refs; the worker
+                    # computes the setdiff (an empty diff direction
+                    # costs one filtered sidecar read, nothing more)
+                    sf = _sc_abs(ent_f[p]) if dv_f else None
+                    st = _sc_abs(ent_t[p]) if dv_t else None
+                    removed.append(
+                        {**ent_f[p], "_dv_take": ("diff", st, sf, p)}
+                    )
                     added.append(
-                        {**ent_t[p], "_dv_take": [int(i) for i in back]}
+                        {**ent_t[p], "_dv_take": ("diff", sf, st, p)}
                     )
             # emitted schema = STREAM-START names (+ identical types);
             # physical names drive the file reads, so a renamed column
@@ -528,13 +589,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 if take is not None:
                     # positions index the ORIGINAL file; mutually
                     # exclusive with skip by construction
-                    t = t.take(
-                        pa.array(np.asarray(sorted(take), dtype=np.int64))
-                    )
-                elif skip:
+                    t = t.take(pa.array(_resolve_positions(take)))
+                elif skip is not None:
                     keep = np.setdiff1d(
                         np.arange(t.num_rows, dtype=np.int64),
-                        np.asarray(skip, dtype=np.int64),
+                        _resolve_positions(skip),
                     )
                     t = t.take(pa.array(keep))
                 cols = []

@@ -1162,3 +1162,41 @@ def test_stream_cdf_resume_across_rename_checkpoint(spark, tmp_path):
     assert (
         got.filter("_commit_version = 2 and price is not null").count() == 2
     )
+
+
+def test_stream_cdf_big_dv_ships_sidecar_refs(spark, tmp_path):
+    """Position sets above the inline cap ship as sidecar REFERENCES
+    resolved worker-side (never pickled into the spec); the drained
+    feed equals the batch CDF either way.  The cap is passed as a
+    source OPTION (a monkeypatched module constant would not reach the
+    streaming source-runner subprocess) so the ref path runs at
+    fixture scale."""
+    root, t = _cdf_table(spark, tmp_path, "cdf_bigdv")
+    # v2: MoR delete of 100 rows (>> tiny cap) — a dv-changed pair
+    t.delete_where(spark, "k % 10 = 3")
+    # v3: delete more from the SAME files (old sidecar vs new sidecar
+    # diff, both sides present)
+    t.delete_where(spark, "k % 10 = 7")
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        register_versioned_changes,
+    )
+
+    register_versioned_changes(spark)
+    stream = (
+        spark.readStream.format("versioned_changes")
+        .option("path", root)
+        .option("startingVersion", "1")
+        .option("posInlineMax", "5")
+        .load()
+    )
+    got = _drain(spark, stream, tmp_path, "cdf_bigdv_q")
+    exp = t.changes_between(spark, 1, 2).unionAll(
+        t.changes_between(spark, 2, 3)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+    assert got.count() == 200  # two delete waves of 100 each
+    assert set(
+        r["_change_type"] for r in got.select("_change_type").distinct().collect()
+    ) == {"delete"}
