@@ -113,16 +113,19 @@ def main() -> None:
 
     headline_wall = round(sum(timings[n] for n in headline), 3)
 
-    # Per-query probe-normalized regression tripwire (r8 lesson: the
-    # driver host ran 2.5x slower I/O than the builder's and three
-    # CPU-bound queries looked regressed until a by-hand git-diff +
-    # probe reading cleared them).  Normalize every query wall by the
-    # SAME-run warm scan probe, compare against the BEST normalized
-    # value any prior recorded round achieved (BENCH_r*.json that
-    # carries a scan probe), and flag >1.5x — a flagged query is a
-    # PLAN regression candidate, already host-corrected, no hand
-    # attribution needed.
+    # Per-query regression tripwire (r8 lesson: the driver host ran
+    # 2.5x slower I/O than the builder's and three CPU-bound queries
+    # looked regressed until a by-hand git-diff + probe reading
+    # cleared them).  A single normalization is NOT host-proof — the
+    # warm scan probe itself varies ~2.5x across hosts while CPU-bound
+    # walls barely move, so either axis alone false-positives on a
+    # host change.  A query is flagged only when BOTH exceed 1.5x
+    # their best prior recorded round: the RAW wall (best across all
+    # rounds) AND the probe-normalized wall (best across probe-
+    # carrying rounds).  A true plan regression raises both; a host
+    # change raises at most one.
     here = os.path.dirname(os.path.abspath(__file__))
+    best_raw: dict[str, float] = {}
     best_norm: dict[str, float] = {}
     import glob as _glob
 
@@ -131,12 +134,13 @@ def main() -> None:
             with open(p) as f:
                 rec = json.load(f).get("parsed") or {}
             probe = rec.get("host_probe_scan_warm_sec")
-            if not probe:
-                continue
             for n, w in (rec.get("queries") or {}).items():
-                norm = w / probe
-                if n not in best_norm or norm < best_norm[n]:
-                    best_norm[n] = norm
+                if n not in best_raw or w < best_raw[n]:
+                    best_raw[n] = w
+                if probe:
+                    norm = w / probe
+                    if n not in best_norm or norm < best_norm[n]:
+                        best_norm[n] = norm
         except (OSError, ValueError):
             continue
     queries_norm = (
@@ -144,17 +148,43 @@ def main() -> None:
         if scan_warm
         else {}
     )
+    # the final host-proofing step: hosts drift UNIFORMLY (r7 measured
+    # 1.4-1.8x across every untouched query; this round's probe moved
+    # 2.6x while CPU walls held) — so the signal is a query whose
+    # drift is an OUTLIER against the same run's fleet.  drift =
+    # median per-query ratio vs best prior; flag only queries > 1.5x
+    # the median drift on BOTH axes.
+    import statistics as _stats
+
+    ratios_raw = {
+        n: timings[n] / best_raw[n]
+        for n in timings
+        if best_raw.get(n)
+    }
+    ratios_norm = {
+        n: queries_norm[n] / best_norm[n]
+        for n in queries_norm
+        if best_norm.get(n)
+    }
+    drift_raw = _stats.median(ratios_raw.values()) if ratios_raw else 1.0
+    drift_norm = (
+        _stats.median(ratios_norm.values()) if ratios_norm else 1.0
+    )
     regressions = [
         {
             "query": n,
-            "norm": queries_norm[n],
-            "best_prior_norm": round(best_norm[n], 2),
-            "ratio": round(queries_norm[n] / best_norm[n], 2),
+            "wall": timings[n],
+            "best_prior_wall": round(best_raw[n], 3),
+            "ratio_raw": round(ratios_raw[n], 2),
+            "ratio_norm": round(ratios_norm[n], 2),
+            "vs_fleet_raw": round(ratios_raw[n] / drift_raw, 2),
+            "vs_fleet_norm": round(ratios_norm[n] / drift_norm, 2),
         }
-        for n in queries_norm
-        if n in best_norm
-        and best_norm[n] > 0
-        and queries_norm[n] / best_norm[n] > 1.5
+        for n in timings
+        if n in ratios_raw
+        and n in ratios_norm
+        and ratios_raw[n] > 1.5 * drift_raw
+        and ratios_norm[n] > 1.5 * drift_norm
     ]
 
     print(
@@ -182,6 +212,8 @@ def main() -> None:
                 # prior round's (plan-regression candidates, host
                 # drift already cancelled)
                 "queries_per_scan_probe": queries_norm,
+                "host_drift_raw": round(drift_raw, 2),
+                "host_drift_norm": round(drift_norm, 2),
                 "regressions": regressions,
                 "sf": sf,
             }
