@@ -48,6 +48,11 @@ def sidecar_bytes(root: str) -> int:
 def main() -> int:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000_000
     out_json = sys.argv[2] if len(sys.argv) > 2 else None
+    # delete fraction knob: buckets below this of 97 match (default 44
+    # ~ 45%); at very large n_rows pick a value keeping the mass under
+    # the max_dv_rows POLICY cap (the cap is the product's contract —
+    # the stress proves scale within it, not around it)
+    bucket_lt = int(sys.argv[3]) if len(sys.argv) > 3 else 44
 
     from pyspark.sql import SparkSession
 
@@ -81,17 +86,16 @@ def main() -> int:
     # scattered rewrite-scale delete: ~45% of every file (the shape
     # where the old driver collect was fatal and CoW rewrites all)
     t0 = time.time()
-    r = t.delete_where(spark, "bucket < 44")
+    r = t.delete_where(spark, f"bucket < {bucket_lt}")
     del_wall = time.time() - t0
-    expect_deleted = sum(1 for b in range(97) if b < 44) * (n_rows // 97)
-    expect_deleted += sum(
-        1 for i in range(n_rows - n_rows // 97 * 97) if i % 97 < 44
+    expect_deleted = bucket_lt * (n_rows // 97) + min(
+        bucket_lt, n_rows % 97
     )
     assert r["rows_deleted"] == expect_deleted, (
         r["rows_deleted"],
         expect_deleted,
     )
-    assert r["rows_deleted"] > 10_000_000, "stress must exceed the old cap"
+    assert r["rows_deleted"] > 10_000_000, "stress must exceed the old 2M cap"
     sc_bytes = sidecar_bytes(root)
     print(
         f"delete_where: {r['rows_deleted']:,} rows DV'd across "
@@ -116,9 +120,8 @@ def main() -> int:
         spark, "bucket = 50", {"s": "concat('upd-', k)"}
     )
     upd_wall = time.time() - t0
-    assert r2["rows_updated"] == sum(
-        1 for i in range(n_rows) if i % 97 == 50
-    )
+    exp_upd = n_rows // 97 + (1 if n_rows % 97 > 50 else 0)
+    assert r2["rows_updated"] == exp_upd
     assert t.read(spark).filter("s like 'upd-%'").count() == r2["rows_updated"]
     assert t.read(spark).count() == live
     print(
