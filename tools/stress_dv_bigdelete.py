@@ -108,9 +108,10 @@ def main() -> int:
     got = t.read(spark).count()
     read_wall = time.time() - t0
     assert got == live, (got, live)
-    one = t.read(spark).filter("k = 44").collect()  # bucket 44 survives
-    assert len(one) == 1 and one[0]["s"] == "payload-44"
-    assert t.read(spark).filter("k = 43").count() == 0  # bucket 43 gone
+    one = t.read(spark).filter(f"k = {bucket_lt}").collect()  # survives
+    assert len(one) == 1 and one[0]["s"] == f"payload-{bucket_lt}"
+    # k = bucket_lt - 1 sits in the deleted bucket range
+    assert t.read(spark).filter(f"k = {bucket_lt - 1}").count() == 0
     print(f"read-back {got:,} live rows in {read_wall:.1f}s")
 
     # a second DML wave over the DV'd table: union-with-prior runs
