@@ -905,9 +905,12 @@ def _mor_merge_attempt(
         column_mapping=prior_man.get("column_mapping") or {},
         retired_physical=prior_man.get("retired_physical") or [],
         bloom_columns=prior_man.get("bloom_columns") or [],
-        dv_updates_df=matched if dv_counts else None,
-        dv_delta_counts=dv_counts or None,
         operation="MERGE[mor]",
+        **(
+            table._dv_commit_kwargs(prior_man, matched, dv_counts)
+            if dv_counts
+            else {}
+        ),
     )
     matched.unpersist()
     if vacuum_keep_last is not None:

@@ -38,6 +38,12 @@ from pyspark.sql import DataFrame, SparkSession
 _POINTER = "_CURRENT"
 _COMMITTED = "_COMMITTED"
 _MANIFEST = "_MANIFEST.json"
+
+# DML DV work (delta + touched files' prior DV mass) at or under this
+# takes the driver dict path (one bounded collect + a driver parquet
+# write — fewer Spark jobs on a tiny batch); above it, construction is
+# executor-side and no position list ever reaches the driver
+_DV_INLINE_MAX = 100_000
 _LOCK = "_COMMIT_LOCK"
 _VERSION_RE = re.compile(r"^v(\d{8})$")
 _REMOTE_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
@@ -719,6 +725,30 @@ class VersionedParquetTable:
         if not dv:
             return np.empty(0, dtype=np.int64)
         return _dv_read_positions(self.root, dv["path"], entry["path"])
+
+    def _dv_commit_kwargs(
+        self, man: dict, delta_df: DataFrame, counts: dict
+    ) -> dict:
+        """Pick the DV-construction path for a DML commit and return
+        the matching ``commit_with_manifest`` kwargs.  SMALL work —
+        delta plus the touched files' prior DV mass at or under the
+        inline cap — collects the (bounded) positions and takes the
+        driver dict path: ONE small collect and a driver parquet
+        write, cheaper than the distributed path's extra Spark jobs
+        on a tiny batch.  Bigger work flows executor-side
+        (``dv_updates_df``); no position list above the cap ever
+        reaches the driver."""
+        prior = sum(
+            (e.get("dv") or {}).get("rows") or 0
+            for e in man["files"]
+            if e["path"] in counts
+        )
+        if sum(counts.values()) + prior <= _DV_INLINE_MAX:
+            dv_updates: dict[str, list] = {}
+            for r in delta_df.collect():
+                dv_updates.setdefault(r["__file"], []).append(r["__pos"])
+            return {"dv_updates": dv_updates}
+        return {"dv_updates_df": delta_df, "dv_delta_counts": counts}
 
     def _dv_write_sidecar_distributed(
         self,
@@ -2606,6 +2636,7 @@ class VersionedParquetTable:
                 }
             schema = StructType.fromJson(man["schema"])
             inv = _inverse_mapping_of(man)
+            dv_kw = self._dv_commit_kwargs(man, hits, counts)
             new_v = self.commit_with_manifest(
                 spark.createDataFrame([], schema),
                 inv.get(man["key"], man["key"]),
@@ -2617,10 +2648,9 @@ class VersionedParquetTable:
                 or None,
                 app_metadata=man.get("app_metadata"),
                 expected_base_version=v,
-                dv_updates_df=hits,
-                dv_delta_counts=counts,
                 skip_data_write=True,
                 operation="DELETE",
+                **dv_kw,
             )
             return {
                 "version": new_v,
@@ -2729,6 +2759,9 @@ class VersionedParquetTable:
                 ]
             )
             inv = _inverse_mapping_of(man)
+            dv_kw = self._dv_commit_kwargs(
+                man, hits.select("__file", "__pos"), counts
+            )
             new_v = self.commit_with_manifest(
                 images,
                 inv.get(man["key"], man["key"]),
@@ -2740,9 +2773,8 @@ class VersionedParquetTable:
                 or None,
                 app_metadata=man.get("app_metadata"),
                 expected_base_version=v,
-                dv_updates_df=hits.select("__file", "__pos"),
-                dv_delta_counts=counts,
                 operation="UPDATE",
+                **dv_kw,
             )
             return {
                 "version": new_v,

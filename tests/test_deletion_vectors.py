@@ -618,7 +618,12 @@ class TestDistributedSidecar:
     the driver (only per-file counts do), and the validation that the
     driver path did in numpy rides the write job as an Observation."""
 
-    def test_sidecar_is_directory_and_sorted(self, spark, tmp_path):
+    def test_sidecar_is_directory_and_sorted(self, spark, tmp_path, monkeypatch):
+        from airflow_embeddings_pipeline_spark.sources import versioned as V
+
+        # force the distributed path at fixture scale (below the cap a
+        # DML this small takes the cheaper driver dict path)
+        monkeypatch.setattr(V, "_DV_INLINE_MAX", 0)
         root = str(tmp_path / "t")
         t = _mk(spark, root, n=10_000, parts=8)
         t.delete_where(spark, "k % 5 = 2")
@@ -693,8 +698,11 @@ class TestDistributedSidecar:
             )
 
     def test_fully_deleted_file_dropped_from_manifest(
-        self, spark, tmp_path
+        self, spark, tmp_path, monkeypatch
     ):
+        from airflow_embeddings_pipeline_spark.sources import versioned as V
+
+        monkeypatch.setattr(V, "_DV_INLINE_MAX", 0)  # distributed path
         root = str(tmp_path / "t")
         t = _mk(spark, root, n=1000, parts=4)
         man1 = t.manifest(1)

@@ -60,10 +60,17 @@ def main() -> int:
         VersionedParquetTable,
     )
 
+    # size the session to the SF (the repo's own scale guidance): the
+    # end-of-run purge rewrites the full live mass, and a 250M-row run
+    # shuffle-anti-joins a ~100M-position DV — 32 partitions on a 16g
+    # heap hit UNABLE_TO_ACQUIRE_MEMORY; over-partitioning is cheap
+    # (AQE coalesces) and the host has the RAM
+    shuffle_parts = max(32, n_rows // 2_000_000)
     spark = (
         SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
