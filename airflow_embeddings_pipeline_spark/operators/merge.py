@@ -856,15 +856,12 @@ def _mor_merge_attempt(
     matched = subset_pos.join(sk, on=list(keys), how="left_semi").select(
         "__file", "__pos"
     )
-    # rewrite-scale guard via a bounded per-file count collect (#files
-    # rows); the positions themselves never cross the driver — the
-    # commit writes the DV sidecar executor-side (dv_updates_df)
+    # probe-first plan (versioned._dv_plan): a small matched set
+    # resolves in one bounded collect and a driver sidecar (the r8
+    # commit shape); a big one runs a per-file counts job and writes
+    # the sidecar executor-side — positions never cross the driver
     matched.persist()
-    dv_counts = {
-        r["__file"]: r["count"]
-        for r in matched.groupBy("__file").count().collect()
-    }
-    n_dv = sum(dv_counts.values())
+    n_dv, n_dv_files, dv_kw = table._dv_plan(prior_man, matched)
     if n_dv > max_dv_rows:
         matched.unpersist()
         return None  # rewrite-scale update: copy-on-write is the plan
@@ -906,11 +903,7 @@ def _mor_merge_attempt(
         retired_physical=prior_man.get("retired_physical") or [],
         bloom_columns=prior_man.get("bloom_columns") or [],
         operation="MERGE[mor]",
-        **(
-            table._dv_commit_kwargs(prior_man, matched, dv_counts)
-            if dv_counts
-            else {}
-        ),
+        **(dv_kw if n_dv else {}),
     )
     matched.unpersist()
     if vacuum_keep_last is not None:
@@ -932,7 +925,7 @@ def _mor_merge_attempt(
         "pruning": pruning,
         "write_mode": "mor",
         "dv_rows_added": int(n_dv),
-        "dv_files": len(dv_counts),
+        "dv_files": int(n_dv_files),
     }
 
 

@@ -726,29 +726,53 @@ class VersionedParquetTable:
             return np.empty(0, dtype=np.int64)
         return _dv_read_positions(self.root, dv["path"], entry["path"])
 
-    def _dv_commit_kwargs(
-        self, man: dict, delta_df: DataFrame, counts: dict
-    ) -> dict:
-        """Pick the DV-construction path for a DML commit and return
-        the matching ``commit_with_manifest`` kwargs.  SMALL work —
-        delta plus the touched files' prior DV mass at or under the
-        inline cap — collects the (bounded) positions and takes the
-        driver dict path: ONE small collect and a driver parquet
-        write, cheaper than the distributed path's extra Spark jobs
-        on a tiny batch.  Bigger work flows executor-side
-        (``dv_updates_df``); no position list above the cap ever
-        reaches the driver."""
-        prior = sum(
-            (e.get("dv") or {}).get("rows") or 0
-            for e in man["files"]
-            if e["path"] in counts
+    def _dv_plan(self, man: dict, delta_df: DataFrame):
+        """Pick the DV-construction path for a DML commit: returns
+        ``(n_delta, files_affected, commit_kwargs)``.
+
+        Probe-first: one ``limit(cap + 1)`` collect bounds the driver
+        at ~100k rows.  A SMALL delta (and small prior DV mass on its
+        touched files) then takes the driver dict path — the probe
+        already holds every position, so the whole decision plus
+        sidecar costs ONE Spark job, the r8 commit shape.  A big delta
+        falls through to an exact per-file counts job (the
+        rewrite-scale guard's input) and the executor-side sidecar
+        write; no position list above the cap ever reaches the
+        driver."""
+        probe = delta_df.limit(_DV_INLINE_MAX + 1).collect()
+        if len(probe) <= _DV_INLINE_MAX:
+            counts: dict[str, int] = {}
+            for r in probe:
+                counts[r["__file"]] = counts.get(r["__file"], 0) + 1
+            prior = sum(
+                (e.get("dv") or {}).get("rows") or 0
+                for e in man["files"]
+                if e["path"] in counts
+            )
+            if len(probe) + prior <= _DV_INLINE_MAX:
+                dv_updates: dict[str, list] = {}
+                for r in probe:
+                    dv_updates.setdefault(r["__file"], []).append(
+                        r["__pos"]
+                    )
+                return len(probe), len(counts), {"dv_updates": dv_updates}
+            # small delta over HEAVY priors: the union must not read
+            # the prior mass to the driver — executor-side write, with
+            # the delta counts already exact from the probe
+            return (
+                len(probe),
+                len(counts),
+                {"dv_updates_df": delta_df, "dv_delta_counts": counts},
+            )
+        counts = {
+            r["__file"]: r["count"]
+            for r in delta_df.groupBy("__file").count().collect()
+        }
+        return (
+            sum(counts.values()),
+            len(counts),
+            {"dv_updates_df": delta_df, "dv_delta_counts": counts},
         )
-        if sum(counts.values()) + prior <= _DV_INLINE_MAX:
-            dv_updates: dict[str, list] = {}
-            for r in delta_df.collect():
-                dv_updates.setdefault(r["__file"], []).append(r["__pos"])
-            return {"dv_updates": dv_updates}
-        return {"dv_updates_df": delta_df, "dv_delta_counts": counts}
 
     def _dv_write_sidecar_distributed(
         self,
@@ -829,8 +853,11 @@ class VersionedParquetTable:
             )
             .select("_path", "_pos")
         )
+        # size output files to the position mass (~4 B/row on disk):
+        # a medium DML should not mint 32 tiny part files per commit
+        nparts = min(32, max(1, int(expected_rows) // 4_000_000 + 1))
         (
-            full.repartition(min(32, max(1, len(alive))), "_path")
+            full.repartition(nparts, "_path")
             .sortWithinPartitions("_path", "_pos")
             .write.mode("overwrite")
             .parquet(out)
@@ -2612,14 +2639,10 @@ class VersionedParquetTable:
         hits = frame.filter(F.expr(condition)).select("__file", "__pos")
         hits.persist()
         try:
-            # the rewrite-scale guard collects PER-FILE counts (#files
-            # rows), never positions — the positions flow executor-side
-            # into the sidecar write (dv_updates_df)
-            counts = {
-                r["__file"]: r["count"]
-                for r in hits.groupBy("__file").count().collect()
-            }
-            n_hits = sum(counts.values())
+            # probe-first plan: small deltas resolve in ONE bounded
+            # collect (driver sidecar); big deltas run a per-file
+            # counts job and write the sidecar executor-side
+            n_hits, n_files, dv_kw = self._dv_plan(man, hits)
             if n_hits > max_dv_rows:
                 raise ValueError(
                     f"{self.root}: delete_where matched {n_hits} rows, "
@@ -2636,7 +2659,6 @@ class VersionedParquetTable:
                 }
             schema = StructType.fromJson(man["schema"])
             inv = _inverse_mapping_of(man)
-            dv_kw = self._dv_commit_kwargs(man, hits, counts)
             new_v = self.commit_with_manifest(
                 spark.createDataFrame([], schema),
                 inv.get(man["key"], man["key"]),
@@ -2655,7 +2677,7 @@ class VersionedParquetTable:
             return {
                 "version": new_v,
                 "rows_deleted": int(n_hits),
-                "files_affected": len(counts),
+                "files_affected": int(n_files),
             }
         finally:
             hits.unpersist()
@@ -2721,11 +2743,9 @@ class VersionedParquetTable:
         hits = frame.filter(F.expr(condition))
         hits.persist()  # one scan serves the guard, images, and DV job
         try:
-            counts = {
-                r["__file"]: r["count"]
-                for r in hits.groupBy("__file").count().collect()
-            }
-            n_hits = sum(counts.values())
+            n_hits, n_files, dv_kw = self._dv_plan(
+                man, hits.select("__file", "__pos")
+            )
             if n_hits > max_dv_rows:
                 raise ValueError(
                     f"{self.root}: update_where matched {n_hits} rows, "
@@ -2759,9 +2779,6 @@ class VersionedParquetTable:
                 ]
             )
             inv = _inverse_mapping_of(man)
-            dv_kw = self._dv_commit_kwargs(
-                man, hits.select("__file", "__pos"), counts
-            )
             new_v = self.commit_with_manifest(
                 images,
                 inv.get(man["key"], man["key"]),
@@ -2779,7 +2796,7 @@ class VersionedParquetTable:
             return {
                 "version": new_v,
                 "rows_updated": int(n_hits),
-                "files_affected": len(counts),
+                "files_affected": int(n_files),
             }
         finally:
             hits.unpersist()

@@ -62,6 +62,31 @@ def main() -> None:
         jobs = sc.statusTracker().getJobIdsForGroup(group)
         results[label] = len(jobs)
         print(f"{label}: {len(jobs)} jobs")
+
+    # merge-on-read small batch: the r9 hybrid must keep the job count
+    # flat (counts job + driver dict sidecar — no executor-side write
+    # jobs below the 100k-position inline bound)
+    path = os.path.join(tmp, "mor_small_batch")
+    t = VersionedParquetTable(path)
+    base = spark.range(200_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("price"),
+        F.lit("base").alias("status"),
+    )
+    t.commit_with_manifest(base, "k", cluster_partitions=8)
+    src = spark.createDataFrame(
+        [(i * 400, -1.0, "u") for i in range(500)],
+        "k long, price double, status string",
+    )
+    group = "commit-mor_small_batch"
+    sc.setJobGroup(group, "mor_small_batch")
+    merge_upsert_write_pruned(
+        path, src, "k", write_mode="mor", vacuum_keep_last=None
+    )
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    results["mor_small_batch"] = len(jobs)
+    print(f"mor_small_batch: {len(jobs)} jobs")
     print({"jobs_per_commit": results})
 
 
