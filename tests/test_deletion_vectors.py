@@ -785,6 +785,35 @@ class TestReorg:
         assert t.history()[0]["operation"] == "OPTIMIZE[purge-dv]"
 
 
+    def test_small_delta_over_heavy_priors_stays_executor_side(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """_dv_plan's middle branch: the probe is small but the touched
+        files' PRIOR DV mass exceeds the inline cap — the union must
+        not read that mass to the driver, so the commit takes the
+        executor-side path with probe-derived exact counts."""
+        from airflow_embeddings_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, n=2_000, parts=2)
+        # first wave: 200 positions (dict path at the patched cap)
+        monkeypatch.setattr(V, "_DV_INLINE_MAX", 300)
+        r1 = t.delete_where(spark, "k % 10 = 3")
+        assert r1["rows_deleted"] == 200
+        # second wave: probe 200 <= 300 but prior 200 pushes past the
+        # cap -> df path; assert the directory sidecar form proves it
+        r2 = t.delete_where(spark, "k % 10 = 7")
+        assert r2["rows_deleted"] == 200
+        man = t.manifest(t.current_version())
+        dv_refs = {e["dv"]["path"] for e in man["files"] if e.get("dv")}
+        assert len(dv_refs) == 1
+        assert os.path.isdir(os.path.join(root, dv_refs.pop()))
+        assert t.read(spark).count() == 1_600
+        assert t.read(spark).filter("k % 10 in (3, 7)").count() == 0
+        # per-file rows exact: delta counts + prior, no double count
+        assert sum(e["dv"]["rows"] for e in man["files"] if e.get("dv")) == 400
+
+
 class TestCloneDvSpark:
     def test_clone_spark_dv_remap_matches_driver_path(
         self, spark, tmp_path
