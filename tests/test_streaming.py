@@ -1164,13 +1164,18 @@ def test_stream_cdf_resume_across_rename_checkpoint(spark, tmp_path):
     )
 
 
-def test_stream_cdf_big_dv_ships_sidecar_refs(spark, tmp_path):
+def test_stream_cdf_big_dv_ships_sidecar_refs(spark, tmp_path, monkeypatch):
     """Position sets above the inline cap ship as sidecar REFERENCES
     resolved worker-side (never pickled into the spec); the drained
     feed equals the batch CDF either way.  The cap is passed as a
     source OPTION (a monkeypatched module constant would not reach the
     streaming source-runner subprocess) so the ref path runs at
-    fixture scale."""
+    fixture scale — and the DELETES are forced through the distributed
+    sidecar write, so the worker resolves refs against DIRECTORY-form
+    sidecars (pq.read_table dataset filters)."""
+    from airflow_embeddings_pipeline_spark.sources import versioned as V
+
+    monkeypatch.setattr(V, "_DV_INLINE_MAX", 0)  # directory sidecars
     root, t = _cdf_table(spark, tmp_path, "cdf_bigdv")
     # v2: MoR delete of 100 rows (>> tiny cap) — a dv-changed pair
     t.delete_where(spark, "k % 10 = 3")
