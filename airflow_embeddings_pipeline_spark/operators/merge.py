@@ -861,9 +861,49 @@ def _mor_merge_attempt(
     # commit shape); a big one runs a per-file counts job and writes
     # the sidecar executor-side — positions never cross the driver
     matched.persist()
+    try:
+        return _mor_commit(
+            table, prior_man, source, keys, matched,
+            touched_entries=touched_entries, carried=carried,
+            base_version=base_version, update_columns=update_columns,
+            schema_evolution=schema_evolution, delete_when=delete_when,
+            evolution_exclude=evolution_exclude,
+            app_metadata=app_metadata,
+            vacuum_keep_last=vacuum_keep_last,
+            max_dv_rows=max_dv_rows, n_src=n_src, pruning=pruning,
+            subset_pos=subset_pos, sk=sk,
+        )
+    finally:
+        # unpersist on EVERY exit — a SnapshotConflictError retry or
+        # any mid-commit failure must not leak the cached (file, pos)
+        # set into executor storage for the session's lifetime
+        matched.unpersist()
+
+
+def _mor_commit(
+    table,
+    prior_man: dict,
+    source: DataFrame,
+    keys: list[str],
+    matched: DataFrame,
+    *,
+    touched_entries,
+    carried,
+    base_version,
+    update_columns,
+    schema_evolution,
+    delete_when,
+    evolution_exclude,
+    app_metadata,
+    vacuum_keep_last,
+    max_dv_rows,
+    n_src,
+    pruning,
+    subset_pos,
+    sk,
+) -> dict | None:
     n_dv, n_dv_files, dv_kw = table._dv_plan(prior_man, matched)
     if n_dv > max_dv_rows:
-        matched.unpersist()
         return None  # rewrite-scale update: copy-on-write is the plan
 
     subset = subset_pos.drop("__file", "__pos")
@@ -905,7 +945,6 @@ def _mor_merge_attempt(
         operation="MERGE[mor]",
         **(dv_kw if n_dv else {}),
     )
-    matched.unpersist()
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)
     new_man = table.manifest(version) or {"files": []}

@@ -265,15 +265,37 @@ def _dv_write_sidecar(vdir: str, positions_by_path: dict) -> str:
 
 def _to_epoch_us(v) -> int:
     """One temporal probe value → epoch microseconds (int).  Accepts
-    datetime/date/pd.Timestamp/np.datetime64/ISO string; tz-aware
-    values convert through UTC (matching pyarrow's UTC-normalized
-    numpy conversion of tz-aware columns)."""
+    datetime/date/pd.Timestamp/np.datetime64/ISO string.
+
+    Naive-datetime semantics MATCH PySpark's own: ``TimestampType.
+    toInternal``/``fromInternal`` go through ``time.mktime``/
+    ``fromtimestamp`` (system-local), so a naive probe — a collected
+    row value or a filter-literal argument — localizes in the SYSTEM
+    timezone before converting to the UTC-normalized epoch the data
+    files store.  On a UTC host this is the identity; on any other it
+    is what keeps the bloom's hash equal to the storage the exact
+    filter will match.  tz-aware values convert through UTC; DATE
+    values (no instant semantics) hash as their calendar-day midnight
+    unshifted."""
+    import datetime as _dt
+    import time as _time
+
     import pandas as pd
 
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return pd.Timestamp(v).value // 1000
+    if isinstance(v, _dt.datetime) and v.tzinfo is None:
+        return (
+            int(_time.mktime(v.timetuple())) * 1_000_000 + v.microsecond
+        )
     ts = pd.Timestamp(v)
     if ts.tzinfo is not None:
         ts = ts.tz_convert("UTC").tz_localize(None)
-    return ts.value // 1000
+        return ts.value // 1000
+    # strings / pd.Timestamp / np.datetime64 scalars: naive wall —
+    # same system-local rule as naive datetimes
+    py = ts.to_pydatetime()
+    return int(_time.mktime(py.timetuple())) * 1_000_000 + py.microsecond
 
 
 def _bloom_canon(values, kind: str | None = None):
@@ -1405,6 +1427,13 @@ class VersionedParquetTable:
             stats_columns=[
                 inv.get(c, c) for c in man.get("stats_columns") or []
             ] or None,
+            # the RESTORED version's row identity, like stats/mapping —
+            # an explicit (possibly empty) list, so the default
+            # inheritance cannot stamp the rolled-back head's identity
+            # onto data whose identity is the restore target's
+            key_columns=[
+                inv.get(c, c) for c in man.get("key_columns") or []
+            ],
             app_metadata=meta,
             column_mapping=man.get("column_mapping") or {},
             retired_physical=man.get("retired_physical") or [],
@@ -3121,6 +3150,13 @@ class VersionedParquetTable:
         bloom proves absence (~1% false-positive rate at 10 bits/row —
         a false positive costs a file read, never correctness)."""
 
+        # timestamp_ntz is deliberately ABSENT: NTZ stores wall time
+        # while naive python probes follow PySpark's system-local
+        # mktime semantics (_to_epoch_us) — on a non-UTC host the two
+        # diverge and the bloom would return false negatives.  Indexing
+        # NTZ needs per-column instant-vs-wall plumbing (the parquet
+        # isAdjustedToUTC flag) through build AND probe; reject until
+        # that exists.
         _BLOOMABLE = {
             "byte",
             "short",
@@ -3131,7 +3167,6 @@ class VersionedParquetTable:
             "string",
             "boolean",
             "timestamp",
-            "timestamp_ntz",
             "date",
         }
 
@@ -3438,12 +3473,68 @@ class VersionedParquetTable:
             new = side(
                 man_t, [pt[p] for p in sorted(set(pt) - set(pf))]
             )
-            if dv_changed:
-                # the DV delta is computed SPARK-SIDE (sidecars are
+            dv_mass = sum(
+                (ents[p].get("dv") or {}).get("rows") or 0
+                for p in dv_changed
+                for ents in (pf, pt)
+            )
+            if dv_changed and dv_mass <= 1_000_000:
+                # small delta: the r8 driver path — ONE sidecar read
+                # per side, exact numpy setdiff, no extra Spark jobs
+                # (the overwhelmingly common daily-commit shape)
+                import numpy as np
+
+                gone, back = {}, {}
+                for p in dv_changed:
+                    po = self._dv_positions_of(pf[p])
+                    pn = self._dv_positions_of(pt[p])
+                    d = np.setdiff1d(pn, po)
+                    r = np.setdiff1d(po, pn)
+                    if len(d):
+                        gone[p] = d
+                    if len(r):
+                        back[p] = r
+
+                def _pos_frame(m):
+                    from pyspark.sql.types import (
+                        LongType,
+                        StringType,
+                        StructField,
+                        StructType,
+                    )
+
+                    return spark.createDataFrame(
+                        [(p, int(i)) for p, arr in m.items() for i in arr],
+                        StructType(
+                            [
+                                StructField("_path", StringType(), False),
+                                StructField("_pos", LongType(), False),
+                            ]
+                        ),
+                    )
+
+                if gone:
+                    old = old.unionByName(
+                        self._read_entry_positions_df(
+                            spark, man_f, pf, sorted(gone), _pos_frame(gone)
+                        )
+                    )
+                if back:
+                    new = new.unionByName(
+                        self._read_entry_positions_df(
+                            spark, man_t, pt, sorted(back), _pos_frame(back)
+                        )
+                    )
+            elif dv_changed:
+                # big delta: computed SPARK-SIDE (sidecars are
                 # parquet: read, anti-join each direction) — a 100M-row
                 # MoR delete's change feed must not collect its
                 # positions to the driver.  Only the per-file HIT list
                 # (#files rows) is collected, to scan just those files.
+                # The anti-join recomputes once when the feed is
+                # consumed (bounded sidecar reads — the data-file scan
+                # dominates at this mass; materializing a scratch copy
+                # to save it is not worth the lifecycle).
                 def side_positions(ents):
                     by_sc: dict[str, list] = {}
                     for p in dv_changed:

@@ -585,17 +585,25 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 return None
             tabs = []
             for p, take, skip in specs:
-                t = pq.read_table(p)
                 if take is not None:
-                    # positions index the ORIGINAL file; mutually
-                    # exclusive with skip by construction
-                    t = t.take(pa.array(_resolve_positions(take)))
+                    # resolve the positions BEFORE touching the data
+                    # file: a ("diff", ...) direction is often empty
+                    # (a pure MoR delete has no un-deleted rows), and
+                    # reading a full data file to take zero rows would
+                    # double the step's I/O for nothing
+                    pos = _resolve_positions(take)
+                    if len(pos) == 0:
+                        continue
+                    t = pq.read_table(p).take(pa.array(pos))
                 elif skip is not None:
+                    t = pq.read_table(p)
                     keep = np.setdiff1d(
                         np.arange(t.num_rows, dtype=np.int64),
                         _resolve_positions(skip),
                     )
                     t = t.take(pa.array(keep))
+                else:
+                    t = pq.read_table(p)
                 cols = []
                 for f, pn in zip(target, phys):
                     if pn in t.column_names:
@@ -606,7 +614,9 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         col = pa.nulls(t.num_rows, type=f.type)
                     cols.append(col)
                 tabs.append(pa.table(cols, schema=target))
-            return pa.concat_tables(tabs)
+            # every spec may have resolved empty (all-empty diff
+            # directions): an absent side, same as no specs at all
+            return pa.concat_tables(tabs) if tabs else None
 
         old_t, new_t = load(partition.removed), load(partition.added)
         keys, payload = partition.keys, partition.payload

@@ -2635,3 +2635,39 @@ def test_change_feed_identity_prefers_recorded_key_columns(spark, tmp_path):
     )
     with pytest.warns(UserWarning, match="key_columns"):
         t3.changes_between(spark, 1, 2).count()
+
+
+def test_restore_stamps_restored_versions_key_columns(spark, tmp_path):
+    """RESTORE must stamp the RESTORED version's row identity, not
+    inherit the rolled-back head's — the change feed would otherwise
+    default to the wrong join identity over the restored data."""
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    root = str(tmp_path / "t")
+    t = VersionedParquetTable(root)
+    df = spark.range(100).selectExpr(
+        "id % 10 as k1", "id as k2", "concat('v', id) as s"
+    )
+    t.commit_with_manifest(
+        df, "k1", stats_columns=["k1", "k2"], key_columns=["k1", "k2"]
+    )
+    # head narrows the identity
+    t.commit_with_manifest(
+        df.withColumn("s", F.expr("concat('w', k2)")),
+        "k1",
+        stats_columns=["k1", "k2"],
+        key_columns=["k2"],
+    )
+    assert t.manifest(2)["key_columns"] == ["k2"]
+    t.restore(spark, 1)
+    man = t.manifest(t.current_version())
+    assert man["key_columns"] == ["k1", "k2"]  # the restored identity
+    # and restoring to a version WITHOUT identity records none
+    root2 = str(tmp_path / "t2")
+    t2 = VersionedParquetTable(root2)
+    t2.commit_with_manifest(df, "k1")
+    t2.commit_with_manifest(df, "k1", key_columns=["k1", "k2"])
+    t2.restore(spark, 1)
+    assert not t2.manifest(t2.current_version()).get("key_columns")
