@@ -2486,7 +2486,34 @@ class VersionedParquetTable:
     def _lock_path(self) -> str:
         return os.path.join(self.root, _LOCK)
 
-    def _acquire_lock(self) -> None:
+    # how long _acquire_lock waits for a LIVE holder before raising
+    # ConcurrentCommitError.  Waiting is the right default: a held
+    # lock, unlike a CAS conflict, invalidates NOTHING the caller
+    # computed — forcing an immediate raise makes racing writers burn
+    # a full merge recompute per lock probe (the concurrent-merge
+    # stress starved on a slow host exactly that way).  Delta writers
+    # wait on the log store the same way; the CAS still catches a
+    # snapshot that moved while waiting.  Set to 0 for the immediate
+    # raise-and-let-the-caller-backoff behavior.
+    lock_wait_seconds: float = 60.0
+
+    def _acquire_lock(self, wait_seconds: float | None = None) -> None:
+        import random
+        import time
+
+        wait = (
+            self.lock_wait_seconds if wait_seconds is None else wait_seconds
+        )
+        deadline = time.monotonic() + max(0.0, wait)
+        while True:
+            try:
+                return self._try_acquire_lock_once()
+            except ConcurrentCommitError:
+                if time.monotonic() >= deadline:
+                    raise
+                time.sleep(random.uniform(0.02, 0.15))
+
+    def _try_acquire_lock_once(self) -> None:
         os.makedirs(self.root, exist_ok=True)
         for _ in range(2):  # second pass only after stale-lock steal
             try:

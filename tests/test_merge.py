@@ -155,6 +155,7 @@ def test_versioned_concurrent_commit_one_wins(spark, tmp_path):
 
     root = str(tmp_path / "concurrent")
     table = VersionedParquetTable(root)
+    table.lock_wait_seconds = 0  # immediate raise: the race is the test
     df = spark.range(5).withColumnRenamed("id", "k")
 
     started = threading.Event()
@@ -201,6 +202,7 @@ def test_versioned_stale_lock_stolen_live_lock_respected(spark, tmp_path):
 
     root = str(tmp_path / "stale")
     table = VersionedParquetTable(root)
+    table.lock_wait_seconds = 0  # immediate raise: holder liveness is the test
     df = spark.range(3).withColumnRenamed("id", "k")
     _os.makedirs(root, exist_ok=True)
     lock = _os.path.join(root, "_COMMIT_LOCK")
