@@ -30,10 +30,13 @@ Semantics notes:
   dropped by the null-safe row comparison — maintenance commits emit
   zero changes.
 * the source schema is fixed at stream start (current manifest schema
-  + the two meta columns).  A later commit whose schema adds columns
-  raises loudly in the reading partition — restart the stream with a
-  fresh checkpoint to pick up the evolved schema (Delta fails the same
-  way).
+  + the two meta columns).  A later PURE-RENAME commit (column
+  mapping: same types and positions, physical identity intact)
+  CONTINUES under the stream-start names — the files' bytes are the
+  same columns, read by physical name.  A commit that adds/drops
+  columns or changes a type raises loudly in the planning step —
+  restart the stream with a fresh checkpoint to pick up the evolved
+  schema (Delta fails the same way without schema tracking).
 """
 
 from __future__ import annotations
