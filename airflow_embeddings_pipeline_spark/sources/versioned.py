@@ -600,6 +600,10 @@ class VersionedParquetTable:
 
     def __init__(self, root: str):
         self.root = _check_local(root).rstrip("/")
+        # bloom sidecar loads, memoized ACROSS lookups (sidecars are
+        # immutable files, so no invalidation; bounded below): repeated
+        # point lookups on the same instance stop re-reading them
+        self._bloom_sidecar_cache: dict[str, dict] = {}
 
     # ------------------------------------------------------------ state
     def _pointer_path(self) -> str:
@@ -3260,7 +3264,9 @@ class VersionedParquetTable:
 
         p = _mapping_of(man).get(column, column)
         vals = list(values)
-        cache: dict = {}
+        cache = self._bloom_sidecar_cache
+        if len(cache) > 64:  # bound driver memory on huge tables
+            cache.clear()
         kept = []
         for e in man["files"]:
             if man.get("key") == p:
