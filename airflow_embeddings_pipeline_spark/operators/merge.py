@@ -474,7 +474,11 @@ def _pruned_merge_attempt(
     prune key (the full key tuple for composite keys) in the batch,
     on every tier.
     """
-    from ..sources.versioned import VersionedParquetTable
+    from ..sources.versioned import (
+        VersionedParquetTable,
+        _stat_canon,
+        _stat_restore,
+    )
 
     spark = source.sparkSession
     table = VersionedParquetTable(target_path)
@@ -550,12 +554,21 @@ def _pruned_merge_attempt(
         # per-column stats ranges: bisect the lead-sorted tuples into
         # the file's lead window, then check the trailing columns'
         # recorded ranges (composite keys prune on EVERY column with
-        # stats, not just the leading one)
-        tuples = sorted(
-            (tuple(r) for r in head if r[0] is not None),
-            key=lambda t: t[0],
+        # stats, not just the leading one).  Range comparisons run in
+        # the stats' canonical space (temporal keys → epoch-us, see
+        # _stat_value); bloom probes keep the ORIGINAL values —
+        # _bloom_canon does its own canonicalization per persisted kind
+        pairs = sorted(
+            (
+                (tuple(_stat_canon(v) for v in r), tuple(r))
+                for r in head
+                if r[0] is not None
+            ),
+            key=lambda p: p[0][0],
         )
-        leads = [t[0] for t in tuples]
+        ctuples = [p[0] for p in pairs]
+        tuples = [p[1] for p in pairs]
+        leads = [c[0] for c in ctuples]
         pruning = "exact"
         _bloom_cache: dict = {}
 
@@ -567,13 +580,13 @@ def _pruned_merge_attempt(
 
             cands = []
             j = bisect.bisect_left(leads, rs[0][0])
-            while j < len(tuples) and tuples[j][0] <= rs[0][1]:
-                t = tuples[j]
+            while j < len(ctuples) and ctuples[j][0] <= rs[0][1]:
+                ct = ctuples[j]
                 if all(
                     r is None or v is None or r[0] <= v <= r[1]
-                    for r, v in zip(rs[1:], t[1:])
+                    for r, v in zip(rs[1:], ct[1:])
                 ):
-                    cands.append(t)
+                    cands.append(tuples[j])
                 j += 1
             if not cands:
                 return False
@@ -628,11 +641,22 @@ def _pruned_merge_attempt(
                 kt = schema[kcol].dataType
                 fields.append(StructField(f"lo{i}", kt, True))
                 fields.append(StructField(f"hi{i}", kt, True))
+            # stats are stored canonically (temporal → epoch-us int);
+            # the broadcast range frame is TYPED per key column, so
+            # restore each bound to the value Spark round-trips
+            ktypes = [schema[k].dataType for k in keys]
             rows = []
             for i, rs in ranged:
                 row = [i]
-                for r in rs:
-                    row.extend([None, None] if r is None else [r[0], r[1]])
+                for kt_j, r in zip(ktypes, rs):
+                    row.extend(
+                        [None, None]
+                        if r is None
+                        else [
+                            _stat_restore(r[0], kt_j),
+                            _stat_restore(r[1], kt_j),
+                        ]
+                    )
                 rows.append(tuple(row))
             rdf = spark.createDataFrame(rows, StructType(fields))
             cond = None
@@ -747,7 +771,20 @@ def _pruned_merge_attempt(
             bands[-1] = (bands[-1][0], max(bands[-1][1], hi))
         else:
             bands.append((lo, hi))
-    split = bands if len(bands) > 1 else (bands[0] if bands else None)
+    # bands are computed in the stats' canonical space (temporal keys
+    # store epoch-us ints); the commit's band predicates compare the
+    # ACTUAL key column, so restore typed bounds for append_split while
+    # band_rows below keeps comparing stats-to-stats
+    _lead_dt = schema[lead].dataType
+    typed_bands = [
+        (_stat_restore(lo, _lead_dt), _stat_restore(hi, _lead_dt))
+        for lo, hi in bands
+    ]
+    split = (
+        typed_bands
+        if len(typed_bands) > 1
+        else (typed_bands[0] if typed_bands else None)
+    )
     # per-band row estimates from the manifest stats the prune already
     # holds (each ranged touched file lies inside exactly one band):
     # they size the commit's first band write so it needs no dedicated

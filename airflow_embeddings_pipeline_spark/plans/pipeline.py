@@ -943,6 +943,112 @@ register(
 )
 
 
+# --------------------------------------- OPTIMIZE ZORDER BY read path
+# Multi-dimensional clustering ON THE FILE LAYOUT (the o_zorder_layout
+# entry proves the curve's per-prefix containment; this one runs the
+# real thing): a key-clustered versioned table is rewritten along the
+# Morton curve over (k, c) by optimize_zorder — equi-depth
+# approxQuantile cuts, JVM-side bucket + bit-interleave, no UDFs —
+# and then READ through read_range on the SECONDARY dimension c,
+# which under plain key clustering cannot skip a single file.  The
+# oracle is the plain BETWEEN over the raw table: passing proves the
+# z rewrite is layout-only AND the pruned read is exact; the skip
+# cardinality itself (≈ F^(1/2) of F files vs all F) is
+# unit-asserted in tests/test_zorder.py.
+def s_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    path = _scratch_dir("/tmp/spark_graft_zorder_read", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(
+        target, "k", cluster_partitions=16, stats_columns=["k", "c"]
+    )
+    table.optimize_zorder(spark, ["k", "c"], buckets=32, cluster_partitions=16)
+    return table.read_range(spark, "c", 40, 80).orderBy("k")
+
+
+register(
+    Query(
+        name="s_zorder_read",
+        build=s_zorder_read,
+        oracle="""
+        SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+        WHERE o_custkey BETWEEN 40 AND 80
+        ORDER BY k
+        """,
+        doc=(
+            "OPTIMIZE ZORDER BY (k, c): Morton-curve file layout via "
+            "equi-depth quantile buckets + bit interleave (no UDFs), then "
+            "read_range on the SECONDARY dimension — oracled against the "
+            "plain BETWEEN; proves the rewrite is layout-only and the "
+            "multi-dim skip is exact (S4/S9+ at 100 TB; skip counts "
+            "unit-asserted)"
+        ),
+        tags=("S4", "S9", "scale", "pruning"),
+    )
+)
+
+
+# ------------------------------------------ temporal stats read path
+# Timestamps are the dominant predicate dimension of an events table
+# at 100 TB, and parquet temporal footer stats USED to be dropped
+# (None = always-touched) — read_range on ts scanned every file.
+# Temporal stats now canonicalize to epoch-us ints in the manifest
+# (TIMESTAMP_MICROS output; the bloom layer's vetted representation),
+# so a ts-keyed table prunes time windows like any int key.  The
+# entry stages the events fixture keyed ON ts and reads one morning
+# window back; the oracle is the plain BETWEEN.  Pruned-MERGE and
+# point-lookup behavior on ts keys is pinned in
+# tests/test_temporal_stats.py.
+def s_time_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from ..sources.versioned import VersionedParquetTable
+
+    events = load_table(spark, sf_dir, "events")
+    target = events.select("event_id", "ts", "user_id", "event_type")
+    path = _scratch_dir("/tmp/spark_graft_time_range", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "ts", cluster_partitions=16)
+    return table.read_range(
+        spark,
+        "ts",
+        datetime.datetime(2024, 1, 1, 2, 0, 0),
+        datetime.datetime(2024, 1, 1, 6, 0, 0),
+    ).orderBy("event_id")
+
+
+register(
+    Query(
+        name="s_time_range_read",
+        build=s_time_range_read,
+        oracle="""
+        SELECT event_id, ts, user_id, event_type
+        FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-01 02:00:00'
+                     AND TIMESTAMP '2024-01-01 06:00:00'
+        ORDER BY event_id
+        """,
+        doc=(
+            "temporal file statistics: ts-keyed versioned table prunes a "
+            "time-window read via epoch-us manifest stats (timestamps "
+            "formerly had NO footer-stats skipping at all) — oracled "
+            "against the plain BETWEEN (S1/S4 at 100 TB; merge pruning on "
+            "ts keys unit-asserted)"
+        ),
+        tags=("S1", "S4", "scale", "pruning"),
+    )
+)
+
+
 # ------------------------------------ streaming MERGE (pruned sink)
 # The reference's daily loop as ONE driver-gated catalog query: a
 # file-source stream (AvailableNow) of the staged batch runs through

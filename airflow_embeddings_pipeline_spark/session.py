@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Read-side split sizing: 128 MB splits keep 100 TB ≈ 800k tasks.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # INT96 (the legacy default) carries NO parquet footer min/max,
+        # which silently disables every stats-based file-skipping path
+        # for timestamp columns (read_range, pruned MERGE, z-order);
+        # TIMESTAMP_MICROS is the modern interoperable physical type
+        # and statistics-complete.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -126,7 +126,20 @@ def _stat_value(v):
     """Normalize a parquet footer min/max into a JSON-serializable,
     order-preserving Python value, or None when the type isn't safely
     comparable across the footer/Spark boundary (falls back to
-    no-stats = always-touched, which is conservative)."""
+    no-stats = always-touched, which is conservative).
+
+    TEMPORAL stats canonicalize to EPOCH-MICROSECOND ints — the same
+    representation ``_bloom_canon`` uses (and for the same reason:
+    stringification is not a stable temporal form).  The manifest
+    schema tells every consumer whether an int stat means a count or
+    an instant; probe values canonicalize through :func:`_stat_canon`
+    and values flowing BACK into Spark (range-join frames, band
+    literals) restore through :func:`_stat_restore`.  Requires the
+    writer to emit TIMESTAMP_MICROS (session.py sets it): legacy INT96
+    pages carry no footer min/max at all, which is why timestamps had
+    NO skipping before this existed."""
+    import datetime as _dt
+
     if isinstance(v, bytes):
         try:
             return v.decode("utf-8")
@@ -134,9 +147,72 @@ def _stat_value(v):
             return None
     if isinstance(v, bool):  # bool before int: not a useful prune key
         return None
+    if isinstance(v, _dt.datetime):
+        import calendar
+
+        if v.tzinfo is not None:
+            off = v.utcoffset()
+            v = v.replace(tzinfo=None) - off
+        # naive footer stats are UTC wall: parquet stores the
+        # UTC-normalized epoch (isAdjustedToUTC), so timegm — not the
+        # system-local mktime the PROBE side uses for Spark-collected
+        # naive values (_to_epoch_us matches PySpark's fromInternal)
+        return (
+            calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+        )
+    if isinstance(v, _dt.date):
+        import calendar
+
+        return calendar.timegm(v.timetuple()) * 1_000_000
     if isinstance(v, (int, float, str)):
         return v
     return None
+
+
+def _stat_canon(v):
+    """Probe value → the comparison space of manifest stats: temporals
+    to epoch-microseconds via the bloom layer's vetted
+    :func:`_to_epoch_us` (naive datetimes localize system-local,
+    matching PySpark's own collect semantics), everything else
+    unchanged."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return _to_epoch_us(v)
+    try:
+        import numpy as np
+
+        if isinstance(v, np.datetime64):
+            return _to_epoch_us(v)
+    except ImportError:  # pragma: no cover
+        pass
+    return v
+
+
+def _stat_restore(v, data_type):
+    """Manifest stat → a typed Python value Spark's ``toInternal``
+    round-trips exactly (the inverse of :func:`_stat_canon`'s probe
+    rule): epoch-us ints become system-local naive datetimes for
+    TimestampType (PySpark ``fromInternal`` semantics) and calendar
+    dates for DateType; every other type passes through."""
+    import datetime as _dt
+
+    from pyspark.sql.types import DateType, TimestampType, TimestampNTZType
+
+    if v is None:
+        return None
+    if isinstance(data_type, TimestampType):
+        return _dt.datetime.fromtimestamp(v // 1_000_000) + _dt.timedelta(
+            microseconds=v % 1_000_000
+        )
+    if isinstance(data_type, TimestampNTZType):
+        # NTZ stores the WALL value's micros: no zone round trip
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+    if isinstance(data_type, DateType):
+        return (
+            _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+        ).date()
+    return v
 
 
 def scan_file_stats(
@@ -195,7 +271,15 @@ def scan_file_stats(
                     if st is None or not st.has_min_max:
                         ok = False
                         break
-                    mn, mx = _stat_value(st.min), _stat_value(st.max)
+                    try:
+                        # pyarrow raises on EXTRACTION for types it
+                        # cannot cast (decimal) even when has_min_max
+                        # says true — degrade to no-stats, never fail
+                        # the commit over an unprunable column
+                        mn, mx = _stat_value(st.min), _stat_value(st.max)
+                    except Exception:
+                        ok = False
+                        break
                     if mn is None or mx is None:
                         ok = False
                         break
@@ -1283,6 +1367,7 @@ class VersionedParquetTable:
             "constraints": dict(man.get("constraints") or {}),
             "column_mapping": dict(man.get("column_mapping") or {}),
             "operation": man.get("operation"),
+            "clustering": dict(man.get("clustering") or {}) or None,
         }
 
     def history(self) -> list[dict]:
@@ -1926,6 +2011,9 @@ class VersionedParquetTable:
         skip_data_write: bool = False,
         bloom_columns: list | None = None,
         operation: str | None = None,
+        cluster_by=None,
+        entry_flags: dict | None = None,
+        clustering: dict | None = None,
     ) -> int:
         """Commit ``df``'s rows as NEW data files plus ``carried``
         prior-version file entries BY REFERENCE, under one manifest.
@@ -2067,6 +2155,24 @@ class VersionedParquetTable:
         or a current mapping target), in which case a fresh
         ``<name>__v<version>`` physical name avoids colliding with the
         orphaned column still present in old files.
+
+        ``cluster_by`` — optional Column expression over the PHYSICAL
+        (post-mapping) output schema that replaces the default
+        key-range clustering for the new files (repartitionByRange +
+        sortWithinPartitions on the expression): how
+        :meth:`optimize_zorder` lays files out along a Morton curve
+        instead of the 1-D key.  Layout-only — same rows, same manifest
+        semantics; per-file stats are still collected on ``key`` +
+        ``stats_columns``.  Not combinable with ``append_split`` (band
+        layouts are definitionally key-range layouts).
+
+        ``entry_flags`` — optional dict merged into each NEW data-file
+        entry (e.g. ``{"clustered": "zorder"}``), carried verbatim by
+        later commits like every other entry field; ``maintain()``
+        reads it to exempt z-ordered files from the 1-D range-overlap
+        signal.  ``clustering`` — manifest-level marker describing the
+        table's last explicit clustering (inherited until replaced,
+        surfaced by :meth:`detail`).
         """
         from pyspark.sql import functions as F
 
@@ -2106,9 +2212,17 @@ class VersionedParquetTable:
                     or retired_physical is None
                     or constraints is None
                     or bloom_columns is None
+                    or clustering is None
                 )
                 else None
             )
+            if clustering is None:
+                clustering = (prior_man or {}).get("clustering")
+            if cluster_by is not None and append_split is not None:
+                raise ValueError(
+                    "cluster_by cannot combine with append_split: band "
+                    "layouts are key-range layouts by definition"
+                )
             if column_mapping is None:
                 column_mapping = dict(
                     (prior_man or {}).get("column_mapping") or {}
@@ -2179,11 +2293,12 @@ class VersionedParquetTable:
                 # sort is row-identical and sampling-free (the narrow
                 # daily-batch commit writes exactly one file, so this
                 # saves a job on the common path)
+                cexpr = cluster_by if cluster_by is not None else F.col(key)
                 if parts == 1:
-                    return sub.repartition(1).sortWithinPartitions(key)
+                    return sub.repartition(1).sortWithinPartitions(cexpr)
                 return sub.repartitionByRange(
-                    parts, F.col(key)
-                ).sortWithinPartitions(key)
+                    parts, cexpr
+                ).sortWithinPartitions(cexpr)
 
             if skip_data_write:
                 pass
@@ -2316,6 +2431,9 @@ class VersionedParquetTable:
                     vdir, key, relative_to=self.root, extra_columns=extras
                 )
             )
+            if entry_flags:
+                for e in new_entries:
+                    e.update(entry_flags)
             if bloom_columns is None:
                 bloom_columns = list(
                     (prior_man or {}).get("bloom_columns") or []
@@ -2469,6 +2587,8 @@ class VersionedParquetTable:
                 man["constraints"] = dict(constraints)
             if bloom_columns:
                 man["bloom_columns"] = list(bloom_columns)
+            if clustering:
+                man["clustering"] = dict(clustering)
             if operation:
                 # per-commit DESCRIBE HISTORY attribution (never
                 # inherited): what kind of write produced this version
@@ -3090,12 +3210,18 @@ class VersionedParquetTable:
         # compact's job — counting it would make one batch-scale
         # append look like a table-wide overlap component and trigger
         # a full-table recluster every pass
+        # z-ordered files are EXEMPT: a Morton layout's 1-D key ranges
+        # overlap by construction (that is the trade that buys
+        # secondary-column tightness) — counting them would make every
+        # maintain() after optimize_zorder trigger a full key-range
+        # recluster that destroys the layout it just paid for
         ranged = sorted(
             (
                 e
                 for e in files
                 if e.get("min") is not None
                 and e["bytes"] >= min_file_bytes
+                and e.get("clustered") != "zorder"
             ),
             key=lambda e: (e["min"], e["max"]),
         )
@@ -3163,6 +3289,225 @@ class VersionedParquetTable:
             "triggered": bool(actions),
             "signals": signals,
             "actions": actions,
+        }
+
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        columns: list | tuple,
+        *,
+        buckets: int = 32,
+        cluster_partitions: int | None = None,
+    ) -> dict:
+        """Delta ``OPTIMIZE ... ZORDER BY (cols)`` analog: rewrite the
+        live table with files laid out along a MORTON CURVE over
+        ``columns`` so that every file's [min, max] range is tight in
+        EVERY z column at once — multi-dimensional data skipping.
+        Single-key range clustering makes :meth:`read_range` /
+        :meth:`read_eq` on the key prune to O(selectivity) files but a
+        predicate on any OTHER column touches every file; the z layout
+        trades a little leading-key tightness for range stats that
+        prune on each dimension to ~F^((d-1)/d) of F files.
+
+        Fully distributed, no UDFs, bounded driver metadata:
+
+        1. EQUI-DEPTH cut points per column via ``approxQuantile``
+           (distributed Greenwald-Khanna sketch; the driver receives
+           ``buckets - 1`` doubles per column — centroid-scale, like
+           the IVF index build, never row-scale).  Equi-depth — not
+           equi-width — so skewed columns still spread across buckets.
+        2. Bucket assignment JVM-side: ``F.aggregate`` over the
+           broadcast cut array counts cuts <= value (NULLs fall into
+           bucket 0, matching range clustering's NULLS FIRST).
+        3. Bit interleave via ``shiftleft``/``shiftright``/``&`` —
+           plain integer arithmetic inside whole-stage codegen (the
+           ``o_zorder_layout`` catalog entry's expression, generalized
+           to k columns of independent bit widths).
+        4. One :meth:`commit_with_manifest` full rewrite clustered by
+           the z expression (``cluster_by``), stats recorded for every
+           z column, new entries flagged ``clustered: zorder`` so
+           ``maintain()``'s 1-D overlap signal exempts them (z files
+           overlap on the key BY DESIGN), and the manifest marked with
+           the ``clustering`` descriptor (surfaced by
+           :meth:`detail`).
+
+        Layout-only: content is byte-identical (unit-asserted),
+        deletion vectors are resolved by the rewrite (rows already
+        dropped from the read never reach the new files — same purge
+        effect as ``OPTIMIZE``), blooms/constraints/key identity are
+        inherited.  Later incremental merges append key-clustered
+        files, so the z layout DECAYS with new writes exactly as
+        Delta's does — re-run after large ingests.
+
+        Supported z-column types: integral, float/double, date,
+        timestamp.  Strings/decimals/binary are rejected loudly (a
+        hash-bucketed string has no meaningful min/max range; use
+        :meth:`add_bloom_index` for string equality skipping).
+
+        Scale: the rewrite reads and writes the live table once —
+        O(table) like any OPTIMIZE — with the z expression costing
+        ~``buckets`` integer comparisons per row per column inside
+        codegen; the sketch pass is a separate O(table) scan of just
+        the z columns (column-pruned).  At 100 TB you run this per
+        partition/ingest-unit, not as one job — the same operational
+        contract as Delta.
+        """
+        import math
+
+        from pyspark.sql import functions as F
+
+        if len(columns) < 2:
+            raise ValueError(
+                "optimize_zorder needs >= 2 columns — a single-column "
+                "z-order is exactly key-range clustering; use "
+                "commit_with_manifest's key for that"
+            )
+        if buckets < 4 or buckets > 1024:
+            raise ValueError("buckets must be in [4, 1024]")
+        v = self.current_version()
+        man = self.manifest(v) if v is not None else None
+        if man is None:
+            raise ValueError(
+                f"{self.root}: optimize_zorder() needs a committed "
+                "manifest version (adopt a plain table with any "
+                "commit_with_manifest / pruned merge first)"
+            )
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(man["schema"])
+        by_name = {f.name: f for f in schema.fields}
+        _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+        def _as_double(name) -> "object":
+            t = by_name[name].dataType.simpleString()
+            c = F.col(name)
+            if t in _NUMERIC:
+                return c.cast("double")
+            if t == "date":
+                return F.datediff(c, F.to_date(F.lit("1970-01-01"))).cast(
+                    "double"
+                )
+            if t.startswith("timestamp"):
+                return c.cast("double")  # epoch seconds
+            raise ValueError(
+                f"optimize_zorder: column {name!r} has type {t}, which "
+                "has no order-preserving numeric form — supported: "
+                "integral, float/double, date, timestamp (for string "
+                "equality skipping use add_bloom_index)"
+            )
+
+        for c in columns:
+            if c not in by_name:
+                raise ValueError(
+                    f"optimize_zorder: unknown column {c!r} "
+                    f"(schema: {sorted(by_name)})"
+                )
+            _as_double(c)  # type vet before any job runs
+        df = self.read(spark)
+        # -- 1. equi-depth cut points (one column-pruned sketch scan)
+        probs = [i / buckets for i in range(1, buckets)]
+        sketch = df.select(
+            *[_as_double(c).alias(f"__zq{j}") for j, c in enumerate(columns)]
+        )
+        rel_err = max(0.001, 0.5 / buckets)
+        all_cuts = sketch.approxQuantile(
+            [f"__zq{j}" for j in range(len(columns))], probs, rel_err
+        )
+        cuts = [sorted(set(cs)) for cs in all_cuts]
+        bits = [
+            max(1, math.ceil(math.log2(len(cs) + 1))) if cs else 0
+            for cs in cuts
+        ]
+        # -- 2+3. bucket + Morton interleave over PHYSICAL names (the
+        # cluster_by expression runs inside the commit, after the
+        # logical -> physical rename select)
+        mapping = _mapping_of(man)
+
+        def _bucket_expr(j: int, c: str):
+            t = by_name[c].dataType.simpleString()
+            pc = F.col(mapping.get(c, c))
+            val = (
+                pc.cast("double")
+                if t in _NUMERIC or t.startswith("timestamp")
+                else F.datediff(pc, F.to_date(F.lit("1970-01-01"))).cast(
+                    "double"
+                )
+            )
+            arr = F.array(*[F.lit(float(x)) for x in cuts[j]])
+            return F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, cut: acc
+                + F.when(val >= cut, F.lit(1)).otherwise(F.lit(0)),
+            )
+
+        terms = []
+        pos = 0
+        for i in range(max(bits) if bits else 0):
+            for j, c in enumerate(columns):
+                if i < bits[j]:
+                    terms.append(
+                        F.shiftleft(
+                            F.shiftright(_bucket_expr(j, c), i).bitwiseAND(
+                                F.lit(1)
+                            ),
+                            pos,
+                        )
+                    )
+                    pos += 1
+        if not terms:  # every z column constant/all-NULL: nothing to do
+            return {
+                "version": v,
+                "files_before": len(man["files"]),
+                "files_after": len(man["files"]),
+                "bytes_rewritten": 0,
+                "z_bits": 0,
+            }
+        z_expr = functools.reduce(operator.add, terms)
+        # -- 4. one full-rewrite commit clustered by the z value
+        files = man["files"]
+        live_bytes = sum(
+            int(
+                e["bytes"]
+                * (
+                    1 - (e["dv"]["rows"] / e["n_rows"])
+                    if e.get("dv") and e.get("n_rows")
+                    else 1
+                )
+            )
+            for e in files
+        )
+        n_out = cluster_partitions or max(1, live_bytes // (128 << 20) + 1)
+        inv = _inverse_mapping_of(man)
+        l_key = inv.get(man["key"], man["key"])
+        prior_stats = [inv.get(c, c) for c in man.get("stats_columns") or []]
+        stats = list(
+            dict.fromkeys([*(prior_stats or [l_key]), *columns])
+        )
+        new_v = self.commit_with_manifest(
+            df,
+            l_key,
+            carried=[],
+            cluster_partitions=n_out,
+            cluster_by=z_expr,
+            stats_columns=stats,
+            app_metadata=man.get("app_metadata"),
+            expected_base_version=v,
+            operation=f"OPTIMIZE[zorder({','.join(columns)})]",
+            entry_flags={"clustered": "zorder"},
+            clustering={
+                "type": "zorder",
+                "columns": list(columns),
+                "buckets": buckets,
+            },
+        )
+        new_man = self.manifest(new_v) or {"files": []}
+        return {
+            "version": new_v,
+            "files_before": len(files),
+            "files_after": len(new_man["files"]),
+            "bytes_rewritten": sum(e["bytes"] for e in new_man["files"]),
+            "z_bits": pos,
         }
 
     def add_bloom_index(self, column: str) -> int:
@@ -3264,6 +3609,10 @@ class VersionedParquetTable:
 
         p = _mapping_of(man).get(column, column)
         vals = list(values)
+        # range check in the stats' space (temporal → epoch-us); the
+        # bloom probe keeps the ORIGINAL values (_bloom_canon does its
+        # own temporal canonicalization against the persisted kind)
+        c_vals = [_stat_canon(v) for v in vals]
         cache = self._bloom_sidecar_cache
         if len(cache) > 64:  # bound driver memory on huge tables
             cache.clear()
@@ -3275,7 +3624,7 @@ class VersionedParquetTable:
                 s = (e.get("stats") or {}).get(p)
                 rng = (s[0], s[1]) if s else (None, None)
             if rng[0] is not None and rng[1] is not None:
-                if not any(rng[0] <= v <= rng[1] for v in vals):
+                if not any(rng[0] <= v <= rng[1] for v in c_vals):
                     continue
             bloom = self._bloom_of(e, p, cache)
             if bloom is not None and not bool(
@@ -3346,6 +3695,8 @@ class VersionedParquetTable:
         if not has_stats:
             df = self.read(spark)
         else:
+            # temporal probes compare in the stats' epoch-us space
+            c_lo, c_hi = _stat_canon(lo), _stat_canon(hi)
             kept = []
             for e in man["files"]:
                 emin, emax = col_range(e)
@@ -3353,8 +3704,8 @@ class VersionedParquetTable:
                     emin is None
                     or emax is None
                     or (
-                        (lo is None or emax >= lo)
-                        and (hi is None or emin <= hi)
+                        (c_lo is None or emax >= c_lo)
+                        and (c_hi is None or emin <= c_hi)
                     )
                 ):
                     kept.append(e)

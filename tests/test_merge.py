@@ -784,9 +784,11 @@ def test_pruned_merge_string_keys(spark, tmp_path):
 
 
 def test_pruned_merge_statless_key_type_degrades_to_full(spark, tmp_path):
-    """A key type whose footer stats the scanner won't trust
-    (timestamp) yields no-stats entries: every file is touched —
-    conservative full rewrite, never wrong results."""
+    """A key type whose footer stats the scanner won't trust (decimal
+    — no canonical comparable form recorded) yields no-stats entries:
+    every file is touched — conservative full rewrite, never wrong
+    results.  (Timestamp keys USED to be this case; they now carry
+    epoch-us stats and prune — tests/test_temporal_stats.py.)"""
     from airflow_embeddings_pipeline_spark.operators.merge import (
         merge_upsert,
         merge_upsert_write_pruned,
@@ -795,21 +797,20 @@ def test_pruned_merge_statless_key_type_degrades_to_full(spark, tmp_path):
         VersionedParquetTable,
     )
 
-    path = str(tmp_path / "ts_keyed")
+    path = str(tmp_path / "dec_keyed")
     table = VersionedParquetTable(path)
     target = spark.range(50).select(
-        (F.lit("2024-01-01 00:00:00").cast("timestamp")
-         + F.make_interval(mins=F.col("id").cast("int"))).alias("ts"),
+        F.col("id").cast("decimal(10,2)").alias("amt"),
         F.lit("old").alias("cat"),
     )
-    table.commit_with_manifest(target, "ts", cluster_partitions=4)
+    table.commit_with_manifest(target, "amt", cluster_partitions=4)
     man = table.manifest(table.current_version())
     assert all(e["min"] is None for e in man["files"])  # stats dropped
-    source = target.limit(3).select("ts", F.lit("upd").alias("cat"))
+    source = target.limit(3).select("amt", F.lit("upd").alias("cat"))
     expect = sorted(
-        map(tuple, merge_upsert(table.read(spark), source, "ts").collect())
+        map(tuple, merge_upsert(table.read(spark), source, "amt").collect())
     )
-    stats = merge_upsert_write_pruned(path, source, "ts", vacuum_keep_last=None)
+    stats = merge_upsert_write_pruned(path, source, "amt", vacuum_keep_last=None)
     assert stats["files_touched"] == stats["files_total"]  # conservative
     assert sorted(map(tuple, table.read(spark).collect())) == expect
 
