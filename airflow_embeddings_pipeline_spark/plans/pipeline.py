@@ -1049,6 +1049,59 @@ register(
 )
 
 
+# ---------------------------------------- predicate-pruned read path
+# read_where generalizes read_range/read_eq to ARBITRARY predicates:
+# Spark's own parser produces the expression tree, a strict whitelist
+# compiles the prunable atoms (AND/OR, col-vs-literal comparisons,
+# IN, BETWEEN) into a conservative per-file might-match test over the
+# manifest stats, and everything unrecognized degrades to
+# might-match — pruning narrows the scan, the exact filter decides.
+# The entry's condition deliberately mixes prunable atoms (the k
+# disjunction) with an unprunable one (price — no stats recorded), so
+# passing proves the mixed-shape path end to end; the same pruner
+# narrows delete_where/update_where scans (retention DML), pinned in
+# tests/test_predicate_pruning.py with a generated-predicate property.
+def s_read_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    path = _scratch_dir("/tmp/spark_graft_read_where", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    return table.read_where(
+        spark, "(k < 2000 OR k >= 100000) AND price > 1000.0"
+    ).orderBy("k")
+
+
+register(
+    Query(
+        name="s_read_where",
+        build=s_read_where,
+        oracle="""
+        SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+        WHERE (o_orderkey < 2000 OR o_orderkey >= 100000)
+          AND CAST(o_totalprice AS DOUBLE) > 1000.0
+        ORDER BY k
+        """,
+        doc=(
+            "predicate-pruned read: read_where compiles the prunable atoms "
+            "of an arbitrary SQL condition (parsed by Spark itself) into "
+            "manifest-stats file pruning, unprunable atoms enforced by the "
+            "exact filter — oracled against the plain WHERE (S1/S4 at "
+            "100 TB; property-tested against a generated predicate grammar)"
+        ),
+        tags=("S1", "S4", "scale", "pruning"),
+    )
+)
+
+
 # ------------------------------------ streaming MERGE (pruned sink)
 # The reference's daily loop as ONE driver-gated catalog query: a
 # file-source stream (AvailableNow) of the staged batch runs through
