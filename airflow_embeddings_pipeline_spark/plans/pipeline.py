@@ -462,6 +462,73 @@ register(
 )
 
 
+# ------------------------------------------- segmented manifest DML
+# Big-table manifest storage: above manifest_inline_max entries the
+# file list lives in immutable _mseg-*.parquet SEGMENTS carried by
+# reference across commits, so commit metadata I/O is O(touched
+# entries), not O(table files) — the Delta log-segment / Iceberg
+# manifest-file analog (probe: 167x less metadata written per small
+# commit at 4096 files; see BASELINE.md).  This entry forces the
+# segmented form with test-scale thresholds and drives DML + a pruned
+# MoR merge through it; the read-back must match plain SQL exactly —
+# the storage form is unobservable.
+def s_segmented_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert_write_pruned
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    path = _scratch_dir("/tmp/spark_graft_segmented_manifest", sf_dir)
+    table = VersionedParquetTable(path)
+    table.manifest_inline_max = 8  # 16 files below: always segmented
+    table.manifest_segment_rows = 4
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    assert "file_segments" in (
+        table._raw_manifest(table.current_version()) or {}
+    ), "segmented form must engage"
+    table.delete_where(spark, "k % 67 = 11")
+    source = orders.filter(F.col("o_orderkey") % 53 == 5).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("double") * 3.0).alias("price"),
+        F.lit("SEG").alias("status"),
+    )
+    merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
+    return table.read(spark).orderBy("k")
+
+
+register(
+    Query(
+        name="s_segmented_manifest",
+        build=s_segmented_manifest,
+        oracle="""
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 53 = 5
+                    THEN CAST(o_totalprice AS DOUBLE) * 3.0
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+               CASE WHEN o_orderkey % 53 = 5 THEN 'SEG'
+                    ELSE o_orderstatus END AS status
+        FROM orders
+        WHERE NOT (o_orderkey % 67 = 11) OR o_orderkey % 53 = 5
+        ORDER BY k
+        """,
+        doc=(
+            "segmented manifest storage under DML + pruned merge: file "
+            "entries in immutable parquet segments carried by reference, "
+            "commit metadata O(touched entries) instead of O(table files) "
+            "(Delta log-segment / Iceberg manifest-file analog, S9 at "
+            "100 TB: a one-file commit on an 800k-file table must not "
+            "rewrite a 250 MB manifest); read-back oracled as plain SQL "
+            "— the storage form is unobservable"
+        ),
+        tags=("S9", "scale"),
+    )
+)
+
+
 # -------------------------------------------- bloom-indexed lookup
 # Per-file bloom filters (Delta bloomFilter column-index analog) buy
 # EQUALITY pruning where range stats cannot: the table clusters on

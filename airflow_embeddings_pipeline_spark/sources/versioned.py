@@ -299,6 +299,48 @@ def scan_file_stats(
     return entries
 
 
+def _segment_envelope(entries: list) -> dict:
+    """Pseudo-entry bounding a manifest segment's entries: the union
+    interval of their lead-key ``min``/``max`` plus, per stats column,
+    the union of their per-column ranges — the Iceberg manifest-list
+    partition-summary analog.  Shaped exactly like a file entry so the
+    SAME conservative per-entry pruning closures (range / compiled
+    predicate) evaluate it directly; a column any entry lacks stats
+    for degrades to None = might-match.  Sound because every pruning
+    atom is an interval-intersection test, monotone under interval
+    containment: entry-might-match ⇒ envelope-might-match."""
+
+    def _union(pairs):
+        lo = hi = None
+        for a, b in pairs:
+            if a is None or b is None:
+                return None
+            try:
+                lo = a if lo is None else min(lo, a)
+                hi = b if hi is None else max(hi, b)
+            except TypeError:
+                return None
+        return None if lo is None else [lo, hi]
+
+    key_rng = _union((e.get("min"), e.get("max")) for e in entries)
+    env: dict = {
+        "min": key_rng[0] if key_rng else None,
+        "max": key_rng[1] if key_rng else None,
+    }
+    cols = set()
+    for e in entries:
+        cols.update(e.get("stats") or {})
+    stats = {}
+    for c in cols:
+        rs = [(e.get("stats") or {}).get(c) for e in entries]
+        stats[c] = _union(
+            (r[0], r[1]) if r else (None, None) for r in rs
+        )
+    if stats:
+        env["stats"] = stats
+    return env
+
+
 def _dv_read_positions(root: str, sidecar_rel: str, data_rel: str):
     """Deleted row positions of ``data_rel`` recorded in a DV sidecar,
     as a sorted numpy int64 array (driver-side footer+page read — DV
@@ -682,12 +724,32 @@ class VersionedParquetTable:
       in their commit logs.
     """
 
+    # --- manifest segmentation thresholds (class attrs so tests can
+    # lower them).  A manifest whose file list fits under
+    # ``manifest_inline_max`` entries is stored INLINE in the JSON doc
+    # exactly as before (small tables: one file, one read, zero new
+    # moving parts).  Above it, entries are stored in immutable
+    # ``_mseg-*.parquet`` SEGMENT files referenced by the doc, and a
+    # commit carries every segment whose entries it did not touch BY
+    # REFERENCE — so commit metadata I/O is O(changed entries), not
+    # O(table files).  This is the scale wall Delta solves with log
+    # segments + checkpoints and Iceberg with manifest files: without
+    # it, a one-file DML commit on an 800k-file (≈100 TB) table
+    # rewrites a ~250 MB JSON document every time.
+    manifest_inline_max: int = 2048
+    manifest_segment_rows: int = 4096
+
     def __init__(self, root: str):
         self.root = _check_local(root).rstrip("/")
         # bloom sidecar loads, memoized ACROSS lookups (sidecars are
         # immutable files, so no invalidation; bounded below): repeated
         # point lookups on the same instance stop re-reading them
         self._bloom_sidecar_cache: dict[str, dict] = {}
+        # manifest-segment loads, memoized the same way (segments are
+        # immutable once committed and carried across versions, so a
+        # warm instance materializes version N+1 without re-reading the
+        # segments it shares with version N)
+        self._seg_cache: dict[str, list] = {}
 
     # ------------------------------------------------------------ state
     def _pointer_path(self) -> str:
@@ -722,14 +784,197 @@ class VersionedParquetTable:
         return os.path.isdir(self.root)
 
     # --------------------------------------------------------- manifest
-    def manifest(self, version: int) -> dict | None:
-        """The version's manifest document, or None for a plain
-        (full-directory) version."""
+    def _raw_manifest(self, version: int) -> dict | None:
+        """The manifest document AS STORED — a segmented doc carries
+        ``file_segments`` refs instead of ``files``.  Only the
+        persistence layer (and vacuum's reachability walk) should look
+        at this form; everything else goes through :meth:`manifest`."""
         try:
             with open(os.path.join(self._version_dir(version), _MANIFEST)) as f:
                 return json.load(f)
         except OSError:
             return None
+
+    def manifest(self, version: int) -> dict | None:
+        """The version's manifest document with ``files`` MATERIALIZED
+        (segment refs resolved), or None for a plain (full-directory)
+        version.  Callers always see the same shape regardless of how
+        the manifest is stored; returned entry dicts are fresh objects
+        (safe to mutate)."""
+        raw = self._raw_manifest(version)
+        if raw is None or "file_segments" not in raw:
+            return raw
+        files: list[dict] = []
+        for ref in raw.pop("file_segments"):
+            files.extend(
+                json.loads(j) for _, j in self._load_segment(ref["path"])
+            )
+        raw.pop("files_n", None)
+        raw["files"] = files
+        return raw
+
+    def _load_segment(self, rel: str) -> list:
+        """One manifest segment → list of ``(path, canonical entry
+        json)`` tuples, memoized per instance (segments are immutable;
+        strings are immutable too, so the cache can never be corrupted
+        by a caller — entries materialize via a fresh ``json.loads``
+        each time)."""
+        rows = self._seg_cache.get(rel)
+        if rows is None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                os.path.join(self.root, rel), columns=["path", "entry"]
+            )
+            rows = list(
+                zip(t.column("path").to_pylist(), t.column("entry").to_pylist())
+            )
+            if len(self._seg_cache) >= 512:
+                self._seg_cache.clear()
+            self._seg_cache[rel] = rows
+        return rows
+
+    def _materialize_pruned(self, version: int, entry_test) -> dict | None:
+        """Materialized manifest doc whose ``files`` come ONLY from
+        segments whose envelope pseudo-entry (see
+        :func:`_segment_envelope`) passes ``entry_test`` — the
+        read-path payoff of segmentation: a point/range read on an
+        800k-file table materializes the handful of segments its
+        interval touches instead of the whole entry list (what Iceberg
+        gets from manifest-list partition summaries).
+
+        Sound only for CONSERVATIVE interval tests (monotone under
+        interval containment — both the range closures and
+        :meth:`_compile_pruner` output qualify): a skipped segment
+        provably holds no entry that could pass.  The returned doc is
+        PARTIAL — never feed it to a commit's ``carried``.  Inline or
+        plain versions return :meth:`manifest`'s full doc (same
+        shape)."""
+        raw = self._raw_manifest(version)
+        if raw is None or "file_segments" not in raw:
+            return self.manifest(version)
+        files: list[dict] = []
+        for ref in raw.pop("file_segments"):
+            env = ref.get("env")
+            if env is None or entry_test(env):
+                files.extend(
+                    json.loads(j)
+                    for _, j in self._load_segment(ref["path"])
+                )
+        raw.pop("files_n", None)
+        raw["files"] = files
+        return raw
+
+    def _persist_manifest(
+        self, vdir: str, man: dict, *, base_version: int | None = None
+    ) -> None:
+        """Write ``man`` (its ``files`` list materialized) into
+        ``vdir`` — inline JSON under ``manifest_inline_max`` entries
+        (bit-compatible with every manifest ever written), segmented
+        above it.
+
+        Segmented form: entries live in immutable ``_mseg-*.parquet``
+        files of ``(path, entry_json)`` rows; the doc stores
+        ``file_segments`` refs.  Any of ``base_version``'s segments
+        whose entries ALL survive unchanged in the new list is carried
+        by reference — the common DML/merge/metadata commit touches a
+        handful of files, so it rewrites at most the segments holding
+        those entries plus one segment of new files, and a
+        metadata-only commit rewrites none.  The underscore prefix
+        keeps segments invisible to ``scan_file_stats`` and to Spark's
+        directory scans (same convention as ``_MANIFEST.json``)."""
+        files = man.get("files") or []
+        man = {k: v for k, v in man.items() if k != "file_segments"}
+        if len(files) <= self.manifest_inline_max:
+            man["files"] = files
+            doc = man
+        else:
+            canon = [
+                (
+                    e["path"],
+                    json.dumps(e, sort_keys=True, separators=(",", ":")),
+                    e,
+                )
+                for e in files
+            ]
+            by_path = {p: j for p, j, _ in canon}
+            refs: list[dict] = []
+            consumed: set[str] = set()
+            prev_raw = (
+                self._raw_manifest(base_version)
+                if base_version is not None
+                else None
+            )
+            for ref in (prev_raw or {}).get("file_segments") or []:
+                rows = self._load_segment(ref["path"])
+                if rows and all(by_path.get(p) == j for p, j in rows):
+                    refs.append(ref)
+                    consumed.update(p for p, _ in rows)
+            remaining = [(p, j, e) for p, j, e in canon if p not in consumed]
+            if remaining:
+                import uuid
+
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                os.makedirs(vdir, exist_ok=True)
+                step = self.manifest_segment_rows
+                for i in range(0, len(remaining), step):
+                    chunk = remaining[i : i + step]
+                    name = f"_mseg-{uuid.uuid4().hex[:16]}.parquet"
+                    seg_abs = os.path.join(vdir, name)
+                    pq.write_table(
+                        pa.table(
+                            {
+                                "path": [p for p, _, _ in chunk],
+                                "entry": [j for _, j, _ in chunk],
+                            }
+                        ),
+                        seg_abs,
+                        compression="zstd",
+                    )
+                    fd = os.open(seg_abs, os.O_RDONLY)
+                    try:
+                        os.fsync(fd)
+                    finally:
+                        os.close(fd)
+                    rel = os.path.relpath(seg_abs, self.root)
+                    self._seg_cache[rel] = [(p, j) for p, j, _ in chunk]
+                    # aggregate sums ride the ref so history()/detail()
+                    # stay O(segments) — no materialization needed for
+                    # pure metadata queries on an 800k-file table
+                    refs.append(
+                        {
+                            "path": rel,
+                            "n": len(chunk),
+                            "env": _segment_envelope(
+                                [e for _, _, e in chunk]
+                            ),
+                            "rows": sum(
+                                e.get("n_rows") or 0 for _, _, e in chunk
+                            ),
+                            "bytes": sum(
+                                e.get("bytes") or 0 for _, _, e in chunk
+                            ),
+                            "dv_rows": sum(
+                                e["dv"]["rows"]
+                                for _, _, e in chunk
+                                if e.get("dv")
+                            ),
+                            "dv_files": sum(
+                                1 for _, _, e in chunk if e.get("dv")
+                            ),
+                        }
+                    )
+            doc = {k: v for k, v in man.items() if k != "files"}
+            doc["file_segments"] = refs
+            doc["files_n"] = len(files)
+        tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(vdir, _MANIFEST))
 
     def app_metadata_of(self, version: int | None = None) -> dict:
         """The application-owned metadata recorded atomically with a
@@ -1330,6 +1575,26 @@ class VersionedParquetTable:
             )
         return self._read_resolved(spark, max(eligible))
 
+    def _segment_totals(self, version: int) -> dict | None:
+        """O(segments) aggregates of a SEGMENTED manifest's per-entry
+        sums (each ref records its chunk's n/rows/bytes/dv totals at
+        write time), plus the raw doc — or None when the version is
+        inline, plain, or missing.  Lets :meth:`history` /
+        :meth:`detail` answer without materializing an 800k-entry file
+        list per version."""
+        raw = self._raw_manifest(version)
+        refs = (raw or {}).get("file_segments")
+        if not refs or any("rows" not in r for r in refs):
+            return None
+        return {
+            "n_files": sum(r["n"] for r in refs),
+            "rows": sum(r["rows"] for r in refs),
+            "bytes": sum(r["bytes"] for r in refs),
+            "dv_rows": sum(r["dv_rows"] for r in refs),
+            "dv_files": sum(r["dv_files"] for r in refs),
+            "raw": raw,
+        }
+
     def detail(self) -> dict:
         """One-snapshot summary of the LIVE version (DESCRIBE DETAIL
         analog), pure manifest arithmetic — no data scan:
@@ -1337,23 +1602,37 @@ class VersionedParquetTable:
         "dv_files", "bytes", "key", "stats_columns", "bloom_columns",
         "constraints", "column_mapping", "operation"}``."""
         v = self.current_version()
-        man = self.manifest(v) if v is not None else None
-        if man is None:
-            raise ValueError(
-                f"{self.root}: detail() needs a committed keyed manifest "
-                "version (adopt a plain table with any "
-                "commit_with_manifest / pruned merge first)"
-            )
-        files = man["files"]
+        tot = self._segment_totals(v) if v is not None else None
+        if tot is not None:
+            # segmented fast path: pure ref arithmetic, zero
+            # materialization (the metadata query stays O(segments)
+            # on an 800k-file table)
+            man = tot["raw"]
+            n_files, n_rows = tot["n_files"], tot["rows"]
+            n_bytes, dv_rows = tot["bytes"], tot["dv_rows"]
+            dv_files = tot["dv_files"]
+        else:
+            man = self.manifest(v) if v is not None else None
+            if man is None:
+                raise ValueError(
+                    f"{self.root}: detail() needs a committed keyed manifest "
+                    "version (adopt a plain table with any "
+                    "commit_with_manifest / pruned merge first)"
+                )
+            files = man["files"]
+            dv_rows = sum(e["dv"]["rows"] for e in files if e.get("dv"))
+            n_files = len(files)
+            n_rows = sum(e.get("n_rows") or 0 for e in files)
+            n_bytes = sum(e.get("bytes") or 0 for e in files)
+            dv_files = sum(1 for e in files if e.get("dv"))
         inv = _inverse_mapping_of(man)
-        dv_rows = sum(e["dv"]["rows"] for e in files if e.get("dv"))
         return {
             "version": v,
-            "n_files": len(files),
-            "n_rows": sum(e.get("n_rows") or 0 for e in files) - dv_rows,
+            "n_files": n_files,
+            "n_rows": n_rows - dv_rows,
             "dv_rows": dv_rows,
-            "dv_files": sum(1 for e in files if e.get("dv")),
-            "bytes": sum(e.get("bytes") or 0 for e in files),
+            "dv_files": dv_files,
+            "bytes": n_bytes,
             "key": inv.get(man["key"], man["key"]),
             "stats_columns": [
                 inv.get(c, c) for c in man.get("stats_columns") or []
@@ -1385,18 +1664,27 @@ class VersionedParquetTable:
         this never scans data)."""
         out = []
         for v in reversed(self.versions()):
-            man = self.manifest(v)
+            tot = self._segment_totals(v)
+            man = tot["raw"] if tot is not None else self.manifest(v)
             if man is not None:
-                files = man["files"]
-                dv_rows = sum(
-                    e["dv"]["rows"] for e in files if e.get("dv")
-                )
-                n_rows = sum(e.get("n_rows") or 0 for e in files)
-                n_bytes = sum(e.get("bytes") or 0 for e in files)
+                if tot is not None:
+                    # segmented fast path: ref arithmetic only — a
+                    # 50-version history on an 800k-file table must
+                    # not materialize 50 full file lists
+                    n_files, n_rows = tot["n_files"], tot["rows"]
+                    n_bytes, dv_rows = tot["bytes"], tot["dv_rows"]
+                else:
+                    files = man["files"]
+                    dv_rows = sum(
+                        e["dv"]["rows"] for e in files if e.get("dv")
+                    )
+                    n_files = len(files)
+                    n_rows = sum(e.get("n_rows") or 0 for e in files)
+                    n_bytes = sum(e.get("bytes") or 0 for e in files)
                 entry = {
                     "version": v,
                     "committed_at": self.committed_at(v),
-                    "n_files": len(files),
+                    "n_files": n_files,
                     "n_rows": n_rows - dv_rows,
                     "dv_rows": dv_rows,
                     "bytes": n_bytes,
@@ -1680,12 +1968,7 @@ class VersionedParquetTable:
             if man.get("bloom_columns"):
                 new_man["bloom_columns"] = list(man["bloom_columns"])
             new_man["operation"] = "CLONE"
-            tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
-            with open(tmp, "w") as f:
-                json.dump(new_man, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, os.path.join(vdir, _MANIFEST))
+            dest._persist_manifest(vdir, new_man)
             dest._write_marker(vdir)
             dest._swap_pointer(1)
             return 1
@@ -1738,12 +2021,7 @@ class VersionedParquetTable:
                 new_man = mutate(copy, vdir)
             else:
                 new_man = mutate(copy)
-            tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
-            with open(tmp, "w") as f:
-                json.dump(new_man, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, os.path.join(vdir, _MANIFEST))
+            self._persist_manifest(vdir, new_man, base_version=cur)
             self._write_marker(vdir)
             self._swap_pointer(next_v)
             return next_v
@@ -2595,12 +2873,7 @@ class VersionedParquetTable:
                 man["operation"] = operation
             if app_metadata:
                 man["app_metadata"] = dict(app_metadata)
-            tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
-            with open(tmp, "w") as f:
-                json.dump(man, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, os.path.join(vdir, _MANIFEST))
+            self._persist_manifest(vdir, man, base_version=cur)
             self._write_marker(vdir)
             self._swap_pointer(next_v)
             return next_v
@@ -3658,16 +3931,33 @@ class VersionedParquetTable:
         # all-None list short-circuits to the empty result)
         vals = [x for x in vals if x is not None]
         v = self.current_version()
-        man = self.manifest(v) if v is not None else None
+        raw = self._raw_manifest(v) if v is not None else None
         if not vals:
-            base = (
-                self.read(spark)
-                if man is None
-                else self._read_manifest_files(spark, man, [])
-            )
-            return base.limit(0)
-        if man is None:
+            if raw is None:
+                return self.read(spark).limit(0)
+            # schema-only: materialize nothing (False-test pruning)
+            man = self._materialize_pruned(v, lambda e: False)
+            return self._read_manifest_files(spark, man, []).limit(0)
+        if raw is None:
             return self.read(spark).filter(F.col(column).isin(vals))
+        # segment-envelope skip on the RANGE component (blooms are
+        # per-file and evaluate after the candidate segments
+        # materialize); same conservative test _eq_prune applies
+        p = _mapping_of(raw).get(column, column)
+        man_key = raw.get("key")
+        c_vals = [_stat_canon(x) for x in vals]
+
+        def rng_might(e: dict) -> bool:
+            if man_key == p:
+                rng = (e.get("min"), e.get("max"))
+            else:
+                s = (e.get("stats") or {}).get(p)
+                rng = (s[0], s[1]) if s else (None, None)
+            if rng[0] is None or rng[1] is None:
+                return True
+            return any(rng[0] <= x <= rng[1] for x in c_vals)
+
+        man = self._materialize_pruned(v, rng_might)
         kept = self._eq_prune(man, column, vals)
         return self._read_manifest_files(spark, man, kept).filter(
             F.col(column).isin(vals)
@@ -3688,36 +3978,45 @@ class VersionedParquetTable:
         from pyspark.sql import functions as F
 
         v = self.current_version()
-        man = self.manifest(v) if v is not None else None
+        # metadata (key / stats_columns / column_mapping) is inline in
+        # BOTH manifest storage forms — the raw doc answers without
+        # materializing the file list
+        raw = self._raw_manifest(v) if v is not None else None
         # manifest stats are keyed PHYSICALLY; the caller's key is logical
-        p_key = _mapping_of(man).get(key, key) if man is not None else key
+        p_key = _mapping_of(raw).get(key, key) if raw is not None else key
+        man_key = raw.get("key") if raw is not None else None
 
         def col_range(e: dict):
-            if man is not None and man.get("key") == p_key:
-                return e["min"], e["max"]
+            if man_key == p_key:
+                return e.get("min"), e.get("max")
             r = (e.get("stats") or {}).get(p_key)
             return (r[0], r[1]) if r else (None, None)
 
-        has_stats = man is not None and (
-            man.get("key") == p_key or p_key in man.get("stats_columns", [])
+        has_stats = raw is not None and (
+            man_key == p_key or p_key in raw.get("stats_columns", [])
         )
         if not has_stats:
             df = self.read(spark)
         else:
             # temporal probes compare in the stats' epoch-us space
             c_lo, c_hi = _stat_canon(lo), _stat_canon(hi)
-            kept = []
-            for e in man["files"]:
+
+            def might(e: dict) -> bool:
                 emin, emax = col_range(e)
-                if (
+                return (
                     emin is None
                     or emax is None
                     or (
                         (c_lo is None or emax >= c_lo)
                         and (c_hi is None or emin <= c_hi)
                     )
-                ):
-                    kept.append(e)
+                )
+
+            # segment-envelope skip first (O(intersecting segments)
+            # materialization on a segmented table), then the same
+            # test per entry
+            man = self._materialize_pruned(v, might)
+            kept = [e for e in man["files"] if might(e)]
             df = self._read_manifest_files(spark, man, kept)
         if lo is not None:
             df = df.filter(F.col(key) >= lo)
@@ -3901,10 +4200,22 @@ class VersionedParquetTable:
         from pyspark.sql import functions as F
 
         v = self.current_version()
-        man = self.manifest(v) if v is not None else None
-        if man is None:
+        raw = self._raw_manifest(v) if v is not None else None
+        if raw is None:
             return self.read(spark).filter(F.expr(condition))
-        kept = self._prune_where(spark, man, condition)
+        # the compiled pruner is a conservative interval test, so it
+        # evaluates segment envelopes directly (monotone under
+        # containment): segments no entry of which could match are
+        # never materialized
+        pruner = self._compile_pruner(spark, raw, condition)
+        man = self._materialize_pruned(
+            v, pruner if pruner is not None else (lambda e: True)
+        )
+        kept = (
+            man["files"]
+            if pruner is None
+            else [e for e in man["files"] if pruner(e)]
+        )
         return self._read_manifest_files(spark, man, kept).filter(
             F.expr(condition)
         )
@@ -4324,6 +4635,13 @@ class VersionedParquetTable:
             )
         referenced: set[str] = set()  # relpaths from kept manifests
         for v in keep:
+            # manifest SEGMENTS are referenced metadata exactly like
+            # data files: a kept manifest may carry segments living in
+            # older (non-kept) version dirs, and partial GC must not
+            # strand it unreadable
+            raw = self._raw_manifest(v)
+            for ref in (raw or {}).get("file_segments") or []:
+                referenced.add(ref["path"])
             man = self.manifest(v)
             if man is not None:
                 referenced.update(e["path"] for e in man["files"])

@@ -264,13 +264,18 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         return _read_pointer(self.root)
 
     def _manifest(self, v: int) -> dict | None:
-        try:
-            with open(
-                os.path.join(self.root, f"v{v:08d}", _MANIFEST)
-            ) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return None
+        # Goes through the table class so segmented manifests (the
+        # big-table storage form) materialize their file lists; the
+        # handle persists across micro-batches, so carried segments
+        # are read once per stream, not once per step.  Lazy import:
+        # this module stays self-contained for the data-source worker
+        # pickle path (only driver-side planning calls _manifest).
+        vt = getattr(self, "_vt", None)
+        if vt is None:
+            from .versioned import VersionedParquetTable
+
+            vt = self._vt = VersionedParquetTable(self.root)
+        return vt.manifest(v)
 
     def initialOffset(self) -> dict:
         if self.starting is not None:

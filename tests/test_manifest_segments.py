@@ -1,0 +1,405 @@
+"""Segmented manifests — commit metadata I/O bounded by TOUCHED
+entries, not table size.
+
+The inline manifest form rewrites the full file-entry list as one JSON
+document per commit; at 100 TB (~800k files) that is ~250 MB of
+metadata rewrite for a one-file DML commit — the scale wall Delta
+solves with log segments + checkpoints and Iceberg with manifest
+files.  Above ``manifest_inline_max`` entries the manifest stores its
+entries in immutable ``_mseg-*.parquet`` segments and each commit
+carries every untouched segment by reference.
+
+This suite pins:
+
+* storage form switches at the threshold; readers see ONE shape;
+* append / DML / metadata-only commits carry untouched segments
+  (metadata-only writes ZERO new segments);
+* every lifecycle (read, time travel, DML, merge, CDF batch+stream,
+  restore, clone, vacuum partial-GC, crash orphans) is row-identical
+  to an inline twin table driven through the same operations.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_embeddings_pipeline_spark.operators.merge import (
+    merge_upsert_write_pruned,
+)
+from airflow_embeddings_pipeline_spark.sources.versioned import (
+    VersionedParquetTable,
+)
+
+
+def _mk(spark, root, n=200, parts=8, segmented=True):
+    t = VersionedParquetTable(root)
+    if segmented:
+        t.manifest_inline_max = 4
+        t.manifest_segment_rows = 3
+    t.commit_with_manifest(
+        spark.range(n).selectExpr("id as k", "id * 2 as v"),
+        "k",
+        cluster_partitions=parts,
+    )
+    return t
+
+
+def _segs(t, v=None):
+    raw = t._raw_manifest(v if v is not None else t.current_version())
+    return {r["path"] for r in (raw or {}).get("file_segments") or []}
+
+
+def _rows(spark, t):
+    return sorted(map(tuple, t.read(spark).select("k", "v").collect()))
+
+
+class TestStorageForm:
+    def test_inline_below_threshold(self, spark, tmp_path):
+        t = _mk(spark, str(tmp_path / "t"), parts=2, segmented=False)
+        raw = t._raw_manifest(t.current_version())
+        assert "files" in raw and "file_segments" not in raw
+
+    def test_segmented_above_threshold(self, spark, tmp_path):
+        t = _mk(spark, str(tmp_path / "t"))
+        raw = t._raw_manifest(t.current_version())
+        assert "files" not in raw and "file_segments" in raw
+        assert raw["files_n"] == 8
+        # materialized view is shape-identical to the inline form
+        man = t.manifest(t.current_version())
+        assert len(man["files"]) == 8
+        assert "file_segments" not in man
+        assert t.read(spark).count() == 200
+
+    def test_segments_invisible_to_data_scans(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        seg_files = glob.glob(os.path.join(root, "v*", "_mseg-*.parquet"))
+        assert seg_files  # they exist on disk
+        # but no manifest entry ever names one
+        man = t.manifest(t.current_version())
+        assert not any("_mseg-" in e["path"] for e in man["files"])
+
+    def test_segment_doc_is_small(self, spark, tmp_path):
+        """The committed JSON doc carries refs, not entries — its size
+        is O(segments), the point of the feature."""
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        v = t.current_version()
+        doc = os.path.join(root, f"v{v:08d}", "_MANIFEST.json")
+        inline_size = len(json.dumps(t.manifest(v)))
+        # at test scale (3 segments of ≤3 entries) the per-ref
+        # envelope is entry-sized, so the doc is merely smaller; the
+        # O(segments)-vs-O(files) growth law is what matters and is
+        # recorded by tools/probe_manifest_scale.py (167× at 4096
+        # files)
+        assert os.path.getsize(doc) < inline_size
+
+
+class TestSegmentCarry:
+    def test_append_carries_untouched_segments(self, spark, tmp_path):
+        t = _mk(spark, str(tmp_path / "t"))
+        v1 = t.current_version()
+        man = t.manifest(v1)
+        t.commit_with_manifest(
+            spark.range(200, 210).selectExpr("id as k", "id * 2 as v"),
+            "k",
+            carried=man["files"],
+            cluster_partitions=1,
+            expected_base_version=v1,
+        )
+        s1, s2 = _segs(t, v1), _segs(t)
+        assert s1 <= s2  # every v1 segment carried verbatim
+        assert len(s2 - s1) == 1  # one new segment for the new file
+        assert t.read(spark).count() == 210
+
+    def test_metadata_only_commit_writes_zero_segments(self, spark, tmp_path):
+        t = _mk(spark, str(tmp_path / "t"))
+        v1 = t.current_version()
+        t.add_constraint(spark, "v_nonneg", "v >= 0")
+        assert _segs(t) == _segs(t, v1)
+        # and the new version dir holds no segment files at all
+        vdir = os.path.join(t.root, f"v{t.current_version():08d}")
+        assert not glob.glob(os.path.join(vdir, "_mseg-*"))
+
+    def test_dml_rewrites_only_affected_segments(self, spark, tmp_path):
+        t = _mk(spark, str(tmp_path / "t"))
+        v1 = t.current_version()
+        # keys 0..24 live in the lowest file(s): one segment dirtied
+        t.delete_where(spark, "k < 5")
+        s1, s2 = _segs(t, v1), _segs(t)
+        assert len(s1 & s2) >= 1  # untouched segments carried
+        assert s2 != s1  # the affected one was rewritten
+        assert t.read(spark).count() == 195
+
+
+class TestLifecycleParity:
+    """Drive an inline twin and a segmented table through the same
+    operations; every read surface must match exactly."""
+
+    def _twins(self, spark, tmp_path):
+        a = _mk(spark, str(tmp_path / "inline"), segmented=False)
+        b = _mk(spark, str(tmp_path / "seg"))
+        return a, b
+
+    def test_dml_and_merge_parity(self, spark, tmp_path):
+        a, b = self._twins(spark, tmp_path)
+        batch = spark.range(150, 260).selectExpr(
+            "id as k", "id * 7 as v"
+        )
+        for t in (a, b):
+            t.delete_where(spark, "k % 10 = 3")
+            merge_upsert_write_pruned(t.root, batch, "k")
+            t.update_where(spark, "k < 20", {"v": "v + 1"})
+        assert _rows(spark, a) == _rows(spark, b)
+
+    def test_cdf_parity(self, spark, tmp_path):
+        a, b = self._twins(spark, tmp_path)
+        for t in (a, b):
+            t.delete_where(spark, "k between 40 and 60")
+            merge_upsert_write_pruned(
+                t.root,
+                spark.range(0, 30).selectExpr("id as k", "id * 9 as v"),
+                "k",
+                vacuum_keep_last=None,
+            )
+        ca = a.changes_between(spark, 1, a.current_version())
+        cb = b.changes_between(spark, 1, b.current_version())
+        assert sorted(map(tuple, ca.collect())) == sorted(
+            map(tuple, cb.collect())
+        )
+
+    def test_restore_and_time_travel_parity(self, spark, tmp_path):
+        a, b = self._twins(spark, tmp_path)
+        for t in (a, b):
+            t.delete_where(spark, "k >= 100")
+            t.restore(spark, 1)
+        assert _rows(spark, a) == _rows(spark, b)
+        assert (
+            a.read_version(spark, 2).count()
+            == b.read_version(spark, 2).count()
+        )
+
+    def test_clone_parity(self, spark, tmp_path):
+        _, b = self._twins(spark, tmp_path)
+        b.delete_where(spark, "k % 7 = 0")
+        b.clone_to(str(tmp_path / "seg_clone"))
+        c = VersionedParquetTable(str(tmp_path / "seg_clone"))
+        assert _rows(spark, c) == _rows(spark, b)
+
+
+class TestVacuum:
+    def test_carried_segments_survive_partial_gc(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        man = t.manifest(t.current_version())
+        # several small appends: v1's segments stay carried while v1
+        # itself becomes a dead version
+        for i in range(3):
+            man = t.manifest(t.current_version())
+            t.commit_with_manifest(
+                spark.range(300 + i * 10, 310 + i * 10).selectExpr(
+                    "id as k", "id * 2 as v"
+                ),
+                "k",
+                carried=man["files"],
+                cluster_partitions=1,
+            )
+        live_segs = _segs(t)
+        assert any(s.startswith("v00000001/") for s in live_segs)
+        t.vacuum(keep_last=1)
+        for s in live_segs:
+            assert os.path.exists(os.path.join(root, s)), s
+        assert t.read(spark).count() == 230
+        # a fresh instance (cold cache) materializes fine too
+        t2 = VersionedParquetTable(root)
+        assert t2.read(spark).count() == 230
+
+    def test_dead_segments_are_collected(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        # full rewrite: v1 segments become unreferenced
+        t.commit_with_manifest(
+            t.read(spark).selectExpr("k", "v + 0 as v"),
+            "k",
+            cluster_partitions=8,
+        )
+        t.vacuum(keep_last=1)
+        assert not glob.glob(os.path.join(root, "v00000001", "_mseg-*"))
+        assert t.read(spark).count() == 200
+
+    def test_crash_orphan_segments_cleaned(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        # simulate a crashed commit: an above-pointer vdir w/ segments
+        orphan = os.path.join(root, "v00000099")
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, "_mseg-dead.parquet"), "wb") as f:
+            f.write(b"x")
+        t.add_constraint(spark, "c", "v >= 0")  # any commit reconciles
+        assert not os.path.exists(orphan)
+
+
+class TestStreamingCDF:
+    def test_stream_matches_batch_over_segmented_table(
+        self, spark, tmp_path
+    ):
+        from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+            register_versioned_changes,
+        )
+
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k % 10 = 3")
+        merge_upsert_write_pruned(
+            root,
+            spark.range(190, 220).selectExpr("id as k", "id * 5 as v"),
+            "k",
+            vacuum_keep_last=None,  # the stream replays from v1
+        )
+        register_versioned_changes(spark)
+        stream = (
+            spark.readStream.format("versioned_changes")
+            .option("path", root)
+            .option("startingVersion", "1")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("seg_cdf_q")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt_seg_cdf")
+            )
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("seg_cdf_q")
+        exp = t.changes_between(spark, 1, 2).unionAll(
+            t.changes_between(spark, 2, 3)
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, exp.collect())
+        )
+
+
+class TestMetadataFastPath:
+    def test_history_and_detail_match_inline_twin(self, spark, tmp_path):
+        a = _mk(spark, str(tmp_path / "i"), segmented=False)
+        b = _mk(spark, str(tmp_path / "s"))
+        for t in (a, b):
+            t.delete_where(spark, "k % 10 = 3")
+            t.add_constraint(spark, "c", "v >= 0")
+        strip = lambda d: {
+            k: v for k, v in d.items() if k != "committed_at"
+        }
+        assert [strip(h) for h in a.history()] == [
+            strip(h) for h in b.history()
+        ]
+        assert a.detail() == b.detail()
+
+    def test_metadata_queries_do_not_materialize(self, spark, tmp_path):
+        """history()/detail() on a segmented table answer from ref
+        sums — a FRESH instance must not read a single segment file."""
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k % 10 = 3")
+        t2 = VersionedParquetTable(root)
+        t2.history()
+        t2.detail()
+        assert t2._seg_cache == {}
+
+
+class TestEnvelopePruning:
+    """Segment refs carry the union interval of their entries' stats
+    (Iceberg manifest-list partition-summary analog): point/range
+    reads materialize only the segments their interval touches."""
+
+    def test_read_range_materializes_only_touched_segments(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)  # 8 files over k=0..199, 3 segments
+        t2 = VersionedParquetTable(root)  # cold cache
+        got = sorted(
+            r["k"] for r in t2.read_range(spark, "k", 0, 10).collect()
+        )
+        assert got == list(range(11))
+        n_total = len(_segs(t))
+        assert 0 < len(t2._seg_cache) < n_total
+
+    def test_read_eq_and_where_prune_segments(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t2 = VersionedParquetTable(root)
+        assert t2.read_eq(spark, "k", 3).count() == 1
+        assert 0 < len(t2._seg_cache) < len(_segs(t))
+        t3 = VersionedParquetTable(root)
+        assert t3.read_where(spark, "k >= 190 AND v >= 0").count() == 10
+        assert 0 < len(t3._seg_cache) < len(_segs(t))
+
+    def test_unprunable_predicate_materializes_everything(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t2 = VersionedParquetTable(root)
+        # arithmetic atom: compiles to might-match → all segments read
+        assert t2.read_where(spark, "k * 2 < 20").count() == 10
+        assert len(t2._seg_cache) == len(_segs(t))
+
+    def test_envelope_survives_dml_and_carry(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        t.delete_where(spark, "k % 10 = 3")
+        t.update_where(spark, "k between 50 and 60", {"v": "v + 1"})
+        raw = t._raw_manifest(t.current_version())
+        for ref in raw["file_segments"]:
+            assert "env" in ref, ref
+        t2 = VersionedParquetTable(root)
+        got = {
+            (r["k"], r["v"])
+            for r in t2.read_range(spark, "k", 50, 55).collect()
+        }
+        assert got == {
+            (k, k * 2 + 1) for k in range(50, 56) if k % 10 != 3
+        }
+        assert 0 < len(t2._seg_cache) < len(_segs(t))
+
+
+class TestModelSequence:
+    def test_seeded_op_sequence_tracks_inline_twin(self, spark, tmp_path):
+        """Randomized (seeded) interleaving of append / delete /
+        update / merge / metadata ops, mirrored on an inline twin —
+        the storage form must be unobservable at every step."""
+        import random
+
+        rng = random.Random(17)
+        a = _mk(spark, str(tmp_path / "i"), segmented=False)
+        b = _mk(spark, str(tmp_path / "s"))
+        for step in range(8):
+            op = rng.choice(["delete", "update", "merge", "meta"])
+            lo = rng.randrange(0, 180)
+            hi = lo + rng.randrange(5, 40)
+            for t in (a, b):
+                if op == "delete":
+                    t.delete_where(spark, f"k between {lo} and {hi}")
+                elif op == "update":
+                    t.update_where(
+                        spark, f"k between {lo} and {hi}", {"v": "v + 100"}
+                    )
+                elif op == "merge":
+                    merge_upsert_write_pruned(
+                        t.root,
+                        spark.range(lo, hi).selectExpr(
+                            "id as k", f"id * {step + 3} as v"
+                        ),
+                        "k",
+                    )
+                else:
+                    t.add_constraint(spark, f"c{step}", "k >= 0")
+            assert _rows(spark, a) == _rows(spark, b), f"step {step} ({op})"
