@@ -500,10 +500,16 @@ def _pruned_merge_attempt(
     # ONE prior-manifest read serves the stats-name mapping here, the
     # app-metadata carry-over, and the constraint inheritance at commit.
     base_version = table.current_version()
+    # RAW doc only: every field the merge needs from the prior
+    # manifest (schema, key, mapping, constraints, app metadata) is
+    # inline in both storage forms — the full file list materializes
+    # below via file_entries, or NOT AT ALL on a segmented manifest
+    # whose envelopes prune the candidate segments (the exact tier)
     prior_man = (
-        table.manifest(base_version) if base_version is not None else None
+        table._raw_manifest(base_version)
+        if base_version is not None
+        else None
     ) or {}
-    entries, schema = table.file_entries(spark, lead, extra_columns=trail)
     # manifest per-file stats are keyed PHYSICALLY (column mapping);
     # the caller's keys are logical
     _cmap = {
@@ -512,6 +518,27 @@ def _pruned_merge_attempt(
         )
         for f in (prior_man.get("schema") or {}).get("fields", [])
     }
+    # segmented fast path: eligible when the manifest's recorded
+    # stats serve these keys directly (the same condition under which
+    # file_entries would return the manifest list verbatim) — the
+    # touched-test then evaluates segment ENVELOPES first and only
+    # the candidate segments materialize
+    _p_lead = _cmap.get(lead, lead)
+    _p_trail = {_cmap.get(c, c) for c in trail}
+    seg_fast = (
+        "file_segments" in prior_man
+        and prior_man.get("key") == _p_lead
+        and _p_trail <= set(prior_man.get("stats_columns", [_p_lead]))
+    )
+    if seg_fast:
+        from pyspark.sql.types import StructType as _ST
+
+        schema = _ST.fromJson(prior_man["schema"])
+        entries = None  # resolved after the touched-test exists
+    else:
+        entries, schema = table.file_entries(
+            spark, lead, extra_columns=trail
+        )
 
     def _key_ranges(e: dict) -> list:
         """Per-key-column (lo, hi) for a file entry; None = no usable
@@ -539,13 +566,20 @@ def _pruned_merge_attempt(
     if n_src == 0:
         # empty batch: MERGE is the identity — no new version
         v = table.current_version()
+        if seg_fast:
+            tot = table._segment_totals(base_version) or {}
+            n_all = tot.get("n_files", 0)
+            b_all = tot.get("bytes", 0)
+        else:
+            n_all = len(entries)
+            b_all = sum(e["bytes"] for e in entries)
         return {
             "version": v,
-            "files_total": len(entries),
+            "files_total": n_all,
             "files_touched": 0,
-            "files_carried": len(entries),
+            "files_carried": n_all,
             "bytes_rewritten": 0,
-            "bytes_carried": sum(e["bytes"] for e in entries),
+            "bytes_carried": b_all,
             "rows_source": 0,
             "pruning": "empty-source",
         }
@@ -626,6 +660,12 @@ def _pruned_merge_attempt(
         # the TRUE distinct-tuple count replaces the capped probe
         # length (one extra count job over a plan this branch computes
         # anyway).
+        if seg_fast:
+            # this tier needs every file's ranges for the broadcast
+            # frame — materialize fully (a >max_exact_keys batch is
+            # already heavy; the frame itself stays one tiny row per
+            # file, Spark-side)
+            entries = table.manifest(base_version)["files"]
         n_src = src_keys.count()
         ranged = [
             (i, _key_ranges(e))
@@ -680,8 +720,32 @@ def _pruned_merge_attempt(
                 return True
             return i in hit
 
+    if entries is None:
+        # segmented exact tier: the SAME touched-test evaluates each
+        # segment's envelope pseudo-entry (conservative interval
+        # logic, blooms skipped at this level) — untouched segments
+        # never materialize, so the merge's driver cost is O(touched)
+        entries = table._materialize_pruned(
+            base_version, lambda env: touched(0, env)
+        )["files"]
     touched_entries = [e for i, e in enumerate(entries) if touched(i, e)]
-    carried = [e for i, e in enumerate(entries) if not touched(i, e)]
+    if seg_fast:
+        # carried = "everything else in the base version", BY
+        # REFERENCE — never built as a list; telemetry comes from the
+        # segment refs' aggregate sums
+        tot = table._segment_totals(base_version) or {}
+        files_total = tot.get("n_files", len(entries))
+        bytes_total = tot.get("bytes", 0)
+        carried = None
+        n_carried = files_total - len(touched_entries)
+        bytes_carried = bytes_total - sum(
+            e["bytes"] for e in touched_entries
+        )
+    else:
+        carried = [e for i, e in enumerate(entries) if not touched(i, e)]
+        files_total = len(entries)
+        n_carried = len(carried)
+        bytes_carried = sum(e["bytes"] for e in carried)
 
     if write_mode == "mor" and touched_entries:
         # NULL-key source rows always insert and cannot be expressed as
@@ -705,6 +769,10 @@ def _pruned_merge_attempt(
                 keys,
                 touched_entries,
                 carried,
+                totals={
+                    "files_total": files_total,
+                    "bytes_carried": bytes_carried,
+                },
                 base_version=base_version,
                 update_columns=update_columns,
                 schema_evolution=schema_evolution,
@@ -800,8 +868,7 @@ def _pruned_merge_attempt(
     # app metadata: prior keys persist until overwritten (Delta txn
     # analog) — merged with this commit's, new keys winning
     prior_meta = dict(prior_man.get("app_metadata") or {})
-    version = table.commit_with_manifest(
-        merged, lead, carried=carried,
+    common = dict(
         cluster_partitions=max(1, len(touched_entries)),
         append_split=split,
         band_rows_hint=band_rows if split is not None else None,
@@ -815,23 +882,55 @@ def _pruned_merge_attempt(
         bloom_columns=prior_man.get("bloom_columns") or [],
         operation="MERGE",
     )
+    if carried is None:
+        # segmented: the base version's untouched entries carry by
+        # reference inside their segments; the touched files' rows
+        # live on in the rewritten output, so their entries are
+        # excluded outright
+        version = table.commit_with_manifest(
+            merged,
+            lead,
+            carried_base_version=base_version,
+            carried_exclude={e["path"]: e for e in touched_entries},
+            **common,
+        )
+    else:
+        version = table.commit_with_manifest(
+            merged, lead, carried=carried, **common
+        )
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)
-    new_man = table.manifest(version) or {"files": []}
-    rewritten = [
-        e for e in new_man["files"] if e["path"].startswith(f"v{version:08d}")
-    ]
     return {
         "version": version,
-        "files_total": len(entries),
+        "files_total": files_total,
         "files_touched": len(touched_entries),
-        "files_carried": len(carried),
-        "bytes_rewritten": sum(e["bytes"] for e in rewritten),
-        "bytes_carried": sum(e["bytes"] for e in carried),
+        "files_carried": n_carried,
+        # the new version's own data files, straight from the
+        # filesystem — never a full-manifest materialization
+        "bytes_rewritten": _vdir_data_bytes(table, version),
+        "bytes_carried": bytes_carried,
         "rows_source": n_src,
         "pruning": pruning,
         "write_mode": "cow",
     }
+
+
+def _vdir_data_bytes(table, version: int) -> int:
+    """Bytes of the DATA files a version's own directory holds — the
+    commit's rewritten/appended mass, read from the filesystem so
+    telemetry never materializes a full manifest (sidecars and
+    segments excluded by the same prefix rule as scan_file_stats)."""
+    vdir = table._version_dir(version)
+    try:
+        names = os.listdir(vdir)
+    except OSError:
+        return 0
+    return sum(
+        os.path.getsize(os.path.join(vdir, fn))
+        for fn in names
+        if fn.endswith(".parquet")
+        and not fn.startswith(("_", ".", "dv-", "bloom-"))
+    )
 
 
 def _mor_merge_attempt(
@@ -840,8 +939,9 @@ def _mor_merge_attempt(
     source: DataFrame,
     keys: list[str],
     touched_entries: list[dict],
-    carried: list[dict],
+    carried: list[dict] | None,
     *,
+    totals: dict,
     base_version: int,
     update_columns,
     schema_evolution: bool,
@@ -902,6 +1002,7 @@ def _mor_merge_attempt(
         return _mor_commit(
             table, prior_man, source, keys, matched,
             touched_entries=touched_entries, carried=carried,
+            totals=totals,
             base_version=base_version, update_columns=update_columns,
             schema_evolution=schema_evolution, delete_when=delete_when,
             evolution_exclude=evolution_exclude,
@@ -926,6 +1027,7 @@ def _mor_commit(
     *,
     touched_entries,
     carried,
+    totals,
     base_version,
     update_columns,
     schema_evolution,
@@ -939,7 +1041,11 @@ def _mor_commit(
     subset_pos,
     sk,
 ) -> dict | None:
-    n_dv, n_dv_files, dv_kw = table._dv_plan(prior_man, matched)
+    # _dv_plan only needs the TOUCHED entries' prior DV rows (matched
+    # paths are a subset of them) — never the full file list
+    n_dv, n_dv_files, dv_kw = table._dv_plan(
+        {**prior_man, "files": touched_entries}, matched
+    )
     if n_dv > max_dv_rows:
         return None  # rewrite-scale update: copy-on-write is the plan
 
@@ -966,10 +1072,7 @@ def _mor_commit(
     # tools/stress_dv_amplification.py before this choice).
     lead = keys[0]
     prior_meta = dict(prior_man.get("app_metadata") or {})
-    version = table.commit_with_manifest(
-        appended,
-        lead,
-        carried=carried + touched_entries,
+    common = dict(
         cluster_partitions=max(1, -(-n_src // 2_000_000)),
         stats_columns=keys if len(keys) > 1 else None,
         key_columns=keys,
@@ -982,21 +1085,33 @@ def _mor_commit(
         operation="MERGE[mor]",
         **(dv_kw if n_dv else {}),
     )
+    if carried is None:
+        # segmented: untouched entries carry inside their segments by
+        # reference; touched entries (re-pointed at the new DV
+        # sidecar) are the only base entries the commit materializes
+        version = table.commit_with_manifest(
+            appended,
+            lead,
+            carried_base_version=base_version,
+            carried_touched={e["path"]: e for e in touched_entries},
+            **common,
+        )
+    else:
+        version = table.commit_with_manifest(
+            appended,
+            lead,
+            carried=carried + touched_entries,
+            **common,
+        )
     if vacuum_keep_last is not None:
         table.vacuum(keep_last=vacuum_keep_last)
-    new_man = table.manifest(version) or {"files": []}
-    appended_entries = [
-        e
-        for e in new_man["files"]
-        if e["path"].startswith(f"v{version:08d}") and not e.get("dv")
-    ]
     return {
         "version": version,
-        "files_total": len(carried) + len(touched_entries),
+        "files_total": totals["files_total"],
         "files_touched": len(touched_entries),
-        "files_carried": len(carried),
-        "bytes_rewritten": sum(e["bytes"] for e in appended_entries),
-        "bytes_carried": sum(e["bytes"] for e in carried),
+        "files_carried": totals["files_total"] - len(touched_entries),
+        "bytes_rewritten": _vdir_data_bytes(table, version),
+        "bytes_carried": totals["bytes_carried"],
         "rows_source": n_src,
         "pruning": pruning,
         "write_mode": "mor",

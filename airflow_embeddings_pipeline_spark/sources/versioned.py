@@ -911,70 +911,194 @@ class VersionedParquetTable:
                     refs.append(ref)
                     consumed.update(p for p, _ in rows)
             remaining = [(p, j, e) for p, j, e in canon if p not in consumed]
-            if remaining:
-                import uuid
-
-                import pyarrow as pa
-                import pyarrow.parquet as pq
-
-                os.makedirs(vdir, exist_ok=True)
-                step = self.manifest_segment_rows
-                for i in range(0, len(remaining), step):
-                    chunk = remaining[i : i + step]
-                    name = f"_mseg-{uuid.uuid4().hex[:16]}.parquet"
-                    seg_abs = os.path.join(vdir, name)
-                    pq.write_table(
-                        pa.table(
-                            {
-                                "path": [p for p, _, _ in chunk],
-                                "entry": [j for _, j, _ in chunk],
-                            }
-                        ),
-                        seg_abs,
-                        compression="zstd",
-                    )
-                    fd = os.open(seg_abs, os.O_RDONLY)
-                    try:
-                        os.fsync(fd)
-                    finally:
-                        os.close(fd)
-                    rel = os.path.relpath(seg_abs, self.root)
-                    self._seg_cache[rel] = [(p, j) for p, j, _ in chunk]
-                    # aggregate sums ride the ref so history()/detail()
-                    # stay O(segments) — no materialization needed for
-                    # pure metadata queries on an 800k-file table
-                    refs.append(
-                        {
-                            "path": rel,
-                            "n": len(chunk),
-                            "env": _segment_envelope(
-                                [e for _, _, e in chunk]
-                            ),
-                            "rows": sum(
-                                e.get("n_rows") or 0 for _, _, e in chunk
-                            ),
-                            "bytes": sum(
-                                e.get("bytes") or 0 for _, _, e in chunk
-                            ),
-                            "dv_rows": sum(
-                                e["dv"]["rows"]
-                                for _, _, e in chunk
-                                if e.get("dv")
-                            ),
-                            "dv_files": sum(
-                                1 for _, _, e in chunk if e.get("dv")
-                            ),
-                        }
-                    )
+            refs.extend(self._write_segments(vdir, remaining))
             doc = {k: v for k, v in man.items() if k != "files"}
             doc["file_segments"] = refs
             doc["files_n"] = len(files)
+        self._write_manifest_doc(vdir, doc)
+
+    def _write_segments(self, vdir: str, triples: list) -> list[dict]:
+        """Write ``triples`` of ``(path, canonical_json, entry)`` as
+        new ``_mseg-*.parquet`` segment files in ``vdir``, chunked at
+        ``manifest_segment_rows``; returns their refs.  Each ref
+        carries aggregate sums (so ``history()``/``detail()`` stay
+        O(segments)) and the per-column stat envelope (so readers
+        skip segments their predicate cannot touch)."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        refs: list[dict] = []
+        if not triples:
+            return refs
+        os.makedirs(vdir, exist_ok=True)
+        step = self.manifest_segment_rows
+        for i in range(0, len(triples), step):
+            chunk = triples[i : i + step]
+            name = f"_mseg-{uuid.uuid4().hex[:16]}.parquet"
+            seg_abs = os.path.join(vdir, name)
+            pq.write_table(
+                pa.table(
+                    {
+                        "path": [p for p, _, _ in chunk],
+                        "entry": [j for _, j, _ in chunk],
+                    }
+                ),
+                seg_abs,
+                compression="zstd",
+            )
+            fd = os.open(seg_abs, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            rel = os.path.relpath(seg_abs, self.root)
+            self._seg_cache[rel] = [(p, j) for p, j, _ in chunk]
+            refs.append(
+                {
+                    "path": rel,
+                    "n": len(chunk),
+                    "env": _segment_envelope([e for _, _, e in chunk]),
+                    "rows": sum(
+                        e.get("n_rows") or 0 for _, _, e in chunk
+                    ),
+                    "bytes": sum(
+                        e.get("bytes") or 0 for _, _, e in chunk
+                    ),
+                    "dv_rows": sum(
+                        e["dv"]["rows"]
+                        for _, _, e in chunk
+                        if e.get("dv")
+                    ),
+                    "dv_files": sum(
+                        1 for _, _, e in chunk if e.get("dv")
+                    ),
+                }
+            )
+        return refs
+
+    def _write_manifest_doc(self, vdir: str, doc: dict) -> None:
         tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
         with open(tmp, "w") as f:
             json.dump(doc, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(vdir, _MANIFEST))
+
+    def _persist_manifest_from_base(
+        self,
+        vdir: str,
+        man: dict,
+        base_version: int,
+        *,
+        exclude: dict,
+        replaced: dict,
+        new_entries: list,
+    ) -> None:
+        """Write ``vdir``'s manifest as BASE VERSION'S FILE LIST with
+        ``exclude`` (path → base entry) removed, ``replaced`` (path →
+        entry) swapped in, and ``new_entries`` appended — WITHOUT
+        materializing the untouched entries.  Two tiers keep the
+        driver cost O(touched): a segment whose ENVELOPE provably
+        cannot contain any dirty entry's key interval carries by
+        reference without even being read; one that might is loaded
+        for an exact O(paths) membership check (string compares, no
+        JSON parse) and carries unless it actually holds a dirty
+        path.  ``man`` carries every manifest field EXCEPT ``files``.
+        An excluded/replaced path absent from the base raises (a stale
+        snapshot the CAS somehow missed must fail loudly, not drop the
+        edit).  Inline bases delegate to the standard writer."""
+        raw = self._raw_manifest(base_version)
+        if raw is None:
+            raise ValueError(
+                f"{self.root}: carried_base_version={base_version} is "
+                "not a committed manifest version"
+            )
+        dirty = set(exclude) | set(replaced)
+        if "file_segments" not in raw:
+            base_files = raw["files"]
+            missing = dirty - {e["path"] for e in base_files}
+            if missing:
+                raise ValueError(
+                    f"{self.root}: carried-base edit names paths absent "
+                    f"from v{base_version}: {sorted(missing)[:3]}"
+                )
+            man = dict(man)
+            man["files"] = [
+                replaced.get(e["path"], e)
+                for e in base_files
+                if e["path"] not in exclude
+            ] + list(new_entries)
+            return self._persist_manifest(
+                vdir, man, base_version=base_version
+            )
+        # envelope pre-filter: entry ∈ segment ⇒ the segment's union
+        # interval CONTAINS the entry's [min, max] — so a segment
+        # whose envelope does not contain any dirty entry's interval
+        # provably holds none of them (conservative: unknown ranges
+        # force the exact check)
+        dirty_entries = list(exclude.values()) + [
+            replaced[p] for p in replaced
+        ]
+
+        def _may_contain(ref: dict) -> bool:
+            env = ref.get("env")
+            if env is None:
+                return True
+            emin, emax = env.get("min"), env.get("max")
+            if emin is None or emax is None:
+                return True
+            for e in dirty_entries:
+                a, b = e.get("min"), e.get("max")
+                if a is None or b is None:
+                    return True
+                try:
+                    if emin <= a and b <= emax:
+                        return True
+                except TypeError:
+                    return True
+            return False
+
+        refs: list[dict] = []
+        leftovers: list = []
+        found: set[str] = set()
+
+        def _canon(e: dict) -> str:
+            return json.dumps(e, sort_keys=True, separators=(",", ":"))
+
+        for ref in raw["file_segments"]:
+            if not _may_contain(ref):
+                refs.append(ref)
+                continue
+            rows = self._load_segment(ref["path"])
+            hit = [p for p, _ in rows if p in dirty]
+            if not hit:
+                refs.append(ref)
+                continue
+            found.update(hit)
+            for p, j in rows:
+                if p in exclude:
+                    continue
+                if p in replaced:
+                    e = replaced[p]
+                    leftovers.append((p, _canon(e), e))
+                else:
+                    leftovers.append((p, j, json.loads(j)))
+        missing = dirty - found
+        if missing:
+            raise ValueError(
+                f"{self.root}: carried-base edit names paths absent "
+                f"from v{base_version}: {sorted(missing)[:3]}"
+            )
+        leftovers.extend(
+            (e["path"], _canon(e), e) for e in new_entries
+        )
+        refs.extend(self._write_segments(vdir, leftovers))
+        doc = {k: v for k, v in man.items() if k not in ("files",)}
+        doc["file_segments"] = refs
+        doc["files_n"] = sum(r["n"] for r in refs)
+        self._write_manifest_doc(vdir, doc)
 
     def app_metadata_of(self, version: int | None = None) -> dict:
         """The application-owned metadata recorded atomically with a
@@ -2273,6 +2397,9 @@ class VersionedParquetTable:
         key: str,
         *,
         carried: list[dict] | None = None,
+        carried_base_version: int | None = None,
+        carried_touched: dict | None = None,
+        carried_exclude: dict | None = None,
         cluster_partitions: int | None = None,
         append_split: tuple | None = None,
         band_rows_hint: list | tuple | None = None,
@@ -2346,6 +2473,22 @@ class VersionedParquetTable:
         files in COMMITTED version directories at or below the current
         pointer (enforced: a reference above the pointer would resurrect
         a crash orphan).
+
+        ``carried_base_version`` / ``carried_touched`` — the
+        carried-BY-BASE form (mutually exclusive with ``carried``):
+        carry ALL of that committed version's entries with the commit's
+        DV updates applied (touched entries re-pointed, fully-deleted
+        entries dropped), built segment-wise so the untouched entries
+        are NEVER materialized — driver cost O(touched), the form
+        row-level DML uses on big tables.  ``carried_touched`` maps
+        each possibly-affected path to its base entry (the caller's
+        pruned candidate set; every ``dv_updates`` path must be in
+        it).  ``carried_exclude`` (path → base entry) names base
+        entries to REMOVE outright — the copy-on-write merge's
+        touched files, whose rows the new data files replace.
+        Requires ``expected_base_version == carried_base_version``
+        — the CAS is what guarantees the base list is still the live
+        one.
 
         ``expected_base_version`` — optimistic-concurrency CAS: raise
         :class:`SnapshotConflictError` under the lock (publishing
@@ -2454,6 +2597,34 @@ class VersionedParquetTable:
         """
         from pyspark.sql import functions as F
 
+        if carried_base_version is not None:
+            # carried-BY-BASE form (row-level DML on big tables): the
+            # version is base's ENTIRE file list minus DV-dropped
+            # entries, with DV-repointed entries swapped in — built
+            # WITHOUT materializing the untouched entries, so commit
+            # driver cost is O(touched), not O(table files).
+            # ``carried_touched`` maps each possibly-affected path to
+            # its base entry (the caller's pruned candidate set).
+            if carried is not None:
+                raise ValueError(
+                    "pass carried OR carried_base_version, not both"
+                )
+            if expected_base_version is _NO_CAS:
+                raise ValueError(
+                    "carried_base_version requires expected_base_version "
+                    "(the CAS is what guarantees base is still live)"
+                )
+            if expected_base_version != carried_base_version:
+                raise ValueError(
+                    "carried_base_version must equal "
+                    "expected_base_version — the carried set IS the "
+                    "CAS snapshot"
+                )
+            carried_touched = dict(carried_touched or {})
+        elif carried_exclude is not None:
+            raise ValueError(
+                "carried_exclude only applies with carried_base_version"
+            )
         self._acquire_lock()
         try:
             cur = self.current_version()
@@ -2482,8 +2653,11 @@ class VersionedParquetTable:
             # prior manifest is read only when the caller didn't
             # supply the inherited state (the pruned merge passes all
             # of it from its own single read).
+            # RAW doc suffices: every inherited field is inline in
+            # both storage forms — inheriting must never materialize
+            # an 800k-entry file list
             prior_man = (
-                self.manifest(cur)
+                self._raw_manifest(cur)
                 if cur is not None
                 and (
                     column_mapping is None
@@ -2732,10 +2906,16 @@ class VersionedParquetTable:
                     "caller's per-file groupBy count — it already ran "
                     "one for its rewrite-scale guard)"
                 )
+            dml_exclude: dict = {}
+            dml_replaced: dict = {}
             if dv_updates or dv_updates_df is not None:
                 import numpy as np
 
-                by_path = {e["path"]: e for e in (carried or [])}
+                by_path = (
+                    carried_touched
+                    if carried_base_version is not None
+                    else {e["path"]: e for e in (carried or [])}
+                )
                 touched_dv = set(dv_updates or dv_delta_counts)
                 missing = touched_dv - set(by_path)
                 if missing:
@@ -2801,20 +2981,41 @@ class VersionedParquetTable:
                             ),
                         )
                     sidecar_rel = os.path.join(f"v{next_v:08d}", name)
-                rewritten_carried = []
-                for e in carried or []:
-                    if e["path"] in touched_dv:
-                        if e["path"] not in alive_dv:
-                            continue  # every row deleted: drop entry
-                        e = {
-                            **e,
+                if carried_base_version is not None:
+                    # base form: the touched entries become an
+                    # exclude/replace edit applied segment-wise by
+                    # _persist_manifest_from_base — untouched entries
+                    # are never materialized
+                    dml_exclude = {
+                        r: by_path[r]
+                        for r in touched_dv
+                        if r not in alive_dv
+                    }
+                    dml_replaced = {
+                        r: {
+                            **by_path[r],
                             "dv": {
                                 "path": sidecar_rel,
-                                "rows": int(full_counts[e["path"]]),
+                                "rows": int(full_counts[r]),
                             },
                         }
-                    rewritten_carried.append(e)
-                carried = rewritten_carried
+                        for r in alive_dv
+                    }
+                else:
+                    rewritten_carried = []
+                    for e in carried or []:
+                        if e["path"] in touched_dv:
+                            if e["path"] not in alive_dv:
+                                continue  # every row deleted: drop entry
+                            e = {
+                                **e,
+                                "dv": {
+                                    "path": sidecar_rel,
+                                    "rows": int(full_counts[e["path"]]),
+                                },
+                            }
+                        rewritten_carried.append(e)
+                    carried = rewritten_carried
             if constraints is None:
                 constraints = (prior_man or {}).get("constraints") or {}
             if constraints and new_entries:
@@ -2851,8 +3052,9 @@ class VersionedParquetTable:
             man = {
                 "key": key,
                 "schema": logical_schema.jsonValue(),
-                "files": list(carried or []) + new_entries,
             }
+            if carried_base_version is None:
+                man["files"] = list(carried or []) + new_entries
             if extras:
                 man["stats_columns"] = [key, *extras]
             if key_columns:
@@ -2873,7 +3075,19 @@ class VersionedParquetTable:
                 man["operation"] = operation
             if app_metadata:
                 man["app_metadata"] = dict(app_metadata)
-            self._persist_manifest(vdir, man, base_version=cur)
+            if carried_base_version is not None:
+                dml_exclude.update(carried_exclude or {})
+                os.makedirs(vdir, exist_ok=True)
+                self._persist_manifest_from_base(
+                    vdir,
+                    man,
+                    carried_base_version,
+                    exclude=dml_exclude,
+                    replaced=dml_replaced,
+                    new_entries=new_entries,
+                )
+            else:
+                self._persist_manifest(vdir, man, base_version=cur)
             self._write_marker(vdir)
             self._swap_pointer(next_v)
             return next_v
@@ -3081,8 +3295,8 @@ class VersionedParquetTable:
         from pyspark.sql.types import StructType
 
         v = self.current_version()
-        man = self.manifest(v) if v is not None else None
-        if man is None:
+        raw = self._raw_manifest(v) if v is not None else None
+        if raw is None:
             raise ValueError(
                 f"{self.root}: delete_where() needs a keyed manifest "
                 "version (adopt a plain table with any "
@@ -3092,16 +3306,29 @@ class VersionedParquetTable:
         # retention delete (ts < cutoff) opens only the files whose
         # stats intersect the predicate — at 100 TB that is the
         # difference between a delta-bounded DML and an 800k-task
-        # table scan (conservative: unprunable predicates scan all)
-        cands = self._prune_where(spark, man, condition)
-        frame = self._read_entries_with_pos(spark, man, cands)
+        # table scan (conservative: unprunable predicates scan all).
+        # On a segmented manifest the same test first skips whole
+        # SEGMENTS, so even the candidate list materializes
+        # O(touched), and the commit below carries the base version
+        # BY REFERENCE — no step of a bounded delete is O(table
+        # files) driver-side.
+        pruner = self._compile_pruner(spark, raw, condition)
+        man_p = self._materialize_pruned(
+            v, pruner if pruner is not None else (lambda e: True)
+        )
+        cands = (
+            man_p["files"]
+            if pruner is None
+            else [e for e in man_p["files"] if pruner(e)]
+        )
+        frame = self._read_entries_with_pos(spark, man_p, cands)
         hits = frame.filter(F.expr(condition)).select("__file", "__pos")
         hits.persist()
         try:
             # probe-first plan: small deltas resolve in ONE bounded
             # collect (driver sidecar); big deltas run a per-file
             # counts job and write the sidecar executor-side
-            n_hits, n_files, dv_kw = self._dv_plan(man, hits)
+            n_hits, n_files, dv_kw = self._dv_plan(man_p, hits)
             if n_hits > max_dv_rows:
                 raise ValueError(
                     f"{self.root}: delete_where matched {n_hits} rows, "
@@ -3116,18 +3343,19 @@ class VersionedParquetTable:
                     "rows_deleted": 0,
                     "files_affected": 0,
                 }
-            schema = StructType.fromJson(man["schema"])
-            inv = _inverse_mapping_of(man)
+            schema = StructType.fromJson(raw["schema"])
+            inv = _inverse_mapping_of(raw)
             new_v = self.commit_with_manifest(
                 spark.createDataFrame([], schema),
-                inv.get(man["key"], man["key"]),
-                carried=man["files"],
+                inv.get(raw["key"], raw["key"]),
+                carried_base_version=v,
+                carried_touched={e["path"]: e for e in cands},
                 cluster_partitions=1,
                 stats_columns=[
-                    inv.get(c, c) for c in man.get("stats_columns") or []
+                    inv.get(c, c) for c in raw.get("stats_columns") or []
                 ]
                 or None,
-                app_metadata=man.get("app_metadata"),
+                app_metadata=raw.get("app_metadata"),
                 expected_base_version=v,
                 skip_data_write=True,
                 operation="DELETE",
@@ -3184,29 +3412,38 @@ class VersionedParquetTable:
         from pyspark.sql.types import StructType
 
         v = self.current_version()
-        man = self.manifest(v) if v is not None else None
-        if man is None:
+        raw = self._raw_manifest(v) if v is not None else None
+        if raw is None:
             raise ValueError(
                 f"{self.root}: update_where() needs a keyed manifest "
                 "version (adopt a plain table with any "
                 "commit_with_manifest / pruned merge first)"
             )
-        schema = StructType.fromJson(man["schema"])
+        schema = StructType.fromJson(raw["schema"])
         unknown = set(assignments) - {f.name for f in schema.fields}
         if unknown:
             raise ValueError(
                 f"update_where assignments name unknown columns: "
                 f"{sorted(unknown)} (schema evolution belongs to MERGE)"
             )
-        # same manifest-stats file pruning as delete_where: only the
-        # candidate files are opened to find matching rows
-        cands = self._prune_where(spark, man, condition)
-        frame = self._read_entries_with_pos(spark, man, cands)
+        # same manifest-stats file pruning as delete_where (segment
+        # envelopes first, then per-entry): only the candidate files
+        # are opened, only their segments materialize
+        pruner = self._compile_pruner(spark, raw, condition)
+        man_p = self._materialize_pruned(
+            v, pruner if pruner is not None else (lambda e: True)
+        )
+        cands = (
+            man_p["files"]
+            if pruner is None
+            else [e for e in man_p["files"] if pruner(e)]
+        )
+        frame = self._read_entries_with_pos(spark, man_p, cands)
         hits = frame.filter(F.expr(condition))
         hits.persist()  # one scan serves the guard, images, and DV job
         try:
             n_hits, n_files, dv_kw = self._dv_plan(
-                man, hits.select("__file", "__pos")
+                man_p, hits.select("__file", "__pos")
             )
             if n_hits > max_dv_rows:
                 raise ValueError(
@@ -3240,17 +3477,18 @@ class VersionedParquetTable:
                     for f in schema.fields
                 ]
             )
-            inv = _inverse_mapping_of(man)
+            inv = _inverse_mapping_of(raw)
             new_v = self.commit_with_manifest(
                 images,
-                inv.get(man["key"], man["key"]),
-                carried=man["files"],
+                inv.get(raw["key"], raw["key"]),
+                carried_base_version=v,
+                carried_touched={e["path"]: e for e in cands},
                 cluster_partitions=max(1, -(-int(n_hits) // 2_000_000)),
                 stats_columns=[
-                    inv.get(c, c) for c in man.get("stats_columns") or []
+                    inv.get(c, c) for c in raw.get("stats_columns") or []
                 ]
                 or None,
-                app_metadata=man.get("app_metadata"),
+                app_metadata=raw.get("app_metadata"),
                 expected_base_version=v,
                 operation="UPDATE",
                 **dv_kw,

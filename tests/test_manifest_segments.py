@@ -371,6 +371,129 @@ class TestEnvelopePruning:
         assert 0 < len(t2._seg_cache) < len(_segs(t))
 
 
+class TestDmlOTouched:
+    """Row-level DML on a segmented table is O(touched) driver-side:
+    candidate materialization is envelope-pruned, the commit carries
+    the base version by reference, and far segments are neither
+    loaded nor rewritten (the carried-by-base commit form)."""
+
+    def test_delete_loads_and_rewrites_only_touched_segments(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, n=400, parts=16)  # 16 files, ~6 segments
+        v1 = t.current_version()
+        n_segs = len(_segs(t, v1))
+        t2 = VersionedParquetTable(root)  # cold cache
+        r = t2.delete_where(spark, "k < 20")
+        assert r["rows_deleted"] == 20
+        # the whole op (prune + scan + commit) touched a strict
+        # subset of segments
+        assert 0 < len(t2._seg_cache) < n_segs + r["files_affected"]
+        raw2 = t2._raw_manifest(t2.current_version())
+        carried = _segs(t2, v1) & {
+            x["path"] for x in raw2["file_segments"]
+        }
+        assert len(carried) >= n_segs - 2  # far segments carried
+        assert t2.read(spark).count() == 380
+
+    def test_update_where_o_touched(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, n=400, parts=16)
+        v1 = t.current_version()
+        n_segs = len(_segs(t, v1))
+        t2 = VersionedParquetTable(root)
+        r = t2.update_where(spark, "k between 100 and 110", {"v": "v + 7"})
+        assert r["rows_updated"] == 11
+        raw2 = t2._raw_manifest(t2.current_version())
+        carried = _segs(t2, v1) & {
+            x["path"] for x in raw2["file_segments"]
+        }
+        assert len(carried) >= n_segs - 2
+        got = {
+            (row["k"], row["v"])
+            for row in t2.read_range(spark, "k", 100, 110).collect()
+        }
+        assert got == {(k, k * 2 + 7) for k in range(100, 111)}
+
+    def test_carried_base_validations(self, spark, tmp_path):
+        t = _mk(spark, str(tmp_path / "t"))
+        man = t.manifest(t.current_version())
+        with pytest.raises(ValueError, match="not both"):
+            t.commit_with_manifest(
+                spark.range(1).selectExpr("id as k", "id as v"),
+                "k",
+                carried=man["files"],
+                carried_base_version=t.current_version(),
+                expected_base_version=t.current_version(),
+            )
+        with pytest.raises(ValueError, match="expected_base_version"):
+            t.commit_with_manifest(
+                spark.range(1).selectExpr("id as k", "id as v"),
+                "k",
+                carried_base_version=t.current_version(),
+            )
+
+    def test_pruned_merge_o_touched_cow_and_mor(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The pruned MERGE on a segmented table: touched-test runs on
+        segment envelopes first, the commit carries the base by
+        reference, and far segments are neither loaded nor rewritten
+        — both write modes."""
+        loads: list[str] = []
+        orig = VersionedParquetTable._load_segment
+
+        def counting(self, rel):
+            loads.append(rel)
+            return orig(self, rel)
+
+        monkeypatch.setattr(
+            VersionedParquetTable, "_load_segment", counting
+        )
+        for mode in ("cow", "mor"):
+            root = str(tmp_path / f"t_{mode}")
+            t = _mk(spark, root, n=400, parts=16)
+            v1 = t.current_version()
+            n_segs = len(_segs(t, v1))
+            batch = spark.range(40, 60).selectExpr(
+                "id as k", "id * 11 as v"
+            )
+            loads.clear()
+            stats = merge_upsert_write_pruned(
+                root, batch, "k",
+                write_mode=mode, vacuum_keep_last=None,
+            )
+            assert stats["write_mode"] == mode, stats
+            assert stats["files_total"] == 16
+            assert stats["files_touched"] < 4
+            # the WHOLE merge (prune + scan + commit) loaded a strict
+            # subset of segments — envelopes kept the far ones cold
+            assert 0 < len(set(loads)) < n_segs, loads
+            t2 = VersionedParquetTable(root)
+            raw2 = t2._raw_manifest(t2.current_version())
+            carried = _segs(t, v1) & {
+                x["path"] for x in raw2["file_segments"]
+            }
+            assert len(carried) >= n_segs - 2
+            got = {
+                (r["k"], r["v"])
+                for r in t2.read_range(spark, "k", 40, 59).collect()
+            }
+            assert got == {(k, k * 11) for k in range(40, 60)}
+            assert t2.read(spark).count() == 400
+
+    def test_dml_on_inline_table_unchanged(self, spark, tmp_path):
+        """The carried-base form on an INLINE manifest (small table)
+        takes the delegation path and stays row-identical."""
+        a = _mk(spark, str(tmp_path / "i"), segmented=False)
+        b = _mk(spark, str(tmp_path / "s"))
+        for t in (a, b):
+            t.delete_where(spark, "k % 9 = 2")
+            t.update_where(spark, "k < 30", {"v": "v - 1"})
+        assert _rows(spark, a) == _rows(spark, b)
+
+
 class TestModelSequence:
     def test_seeded_op_sequence_tracks_inline_twin(self, spark, tmp_path):
         """Randomized (seeded) interleaving of append / delete /

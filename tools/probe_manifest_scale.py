@@ -74,11 +74,29 @@ def run(n_files: int, segmented: bool, spark) -> dict:
         cluster_partitions=1,
     )
     wall = time.perf_counter() - t0
+    # DML leg: a narrow delete — on the segmented form the WHOLE op
+    # (candidate pruning + scan + carried-by-base commit) must load a
+    # handful of segments, not the table's entry list
+    t_dml = VersionedParquetTable(root)  # cold caches
+    if segmented:
+        t_dml.manifest_inline_max = 64
+        t_dml.manifest_segment_rows = 256
+    else:
+        t_dml.manifest_inline_max = 10**9
+    t1 = time.perf_counter()
+    r = t_dml.delete_where(spark, "k < 8")
+    dml_wall = time.perf_counter() - t1
+    assert r["rows_deleted"] == 8, r
     return {
         "n_files": n_files,
         "form": "segmented" if segmented else "inline",
         "commit_meta_bytes": _meta_bytes(root, v),
         "commit_wall_s": round(wall, 3),
+        "dml_wall_s": round(dml_wall, 3),
+        "dml_meta_bytes": _meta_bytes(root, t_dml.current_version()),
+        "dml_segments_loaded": (
+            len(t_dml._seg_cache) if segmented else None
+        ),
     }
 
 

@@ -101,9 +101,14 @@ def table_bytes(root: str) -> int:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a not in ("--policy", "--bimodal")]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if a not in ("--policy", "--bimodal", "--segmented")
+    ]
     policy = "--policy" in sys.argv[1:]
     bimodal = "--bimodal" in sys.argv[1:]
+    segmented = "--segmented" in sys.argv[1:]
     n_rows = int(args[0]) if len(args) > 0 else 2_000_000
     cycles = int(args[1]) if len(args) > 1 else 60
     out_json = args[2] if len(args) > 2 else None
@@ -120,6 +125,14 @@ def main() -> int:
     from airflow_embeddings_pipeline_spark.sources.versioned import (
         VersionedParquetTable,
     )
+
+    if segmented:
+        # force segmented manifests at stress scale (the big-table
+        # storage form): every commit in the run exercises segment
+        # carry/rewrite; per-cycle records add segment counts and the
+        # manifest metadata bytes the cycle's commits wrote
+        VersionedParquetTable.manifest_inline_max = 8
+        VersionedParquetTable.manifest_segment_rows = 16
 
     spark = get_spark("stress-merge-longhorizon")
     root = f"/tmp/spark_graft_longhorizon/{os.getpid()}"
@@ -242,6 +255,35 @@ def main() -> int:
         }
         if compacted:
             rec.update(compacted)
+        if segmented:
+            import glob as _glob
+
+            cur = table.current_version()
+            raw = table._raw_manifest(cur) or {}
+            refs = raw.get("file_segments") or []
+            vname = f"v{cur:08d}"
+            rec.update(
+                {
+                    "segments_total": len(refs),
+                    "segments_new": sum(
+                        1
+                        for r in refs
+                        if r["path"].startswith(vname + os.sep)
+                    ),
+                    # metadata written BY THIS CYCLE's final commit:
+                    # its doc + the segments living in its own vdir
+                    # (carried segments cost nothing)
+                    "manifest_meta_bytes": os.path.getsize(
+                        os.path.join(path, vname, "_MANIFEST.json")
+                    )
+                    + sum(
+                        os.path.getsize(p)
+                        for p in _glob.glob(
+                            os.path.join(path, vname, "_mseg-*.parquet")
+                        )
+                    ),
+                }
+            )
         records.append(rec)
         print(json.dumps(rec))
 
