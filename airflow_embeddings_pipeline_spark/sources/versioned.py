@@ -865,6 +865,47 @@ class VersionedParquetTable:
         raw["files"] = files
         return raw
 
+    def _diff_file_maps(
+        self, v_from: int, v_to: int
+    ) -> tuple[dict, dict] | None:
+        """``(path → entry)`` maps of the two versions RESTRICTED to
+        files that can differ between them — the CDF's input, built in
+        O(changed segments).  Segments shared BY REF between the two
+        manifests hold byte-identical entries (segments are immutable
+        and carried by reference), so their files exist in both
+        versions unchanged and contribute nothing to any diff
+        (added / removed / dv-changed): a path present in only one
+        version cannot live in a shared segment, and an entry that
+        changed (a DV re-point) implies different segment content,
+        hence a different immutable segment file.  Inline manifests
+        materialize fully (small tables); returns None when either
+        version lacks a manifest (the caller's plain-version
+        degrade)."""
+        raw_f = self._raw_manifest(v_from)
+        raw_t = self._raw_manifest(v_to)
+        if raw_f is None or raw_t is None:
+            return None
+        segs_f = raw_f.get("file_segments")
+        segs_t = raw_t.get("file_segments")
+        if segs_f is None or segs_t is None:
+            mf, mt = self.manifest(v_from), self.manifest(v_to)
+            return (
+                {e["path"]: e for e in mf["files"]},
+                {e["path"]: e for e in mt["files"]},
+            )
+        shared = {r["path"] for r in segs_f} & {r["path"] for r in segs_t}
+
+        def _side(refs: list) -> dict:
+            out: dict = {}
+            for r in refs:
+                if r["path"] in shared:
+                    continue
+                for p, j in self._load_segment(r["path"]):
+                    out[p] = json.loads(j)
+            return out
+
+        return _side(segs_f), _side(segs_t)
+
     def _persist_manifest(
         self, vdir: str, man: dict, *, base_version: int | None = None
     ) -> None:
@@ -4467,11 +4508,10 @@ class VersionedParquetTable:
         and therefore never read.  ``None`` counts when either version
         is a plain (manifest-less) directory — the diff then degrades
         to full snapshots."""
-        man_f, man_t = self.manifest(v_from), self.manifest(v_to)
-        if man_f is None or man_t is None:
+        maps = self._diff_file_maps(v_from, v_to)
+        if maps is None:
             return {"files_old": None, "files_new": None, "files_carried": None}
-        ef = {e["path"]: e for e in man_f["files"]}
-        et = {e["path"]: e for e in man_t["files"]}
+        ef, et = maps
         pf, pt = set(ef), set(et)
         # a carried file whose deletion vector changed is NOT carried
         # content-wise: its DV delta positions are read (only those)
@@ -4480,10 +4520,25 @@ class VersionedParquetTable:
             for p in pf & pt
             if (ef[p].get("dv") or None) != (et[p].get("dv") or None)
         )
+        # the carried count includes the files inside shared segments
+        # (identical by construction, absent from the diff maps):
+        # total files of v_from minus the diff's removed/changed mass
+        raw_f = self._raw_manifest(v_from)
+        segs_f = (raw_f or {}).get("file_segments")
+        if segs_f is not None:
+            raw_t = self._raw_manifest(v_to) or {}
+            shared = {r["path"] for r in segs_f} & {
+                r["path"] for r in raw_t.get("file_segments") or []
+            }
+            shared_n = sum(
+                r["n"] for r in segs_f if r["path"] in shared
+            )
+        else:
+            shared_n = 0
         return {
             "files_old": len(pf - pt),
             "files_new": len(pt - pf),
-            "files_carried": len(pf & pt) - dv_changed,
+            "files_carried": shared_n + len(pf & pt) - dv_changed,
             "files_dv_changed": dv_changed,
         }
 
@@ -4533,7 +4588,11 @@ class VersionedParquetTable:
                 raise FileNotFoundError(
                     f"version {v} not available (never committed or vacuumed)"
                 )
-        man_f, man_t = self.manifest(v_from), self.manifest(v_to)
+        # RAW docs carry everything the feed derivation needs (key
+        # identity, schema, mapping); the file lists are needed only
+        # as a DIFF, which _diff_file_maps computes in O(changed
+        # segments) on segmented manifests
+        man_f, man_t = self._raw_manifest(v_from), self._raw_manifest(v_to)
         if key is None:
             # manifest keys are PHYSICAL; the feed speaks logical.
             # Prefer the manifest's recorded ROW IDENTITY
@@ -4574,8 +4633,7 @@ class VersionedParquetTable:
         keys = [key] if isinstance(key, str) else list(key)
 
         if man_f is not None and man_t is not None:
-            pf = {e["path"]: e for e in man_f["files"]}
-            pt = {e["path"]: e for e in man_t["files"]}
+            pf, pt = self._diff_file_maps(v_from, v_to)
             schema_t = StructType.fromJson(man_t["schema"])
 
             def side(man, ents):

@@ -263,19 +263,24 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
     def _current(self) -> int | None:
         return _read_pointer(self.root)
 
-    def _manifest(self, v: int) -> dict | None:
-        # Goes through the table class so segmented manifests (the
-        # big-table storage form) materialize their file lists; the
-        # handle persists across micro-batches, so carried segments
-        # are read once per stream, not once per step.  Lazy import:
-        # this module stays self-contained for the data-source worker
-        # pickle path (only driver-side planning calls _manifest).
+    def _table(self):
+        # persistent handle (segment loads memoize across
+        # micro-batches).  Lazy import: this module stays
+        # self-contained for the data-source worker pickle path (only
+        # driver-side planning calls it).
         vt = getattr(self, "_vt", None)
         if vt is None:
             from .versioned import VersionedParquetTable
 
             vt = self._vt = VersionedParquetTable(self.root)
-        return vt.manifest(v)
+        return vt
+
+    def _manifest(self, v: int) -> dict | None:
+        # RAW doc: every field the planner reads (schema, mapping,
+        # key identity) is inline in both storage forms — the file
+        # lists are consumed only as a per-step DIFF, which
+        # _diff_file_maps computes in O(changed segments)
+        return self._table()._raw_manifest(v)
 
     def initialOffset(self) -> dict:
         if self.starting is not None:
@@ -422,8 +427,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 keys = [inv_start.get(k, k) for k in phys_keys]
             from pyspark.sql.pandas.types import to_arrow_schema
 
-            ent_f = {e["path"]: e for e in man_f["files"]}
-            ent_t = {e["path"]: e for e in man_t["files"]}
+            # O(changed segments): segments shared by ref between the
+            # step's two manifests hold byte-identical entries and
+            # never materialize (see VersionedParquetTable
+            # ._diff_file_maps — exactness argued there)
+            ent_f, ent_t = self._table()._diff_file_maps(v - 1, v)
             # deletion vectors: a removed/added entry carrying a DV is
             # read MINUS its deleted positions ("_dv_skip"); a file
             # present on both sides whose DV changed contributes ONLY

@@ -494,6 +494,29 @@ class TestDmlOTouched:
         assert _rows(spark, a) == _rows(spark, b)
 
 
+class TestCdfOChanged:
+    def test_changes_between_loads_only_changed_segments(
+        self, spark, tmp_path
+    ):
+        """The CDF diff skips segments shared by ref between the two
+        versions — on a one-file DML commit it materializes the dirty
+        segment(s) only."""
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, n=400, parts=16)
+        n_segs = len(_segs(t))
+        t.delete_where(spark, "k < 10")
+        t2 = VersionedParquetTable(root)  # cold cache
+        feed = t2.changes_between(spark, 1, 2)
+        rows = feed.collect()
+        assert len(rows) == 10
+        assert all(r["_change_type"] == "delete" for r in rows)
+        assert 0 < len(t2._seg_cache) < n_segs
+        d = t2.changes_file_diff(1, 2)
+        assert d["files_dv_changed"] == 1
+        assert d["files_carried"] == 15
+        assert d["files_old"] == 0 and d["files_new"] == 0
+
+
 class TestModelSequence:
     def test_seeded_op_sequence_tracks_inline_twin(self, spark, tmp_path):
         """Randomized (seeded) interleaving of append / delete /
