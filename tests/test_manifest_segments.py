@@ -517,6 +517,83 @@ class TestCdfOChanged:
         assert d["files_old"] == 0 and d["files_new"] == 0
 
 
+class TestMaintenanceLifecycle:
+    """Maintenance / layout / metadata ops on SEGMENTED tables stay
+    row-identical to an inline twin driven through the same ops — the
+    storage form must be unobservable through every write shape, not
+    just DML."""
+
+    def test_compact_zorder_bloom_on_segmented(self, spark, tmp_path):
+        a = _mk(spark, str(tmp_path / "i"), segmented=False)
+        b = _mk(spark, str(tmp_path / "s"))
+        for t in (a, b):
+            t.compact(spark, min_file_bytes=1 << 30)  # all files small
+            t.optimize_zorder(spark, ["k", "v"], buckets=4)
+            t.add_bloom_index("v")
+        assert _rows(spark, a) == _rows(spark, b)
+        # the storage form ADAPTS: the full rewrites shrank the file
+        # count, so the form follows the entry count against the
+        # threshold — either way the content is identical
+        raw = b._raw_manifest(b.current_version())
+        n_files = (
+            raw["files_n"]
+            if "file_segments" in raw
+            else len(raw["files"])
+        )
+        assert ("file_segments" in raw) == (n_files > b.manifest_inline_max)
+        # bloom-indexed point read works through segments
+        assert (
+            sorted(r["k"] for r in b.read_eq(spark, "v", 100).collect())
+            == sorted(r["k"] for r in a.read_eq(spark, "v", 100).collect())
+        )
+
+    def test_maintain_reorg_on_segmented(self, spark, tmp_path):
+        b = _mk(spark, str(tmp_path / "s"))
+        b.delete_where(spark, "k % 3 = 0")  # DV mass on many files
+        m = b.maintain(
+            spark, min_file_bytes=1 << 30, max_small_files=2, max_dv_ratio=0.01
+        )
+        assert m["triggered"], m
+        assert b.read(spark).count() == 200 - 67
+        # the reorg bin-packed everything into few files, so the form
+        # adapts back to inline below the threshold — content intact
+        d = b.detail()
+        assert d["n_rows"] == 133 and d["dv_rows"] == 0
+
+    def test_rename_widen_on_segmented(self, spark, tmp_path):
+        def mk(root, segmented):
+            t = VersionedParquetTable(root)
+            if segmented:
+                t.manifest_inline_max = 4
+                t.manifest_segment_rows = 3
+            t.commit_with_manifest(
+                spark.range(200).selectExpr(
+                    "id as k", "cast(id * 2 as int) as v"
+                ),
+                "k",
+                cluster_partitions=8,
+            )
+            return t
+
+        a = mk(str(tmp_path / "i"), False)
+        b = mk(str(tmp_path / "s"), True)
+        for t in (a, b):
+            t.rename_column("v", "val")
+            t.widen_column("val", "bigint")
+            t.update_where(spark, "k < 5", {"val": "val + 1"})
+        ra = sorted(
+            map(tuple, a.read(spark).select("k", "val").collect())
+        )
+        rb = sorted(
+            map(tuple, b.read(spark).select("k", "val").collect())
+        )
+        assert ra == rb
+        # rename/widen are metadata-only on BOTH forms: zero new
+        # segments for the segmented table's two ALTER commits
+        segs_v1 = _segs(b, 1)
+        assert _segs(b, 2) == segs_v1 and _segs(b, 3) == segs_v1
+
+
 class TestModelSequence:
     def test_seeded_op_sequence_tracks_inline_twin(self, spark, tmp_path):
         """Randomized (seeded) interleaving of append / delete /

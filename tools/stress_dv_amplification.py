@@ -54,6 +54,9 @@ def main() -> int:
         i = argv.index("--maintain-every")
         maintain_every = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    segmented = "--segmented" in argv
+    if segmented:
+        argv.remove("--segmented")
     n_rows = int(argv[0]) if len(argv) > 0 else 5_000_000
     cycles = int(argv[1]) if len(argv) > 1 else 10
     out_json = argv[2] if len(argv) > 2 else None
@@ -68,6 +71,12 @@ def main() -> int:
     from airflow_embeddings_pipeline_spark.sources.versioned import (
         VersionedParquetTable,
     )
+
+    if segmented:
+        # force the big-table manifest storage form: every commit in
+        # the run exercises segment carry + carried-by-base DV edits
+        VersionedParquetTable.manifest_inline_max = 8
+        VersionedParquetTable.manifest_segment_rows = 16
 
     spark = get_spark("stress-dv")
     base = f"/tmp/spark_graft_stress_dv/{os.getpid()}"
