@@ -46,6 +46,9 @@ def sidecar_bytes(root: str) -> int:
 
 
 def main() -> int:
+    argv = [a for a in sys.argv if a != "--segmented"]
+    segmented = "--segmented" in sys.argv
+    sys.argv = argv
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000_000
     out_json = sys.argv[2] if len(sys.argv) > 2 else None
     # delete fraction knob: buckets below this of 97 match (default 44
@@ -65,6 +68,12 @@ def main() -> int:
     # shuffle-anti-joins a ~100M-position DV — 32 partitions on a 16g
     # heap hit UNABLE_TO_ACQUIRE_MEMORY; over-partitioning is cheap
     # (AQE coalesces) and the host has the RAM
+    if segmented:
+        # big-table manifest form forced: the distributed-DV commit
+        # then exercises the carried-by-base segment edit too
+        VersionedParquetTable.manifest_inline_max = 8
+        VersionedParquetTable.manifest_segment_rows = 16
+
     shuffle_parts = max(32, n_rows // 2_000_000)
     spark = (
         SparkSession.builder.master("local[32]")
