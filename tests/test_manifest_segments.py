@@ -594,6 +594,117 @@ class TestMaintenanceLifecycle:
         assert _segs(b, 2) == segs_v1 and _segs(b, 3) == segs_v1
 
 
+class TestFromBaseEquivalence:
+    """Generative white-box property: for ANY exclude/replace edit
+    set, `_persist_manifest_from_base` (the O(touched) segment-wise
+    writer) must produce a manifest that MATERIALIZES identically to
+    the standard writer given the explicitly-built full list.  This is
+    the storage-equivalence contract every carried-by-base DML/merge
+    commit rests on."""
+
+    def test_random_edit_sets_match_standard_writer(
+        self, spark, tmp_path
+    ):
+        import random
+        import shutil
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, n=400, parts=16)
+        base_v = t.current_version()
+        base_files = t.manifest(base_v)["files"]
+        paths = [e["path"] for e in base_files]
+        meta = {
+            k: v
+            for k, v in t.manifest(base_v).items()
+            if k not in ("files",)
+        }
+        scratch = str(tmp_path / "scratch")
+
+        @settings(max_examples=25, deadline=None)
+        @given(st.randoms(use_true_random=False))
+        def prop(rng):
+            k_ex = rng.randrange(0, 6)
+            k_rep = rng.randrange(0, 6)
+            picked = rng.sample(paths, min(len(paths), k_ex + k_rep))
+            ex_paths, rep_paths = picked[:k_ex], picked[k_ex:]
+            by_path = {e["path"]: e for e in base_files}
+            exclude = {p: by_path[p] for p in ex_paths}
+            replaced = {
+                p: {
+                    **by_path[p],
+                    "dv": {"path": "v00000001/dv-fake.parquet", "rows": 1},
+                }
+                for p in rep_paths
+            }
+            new_entries = [
+                {
+                    "path": f"v{base_v:08d}/fake-new-{i}.parquet",
+                    "n_rows": 5,
+                    "bytes": 100,
+                    "min": 1000 + i,
+                    "max": 1001 + i,
+                }
+                for i in range(rng.randrange(0, 3))
+            ]
+            expected_files = [
+                replaced.get(e["path"], e)
+                for e in base_files
+                if e["path"] not in exclude
+            ] + new_entries
+
+            for form in ("a", "b"):
+                shutil.rmtree(
+                    os.path.join(scratch, form), ignore_errors=True
+                )
+                os.makedirs(os.path.join(scratch, form))
+            # O(touched) writer
+            t._persist_manifest_from_base(
+                os.path.join(scratch, "a"),
+                dict(meta),
+                base_v,
+                exclude=exclude,
+                replaced=replaced,
+                new_entries=new_entries,
+            )
+            # standard writer over the explicit list
+            t._persist_manifest(
+                os.path.join(scratch, "b"),
+                {**meta, "files": expected_files},
+                base_version=base_v,
+            )
+
+            def materialize(d):
+                with open(os.path.join(d, "_MANIFEST.json")) as f:
+                    raw = json.load(f)
+                if "file_segments" not in raw:
+                    return raw["files"]
+                out = []
+                for ref in raw["file_segments"]:
+                    # refs are root-relative; new scratch segments
+                    # resolve via the ".." components relpath produced
+                    p = os.path.join(t.root, ref["path"])
+                    import pyarrow.parquet as pq
+
+                    tbl = pq.read_table(p)
+                    out.extend(
+                        json.loads(j)
+                        for j in tbl.column("entry").to_pylist()
+                    )
+                return out
+
+            key = lambda e: e["path"]
+            got = sorted(materialize(os.path.join(scratch, "a")), key=key)
+            want = sorted(
+                materialize(os.path.join(scratch, "b")), key=key
+            )
+            assert got == want
+
+        prop()
+
+
 class TestModelSequence:
     def test_seeded_op_sequence_tracks_inline_twin(self, spark, tmp_path):
         """Randomized (seeded) interleaving of append / delete /
