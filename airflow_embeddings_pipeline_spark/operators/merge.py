@@ -592,9 +592,15 @@ def _pruned_merge_attempt(
         # the stats' canonical space (temporal keys → epoch-us, see
         # _stat_value); bloom probes keep the ORIGINAL values —
         # _bloom_canon does its own canonicalization per persisted kind
+        _ktypes = [schema[k].dataType for k in keys]
         pairs = sorted(
             (
-                (tuple(_stat_canon(v) for v in r), tuple(r))
+                (
+                    tuple(
+                        _stat_canon(v, t) for v, t in zip(r, _ktypes)
+                    ),
+                    tuple(r),
+                )
                 for r in head
                 if r[0] is not None
             ),

@@ -169,24 +169,55 @@ def _stat_value(v):
     return None
 
 
-def _stat_canon(v):
+def _stat_canon(v, data_type=None):
     """Probe value → the comparison space of manifest stats: temporals
-    to epoch-microseconds via the bloom layer's vetted
-    :func:`_to_epoch_us` (naive datetimes localize system-local,
-    matching PySpark's own collect semantics), everything else
-    unchanged."""
+    to epoch-microseconds, everything else unchanged.
+
+    The conversion rule follows the COLUMN TYPE when the caller can
+    supply it: TimestampType (instant semantics) goes through the
+    bloom layer's vetted :func:`_to_epoch_us` — naive datetimes
+    localize system-local, matching PySpark's own collect semantics —
+    while TimestampNTZType (wall semantics) converts the naive wall
+    value UNSHIFTED, matching what ``_stat_value`` records from a
+    not-adjusted-to-UTC footer (``timegm``).  Without the type the
+    instant rule applies (identical on a UTC host; the reason every
+    pruning call site passes the type)."""
     import datetime as _dt
 
-    if isinstance(v, (_dt.datetime, _dt.date)):
-        return _to_epoch_us(v)
-    try:
-        import numpy as np
+    def _is_temporal(x):
+        if isinstance(x, (_dt.datetime, _dt.date)):
+            return True
+        try:
+            import numpy as np
 
-        if isinstance(v, np.datetime64):
-            return _to_epoch_us(v)
-    except ImportError:  # pragma: no cover
-        pass
-    return v
+            return isinstance(x, np.datetime64)
+        except ImportError:  # pragma: no cover
+            return False
+
+    if not _is_temporal(v):
+        return v
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(data_type, TimestampNTZType):
+        import pandas as pd
+
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_localize(None)
+        return ts.value // 1000  # wall micros, no zone shift
+    return _to_epoch_us(v)
+
+
+def _schema_field_type(man: dict, logical_name: str):
+    """The Spark DataType of a manifest schema's LOGICAL field, or
+    None when absent — the type context :func:`_stat_canon` uses to
+    pick instant vs wall temporal conversion."""
+    try:
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(man["schema"])[logical_name].dataType
+    except Exception:
+        return None
 
 
 def _stat_restore(v, data_type):
@@ -202,9 +233,14 @@ def _stat_restore(v, data_type):
     if v is None:
         return None
     if isinstance(data_type, TimestampType):
-        return _dt.datetime.fromtimestamp(v // 1_000_000) + _dt.timedelta(
-            microseconds=v % 1_000_000
-        )
+        # AWARE UTC, not system-local naive: a naive restore is
+        # ambiguous in the DST fall-back hour (time.mktime may pick
+        # the other fold, shifting a range bound by an hour on a
+        # non-UTC host); PySpark's toInternal converts aware values
+        # through utctimetuple, which is exact for every instant
+        return _dt.datetime.fromtimestamp(
+            v // 1_000_000, tz=_dt.timezone.utc
+        ) + _dt.timedelta(microseconds=v % 1_000_000)
     if isinstance(data_type, TimestampNTZType):
         # NTZ stores the WALL value's micros: no zone round trip
         return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
@@ -1153,7 +1189,10 @@ class VersionedParquetTable:
             version = self.current_version()
         if version is None:
             return {}
-        man = self.manifest(version)
+        # RAW doc: app_metadata is inline in both storage forms — a
+        # CDC consumer polling its watermark must not materialize an
+        # 800k-entry file list per cycle
+        man = self._raw_manifest(version)
         return dict((man or {}).get("app_metadata") or {})
 
     def _read_manifest_files(
@@ -2706,6 +2745,7 @@ class VersionedParquetTable:
                     or constraints is None
                     or bloom_columns is None
                     or clustering is None
+                    or key_columns is None
                 )
                 else None
             )
@@ -4002,6 +4042,16 @@ class VersionedParquetTable:
                 + F.when(val >= cut, F.lit(1)).otherwise(F.lit(0)),
             )
 
+        if sum(bits) > 62:
+            # shiftleft wraps its count mod the operand width — past
+            # the long's bit budget the z value would silently scramble
+            # (and the files would still be flagged clustered:'zorder',
+            # permanently exempt from the 1-D repair signal); fail loud
+            raise ValueError(
+                f"zorder over {len(columns)} columns x {buckets} buckets "
+                f"needs {sum(bits)} interleaved bits > 62 — reduce "
+                "buckets or columns"
+            )
         terms = []
         pos = 0
         for i in range(max(bits) if bits else 0):
@@ -4009,9 +4059,12 @@ class VersionedParquetTable:
                 if i < bits[j]:
                     terms.append(
                         F.shiftleft(
-                            F.shiftright(_bucket_expr(j, c), i).bitwiseAND(
-                                F.lit(1)
-                            ),
+                            # LONG operand: shiftleft on an int wraps
+                            # the shift count mod 32, scrambling any
+                            # layout past 31 total bits
+                            F.shiftright(_bucket_expr(j, c), i)
+                            .bitwiseAND(F.lit(1))
+                            .cast("long"),
                             pos,
                         )
                     )
@@ -4170,10 +4223,13 @@ class VersionedParquetTable:
 
         p = _mapping_of(man).get(column, column)
         vals = list(values)
-        # range check in the stats' space (temporal → epoch-us); the
-        # bloom probe keeps the ORIGINAL values (_bloom_canon does its
-        # own temporal canonicalization against the persisted kind)
-        c_vals = [_stat_canon(v) for v in vals]
+        # range check in the stats' space (temporal → epoch-us,
+        # instant vs wall per the column type); the bloom probe keeps
+        # the ORIGINAL values (_bloom_canon does its own temporal
+        # canonicalization against the persisted kind)
+        c_vals = [
+            _stat_canon(v, _schema_field_type(man, column)) for v in vals
+        ]
         cache = self._bloom_sidecar_cache
         if len(cache) > 64:  # bound driver memory on huge tables
             cache.clear()
@@ -4185,8 +4241,14 @@ class VersionedParquetTable:
                 s = (e.get("stats") or {}).get(p)
                 rng = (s[0], s[1]) if s else (None, None)
             if rng[0] is not None and rng[1] is not None:
-                if not any(rng[0] <= v <= rng[1] for v in c_vals):
-                    continue
+                try:
+                    if not any(rng[0] <= v <= rng[1] for v in c_vals):
+                        continue
+                except TypeError:
+                    # mistyped probe (e.g. a string against temporal
+                    # stats): conservative keep — the exact filter
+                    # decides, matching the pre-stats degrade
+                    pass
             bloom = self._bloom_of(e, p, cache)
             if bloom is not None and not bool(
                 np.any(_bloom_might_contain(bloom, vals))
@@ -4224,7 +4286,9 @@ class VersionedParquetTable:
         # materialize); same conservative test _eq_prune applies
         p = _mapping_of(raw).get(column, column)
         man_key = raw.get("key")
-        c_vals = [_stat_canon(x) for x in vals]
+        c_vals = [
+            _stat_canon(x, _schema_field_type(raw, column)) for x in vals
+        ]
 
         def rng_might(e: dict) -> bool:
             if man_key == p:
@@ -4234,7 +4298,10 @@ class VersionedParquetTable:
                 rng = (s[0], s[1]) if s else (None, None)
             if rng[0] is None or rng[1] is None:
                 return True
-            return any(rng[0] <= x <= rng[1] for x in c_vals)
+            try:
+                return any(rng[0] <= x <= rng[1] for x in c_vals)
+            except TypeError:
+                return True  # mistyped probe: conservative keep
 
         man = self._materialize_pruned(v, rng_might)
         kept = self._eq_prune(man, column, vals)
@@ -4278,18 +4345,20 @@ class VersionedParquetTable:
             df = self.read(spark)
         else:
             # temporal probes compare in the stats' epoch-us space
-            c_lo, c_hi = _stat_canon(lo), _stat_canon(hi)
+            # (instant vs wall per the column type)
+            _kt = _schema_field_type(raw, key)
+            c_lo, c_hi = _stat_canon(lo, _kt), _stat_canon(hi, _kt)
 
             def might(e: dict) -> bool:
                 emin, emax = col_range(e)
-                return (
-                    emin is None
-                    or emax is None
-                    or (
-                        (c_lo is None or emax >= c_lo)
-                        and (c_hi is None or emin <= c_hi)
+                if emin is None or emax is None:
+                    return True
+                try:
+                    return (c_lo is None or emax >= c_lo) and (
+                        c_hi is None or emin <= c_hi
                     )
-                )
+                except TypeError:
+                    return True  # mistyped bound: conservative keep
 
             # segment-envelope skip first (O(intersecting segments)
             # materialization on a segmented table), then the same

@@ -62,8 +62,13 @@ class TestStatHelpers:
         assert isinstance(us, int)
         # probe side (UTC host): same instant → same epoch-us
         assert _stat_canon(dt) == us
-        # restore side: Spark toInternal round-trips it exactly
-        assert _stat_restore(us, TimestampType()) == dt
+        # restore side: AWARE UTC (DST-fold-free; Spark's toInternal
+        # converts aware values through utctimetuple exactly) — the
+        # same instant, and _stat_value inverts it
+        restored = _stat_restore(us, TimestampType())
+        assert restored.tzinfo is datetime.timezone.utc
+        assert restored == dt.replace(tzinfo=datetime.timezone.utc)
+        assert _stat_value(restored) == us
         d = datetime.date(2024, 6, 1)
         dus = _stat_value(d)
         assert isinstance(dus, int)
