@@ -349,10 +349,18 @@ def merge_upsert_write_pruned(
     OUTSIDE the commit lock, and publishes with
     ``expected_base_version`` set to the snapshot it read — a
     compare-and-swap.  If another writer committed in between (the
-    lost-update window the lock alone cannot close), the commit raises
-    :class:`~..sources.versioned.SnapshotConflictError` WITHOUT
-    publishing, and the merge re-reads the new live version and
-    recomputes, up to ``conflict_retries`` times (Delta's
+    lost-update window the lock alone cannot close), the commit first
+    tries a LOGICAL REBASE (Delta conflict scoping,
+    ``VersionedParquetTable._rebase_compatible``): when every racing
+    commit provably touched files and key ranges disjoint from this
+    merge's touched set — checked in O(changed segments) under the
+    same lock hold — the prepared output is published against the new
+    head verbatim (``stats["rebased"] = True``), costing zero
+    recompute and zero extra lock round-trips.  Only a genuinely
+    OVERLAPPING conflict raises
+    :class:`~..sources.versioned.SnapshotConflictError`, and the merge
+    re-reads the new live version and recomputes, up to
+    ``conflict_retries`` times (Delta's
     ``ConcurrentModificationException`` retry loop).  MERGE is
     key-idempotent, so recomputing against the newer snapshot yields
     exactly the state a serial execution would; with retries exhausted
@@ -666,20 +674,23 @@ def _pruned_merge_attempt(
         # the TRUE distinct-tuple count replaces the capped probe
         # length (one extra count job over a plan this branch computes
         # anyway).
-        if seg_fast:
-            # this tier needs every file's ranges for the broadcast
-            # frame — materialize fully (a >max_exact_keys batch is
-            # already heavy; the frame itself stays one tiny row per
-            # file, Spark-side)
-            entries = table.manifest(base_version)["files"]
         n_src = src_keys.count()
-        ranged = [
-            (i, _key_ranges(e))
-            for i, e in enumerate(entries)
-            if e["min"] is not None and e["max"] is not None
-        ]
-        hit: set[int] = set()
-        if ranged:
+        # stats are stored canonically (temporal → epoch-us int);
+        # broadcast range frames are TYPED per key column, so restore
+        # each bound to the value Spark round-trips
+        ktypes = [schema[k].dataType for k in keys]
+
+        def _range_hit(ranged: list) -> set[int]:
+            """ids of ``(id, per-key-ranges)`` items whose ranges may
+            contain SOME distinct source key tuple: broadcast the tiny
+            range frame against src_keys; only distinct hit ids reach
+            the driver — bounded by item count regardless of batch
+            size.  Serves both passes (segment envelopes, then files):
+            an envelope is interval-union-shaped exactly like a file
+            entry, and the containment test is monotone under interval
+            containment, so segment-level misses are sound skips."""
+            if not ranged:
+                return set()
             from pyspark.sql.types import IntegerType, StructField, StructType
 
             fields = [StructField("fid", IntegerType(), False)]
@@ -687,10 +698,6 @@ def _pruned_merge_attempt(
                 kt = schema[kcol].dataType
                 fields.append(StructField(f"lo{i}", kt, True))
                 fields.append(StructField(f"hi{i}", kt, True))
-            # stats are stored canonically (temporal → epoch-us int);
-            # the broadcast range frame is TYPED per key column, so
-            # restore each bound to the value Spark round-trips
-            ktypes = [schema[k].dataType for k in keys]
             rows = []
             for i, rs in ranged:
                 row = [i]
@@ -712,13 +719,48 @@ def _pruned_merge_attempt(
                     & (F.col(f"k{i}") <= F.col(f"hi{i}"))
                 )
                 cond = c if cond is None else (cond & c)
-            hit = {
+            return {
                 r[0]
                 for r in src_keys.join(F.broadcast(rdf), cond)
                 .select("fid")
                 .distinct()
                 .collect()
             }
+
+        if seg_fast:
+            # TWO-PASS: range-join the segment ENVELOPES first and
+            # materialize only candidate segments — the O(touched)
+            # commit guarantee holds for >max_exact_keys batches too
+            # (the very case segmentation targets).  Segments without
+            # an envelope or without lead stats always materialize
+            # (conservative), matching the per-file no-stats rule.
+            import json as _json
+
+            refs = (
+                table._raw_manifest(base_version).get("file_segments")
+                or []
+            )
+            env_ranged, keep = [], set()
+            for si, ref in enumerate(refs):
+                env = ref.get("env")
+                rs = _key_ranges(env) if env else None
+                if rs is None or rs[0] is None:
+                    keep.add(si)
+                else:
+                    env_ranged.append((si, rs))
+            keep |= _range_hit(env_ranged)
+            entries = [
+                _json.loads(j)
+                for si, ref in enumerate(refs)
+                if si in keep
+                for _, j in table._load_segment(ref["path"])
+            ]
+        ranged = [
+            (i, _key_ranges(e))
+            for i, e in enumerate(entries)
+            if e["min"] is not None and e["max"] is not None
+        ]
+        hit = _range_hit(ranged)
         pruning = "range-join"
 
         def touched(i: int, e: dict) -> bool:
@@ -752,6 +794,22 @@ def _pruned_merge_attempt(
         files_total = len(entries)
         n_carried = len(carried)
         bytes_carried = sum(e["bytes"] for e in carried)
+
+    # Logical-rebase scope for the commit's CAS (Delta conflict
+    # scoping): if a racing commit wins the pointer but provably
+    # touched disjoint files AND key ranges, the commit retargets onto
+    # the new head under the same lock hold instead of raising for a
+    # full merge recompute.  might_touch is the SAME conservative
+    # containment test that computed the touched set, evaluated on
+    # racing entries; the range-join tier has no collected keys, so
+    # any racing addition forces the recompute path (None).
+    rebase_scope = {
+        "touched": {e["path"] for e in touched_entries},
+        "exclude": {e["path"] for e in touched_entries},
+        "might_touch": (
+            (lambda e: touched(0, e)) if pruning == "exact" else None
+        ),
+    }
 
     if write_mode == "mor" and touched_entries:
         # NULL-key source rows always insert and cannot be expressed as
@@ -789,6 +847,9 @@ def _pruned_merge_attempt(
                 max_dv_rows=max_dv_rows,
                 n_src=n_src,
                 pruning=pruning,
+                # MoR keeps the touched entries carried (DV re-point),
+                # so a rebased inline carried set must NOT exclude them
+                rebase_scope={**rebase_scope, "exclude": ()},
             )
             if mor is not None:
                 return mor
@@ -887,6 +948,7 @@ def _pruned_merge_attempt(
         retired_physical=prior_man.get("retired_physical") or [],
         bloom_columns=prior_man.get("bloom_columns") or [],
         operation="MERGE",
+        rebase_on_conflict=rebase_scope,
     )
     if carried is None:
         # segmented: the base version's untouched entries carry by
@@ -918,6 +980,7 @@ def _pruned_merge_attempt(
         "rows_source": n_src,
         "pruning": pruning,
         "write_mode": "cow",
+        "rebased": table._last_commit_rebase is not None,
     }
 
 
@@ -958,6 +1021,7 @@ def _mor_merge_attempt(
     max_dv_rows: int,
     n_src: int,
     pruning: str,
+    rebase_scope: dict | None = None,
 ) -> dict | None:
     """The merge-on-read write plan for :func:`_pruned_merge_attempt`
     (Delta deletion-vectors MERGE analog).  Semantics are IDENTICAL to
@@ -1015,7 +1079,7 @@ def _mor_merge_attempt(
             app_metadata=app_metadata,
             vacuum_keep_last=vacuum_keep_last,
             max_dv_rows=max_dv_rows, n_src=n_src, pruning=pruning,
-            subset_pos=subset_pos, sk=sk,
+            subset_pos=subset_pos, sk=sk, rebase_scope=rebase_scope,
         )
     finally:
         # unpersist on EVERY exit — a SnapshotConflictError retry or
@@ -1046,6 +1110,7 @@ def _mor_commit(
     pruning,
     subset_pos,
     sk,
+    rebase_scope=None,
 ) -> dict | None:
     # _dv_plan only needs the TOUCHED entries' prior DV rows (matched
     # paths are a subset of them) — never the full file list
@@ -1089,6 +1154,7 @@ def _mor_commit(
         retired_physical=prior_man.get("retired_physical") or [],
         bloom_columns=prior_man.get("bloom_columns") or [],
         operation="MERGE[mor]",
+        rebase_on_conflict=rebase_scope,
         **(dv_kw if n_dv else {}),
     )
     if carried is None:
@@ -1123,6 +1189,7 @@ def _mor_commit(
         "write_mode": "mor",
         "dv_rows_added": int(n_dv),
         "dv_files": int(n_dv_files),
+        "rebased": table._last_commit_rebase is not None,
     }
 
 

@@ -199,13 +199,37 @@ def _stat_canon(v, data_type=None):
     from pyspark.sql.types import TimestampNTZType
 
     if isinstance(data_type, TimestampNTZType):
-        import pandas as pd
+        # wall micros, no zone shift — computed WITHOUT pandas:
+        # pd.Timestamp overflows outside ~1677-2262 (ns epoch range),
+        # and sentinel probes like datetime.max are legitimate bounds
+        if isinstance(v, _dt.datetime):
+            import calendar
 
-        ts = pd.Timestamp(v)
-        if ts.tzinfo is not None:
-            ts = ts.tz_localize(None)
-        return ts.value // 1000  # wall micros, no zone shift
-    return _to_epoch_us(v)
+            if v.tzinfo is not None:
+                v = v.replace(tzinfo=None)
+            return (
+                calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+            )
+        if isinstance(v, _dt.date):
+            import calendar
+
+            return calendar.timegm(v.timetuple()) * 1_000_000
+        try:  # np.datetime64 scalars: pandas is the only converter
+            import pandas as pd
+
+            ts = pd.Timestamp(v)
+            if ts.tzinfo is not None:
+                ts = ts.tz_localize(None)
+            return ts.value // 1000
+        except (OverflowError, ValueError):
+            return v  # unconvertible probe → callers' TypeError keep
+    try:
+        return _to_epoch_us(v)
+    except (OverflowError, ValueError, OSError):
+        # out-of-range instant probe: return it unconverted — every
+        # pruning comparison then TypeErrors against int stats and
+        # degrades to the conservative might-match keep
+        return v
 
 
 def _schema_field_type(man: dict, logical_name: str):
@@ -445,11 +469,22 @@ def _to_epoch_us(v) -> int:
     import pandas as pd
 
     if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
-        return pd.Timestamp(v).value // 1000
+        import calendar
+
+        # calendar-day midnight unshifted — timegm, not pandas, so
+        # dates outside pandas' ns range (year <1677 / >2262) convert
+        return calendar.timegm(v.timetuple()) * 1_000_000
     if isinstance(v, _dt.datetime) and v.tzinfo is None:
         return (
             int(_time.mktime(v.timetuple())) * 1_000_000 + v.microsecond
         )
+    if isinstance(v, _dt.datetime):
+        import calendar
+
+        # aware → UTC wall without pandas (same overflow rationale)
+        off = v.utcoffset()
+        w = v.replace(tzinfo=None) - off
+        return calendar.timegm(w.timetuple()) * 1_000_000 + w.microsecond
     ts = pd.Timestamp(v)
     if ts.tzinfo is not None:
         ts = ts.tz_convert("UTC").tz_localize(None)
@@ -774,9 +809,23 @@ class VersionedParquetTable:
     # rewrites a ~250 MB JSON document every time.
     manifest_inline_max: int = 2048
     manifest_segment_rows: int = 4096
+    # LRU bound on the driver's segment cache, in cached ENTRY ROWS
+    # (not segment count): ~2M rows ≈ 500 default-size segments ≈ a
+    # few hundred MB of entry JSON — enough to keep an 8M-file
+    # manifest's hot half without pinning unbounded driver memory
+    _SEG_CACHE_MAX_ROWS: int = 2_000_000
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, *, commit_protocol=None):
         self.root = _check_local(root).rstrip("/")
+        # pluggable commit protocol (sources/commit_protocol.py):
+        # "posix" (default — O_EXCL lock, rename-swapped _CURRENT) or
+        # "object-store" (rename-free: conditional-create _ptr-v{N}
+        # publish, LIST-max pointer resolution, conditional-delete
+        # lock steal) — the seam that makes the object-store-safety
+        # claim executable, not prose
+        from .commit_protocol import resolve_protocol
+
+        self._protocol = resolve_protocol(commit_protocol, self.root)
         # bloom sidecar loads, memoized ACROSS lookups (sidecars are
         # immutable files, so no invalidation; bounded below): repeated
         # point lookups on the same instance stop re-reading them
@@ -784,8 +833,15 @@ class VersionedParquetTable:
         # manifest-segment loads, memoized the same way (segments are
         # immutable once committed and carried across versions, so a
         # warm instance materializes version N+1 without re-reading the
-        # segments it shares with version N)
-        self._seg_cache: dict[str, list] = {}
+        # segments it shares with version N); LRU-ordered, bounded by
+        # total cached rows (_SEG_CACHE_MAX_ROWS) in _load_segment
+        from collections import OrderedDict
+
+        self._seg_cache: "OrderedDict[str, list]" = OrderedDict()
+        self._seg_cache_rows: int = 0
+        # set by commit_with_manifest: None, or {"planned_base",
+        # "onto"} when the last commit published via a logical rebase
+        self._last_commit_rebase: dict | None = None
 
     # ------------------------------------------------------------ state
     def _pointer_path(self) -> str:
@@ -794,10 +850,8 @@ class VersionedParquetTable:
     def current_version(self) -> int | None:
         """Version named by the pointer; None for a legacy plain-parquet
         directory (or an empty/absent table)."""
-        try:
-            with open(self._pointer_path()) as f:
-                name = f.read().strip()
-        except OSError:
+        name = self._protocol.read_pointer()
+        if name is None:
             return None
         m = _VERSION_RE.match(name)
         if not m:
@@ -865,9 +919,25 @@ class VersionedParquetTable:
             rows = list(
                 zip(t.column("path").to_pylist(), t.column("entry").to_pylist())
             )
-            if len(self._seg_cache) >= 512:
-                self._seg_cache.clear()
+            # LRU eviction bounded by TOTAL cached entry rows, not
+            # segment count: a wholesale clear() at N segments would
+            # repeatedly flush segments loaded earlier in the SAME
+            # materialization pass on a >N-segment manifest (re-reads),
+            # while an unbounded dict pins entry-JSON strings on the
+            # driver.  Evicting least-recently-USED keys keeps hot
+            # segments (version pointers, envelope-heavy heads) across
+            # passes; a single huge pass degrades gracefully to
+            # read-once (each segment is visited once per pass anyway).
+            while (
+                self._seg_cache
+                and self._seg_cache_rows + len(rows) > self._SEG_CACHE_MAX_ROWS
+            ):
+                _, old = self._seg_cache.popitem(last=False)
+                self._seg_cache_rows -= len(old)
             self._seg_cache[rel] = rows
+            self._seg_cache_rows += len(rows)
+        else:
+            self._seg_cache.move_to_end(rel)  # mark recently used
         return rows
 
     def _materialize_pruned(self, version: int, entry_test) -> dict | None:
@@ -941,6 +1011,104 @@ class VersionedParquetTable:
             return out
 
         return _side(segs_f), _side(segs_t)
+
+    # manifest-level fields that must be IDENTICAL between a commit's
+    # planned base and the live head for a logical rebase to be sound.
+    # These are exactly the STALE-CAPTURE risks: fields the preparing
+    # caller read from its base snapshot and passes explicitly (the
+    # merge captures constraints / mapping / blooms / app metadata
+    # from its one base read; the output schema derives from base's).
+    # Fields the commit always publishes from its OWN arguments
+    # (key_columns, stats_columns) or inherits from the LIVE head at
+    # commit time (clustering) need no equality — a rebase publishes
+    # the same value a serial execution would.  app_metadata is here
+    # because the commit publishes a merged {base meta + ours} dict —
+    # rebasing over a racing metadata change would silently clobber
+    # it (e.g. a CDC watermark).
+    _REBASE_META_FIELDS = (
+        "schema",
+        "key",
+        "column_mapping",
+        "retired_physical",
+        "constraints",
+        "bloom_columns",
+        "app_metadata",
+    )
+
+    def _rebase_compatible(
+        self, base: int | None, cur: int | None, touched: set, might_touch
+    ) -> bool:
+        """Delta-style LOGICAL conflict scoping: True iff every commit
+        between ``base`` (the snapshot a prepared commit was computed
+        against) and ``cur`` (the live head) provably touched only
+        files and key ranges DISJOINT from the prepared commit's scope
+        — in which case the prepared output is valid against ``cur``
+        verbatim and the commit may REBASE (retarget its carried base)
+        instead of recomputing.
+
+        ``touched`` — base-relative paths the prepared commit depends
+        on (files it read-and-rewrote, or whose DVs it re-points).  A
+        racing commit that removed/rewrote/DV'd any of them means the
+        prepared output merged stale rows: recompute.
+
+        ``might_touch(entry) -> bool`` — the SAME conservative
+        key-containment test the merge used to compute its touched set
+        (no-stats ⇒ True).  Evaluated on every entry the racing
+        commits ADDED or MODIFIED: True means a racing row could
+        interact with this batch's keys (e.g. both inserted key K —
+        rebasing would publish a duplicate), so recompute.  ``None``
+        means the caller has no key test (the range-join tier):
+        any racing addition forces recompute.
+
+        Everything here runs under the commit lock in O(changed
+        segments) (``_diff_file_maps``), so the check itself can never
+        race."""
+        if base is None or cur is None or cur <= base:
+            return False
+        raw_b = self._raw_manifest(base)
+        raw_c = self._raw_manifest(cur)
+        if raw_b is None or raw_c is None:
+            return False  # plain versions carry no scope evidence
+
+        def _shape(x):
+            # schema comparison ignores nullability and field metadata:
+            # a racing merge's output relaxes non-null to nullable
+            # (join semantics), which changes nothing a prepared commit
+            # depends on — names and TYPES are the evolution signal
+            if isinstance(x, dict):
+                return {
+                    k: _shape(v)
+                    for k, v in x.items()
+                    if k not in ("nullable", "metadata")
+                }
+            if isinstance(x, list):
+                return [_shape(v) for v in x]
+            return x
+
+        for f in self._REBASE_META_FIELDS:
+            b, c = raw_b.get(f) or None, raw_c.get(f) or None
+            if f == "schema":
+                b, c = _shape(b), _shape(c)
+            if b != c:
+                return False
+        d = self._diff_file_maps(base, cur)
+        if d is None:
+            return False
+        from_map, to_map = d
+        for p, e in from_map.items():
+            if to_map.get(p) != e and p in touched:
+                return False  # racing commit changed a file we read
+        for p, e in to_map.items():
+            if from_map.get(p) == e:
+                continue  # shared/unchanged
+            if might_touch is None:
+                return False
+            try:
+                if might_touch(e):
+                    return False  # racing rows may overlap our keys
+            except Exception:
+                return False  # unevaluable entry: conservative
+        return True
 
     def _persist_manifest(
         self, vdir: str, man: dict, *, base_version: int | None = None
@@ -1031,7 +1199,12 @@ class VersionedParquetTable:
             finally:
                 os.close(fd)
             rel = os.path.relpath(seg_abs, self.root)
+            # writer-side warm insert goes through the same accounting
+            # as read loads so the rows bound holds
+            if rel not in self._seg_cache:
+                self._seg_cache_rows += len(chunk)
             self._seg_cache[rel] = [(p, j) for p, j, _ in chunk]
+            self._seg_cache.move_to_end(rel)
             refs.append(
                 {
                     "path": rel,
@@ -1056,12 +1229,12 @@ class VersionedParquetTable:
         return refs
 
     def _write_manifest_doc(self, vdir: str, doc: dict) -> None:
-        tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(vdir, _MANIFEST))
+        # protocol-routed: posix keeps the tmp+rename write; the
+        # object-store protocol writes direct (the manifest lives in
+        # an UNPUBLISHED version dir — invisible until the pointer
+        # names it — so whole-object PUT atomicity suffices)
+        rel = os.path.relpath(os.path.join(vdir, _MANIFEST), self.root)
+        self._protocol.put_file(rel, json.dumps(doc))
 
     def _persist_manifest_from_base(
         self,
@@ -2499,6 +2672,7 @@ class VersionedParquetTable:
         cluster_by=None,
         entry_flags: dict | None = None,
         clustering: dict | None = None,
+        rebase_on_conflict: dict | None = None,
     ) -> int:
         """Commit ``df``'s rows as NEW data files plus ``carried``
         prior-version file entries BY REFERENCE, under one manifest.
@@ -2674,6 +2848,18 @@ class VersionedParquetTable:
         signal.  ``clustering`` — manifest-level marker describing the
         table's last explicit clustering (inherited until replaced,
         surfaced by :meth:`detail`).
+
+        ``rebase_on_conflict`` — Delta-style logical conflict scoping
+        for the CAS: ``{"touched": iterable of base paths this commit
+        depends on, "exclude": iterable of paths a recomputed inline
+        carried set must drop (the CoW-rewritten files; empty for
+        MoR), "might_touch": callable(entry)->bool or None}``.  When
+        the CAS fails but :meth:`_rebase_compatible` proves every
+        racing commit disjoint from this scope, the commit RETARGETS
+        its carried base onto the live head under the same lock hold —
+        no recompute, no extra lock round-trip — and records
+        ``manifest["rebase"]`` + ``self._last_commit_rebase``.
+        Overlapping scopes still raise :class:`SnapshotConflictError`.
         """
         from pyspark.sql import functions as F
 
@@ -2707,13 +2893,48 @@ class VersionedParquetTable:
             )
         self._acquire_lock()
         try:
+            self._last_commit_rebase = None
             cur = self.current_version()
             if expected_base_version is not _NO_CAS and cur != expected_base_version:
-                # carried entries (and the merged subset itself) describe
-                # the snapshot at expected_base_version — publishing them
-                # over a newer version would drop the interleaved commit's
-                # rows, so this is a CAS failure, not a retry-here case.
-                raise SnapshotConflictError(expected_base_version, cur)
+                scope = rebase_on_conflict or {}
+                touched_scope = set(scope.get("touched") or ())
+                if not self._rebase_compatible(
+                    expected_base_version,
+                    cur,
+                    touched_scope,
+                    scope.get("might_touch"),
+                ):
+                    # carried entries (and the merged subset itself)
+                    # describe the snapshot at expected_base_version —
+                    # publishing them over a newer version would drop
+                    # the interleaved commit's rows, so this is a CAS
+                    # failure the caller must recompute for.
+                    raise SnapshotConflictError(expected_base_version, cur)
+                # logical REBASE: every racing commit provably touched
+                # files and key ranges disjoint from this commit's
+                # scope, so the prepared output is valid against the
+                # live head verbatim — retarget the carried base under
+                # the same lock hold instead of recomputing the merge.
+                self._last_commit_rebase = {
+                    "planned_base": expected_base_version,
+                    "onto": cur,
+                }
+                if carried_base_version is not None:
+                    carried_base_version = cur
+                elif carried is not None:
+                    # inline form: rebuild carried from the HEAD's file
+                    # list — racing additions join the carried set, the
+                    # CoW-rewritten files drop out; files this commit
+                    # depends on (MoR DV re-points) stay, and the diff
+                    # check above proved their head entries identical
+                    # to the base entries the caller computed against
+                    excl = set(scope.get("exclude") or ())
+                    carried = [
+                        e
+                        for e in self.manifest(cur)["files"]
+                        if e["path"] not in excl
+                    ]
+                expected_base_version = cur
             for e in carried or []:
                 m = _VERSION_RE.match((e["path"].split(os.sep, 1) + [""])[0])
                 if m is None or cur is None or int(m.group(1)) > cur:
@@ -3156,6 +3377,10 @@ class VersionedParquetTable:
                 man["operation"] = operation
             if app_metadata:
                 man["app_metadata"] = dict(app_metadata)
+            if self._last_commit_rebase:
+                # durable audit: this version was prepared against
+                # planned_base and rebased onto the head at commit time
+                man["rebase"] = dict(self._last_commit_rebase)
             if carried_base_version is not None:
                 dml_exclude.update(carried_exclude or {})
                 os.makedirs(vdir, exist_ok=True)
@@ -3208,79 +3433,40 @@ class VersionedParquetTable:
     def _try_acquire_lock_once(self) -> None:
         os.makedirs(self.root, exist_ok=True)
         for _ in range(2):  # second pass only after stale-lock steal
-            try:
-                fd = os.open(
-                    self._lock_path(), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                )
-                with os.fdopen(fd, "w") as f:
-                    f.write(str(os.getpid()))
+            if self._protocol.create_exclusive(_LOCK, str(os.getpid())):
                 return
-            except FileExistsError:
-                try:
-                    with open(self._lock_path()) as f:
-                        holder = int(f.read().strip() or 0)
-                except (OSError, ValueError):
-                    holder = 0
-                if holder and holder != os.getpid() and not _pid_alive(holder):
-                    # Crashed committer: steal ATOMICALLY via rename to a
-                    # unique grave name — exactly one contending stealer's
-                    # rename succeeds, so the unlink-then-create TOCTOU
-                    # (slow stealer deleting the fast stealer's fresh
-                    # lock) cannot occur.  The rename loser retries the
-                    # O_EXCL create and sees the winner's new lock as a
-                    # live holder.  The grave's pid is then re-read: if it
-                    # is NOT the dead holder we observed, a faster
-                    # contender already stole and a FRESH live lock got
-                    # renamed away — put it back (no-clobber link) and
-                    # retry instead of unlinking it.  This narrows the
-                    # stealer-vs-fresh-acquirer window from the whole
-                    # dead-pid probe to the rename/link-back pair; full
-                    # elimination needs a kernel lock (flock), which has
-                    # no object-store analog — the contract stays
-                    # "serialize your writers", enforced best-effort.
-                    import uuid
-
-                    grave = f"{self._lock_path()}.stale.{uuid.uuid4().hex}"
-                    try:
-                        os.rename(self._lock_path(), grave)
-                    except OSError:
-                        continue  # another contender stole/released first
-                    try:
-                        with open(grave) as f:
-                            buried = int(f.read().strip() or 0)
-                    except (OSError, ValueError):
-                        buried = 0
-                    if buried == holder:
-                        try:
-                            os.unlink(grave)  # we buried the dead holder
-                        except OSError:
-                            pass
-                    else:
-                        # fresh lock renamed away by mistake: restore it
-                        # without clobbering a third contender's create
-                        try:
-                            os.link(grave, self._lock_path())
-                        except OSError:
-                            pass  # a new lock exists; theirs stands
-                        try:
-                            os.unlink(grave)
-                        except OSError:
-                            pass
-                    continue
-                raise ConcurrentCommitError(
-                    f"{self.root}: commit already in flight (lock held by "
-                    f"pid {holder or '?'}); serialize writers — this table "
-                    "contract is single-writer (reference max_active_runs=1)"
-                )
+            raw = self._protocol.read_small(_LOCK)
+            try:
+                holder = int((raw or "").strip() or 0)
+            except ValueError:
+                holder = 0
+            if holder and holder != os.getpid() and not _pid_alive(holder):
+                # Crashed committer: steal via the protocol's
+                # conditional delete — posix buries the lock under a
+                # unique grave rename (exactly one contending
+                # stealer's rename succeeds, so the unlink-then-create
+                # TOCTOU — a slow stealer deleting the fast stealer's
+                # fresh lock — cannot occur; a fresh lock renamed away
+                # by mistake is linked back); object stores pin the
+                # read's generation/ETag on the delete.  The losing
+                # stealer retries the exclusive create and sees the
+                # winner's new lock as a live holder.  Full TOCTOU
+                # elimination needs a kernel lock (flock), which has
+                # no object-store analog — the contract stays
+                # "serialize your writers", enforced best-effort.
+                self._protocol.delete_if_content(_LOCK, str(holder))
+                continue
+            raise ConcurrentCommitError(
+                f"{self.root}: commit already in flight (lock held by "
+                f"pid {holder or '?'}); serialize writers — this table "
+                "contract is single-writer (reference max_active_runs=1)"
+            )
         raise ConcurrentCommitError(
             f"{self.root}: could not acquire commit lock after stale steal"
         )
 
     def _release_lock(self) -> None:
-        try:
-            os.unlink(self._lock_path())
-        except OSError:
-            pass
+        self._protocol.delete(_LOCK)
 
     def _reconcile_orphans(self) -> None:
         """Delete version dirs a crashed commit left above the pointer
@@ -3293,18 +3479,10 @@ class VersionedParquetTable:
                 shutil.rmtree(self._version_dir(v), ignore_errors=True)
 
     def _swap_pointer(self, version: int) -> None:
-        tmp = self._pointer_path() + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            f.write(f"v{version:08d}\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer_path())  # the atomic commit point
-        # fsync the directory so the rename itself is durable
-        dfd = os.open(self.root, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        # the atomic commit point — protocol-provided: posix renames
+        # _CURRENT into place; object-store conditionally creates the
+        # per-version _ptr-v{N} object (rename-free)
+        self._protocol.publish_pointer(f"v{version:08d}")
 
     # --------------------------------------------------------- optimize
     def _dml_retry(self, fn, conflict_retries: int):
@@ -3666,6 +3844,7 @@ class VersionedParquetTable:
         max_small_files: int = 8,
         max_overlap_files: int = 0,
         max_dv_ratio: float = 0.3,
+        max_zorder_decay: float = 0.25,
         cluster_partitions: int | None = None,
     ) -> dict:
         """Policy-driven OPTIMIZE — the auto-trigger a daily MERGE
@@ -3804,6 +3983,56 @@ class VersionedParquetTable:
             v = nv
             man = self.manifest(v)
             files = man["files"]
+        # Z-ORDER DECAY — a table last clustered by optimize_zorder
+        # accumulates post-zorder key-clustered appends (incremental
+        # merges never write z files), whose secondary-dimension
+        # ranges are table-wide: the multi-dim skip rate decays with
+        # the UNFLAGGED row fraction.  When that fraction exceeds
+        # ``max_zorder_decay`` (or the unflagged file count exceeds
+        # ``max_small_files`` — the small-append accumulation shape),
+        # re-zorder ONLY the decayed portion: per-file stats tightness
+        # is a per-file property, so the repair costs O(decayed bytes)
+        # and the existing z mass is carried untouched.  Runs after the
+        # purge (whose unflagged output rows fold into this rewrite)
+        # and before the generic signals (the re-zorder bin-packs the
+        # decayed smalls, so a repaired table doesn't then compact).
+        zc = man.get("clustering") or {}
+        z_signals: dict = {}
+        if zc.get("type") == "zorder":
+            unflagged = [
+                e for e in files if e.get("clustered") != "zorder"
+            ]
+            un_rows = sum(e.get("n_rows") or 0 for e in unflagged)
+            tot_rows = sum(e.get("n_rows") or 0 for e in files)
+            z_signals = {
+                "zorder_decayed_files": len(unflagged),
+                "zorder_decayed_ratio": (
+                    un_rows / tot_rows if tot_rows else 0.0
+                ),
+            }
+            if unflagged and (
+                z_signals["zorder_decayed_ratio"] > max_zorder_decay
+                or len(unflagged) > max_small_files
+            ):
+                r = self.optimize_zorder(
+                    spark,
+                    zc["columns"],
+                    buckets=zc.get("buckets", 32),
+                    cluster_partitions=cluster_partitions,
+                    _scope_entries=unflagged,
+                )
+                if r["version"] != v:
+                    dv_actions.append(
+                        {
+                            "action": "rezorder",
+                            "version": r["version"],
+                            "files_rewritten": len(unflagged),
+                            "bytes_rewritten": r["bytes_rewritten"],
+                        }
+                    )
+                    v = r["version"]
+                    man = self.manifest(v)
+                    files = man["files"]
         small = [e for e in files if e["bytes"] < min_file_bytes]
         # the overlap signal considers only files of at least
         # min_file_bytes: a SMALL wide file (a merge-on-read append
@@ -3845,6 +4074,7 @@ class VersionedParquetTable:
             "overlap_files": sum(len(c) for c in comps),
             "overlap_components": len(comps),
             **dv_signals,
+            **z_signals,
         }
         actions: list[dict] = list(dv_actions)
         if signals["overlap_files"] > max_overlap_files:
@@ -3899,6 +4129,7 @@ class VersionedParquetTable:
         *,
         buckets: int = 32,
         cluster_partitions: int | None = None,
+        _scope_entries: list | None = None,
     ) -> dict:
         """Delta ``OPTIMIZE ... ZORDER BY (cols)`` analog: rewrite the
         live table with files laid out along a MORTON CURVE over
@@ -3952,6 +4183,17 @@ class VersionedParquetTable:
         the z columns (column-pruned).  At 100 TB you run this per
         partition/ingest-unit, not as one job — the same operational
         contract as Delta.
+
+        ``_scope_entries`` (internal — ``maintain()``'s z-decay
+        repair): restrict the rewrite to THESE manifest entries and
+        carry every other file untouched.  Per-file stats tightness is
+        a per-file property, so z-ordering only the DECAYED portion
+        (post-zorder key-clustered appends) restores multi-dimensional
+        skipping for its mass at O(decayed bytes) instead of O(table)
+        — the already-z files keep their layout and their flag.  Cut
+        points are re-sketched from the scope alone (bucket boundaries
+        need not match the original pass; only per-file range
+        tightness matters for pruning).
         """
         import math
 
@@ -4004,7 +4246,17 @@ class VersionedParquetTable:
                     f"(schema: {sorted(by_name)})"
                 )
             _as_double(c)  # type vet before any job runs
-        df = self.read(spark)
+        if _scope_entries is None:
+            scope = man["files"]
+            z_carried: list = []
+            df = self.read(spark)
+        else:
+            scope = list(_scope_entries)
+            scoped = {e["path"] for e in scope}
+            z_carried = [
+                e for e in man["files"] if e["path"] not in scoped
+            ]
+            df = self._read_manifest_files(spark, man, scope)
         # -- 1. equi-depth cut points (one column-pruned sketch scan)
         probs = [i / buckets for i in range(1, buckets)]
         sketch = df.select(
@@ -4072,14 +4324,16 @@ class VersionedParquetTable:
         if not terms:  # every z column constant/all-NULL: nothing to do
             return {
                 "version": v,
-                "files_before": len(man["files"]),
-                "files_after": len(man["files"]),
+                "files_before": len(scope),
+                "files_after": len(scope),
                 "bytes_rewritten": 0,
                 "z_bits": 0,
             }
         z_expr = functools.reduce(operator.add, terms)
-        # -- 4. one full-rewrite commit clustered by the z value
-        files = man["files"]
+        # -- 4. one rewrite commit clustered by the z value (the whole
+        # table, or just the scoped decayed portion with the rest
+        # carried)
+        files = scope
         live_bytes = sum(
             int(
                 e["bytes"]
@@ -4101,7 +4355,7 @@ class VersionedParquetTable:
         new_v = self.commit_with_manifest(
             df,
             l_key,
-            carried=[],
+            carried=z_carried,
             cluster_partitions=n_out,
             cluster_by=z_expr,
             stats_columns=stats,
@@ -4116,11 +4370,16 @@ class VersionedParquetTable:
             },
         )
         new_man = self.manifest(new_v) or {"files": []}
+        own = [
+            e
+            for e in new_man["files"]
+            if e["path"].startswith(f"v{new_v:08d}{os.sep}")
+        ]
         return {
             "version": new_v,
             "files_before": len(files),
-            "files_after": len(new_man["files"]),
-            "bytes_rewritten": sum(e["bytes"] for e in new_man["files"]),
+            "files_after": len(own),
+            "bytes_rewritten": sum(e["bytes"] for e in own),
             "z_bits": pos,
         }
 

@@ -30,13 +30,18 @@ Semantics notes:
   dropped by the null-safe row comparison — maintenance commits emit
   zero changes.
 * the source schema is fixed at stream start (current manifest schema
-  + the two meta columns).  A later PURE-RENAME commit (column
-  mapping: same types and positions, physical identity intact)
-  CONTINUES under the stream-start names — the files' bytes are the
-  same columns, read by physical name.  A commit that adds/drops
-  columns or changes a type raises loudly in the planning step —
-  restart the stream with a fresh checkpoint to pick up the evolved
-  schema (Delta fails the same way without schema tracking).
+  + the two meta columns).  Evolution the stream SURVIVES (round 10):
+  any commit under which the stream-start payload stays a positional
+  PREFIX of the evolved schema — PURE RENAMES (same types/positions,
+  physical identity intact: the files' bytes are the same columns,
+  read by physical name under the stream-start names) and ADD-COLUMN
+  commits (the stream continues under the stream-start PROJECTION;
+  the pinned physicals are all it ever reads, so a change confined to
+  post-start columns emits nothing — the fixed-schema sink could not
+  store it anyway).  DROPS, type changes, reorders, and re-keying on
+  a post-start column raise loudly in the planning step — restart the
+  stream with a fresh checkpoint to pick up the evolved schema (Delta
+  fails the same way without schema tracking).
 """
 
 from __future__ import annotations
@@ -351,62 +356,65 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 for f in schema_t.fields
             }
             phys_t = [cmap[f.name] for f in schema_t.fields]
+            # Evolution the stream SURVIVES: every step manifest must
+            # share a positional type-identical PREFIX with the
+            # stream-start payload, with per-position PHYSICAL
+            # identity stable across steps.  That covers, in either
+            # temporal direction:
+            #
+            # * RENAMES — same positions/types, physical identity
+            #   intact: the files' bytes are the same columns under
+            #   new logical names, and the feed keeps emitting the
+            #   stream-start names;
+            # * ADD-COLUMN commits AFTER stream start — extra trailing
+            #   manifest fields: the stream continues under the
+            #   stream-start PROJECTION (the pinned physicals are all
+            #   it reads).  Projection semantics, pinned by unit test:
+            #   a change confined to post-start columns is INVISIBLE
+            #   and emits nothing (the fixed-schema sink could not
+            #   store it anyway);
+            # * catch-up over steps from BEFORE an add the start
+            #   schema already carries — the step manifests are a
+            #   prefix of the payload: the worker NULL-backfills the
+            #   missing trailing columns (the batch changes_between
+            #   rule), and their physicals pin later, at the first
+            #   step manifest that carries them.
+            #
+            # DROPS, type changes and reorders still fail loud: rows
+            # the sink holds can no longer be represented — restart
+            # with a fresh checkpoint to adopt the evolved schema.
+            n0 = len(self._payload_sig)
             if self._payload_phys is None:
-                # pin from the first manifest whose logical schema
-                # MATCHES the stream's (man_t first — normal start;
-                # man_f — stream started just after an evolution step
-                # whose pre-image side is narrower); when neither
-                # matches by name (checkpoint resume whose base is
-                # already past a rename), positions align by TYPE and
-                # man_f's physicals carry the identity
-                pinned = None
-                for man_pin in (man_t, man_f):
-                    sp = StructType.fromJson(man_pin["schema"])
-                    if [
-                        (f.name, f.dataType.json()) for f in sp.fields
-                    ] == self._payload_sig:
-                        pinned = man_pin
-                        break
-                if pinned is None:
-                    s0 = StructType.fromJson(man_f["schema"])
-                    if [f.dataType.json() for f in s0.fields] == [
-                        t for _n, t in self._payload_sig
-                    ]:
-                        pinned = man_f
-                    else:
-                        raise RuntimeError(
-                            f"{self.root}: the stream's checkpointed "
-                            f"schema does not line up with step "
-                            f"v{v - 1}->v{v}'s manifests — restart the "
-                            "stream with a fresh checkpoint"
-                        )
-                sp = StructType.fromJson(pinned["schema"])
-                cp = pinned.get("column_mapping") or {}
-                self._payload_phys = [
-                    cp.get(f.name, f.name) for f in sp.fields
-                ]
-            if sig_t != self._payload_sig:
-                # RENAME-ONLY evolution continues: same field count,
-                # same types in order, and the PHYSICAL identity of
-                # every position unchanged — then the files' bytes are
-                # the same columns under new logical names, and the
-                # feed keeps emitting the stream-start names (the
-                # batch changes_between applies the same
-                # physical-identity alignment).  Anything else (add /
-                # drop / type change) still fails loud.
-                rename_only = (
-                    len(sig_t) == len(self._payload_sig)
-                    and [t for _n, t in sig_t]
-                    == [t for _n, t in self._payload_sig]
-                    and phys_t == self._payload_phys
+                self._payload_phys = [None] * n0
+            k = min(len(sig_t), n0)
+            types_ok = [t for _n, t in sig_t[:k]] == [
+                t for _n, t in self._payload_sig[:k]
+            ]
+            pin_ok = all(
+                p is None or p == phys_t[i]
+                for i, p in enumerate(self._payload_phys[:k])
+            )
+            # a payload column ALREADY PINNED from an earlier step that
+            # a narrower later manifest no longer carries is a
+            # MID-STREAM DROP — emitting it as nulls would silently
+            # corrupt the sink, so that stays loud.  (An unpinned tail
+            # is the catch-up-before-add case: the column does not
+            # exist yet at this step and typed nulls are exactly the
+            # batch backfill rule.)
+            dropped_pinned = len(sig_t) < n0 and any(
+                p is not None for p in self._payload_phys[len(sig_t):]
+            )
+            if not (types_ok and pin_ok) or dropped_pinned:
+                raise RuntimeError(
+                    f"{self.root}: schema changed at v{v} "
+                    f"({sig_t} != {self._payload_sig}) beyond a "
+                    "rename/add-column evolution; restart the "
+                    "stream with a fresh checkpoint to adopt the "
+                    "evolved schema"
                 )
-                if not rename_only:
-                    raise RuntimeError(
-                        f"{self.root}: schema changed at v{v} "
-                        f"({sig_t} != {self._payload_sig}) beyond a "
-                        "pure rename; restart the stream with a fresh "
-                        "checkpoint to adopt the evolved schema"
-                    )
+            for i in range(k):  # extend the physical-identity pin
+                if self._payload_phys[i] is None:
+                    self._payload_phys[i] = phys_t[i]
             start_names = [n for n, _t in self._payload_sig]
             inv_start = dict(zip(self._payload_phys, start_names))
             start_phys = dict(zip(start_names, self._payload_phys))
@@ -425,6 +433,14 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 if isinstance(phys_keys, str):
                     phys_keys = [phys_keys]
                 keys = [inv_start.get(k, k) for k in phys_keys]
+            bad = [k for k in keys if k not in start_names]
+            if bad:
+                raise RuntimeError(
+                    f"{self.root}: step v{v - 1}->v{v}'s row identity "
+                    f"{bad} is not part of the stream-start schema — "
+                    "the table was re-keyed on a post-start column; "
+                    "restart the stream with a fresh checkpoint"
+                )
             from pyspark.sql.pandas.types import to_arrow_schema
 
             # O(changed segments): segments shared by ref between the
@@ -515,10 +531,14 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         {**ent_t[p], "_dv_take": ("diff", sf, st, p)}
                     )
             # emitted schema = STREAM-START names (+ identical types);
-            # physical names drive the file reads, so a renamed column
-            # surfaces under the name the sink has held all along
+            # the PINNED physical names drive the file reads, so a
+            # renamed column surfaces under the name the sink has held
+            # all along and a post-start ADDED column is never read
             arrow = to_arrow_schema(self._start_payload_struct)
-            physical = phys_t
+            # snapshot (the pin list extends as later steps process;
+            # this step must ship what was known AT its manifests —
+            # an unpinned tail reads as typed nulls in the worker)
+            physical = list(self._payload_phys)
             for rem_c, add_c in _range_components(
                 removed, added,
                 start_phys.get(keys[0], keys[0])

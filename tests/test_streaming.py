@@ -522,10 +522,12 @@ def test_stream_cdf_schema_change_fails_loud(spark, tmp_path):
     assert len(pre) == 1 and pre[0]["note"] is None
     assert len(post) == 1 and post[0]["note"] == "extra"
 
-    # a reader still DECLARED against the pre-evolution schema must not
-    # silently drop the new column — its next step fails loudly
+    # a reader declared against the PRE-evolution schema now CONTINUES
+    # under its projection (round 10 — add-tolerance; pinned in
+    # test_stream_cdf_projection_across_mid_stream_add); what still
+    # fails loud is a TYPE mismatch — a reader whose declared type
+    # disagrees with the manifests cannot be represented
     from pyspark.sql.types import (
-        DoubleType,
         LongType,
         StringType,
         StructField,
@@ -536,16 +538,16 @@ def test_stream_cdf_schema_change_fails_loud(spark, tmp_path):
         VersionedChangesStreamReader,
     )
 
-    old_decl = StructType(
+    bad_decl = StructType(
         [
             StructField("k", LongType()),
-            StructField("price", DoubleType()),
+            StructField("price", StringType()),  # manifest says double
             StructField("status", StringType()),
             StructField("_change_type", StringType()),
             StructField("_commit_version", LongType()),
         ]
     )
-    reader = VersionedChangesStreamReader(old_decl, {"path": root})
+    reader = VersionedChangesStreamReader(bad_decl, {"path": root})
     with pytest.raises(RuntimeError, match="schema changed"):
         reader.partitions({"v": 1}, {"v": 2})
 
@@ -1205,3 +1207,241 @@ def test_stream_cdf_big_dv_ships_sidecar_refs(spark, tmp_path, monkeypatch):
     assert set(
         r["_change_type"] for r in got.select("_change_type").distinct().collect()
     ) == {"delete"}
+
+
+def test_stream_cdf_continues_across_add_column_commit(spark, tmp_path):
+    """ADD-COLUMN evolution, catch-up direction: a stream created on
+    the EVOLVED schema replays steps from before the add — the worker
+    NULL-backfills the missing trailing column per step (the batch
+    changes_between rule), the physical pins at the first manifest
+    that carries it, and the whole drain equals the batch oracle."""
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    root, t = _cdf_table(spark, tmp_path, "cdf_addcol")
+    # v2: changes under the start schema
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(1, 11.0, "u1"), (5_000, 1.0, "ins")],
+            "k long, price double, status string",
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    # v3: schema evolution — the merge ADDS column "extra"
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(2, 22.0, "u2", 7), (6_000, 2.0, "ins2", 8)],
+            "k long, price double, status string, extra long",
+        ),
+        "k",
+        schema_evolution=True,
+        vacuum_keep_last=None,
+    )
+    # v4: a change confined to the ADDED column
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(2, 22.0, "u2", 99)],
+            "k long, price double, status string, extra long",
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    got = _drain(
+        spark,
+        read_changes_stream(spark, root, starting_version=1),
+        tmp_path,
+        "cdf_addcol_q",
+    )
+    # the drain adopted the evolved schema (it started after the add)
+    assert "extra" in got.columns
+    # full-feed equality with the batch oracle (per commit step — the
+    # batch API nets across a range), old steps' "extra"
+    # NULL-backfilled on both sides
+    exp = (
+        t.changes_between(spark, 1, 2)
+        .unionByName(
+            t.changes_between(spark, 2, 3), allowMissingColumns=True
+        )
+        .unionByName(
+            t.changes_between(spark, 3, 4), allowMissingColumns=True
+        )
+        .select(*got.columns)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+    # the pre-add step really carries nulls for the evolved column
+    v2_rows = got.filter(F.col("_commit_version") == 2).collect()
+    assert v2_rows and all(r["extra"] is None for r in v2_rows)
+    # the extra-only step is VISIBLE here (the stream speaks the
+    # evolved schema): one pre/post pair
+    assert got.filter(F.col("_commit_version") == 4).count() == 2
+
+
+def test_stream_cdf_projection_across_mid_stream_add(spark, tmp_path):
+    """ADD-COLUMN evolution, live-stream direction (planner-level: a
+    RUNNING stream keeps its start schema, which a fresh drain cannot
+    reproduce): a reader holding the PRE-ADD schema crosses the add
+    step and continues under the stream-start PROJECTION — and a
+    change confined to the added column emits NOTHING (the
+    fixed-schema sink could not store it)."""
+    from pyspark.sql.types import StructType
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    root, t = _cdf_table(spark, tmp_path, "cdf_addmid")
+    pre_schema = StructType.fromJson(
+        t.manifest(1)["schema"]
+    ).add("_change_type", "string").add("_commit_version", "long")
+    # v2: visible change; v3: ADD column via evolution (also updates a
+    # visible column); v4: extra-only change
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(1, 11.0, "u1")], "k long, price double, status string"
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(2, 22.0, "u2", 7)],
+            "k long, price double, status string, extra long",
+        ),
+        "k",
+        schema_evolution=True,
+        vacuum_keep_last=None,
+    )
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(2, 22.0, "u2", 99)],
+            "k long, price double, status string, extra long",
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    reader = VersionedChangesStreamReader(pre_schema, {"path": root})
+    parts = reader.partitions({"v": 1}, {"v": 4})
+    rows = []
+    for p in parts:
+        for batch in reader.read(p) or []:
+            rows.extend(batch.to_pylist())
+    # the projection speaks the START columns only
+    assert rows and all(set(r) == {
+        "k", "price", "status", "_change_type", "_commit_version"
+    } for r in rows)
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["_commit_version"], []).append(r)
+    assert len(by_v.get(2, [])) == 2  # visible update pre+post
+    assert len(by_v.get(3, [])) == 2  # visible update through the add
+    assert 4 not in by_v  # extra-only change: invisible, emits nothing
+
+
+def test_stream_cdf_add_column_then_rename_continues(spark, tmp_path):
+    """Composition: an add-column commit followed by a rename of a
+    PRE-ADD column — the catch-up drain speaks the final names with
+    the evolved column NULL-backfilled on pre-add steps."""
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    root, t = _cdf_table(spark, tmp_path, "cdf_addren")
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(3, 33.0, "u3", 1)],
+            "k long, price double, status string, extra long",
+        ),
+        "k",
+        schema_evolution=True,
+        vacuum_keep_last=None,
+    )
+    t.rename_column("price", "amount")
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(4, 44.0, "u4", 2)],
+            "k long, amount double, status string, extra long",
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    got = _drain(
+        spark,
+        read_changes_stream(spark, root, starting_version=1),
+        tmp_path,
+        "cdf_addren_q",
+    )
+    # final names throughout; the evolved column is present
+    assert "amount" in got.columns and "price" not in got.columns
+    assert "extra" in got.columns
+    assert got.filter(
+        (F.col("k") == 3) & (F.col("_change_type") == "update_postimage")
+    ).count() == 1
+    assert got.filter(
+        (F.col("k") == 4) & (F.col("_change_type") == "update_postimage")
+    ).count() == 1
+
+
+def test_stream_cdf_mid_stream_drop_fails_loud(spark, tmp_path):
+    """A DROP of a column the stream already carries (pinned from an
+    earlier step) stays loud — emitting it as nulls would silently
+    corrupt the sink; the restart recipe is the documented path."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from airflow_embeddings_pipeline_spark.operators.merge import (
+        merge_upsert_write_pruned,
+    )
+    from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    root, t = _cdf_table(spark, tmp_path, "cdf_dropmid")
+    pre_schema = StructType.fromJson(
+        t.manifest(1)["schema"]
+    ).add("_change_type", "string").add("_commit_version", "long")
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame(
+            [(1, 11.0, "u1")], "k long, price double, status string"
+        ),
+        "k",
+        vacuum_keep_last=None,
+    )
+    t.drop_column("status")
+    merge_upsert_write_pruned(
+        root,
+        spark.createDataFrame([(2, 22.0)], "k long, price double"),
+        "k",
+        vacuum_keep_last=None,
+    )
+    reader = VersionedChangesStreamReader(pre_schema, {"path": root})
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        reader.partitions({"v": 1}, {"v": 4})

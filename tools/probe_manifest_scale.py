@@ -11,7 +11,19 @@ linearly with N — at 800k files (≈100 TB) that extrapolates to a
 also a 250 MB PUT on the commit critical path.  The segmented form is
 flat: one small JSON + one ~single-entry segment.
 
-Run: python tools/probe_manifest_scale.py [max_files_exponent]
+Run: python tools/probe_manifest_scale.py [sizes_csv]
+     python tools/probe_manifest_scale.py [sizes_csv] --synthetic
+
+``--synthetic`` (round 10) scales the measurement to 10^5–10^6
+entries WITHOUT writing that many data files: the manifest entries
+are fabricated (paths under a committed version dir; the metadata
+paths never open data files), which is exactly what the metadata-cost
+questions need — commit metadata I/O for a small append, point-read
+candidate materialization (segments loaded), and CDF segment-diff
+cost, all of which must stay FLAT in table size.  The synthetic mode
+only runs the segmented form (an inline manifest at 10^6 entries is
+the ~300 MB-per-commit wall the probe's real mode already measured —
+there is nothing left to learn by paying it).
 """
 
 from __future__ import annotations
@@ -100,13 +112,143 @@ def run(n_files: int, segmented: bool, spark) -> dict:
     }
 
 
+def run_synthetic(n_files: int, spark) -> dict:
+    """Metadata-path costs at ``n_files`` SYNTHETIC entries (segmented
+    form, default production segment size).  Measures, on cold
+    instances: (1) a small append commit's metadata bytes + wall +
+    segments loaded, (2) a point-read's candidate materialization
+    (``_materialize_pruned`` — the metadata half of ``read_range``),
+    (3) a CDF segment diff across the append.  Data files are never
+    opened — entries carry fabricated paths under the bootstrap
+    version dir, which the commit's path validation accepts (it checks
+    the version-dir prefix, not existence; nothing here reads rows)."""
+    root = os.path.join(BASE, f"syn_{n_files}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = VersionedParquetTable(root)
+    # bootstrap v1: a real (tiny) committed table
+    t.commit_with_manifest(
+        spark.range(4).selectExpr("id as k", "id * 2 as v"),
+        "k",
+        cluster_partitions=1,
+    )
+    # v2: the synthetic big manifest — n_files entries, disjoint
+    # [min, max] key ranges, default segment fanout
+    rows_per = 10_000
+    entries = [
+        {
+            "path": f"v00000001/syn-{i:08d}.parquet",
+            "n_rows": rows_per,
+            "bytes": 64 * 1024 * 1024,
+            "min": i * rows_per,
+            "max": (i + 1) * rows_per - 1,
+        }
+        for i in range(n_files)
+    ]
+    empty = spark.createDataFrame([], "k long, v long")
+    t0 = time.perf_counter()
+    t.commit_with_manifest(
+        empty, "k", carried=entries, skip_data_write=True
+    )
+    build_wall = time.perf_counter() - t0
+    raw = t._raw_manifest(t.current_version())
+    n_segs = len(raw["file_segments"])
+    root_doc_bytes = _meta_bytes(root, t.current_version())
+
+    # (1) small append commit on a COLD instance
+    ta = VersionedParquetTable(root)
+    t1 = time.perf_counter()
+    va = ta.commit_with_manifest(
+        spark.range(10**10, 10**10 + 4).selectExpr("id as k", "id*2 as v"),
+        "k",
+        carried_base_version=2,
+        expected_base_version=2,
+        cluster_partitions=1,
+    )
+    append_wall = time.perf_counter() - t1
+    append_meta = _meta_bytes(root, va)
+    append_segs_loaded = len(ta._seg_cache)
+
+    # (2) point-read candidate materialization (metadata half of
+    # read_range) on a COLD instance
+    tr = VersionedParquetTable(root)
+    probe_lo, probe_hi = 5 * rows_per, 7 * rows_per
+    t2 = time.perf_counter()
+    man = tr._materialize_pruned(
+        va,
+        lambda e: e.get("min") is None
+        or (e["max"] >= probe_lo and e["min"] <= probe_hi),
+    )
+    read_wall = time.perf_counter() - t2
+    read_segs_loaded = len(tr._seg_cache)
+    kept = [
+        e
+        for e in man["files"]
+        if e["min"] is not None
+        and e["max"] >= probe_lo
+        and e["min"] <= probe_hi
+    ]
+    assert 1 <= len(kept) <= 8, len(kept)
+
+    # (3) CDF segment diff across the append on a COLD instance
+    td = VersionedParquetTable(root)
+    t3 = time.perf_counter()
+    fm, tm = td._diff_file_maps(2, va)
+    diff_wall = time.perf_counter() - t3
+    diff_segs_loaded = len(td._seg_cache)
+    changed = {p for p in tm if fm.get(p) != tm[p]}
+    assert changed and len(changed) <= 8, len(changed)
+
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "n_files": n_files,
+        "form": "segmented-synthetic",
+        "segments": n_segs,
+        "build_wall_s": round(build_wall, 3),
+        "root_doc_bytes": root_doc_bytes,
+        "append_meta_bytes": append_meta,
+        "append_wall_s": round(append_wall, 3),
+        "append_segments_loaded": append_segs_loaded,
+        "read_wall_s": round(read_wall, 3),
+        "read_segments_loaded": read_segs_loaded,
+        "cdf_diff_wall_s": round(diff_wall, 3),
+        "cdf_segments_loaded": diff_segs_loaded,
+    }
+
+
 def main() -> None:
+    synthetic = "--synthetic" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark = get_spark(
         "probe_manifest_scale", master="local[8]", shuffle_partitions=8
     )
+    if synthetic:
+        sizes = [10_000, 100_000, 1_000_000]
+        if args:
+            sizes = [int(x) for x in args[0].split(",")]
+        rows = []
+        for n in sizes:
+            r = run_synthetic(n, spark)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+        lo, hi = rows[0], rows[-1]
+        print(
+            json.dumps(
+                {
+                    "files_growth": round(hi["n_files"] / lo["n_files"], 1),
+                    "append_meta_growth": round(
+                        hi["append_meta_bytes"] / lo["append_meta_bytes"], 2
+                    ),
+                    "read_segs_hi": hi["read_segments_loaded"],
+                    "cdf_segs_hi": hi["cdf_segments_loaded"],
+                }
+            )
+        )
+        shutil.rmtree(BASE, ignore_errors=True)
+        spark.stop()
+        return
     sizes = [256, 1024, 4096]
-    if len(sys.argv) > 1:
-        sizes = [int(x) for x in sys.argv[1].split(",")]
+    if args:
+        sizes = [int(x) for x in args[0].split(",")]
     rows = []
     for n in sizes:
         for segmented in (False, True):

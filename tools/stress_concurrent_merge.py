@@ -14,9 +14,16 @@ What this proves (the Delta ConcurrentModificationException contract):
   the new head (``conflict_retries``) instead of silently dropping the
   winner's rows;
 * because every batch's keys are disjoint per thread, the serial-
-  equivalent final state is order-independent and exactly checkable.
+  equivalent final state is order-independent and exactly checkable;
+* (round 10) with ``--banded``, each thread updates a CONTIGUOUS key
+  band (the partition-parallel ingest shape) so racing commits touch
+  disjoint FILES — the logical-rebase path
+  (``_rebase_compatible``) must then absorb nearly every CAS
+  conflict with zero recomputes, while the default scattered
+  workload (every merge touches every file) keeps exercising the
+  genuinely-overlapping recompute path.
 
-Usage: python tools/stress_concurrent_merge.py [rows] [threads] [batches]
+Usage: python tools/stress_concurrent_merge.py [rows] [threads] [batches] [--banded]
 """
 
 from __future__ import annotations
@@ -32,9 +39,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_threads = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    banded = "--banded" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rows = int(args[0]) if len(args) > 0 else 1_000_000
+    n_threads = int(args[1]) if len(args) > 1 else 4
+    n_batches = int(args[2]) if len(args) > 2 else 8
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -66,14 +75,20 @@ def main() -> int:
     )
     table.commit_with_manifest(base, "k", cluster_partitions=32)
 
-    # telemetry: count CAS conflicts by wrapping the attempt fn
-    counters = {"cas_conflicts": 0, "lock_busy": 0}
+    # telemetry: count CAS conflicts (true recomputes) and logical
+    # REBASES (conflicts absorbed under the lock with zero recompute)
+    # by wrapping the attempt fn
+    counters = {"cas_conflicts": 0, "lock_busy": 0, "rebases": 0}
     clock = threading.Lock()
     real_attempt = merge_mod._pruned_merge_attempt
 
     def counting_attempt(*a, **kw):
         try:
-            return real_attempt(*a, **kw)
+            stats = real_attempt(*a, **kw)
+            if stats.get("rebased"):
+                with clock:
+                    counters["rebases"] += 1
+            return stats
         except SnapshotConflictError:
             with clock:
                 counters["cas_conflicts"] += 1
@@ -83,13 +98,25 @@ def main() -> int:
 
     errors: list[str] = []
 
+    band = rows // n_threads  # --banded: contiguous per-thread key band
+
     def worker(t: int) -> None:
         for b in range(n_batches):
-            # disjoint per-thread keys: update k ≡ t (mod threads),
-            # sampled sparsely; insert a per-(thread, batch) range
-            upd = spark.range(rows).filter(
-                (F.col("id") % n_threads == t) & (F.col("id") % 403 == 0)
-            ).select(
+            # disjoint per-thread keys: scattered (k ≡ t mod threads —
+            # every merge touches every file, conflicts genuinely
+            # overlap) or banded (contiguous band — racing commits
+            # touch disjoint files, conflicts should REBASE)
+            if banded:
+                upd_cond = (
+                    (F.col("id") >= t * band)
+                    & (F.col("id") < (t + 1) * band)
+                    & (F.col("id") % 403 == 0)
+                )
+            else:
+                upd_cond = (F.col("id") % n_threads == t) & (
+                    F.col("id") % 403 == 0
+                )
+            upd = spark.range(rows).filter(upd_cond).select(
                 F.col("id").alias("k"),
                 F.lit(f"t{t}b{b}").alias("v"),
                 F.lit(b + 1).cast("long").alias("gen"),
@@ -135,14 +162,22 @@ def main() -> int:
         return 1
 
     # serial-equivalent expectation: last batch per thread wins its keys
+    if banded:
+        owner = F.floor(F.col("id") / band)
+        updated = (
+            (F.col("id") % 403 == 0) & (F.col("id") < n_threads * band)
+        )
+    else:
+        owner = F.col("id") % n_threads
+        updated = F.col("id") % 403 == 0
     expected = spark.range(rows).select(
         F.col("id").alias("k"),
         F.when(
-            F.col("id") % 403 == 0,
-            F.concat(F.lit("t"), (F.col("id") % n_threads).cast("string"),
+            updated,
+            F.concat(F.lit("t"), owner.cast("string"),
                      F.lit(f"b{n_batches - 1}")),
         ).otherwise("base").alias("v"),
-        F.when(F.col("id") % 403 == 0, n_batches).otherwise(0)
+        F.when(updated, n_batches).otherwise(0)
         .cast("long").alias("gen"),
     )
     ins_all = spark.range(
@@ -165,11 +200,13 @@ def main() -> int:
     diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     out = {
         "metric": "concurrent_merge_serializability",
+        "workload": "banded" if banded else "scattered",
         "rows": rows,
         "threads": n_threads,
         "batches_per_thread": n_batches,
         "commits": table.current_version(),
         "cas_conflicts": counters["cas_conflicts"],
+        "rebases": counters["rebases"],
         "lock_busy": counters["lock_busy"],
         "rows_final": n_got,
         "rows_expected": n_exp,
