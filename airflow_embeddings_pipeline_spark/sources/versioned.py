@@ -3618,6 +3618,16 @@ class VersionedParquetTable:
                 expected_base_version=v,
                 skip_data_write=True,
                 operation="DELETE",
+                # logical rebase on a CAS miss: this delete depends on
+                # the candidate files it scanned; the compiled pruner
+                # is its conservative might-match test for racing
+                # entries (a racing file that might hold matching rows
+                # must recompute — serial execution would delete them)
+                rebase_on_conflict={
+                    "touched": {e["path"] for e in cands},
+                    "exclude": (),
+                    "might_touch": pruner,
+                },
                 **dv_kw,
             )
             return {
@@ -3750,6 +3760,12 @@ class VersionedParquetTable:
                 app_metadata=raw.get("app_metadata"),
                 expected_base_version=v,
                 operation="UPDATE",
+                # same rebase scope rule as delete_where
+                rebase_on_conflict={
+                    "touched": {e["path"] for e in cands},
+                    "exclude": (),
+                    "might_touch": pruner,
+                },
                 **dv_kw,
             )
             return {

@@ -258,3 +258,92 @@ class TestRebase:
         # head content: racer's append survived the rebase
         ks = {r["k"] for r in t.read(spark).collect()}
         assert 10_000 in ks and 0 in ks
+
+
+class TestDmlRebase:
+    """Row-level DML (delete_where / update_where) uses the same
+    logical-rebase scope: its candidate files as the dependency set,
+    its compiled predicate pruner as the racing-entry test."""
+
+    def test_delete_rebases_on_disjoint_racing_merge(
+        self, spark, tmp_path, monkeypatch
+    ):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        orig = VersionedParquetTable.commit_with_manifest
+        state = {"armed": True}
+
+        def inject(self, *a, **kw):
+            if state["armed"] and kw.get("operation") == "DELETE":
+                state["armed"] = False
+                merge_upsert_write_pruned(
+                    root, _src(spark, [(900, -5)]), "k",
+                    vacuum_keep_last=None,
+                )
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(
+            VersionedParquetTable, "commit_with_manifest", inject
+        )
+        r = t.delete_where(spark, "k < 10")
+        assert r["rows_deleted"] == 10
+        assert t._last_commit_rebase is not None  # absorbed, no recompute
+        got = _content(spark, t)
+        assert 0 not in got and 9 not in got
+        assert got[900] == -5 and got[10] == 20
+
+    def test_delete_recomputes_when_racing_insert_matches(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A racing insert whose key MATCHES the delete predicate must
+        force the recompute — serial execution deletes it."""
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        orig = VersionedParquetTable.commit_with_manifest
+        state = {"armed": True}
+
+        def inject(self, *a, **kw):
+            if state["armed"] and kw.get("operation") == "DELETE":
+                state["armed"] = False
+                merge_upsert_write_pruned(
+                    root, _src(spark, [(-5, -5)]), "k",
+                    vacuum_keep_last=None,
+                )
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(
+            VersionedParquetTable, "commit_with_manifest", inject
+        )
+        r = t.delete_where(spark, "k < 10")
+        # the recompute saw the racing insert and deleted it too
+        assert r["rows_deleted"] == 11
+        assert t._last_commit_rebase is None
+        got = _content(spark, t)
+        assert -5 not in got and 0 not in got and got[10] == 20
+
+    def test_update_rebases_on_disjoint_racing_merge(
+        self, spark, tmp_path, monkeypatch
+    ):
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        orig = VersionedParquetTable.commit_with_manifest
+        state = {"armed": True}
+
+        def inject(self, *a, **kw):
+            if state["armed"] and kw.get("operation") == "UPDATE":
+                state["armed"] = False
+                merge_upsert_write_pruned(
+                    root, _src(spark, [(900, -5)]), "k",
+                    vacuum_keep_last=None,
+                )
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(
+            VersionedParquetTable, "commit_with_manifest", inject
+        )
+        r = t.update_where(spark, "k < 10", {"v": "v + 1000"})
+        assert r["rows_updated"] == 10
+        assert t._last_commit_rebase is not None
+        got = _content(spark, t)
+        assert got[0] == 1000 and got[9] == 1018
+        assert got[900] == -5 and got[10] == 20
