@@ -150,6 +150,14 @@ class PosixCommitProtocol:
         v = self.read_small("_CURRENT")
         return v.strip() if v is not None else None
 
+    def gc_pointers(self, keep_min_version: int) -> int:
+        """Reclaim pointer metadata below the retention horizon —
+        no-op for the single-file posix pointer; the object-store
+        protocol deletes superseded ``_ptr-v*`` objects so its
+        LIST-max resolution stays bounded by retention, not by table
+        lifetime.  Returns the number of objects removed."""
+        return 0
+
     def publish_pointer(self, name: str) -> None:
         """The atomic commit point."""
         self.put_file("_CURRENT", f"{name}\n")
@@ -210,6 +218,22 @@ class ObjectStoreCommitProtocol(PosixCommitProtocol):
         # protocol still resolves (first object-store commit then
         # publishes a _ptr-v* at a HIGHER version, which wins the max)
         return super().read_pointer()
+
+    def gc_pointers(self, keep_min_version: int) -> int:
+        # safe in any order and through crashes: the max pointer is
+        # the CURRENT version, which is always >= keep_min_version,
+        # so LIST-max resolution never changes while old ptrs go
+        try:
+            names = os.listdir(self.root)
+        except OSError:
+            return 0
+        n = 0
+        for name in names:
+            m = _PTR_RE.match(name)
+            if m and int(m.group(1)) < keep_min_version:
+                self.delete(name)
+                n += 1
+        return n
 
     def publish_pointer(self, name: str) -> None:
         ptr = f"_ptr-{name}"

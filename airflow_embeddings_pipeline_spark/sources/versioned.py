@@ -5296,6 +5296,10 @@ class VersionedParquetTable:
                     for e in man["files"]
                     if e.get("bloom")
                 )
+        # pointer metadata below the retention horizon goes with the
+        # versions (no-op on posix; the object-store protocol's
+        # LIST-max pointer resolution stays bounded by retention)
+        self._protocol.gc_pointers(min(keep))
         dropped = []
         for v in self._versions_on_disk():
             if v in keep:

@@ -185,6 +185,24 @@ class TestObjectStoreRenameFree:
         assert not os.path.exists(os.path.join(orphan, "junk.txt"))
         assert t.read(spark).count() == 499
 
+    def test_vacuum_gcs_superseded_pointer_objects(self, spark, tmp_path):
+        """Pointer objects below the retention horizon are reclaimed
+        by vacuum, so LIST-max resolution stays bounded by retention —
+        and time travel within retention still works (version dirs,
+        not pointer objects, carry the history)."""
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, "object-store")
+        for i in range(4):
+            t.delete_where(spark, f"k = {i}")
+        assert t.current_version() == 5
+        t.vacuum(keep_last=2)
+        ptrs = sorted(
+            n for n in os.listdir(root) if n.startswith("_ptr-v")
+        )
+        assert ptrs == ["_ptr-v00000004", "_ptr-v00000005"]
+        assert t.current_version() == 5
+        assert t.read_version(spark, 4).count() == 497
+
     def test_stale_lock_steal(self, spark, tmp_path):
         root = str(tmp_path / "t")
         t = _mk(spark, root, "object-store")
