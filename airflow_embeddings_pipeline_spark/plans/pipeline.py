@@ -1821,3 +1821,160 @@ register(
         tags=("T4", "S9", "streaming", "scale"),
     )
 )
+
+
+# ---------------------------------------- z-order decay auto-repair
+# optimize_zorder's layout DECAYS as incremental merges append
+# key-clustered files; maintain() (round 10) measures the unflagged
+# row fraction and re-zorders ONLY the decayed portion (the original
+# z files carry by reference — repair cost is O(decayed bytes)).
+# The entry builds the z layout, decays it with a pruned-merge insert
+# batch equal to half the table, lets maintain() repair, and reads a
+# SECONDARY-dimension window back — the oracle is the plain BETWEEN
+# over base ∪ inserts, proving the repair is layout-only and exact.
+# The scoped-carry and skip-rate mechanics are unit-asserted in
+# tests/test_zorder_decay.py.
+def s_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert_write_pruned
+    from ..sources.versioned import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    inserts = orders.select(
+        (F.col("o_orderkey") + _PRUNED_INS_OFFSET).alias("k"),
+        F.col("o_custkey").alias("c"),
+        (F.col("o_totalprice").cast("double") + 1.0).alias("price"),
+    )
+    path = _scratch_dir("/tmp/spark_graft_zorder_maintain", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(
+        target, "k", cluster_partitions=16, stats_columns=["k", "c"]
+    )
+    table.optimize_zorder(spark, ["k", "c"], buckets=32, cluster_partitions=16)
+    merge_upsert_write_pruned(path, inserts, "k", vacuum_keep_last=None)
+    m = table.maintain(
+        spark, min_file_bytes=1, max_small_files=10**9
+    )
+    assert any(a["action"] == "rezorder" for a in m["actions"]), m
+    return table.read_range(spark, "c", 40, 80).orderBy("k")
+
+
+register(
+    Query(
+        name="s_zorder_maintain",
+        build=s_zorder_maintain,
+        oracle=f"""
+        SELECT * FROM (
+            SELECT o_orderkey AS k, o_custkey AS c,
+                   CAST(o_totalprice AS DOUBLE) AS price
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey + {_PRUNED_INS_OFFSET} AS k,
+                   o_custkey AS c,
+                   CAST(o_totalprice AS DOUBLE) + 1.0 AS price
+            FROM orders
+        )
+        WHERE c BETWEEN 40 AND 80
+        ORDER BY k
+        """,
+        doc=(
+            "z-order decay auto-repair: incremental merges decay the Morton "
+            "layout, maintain() re-zorders ONLY the decayed file mass (the "
+            "original z files carry by reference) and the secondary-dimension "
+            "read stays exact — oracled against the plain BETWEEN over "
+            "base ∪ inserts (S4/S9+ at 100 TB; scoped-carry unit-asserted)"
+        ),
+        tags=("S4", "S9", "scale", "pruning"),
+    )
+)
+
+
+# ------------------------------- streaming CDF across schema evolution
+# Round 10: the stream survives ADD-COLUMN commits.  The entry stages
+# a (k, price) table, then ONE pruned MERGE both evolves the schema
+# (adds "status") and changes rows; the drained stream (created after
+# the evolution — the catch-up direction) emits the evolved schema
+# with the pre-image side NULL-backfilled, matching the batch rule.
+# The live-projection direction (a running stream holding the
+# pre-add schema) is planner-level and pinned in tests/test_streaming.
+def t_stream_evolved_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert_write_pruned
+    from ..sources.versioned import VersionedParquetTable
+    from ..sources.versioned_stream import read_changes_stream
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 97 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("double") * 2).alias("price"),
+        F.lit("UPD").alias("status"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 997 == 3).select(
+        (F.col("o_orderkey") + _PRUNED_INS_OFFSET).alias("k"),
+        (F.col("o_totalprice").cast("double") + 1.0).alias("price"),
+        F.lit("INS").alias("status"),
+    )
+    path = _scratch_dir("/tmp/spark_graft_stream_evolved", sf_dir)
+    table = VersionedParquetTable(path)
+    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    merge_upsert_write_pruned(
+        path, updates.unionAll(inserts), "k",
+        schema_evolution=True, vacuum_keep_last=None,
+    )
+
+    import os
+    import tempfile
+
+    qname = f"cdf_evolved_{os.getpid()}"
+    q = (
+        read_changes_stream(spark, path, starting_version=1)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="ckpt_cdf_evolved_"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("k", "_change_type")
+
+
+register(
+    Query(
+        name="t_stream_evolved_changes",
+        build=t_stream_evolved_changes,
+        oracle=f"""
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+               CAST(NULL AS VARCHAR) AS status,
+               'update_preimage' AS _change_type,
+               CAST(2 AS BIGINT) AS _commit_version
+        FROM orders WHERE o_orderkey % 97 = 1
+        UNION ALL
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) * 2 AS price,
+               'UPD' AS status, 'update_postimage', CAST(2 AS BIGINT)
+        FROM orders WHERE o_orderkey % 97 = 1
+        UNION ALL
+        SELECT o_orderkey + {_PRUNED_INS_OFFSET} AS k,
+               CAST(o_totalprice AS DOUBLE) + 1.0 AS price,
+               'INS' AS status, 'insert', CAST(2 AS BIGINT)
+        FROM orders WHERE o_orderkey % 997 = 3
+        ORDER BY k, _change_type
+        """,
+        doc=(
+            "streaming CDF across an ADD-COLUMN schema-evolution commit: the "
+            "drained stream emits the evolved schema with the pre-image side "
+            "NULL-backfilled (the batch rule) — oracled relationally; the "
+            "live-projection direction is planner-unit-pinned (T4/S9 r10)"
+        ),
+        tags=("T4", "S9", "streaming", "scale"),
+    )
+)

@@ -4018,6 +4018,17 @@ class VersionedParquetTable:
             unflagged = [
                 e for e in files if e.get("clustered") != "zorder"
             ]
+            # small z-flagged FRAGMENTS fold into the same repair: the
+            # generic compact would rewrite them key-clustered and
+            # DROP the flag — destroying the layout the table paid
+            # for — so on a z table the scoped re-zorder owns all
+            # layout health and the generic compact is skipped below
+            frag_z = [
+                e
+                for e in files
+                if e.get("clustered") == "zorder"
+                and e["bytes"] < min_file_bytes
+            ]
             un_rows = sum(e.get("n_rows") or 0 for e in unflagged)
             tot_rows = sum(e.get("n_rows") or 0 for e in files)
             z_signals = {
@@ -4025,24 +4036,26 @@ class VersionedParquetTable:
                 "zorder_decayed_ratio": (
                     un_rows / tot_rows if tot_rows else 0.0
                 ),
+                "zorder_fragments": len(frag_z),
             }
-            if unflagged and (
+            scope = unflagged + frag_z
+            if scope and (
                 z_signals["zorder_decayed_ratio"] > max_zorder_decay
-                or len(unflagged) > max_small_files
+                or len(scope) > max_small_files
             ):
                 r = self.optimize_zorder(
                     spark,
                     zc["columns"],
                     buckets=zc.get("buckets", 32),
                     cluster_partitions=cluster_partitions,
-                    _scope_entries=unflagged,
+                    _scope_entries=scope,
                 )
                 if r["version"] != v:
                     dv_actions.append(
                         {
                             "action": "rezorder",
                             "version": r["version"],
-                            "files_rewritten": len(unflagged),
+                            "files_rewritten": len(scope),
                             "bytes_rewritten": r["bytes_rewritten"],
                         }
                     )
@@ -4125,7 +4138,13 @@ class VersionedParquetTable:
                         "bytes_rewritten": comp_bytes,
                     }
                 )
-        if signals["small_files"] > max_small_files:
+        if (
+            signals["small_files"] > max_small_files
+            and zc.get("type") != "zorder"
+        ):
+            # z tables: the scoped re-zorder above owns small-file
+            # health (compact would strip the zorder flag from the
+            # fragments it rewrites)
             stats = self.compact(
                 spark,
                 min_file_bytes=min_file_bytes,

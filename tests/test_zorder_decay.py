@@ -139,3 +139,35 @@ class TestZorderDecay:
         )
         m = t.maintain(spark, min_file_bytes=1)
         assert "zorder_decayed_files" not in m["signals"]
+
+
+class TestZorderCompactInterplay:
+    def test_z_fragments_fold_into_rezorder_not_compact(
+        self, spark, tmp_path
+    ):
+        """On a z table the generic small-file compact is skipped —
+        it would rewrite z fragments key-clustered and DROP the flag;
+        instead small z files fold into the scoped re-zorder and the
+        repaired table stays fully z-flagged."""
+        root = str(tmp_path / "t")
+        t = _mk_z(spark, root, n=40_000, parts=12)  # many small z files
+        m = t.maintain(
+            spark,
+            min_file_bytes=1 << 30,  # everything counts as small
+            max_small_files=4,
+        )
+        acts = {a["action"] for a in m["actions"]}
+        assert "compact" not in acts
+        assert "rezorder" in acts
+        assert m["signals"]["zorder_fragments"] == 12
+        man = t.manifest(t.current_version())
+        assert all(
+            e.get("clustered") == "zorder" for e in man["files"]
+        )
+        assert t.read(spark).count() == 40_000
+        # repaired: a second pass is quiet
+        m2 = t.maintain(
+            spark, min_file_bytes=1 << 30, max_small_files=4
+        )
+        acts2 = {a["action"] for a in m2["actions"]}
+        assert "rezorder" not in acts2 and "compact" not in acts2
