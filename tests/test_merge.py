@@ -1633,9 +1633,12 @@ def test_pruned_merge_retries_conflict_and_preserves_both_writers(
     spark, tmp_path, monkeypatch
 ):
     """Inject a concurrent commit into the pruned merge's lost-update
-    window (after it reads the snapshot, before it publishes): the CAS
-    must fire, the retry must recompute, and BOTH writers' rows must
-    survive — the serial-equivalent outcome."""
+    window (after it reads the snapshot, before it publishes): BOTH
+    writers' rows must survive — the serial-equivalent outcome.  A
+    DISJOINT racer is absorbed by the logical REBASE (r10 — no
+    recompute, see tests/test_merge_rebase.py); an OVERLAPPING racer
+    (here: DVs on the same file the merge touches) still recomputes,
+    and with retries exhausted the conflict propagates."""
     from airflow_embeddings_pipeline_spark.operators import merge as merge_mod
     from airflow_embeddings_pipeline_spark.sources.versioned import (
         SnapshotConflictError,
@@ -1653,12 +1656,12 @@ def test_pruned_merge_retries_conflict_and_preserves_both_writers(
     )
 
     real_entries = VersionedParquetTable.file_entries
-    fired = {"n": 0, "always": False}
+    fired = {"n": 0, "always": False, "seq": 2}
 
     def interleave(self, *a, **kw):
         out = real_entries(self, *a, **kw)
-        if fired["n"] == 0 or fired["always"]:  # first read (or every, in
-            fired["n"] += 1                     # the exhaust phase) races
+        if fired["n"] == 0:  # first read races a DISJOINT append
+            fired["n"] += 1
             other = VersionedParquetTable(self.root)
             man = other.manifest(other.current_version())
             other.commit_with_manifest(
@@ -1667,6 +1670,14 @@ def test_pruned_merge_retries_conflict_and_preserves_both_writers(
                 carried=man["files"],
                 expected_base_version=other.current_version(),
             )
+        elif fired["always"]:
+            # exhaust phase: every snapshot read races an OVERLAPPING
+            # writer — a DV delete on the very file the merge touches
+            # (k=1's file), so the logical rebase must decline and the
+            # recompute loop runs until retries exhaust
+            other = VersionedParquetTable(self.root)
+            other.delete_where(spark, f"k = {fired['seq']}")
+            fired["seq"] += 1
         return out
 
     monkeypatch.setattr(VersionedParquetTable, "file_entries", interleave)
