@@ -674,93 +674,101 @@ def _pruned_merge_attempt(
         # the TRUE distinct-tuple count replaces the capped probe
         # length (one extra count job over a plan this branch computes
         # anyway).
-        n_src = src_keys.count()
-        # stats are stored canonically (temporal → epoch-us int);
-        # broadcast range frames are TYPED per key column, so restore
-        # each bound to the value Spark round-trips
-        ktypes = [schema[k].dataType for k in keys]
+        # the distinct-key shuffle of a >max_exact_keys batch is the
+        # dominant pruning cost and now feeds THREE actions (count,
+        # segment-envelope range join, per-file range join) — persist
+        # it once; unpersisted right after the last consumer below
+        src_keys.persist()
+        try:
+            n_src = src_keys.count()
+            # stats are stored canonically (temporal → epoch-us int);
+            # broadcast range frames are TYPED per key column, so restore
+            # each bound to the value Spark round-trips
+            ktypes = [schema[k].dataType for k in keys]
 
-        def _range_hit(ranged: list) -> set[int]:
-            """ids of ``(id, per-key-ranges)`` items whose ranges may
-            contain SOME distinct source key tuple: broadcast the tiny
-            range frame against src_keys; only distinct hit ids reach
-            the driver — bounded by item count regardless of batch
-            size.  Serves both passes (segment envelopes, then files):
-            an envelope is interval-union-shaped exactly like a file
-            entry, and the containment test is monotone under interval
-            containment, so segment-level misses are sound skips."""
-            if not ranged:
-                return set()
-            from pyspark.sql.types import IntegerType, StructField, StructType
+            def _range_hit(ranged: list) -> set[int]:
+                """ids of ``(id, per-key-ranges)`` items whose ranges may
+                contain SOME distinct source key tuple: broadcast the tiny
+                range frame against src_keys; only distinct hit ids reach
+                the driver — bounded by item count regardless of batch
+                size.  Serves both passes (segment envelopes, then files):
+                an envelope is interval-union-shaped exactly like a file
+                entry, and the containment test is monotone under interval
+                containment, so segment-level misses are sound skips."""
+                if not ranged:
+                    return set()
+                from pyspark.sql.types import IntegerType, StructField, StructType
 
-            fields = [StructField("fid", IntegerType(), False)]
-            for i, kcol in enumerate(keys):
-                kt = schema[kcol].dataType
-                fields.append(StructField(f"lo{i}", kt, True))
-                fields.append(StructField(f"hi{i}", kt, True))
-            rows = []
-            for i, rs in ranged:
-                row = [i]
-                for kt_j, r in zip(ktypes, rs):
-                    row.extend(
-                        [None, None]
-                        if r is None
-                        else [
-                            _stat_restore(r[0], kt_j),
-                            _stat_restore(r[1], kt_j),
-                        ]
+                fields = [StructField("fid", IntegerType(), False)]
+                for i, kcol in enumerate(keys):
+                    kt = schema[kcol].dataType
+                    fields.append(StructField(f"lo{i}", kt, True))
+                    fields.append(StructField(f"hi{i}", kt, True))
+                rows = []
+                for i, rs in ranged:
+                    row = [i]
+                    for kt_j, r in zip(ktypes, rs):
+                        row.extend(
+                            [None, None]
+                            if r is None
+                            else [
+                                _stat_restore(r[0], kt_j),
+                                _stat_restore(r[1], kt_j),
+                            ]
+                        )
+                    rows.append(tuple(row))
+                rdf = spark.createDataFrame(rows, StructType(fields))
+                cond = None
+                for i in range(len(keys)):
+                    c = F.col(f"lo{i}").isNull() | (
+                        (F.col(f"k{i}") >= F.col(f"lo{i}"))
+                        & (F.col(f"k{i}") <= F.col(f"hi{i}"))
                     )
-                rows.append(tuple(row))
-            rdf = spark.createDataFrame(rows, StructType(fields))
-            cond = None
-            for i in range(len(keys)):
-                c = F.col(f"lo{i}").isNull() | (
-                    (F.col(f"k{i}") >= F.col(f"lo{i}"))
-                    & (F.col(f"k{i}") <= F.col(f"hi{i}"))
+                    cond = c if cond is None else (cond & c)
+                return {
+                    r[0]
+                    for r in src_keys.join(F.broadcast(rdf), cond)
+                    .select("fid")
+                    .distinct()
+                    .collect()
+                }
+
+            if seg_fast:
+                # TWO-PASS: range-join the segment ENVELOPES first and
+                # materialize only candidate segments — the O(touched)
+                # commit guarantee holds for >max_exact_keys batches too
+                # (the very case segmentation targets).  Segments without
+                # an envelope or without lead stats always materialize
+                # (conservative), matching the per-file no-stats rule.
+                import json as _json
+
+                refs = (
+                    table._raw_manifest(base_version).get("file_segments")
+                    or []
                 )
-                cond = c if cond is None else (cond & c)
-            return {
-                r[0]
-                for r in src_keys.join(F.broadcast(rdf), cond)
-                .select("fid")
-                .distinct()
-                .collect()
-            }
-
-        if seg_fast:
-            # TWO-PASS: range-join the segment ENVELOPES first and
-            # materialize only candidate segments — the O(touched)
-            # commit guarantee holds for >max_exact_keys batches too
-            # (the very case segmentation targets).  Segments without
-            # an envelope or without lead stats always materialize
-            # (conservative), matching the per-file no-stats rule.
-            import json as _json
-
-            refs = (
-                table._raw_manifest(base_version).get("file_segments")
-                or []
-            )
-            env_ranged, keep = [], set()
-            for si, ref in enumerate(refs):
-                env = ref.get("env")
-                rs = _key_ranges(env) if env else None
-                if rs is None or rs[0] is None:
-                    keep.add(si)
-                else:
-                    env_ranged.append((si, rs))
-            keep |= _range_hit(env_ranged)
-            entries = [
-                _json.loads(j)
-                for si, ref in enumerate(refs)
-                if si in keep
-                for _, j in table._load_segment(ref["path"])
+                env_ranged, keep = [], set()
+                for si, ref in enumerate(refs):
+                    env = ref.get("env")
+                    rs = _key_ranges(env) if env else None
+                    if rs is None or rs[0] is None:
+                        keep.add(si)
+                    else:
+                        env_ranged.append((si, rs))
+                keep |= _range_hit(env_ranged)
+                entries = [
+                    _json.loads(j)
+                    for si, ref in enumerate(refs)
+                    if si in keep
+                    for _, j in table._load_segment(ref["path"])
+                ]
+            ranged = [
+                (i, _key_ranges(e))
+                for i, e in enumerate(entries)
+                if e["min"] is not None and e["max"] is not None
             ]
-        ranged = [
-            (i, _key_ranges(e))
-            for i, e in enumerate(entries)
-            if e["min"] is not None and e["max"] is not None
-        ]
-        hit = _range_hit(ranged)
+            hit = _range_hit(ranged)
+        finally:
+            src_keys.unpersist()
         pruning = "range-join"
 
         def touched(i: int, e: dict) -> bool:

@@ -20,8 +20,17 @@ pattern (what Delta/Iceberg do underneath) is:
   disappear mid-scan
 
 This module is the local-filesystem implementation of that contract.
-Non-local URIs are rejected loudly: on a real cluster, swap this class
-for Delta/Iceberg (same commit semantics, jar-provided).
+The commit-critical primitives (lock, pointer publish, manifest
+write) live behind a pluggable protocol seam
+(:mod:`.commit_protocol`): the default posix protocol uses
+``O_EXCL`` + ``rename(2)``; the ``"object-store"`` protocol is
+RENAME-FREE (conditional-create per-version pointer objects — the
+create is the CAS — LIST-max resolution, conditional-delete lock
+steal), mapping 1:1 onto S3/GCS conditional operations, so the
+object-store-safety claim is executable, not prose.  Non-local URIs
+are still rejected loudly: on a real cluster, either swap this class
+for Delta/Iceberg (same commit semantics, jar-provided) or back the
+protocol with remote calls.
 """
 
 from __future__ import annotations
@@ -919,26 +928,35 @@ class VersionedParquetTable:
             rows = list(
                 zip(t.column("path").to_pylist(), t.column("entry").to_pylist())
             )
-            # LRU eviction bounded by TOTAL cached entry rows, not
-            # segment count: a wholesale clear() at N segments would
-            # repeatedly flush segments loaded earlier in the SAME
-            # materialization pass on a >N-segment manifest (re-reads),
-            # while an unbounded dict pins entry-JSON strings on the
-            # driver.  Evicting least-recently-USED keys keeps hot
-            # segments (version pointers, envelope-heavy heads) across
-            # passes; a single huge pass degrades gracefully to
-            # read-once (each segment is visited once per pass anyway).
-            while (
-                self._seg_cache
-                and self._seg_cache_rows + len(rows) > self._SEG_CACHE_MAX_ROWS
-            ):
-                _, old = self._seg_cache.popitem(last=False)
-                self._seg_cache_rows -= len(old)
-            self._seg_cache[rel] = rows
-            self._seg_cache_rows += len(rows)
+            self._seg_cache_put(rel, rows)
         else:
             self._seg_cache.move_to_end(rel)  # mark recently used
         return rows
+
+    def _seg_cache_put(self, rel: str, rows: list) -> None:
+        """Insert into the segment cache with LRU eviction bounded by
+        TOTAL cached entry rows, not segment count: a wholesale
+        clear() at N segments would repeatedly flush segments loaded
+        earlier in the SAME materialization pass on a >N-segment
+        manifest (re-reads), while an unbounded dict pins entry-JSON
+        strings on the driver.  Evicting least-recently-USED keys
+        keeps hot segments across passes; a single huge pass degrades
+        gracefully to read-once.  Both the read path (_load_segment)
+        and the WRITER's warm insert (_persist_manifest) go through
+        here, so the bound holds during a large commit too — a full
+        rewrite of an 8M-file table must not pin gigabytes of entry
+        JSON while writing its 2000 segments."""
+        if rel in self._seg_cache:
+            self._seg_cache_rows -= len(self._seg_cache[rel])
+            del self._seg_cache[rel]
+        while (
+            self._seg_cache
+            and self._seg_cache_rows + len(rows) > self._SEG_CACHE_MAX_ROWS
+        ):
+            _, old = self._seg_cache.popitem(last=False)
+            self._seg_cache_rows -= len(old)
+        self._seg_cache[rel] = rows
+        self._seg_cache_rows += len(rows)
 
     def _materialize_pruned(self, version: int, entry_test) -> dict | None:
         """Materialized manifest doc whose ``files`` come ONLY from
@@ -1199,12 +1217,9 @@ class VersionedParquetTable:
             finally:
                 os.close(fd)
             rel = os.path.relpath(seg_abs, self.root)
-            # writer-side warm insert goes through the same accounting
-            # as read loads so the rows bound holds
-            if rel not in self._seg_cache:
-                self._seg_cache_rows += len(chunk)
-            self._seg_cache[rel] = [(p, j) for p, j, _ in chunk]
-            self._seg_cache.move_to_end(rel)
+            # writer-side warm insert: same accounting AND eviction as
+            # read loads, so the rows bound holds mid-commit too
+            self._seg_cache_put(rel, [(p, j) for p, j, _ in chunk])
             refs.append(
                 {
                     "path": rel,
@@ -5317,8 +5332,10 @@ class VersionedParquetTable:
                 )
         # pointer metadata below the retention horizon goes with the
         # versions (no-op on posix; the object-store protocol's
-        # LIST-max pointer resolution stays bounded by retention)
-        self._protocol.gc_pointers(min(keep))
+        # LIST-max pointer resolution stays bounded by retention).
+        # NOT on dry_run — "delete nothing" includes metadata.
+        if not dry_run:
+            self._protocol.gc_pointers(min(keep))
         dropped = []
         for v in self._versions_on_disk():
             if v in keep:

@@ -89,15 +89,23 @@ def _resolve_positions(spec):
 
 
 def _read_pointer(root: str) -> int | None:
-    """Resolve the table's ``_CURRENT`` pointer (``v00000001`` form)
-    without importing the table class — the reader must stay
-    self-contained when shipped by value into the DataSource worker."""
+    """Resolve the table's live version THROUGH the commit-protocol
+    seam (auto-detected, so an object-store-protocol table — whose
+    ``_CURRENT`` is absent or permanently stale after migration —
+    streams correctly).  Self-contained fallback (a direct
+    ``_CURRENT`` read) keeps the module importable in the DataSource
+    worker, where only planning ever calls this."""
     try:
-        with open(os.path.join(root, "_CURRENT")) as fh:
-            name = fh.read().strip()
-    except OSError:
-        return None
-    if not (name.startswith("v") and name[1:].isdigit()):
+        from .commit_protocol import resolve_protocol
+
+        name = resolve_protocol(None, root).read_pointer()
+    except ImportError:  # pragma: no cover — worker-side safety net
+        try:
+            with open(os.path.join(root, "_CURRENT")) as fh:
+                name = fh.read().strip()
+        except OSError:
+            return None
+    if not name or not (name.startswith("v") and name[1:].isdigit()):
         return None
     return int(name[1:])
 

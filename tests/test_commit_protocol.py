@@ -211,3 +211,37 @@ class TestObjectStoreRenameFree:
             f.write("999999999")
         t.delete_where(spark, "k = 0")  # steals and commits
         assert t.current_version() == 2
+
+    def test_streaming_cdf_resolves_through_protocol(
+        self, spark, tmp_path
+    ):
+        """The streaming CDF's pointer probe goes through the
+        auto-detected protocol: an object-store table (no _CURRENT
+        ever written, or a stale one after migration) streams its
+        commits instead of stalling at the stale/absent pointer."""
+        from airflow_embeddings_pipeline_spark.sources.versioned_stream import (
+            read_changes_stream,
+        )
+
+        root = str(tmp_path / "t")
+        _mk(spark, root, "posix")  # v1 under posix (_CURRENT = v1)
+        t = VersionedParquetTable(root, commit_protocol="object-store")
+        t.delete_where(spark, "k < 3")  # v2 published as _ptr-v2 only
+        q = (
+            read_changes_stream(spark, root, starting_version=1)
+            .writeStream.format("memory")
+            .queryName("proto_cdf")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt_proto_cdf")
+            )
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("proto_cdf")
+        # the post-migration commit IS in the feed (the stale
+        # _CURRENT=v1 would have hidden it)
+        assert got.count() == 3
+        assert set(
+            r["_change_type"] for r in got.collect()
+        ) == {"delete"}
