@@ -591,6 +591,7 @@ def _pruned_merge_attempt(
             "rows_source": 0,
             "pruning": "empty-source",
         }
+    range_join_conflict = None  # set by the range-join tier below
     if n_src <= max_exact_keys:
         # a file is touched iff SOME source key tuple lies inside its
         # per-column stats ranges: bisect the lead-sorted tuples into
@@ -776,6 +777,21 @@ def _pruned_merge_attempt(
                 return True
             return i in hit
 
+        def range_join_conflict(racing_entries: list) -> bool:
+            """Rebase-scope batch test for this tier (runs under the
+            commit lock only on a CAS miss): range-join the RACING
+            commits' added/changed entries against the distinct source
+            keys — one bounded job, against a full merge recompute
+            that would re-run the same shuffle three times plus the
+            write.  No-stats racing entries conflict conservatively."""
+            ranged_r = []
+            for i, e in enumerate(racing_entries):
+                rs = _key_ranges(e)
+                if rs[0] is None:
+                    return True
+                ranged_r.append((i, rs))
+            return bool(_range_hit(ranged_r))
+
     if entries is None:
         # segmented exact tier: the SAME touched-test evaluates each
         # segment's envelope pseudo-entry (conservative interval
@@ -807,15 +823,20 @@ def _pruned_merge_attempt(
     # scoping): if a racing commit wins the pointer but provably
     # touched disjoint files AND key ranges, the commit retargets onto
     # the new head under the same lock hold instead of raising for a
-    # full merge recompute.  might_touch is the SAME conservative
-    # containment test that computed the touched set, evaluated on
-    # racing entries; the range-join tier has no collected keys, so
-    # any racing addition forces the recompute path (None).
+    # full merge recompute.  The exact tier's might_touch is the SAME
+    # conservative containment test that computed the touched set,
+    # evaluated per racing entry driver-side; the range-join tier has
+    # no collected keys, so its test is the batch form — one bounded
+    # broadcast range join of the racing entries against the distinct
+    # source keys.
     rebase_scope = {
         "touched": {e["path"] for e in touched_entries},
         "exclude": {e["path"] for e in touched_entries},
         "might_touch": (
             (lambda e: touched(0, e)) if pruning == "exact" else None
+        ),
+        "might_touch_batch": (
+            range_join_conflict if pruning == "range-join" else None
         ),
     }
 

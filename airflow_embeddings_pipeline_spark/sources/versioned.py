@@ -1054,7 +1054,12 @@ class VersionedParquetTable:
     )
 
     def _rebase_compatible(
-        self, base: int | None, cur: int | None, touched: set, might_touch
+        self,
+        base: int | None,
+        cur: int | None,
+        touched: set,
+        might_touch,
+        might_touch_batch=None,
     ) -> bool:
         """Delta-style LOGICAL conflict scoping: True iff every commit
         between ``base`` (the snapshot a prepared commit was computed
@@ -1074,9 +1079,14 @@ class VersionedParquetTable:
         (no-stats ⇒ True).  Evaluated on every entry the racing
         commits ADDED or MODIFIED: True means a racing row could
         interact with this batch's keys (e.g. both inserted key K —
-        rebasing would publish a duplicate), so recompute.  ``None``
-        means the caller has no key test (the range-join tier):
-        any racing addition forces recompute.
+        rebasing would publish a duplicate), so recompute.
+
+        ``might_touch_batch(entries) -> bool`` — the SET form for
+        callers whose key test is Spark-side (the >max_exact_keys
+        merge tier range-joins the racing entries' ranges against its
+        distinct source keys in ONE bounded job): True = some racing
+        entry may interact.  Used when ``might_touch`` is None; with
+        BOTH absent, any racing addition forces recompute.
 
         Everything here runs under the commit lock in O(changed
         segments) (``_diff_file_maps``), so the check itself can never
@@ -1116,16 +1126,26 @@ class VersionedParquetTable:
         for p, e in from_map.items():
             if to_map.get(p) != e and p in touched:
                 return False  # racing commit changed a file we read
+        changed: list[dict] = []
         for p, e in to_map.items():
             if from_map.get(p) == e:
                 continue  # shared/unchanged
-            if might_touch is None:
-                return False
+            if might_touch is not None:
+                try:
+                    if might_touch(e):
+                        return False  # racing rows may overlap our keys
+                except Exception:
+                    return False  # unevaluable entry: conservative
+            else:
+                changed.append(e)
+        if changed:
+            if might_touch_batch is None:
+                return False  # no key test at all: conservative
             try:
-                if might_touch(e):
-                    return False  # racing rows may overlap our keys
+                if might_touch_batch(changed):
+                    return False
             except Exception:
-                return False  # unevaluable entry: conservative
+                return False
         return True
 
     def _persist_manifest(
@@ -2918,6 +2938,7 @@ class VersionedParquetTable:
                     cur,
                     touched_scope,
                     scope.get("might_touch"),
+                    scope.get("might_touch_batch"),
                 ):
                     # carried entries (and the merged subset itself)
                     # describe the snapshot at expected_base_version —

@@ -179,12 +179,13 @@ class TestRebase:
         man = t._raw_manifest(t.current_version())
         assert "v_not_tiny" in (man.get("constraints") or {})
 
-    def test_range_join_tier_declines_rebase(
+    def test_range_join_tier_rebases_via_batch_test(
         self, spark, tmp_path, monkeypatch
     ):
-        """The >max_exact_keys tier holds no collected keys, so it
-        cannot prove racing additions disjoint — conservative
-        recompute."""
+        """The >max_exact_keys tier holds no collected keys driver-
+        side; its rebase scope is the BATCH test — one bounded range
+        join of the racing entries against the distinct source keys —
+        so a disjoint racer is absorbed with zero recompute."""
         root = str(tmp_path / "t")
         t = _mk(spark, root)
         state = _race(spark, root, [(900, -5)], monkeypatch)
@@ -193,10 +194,29 @@ class TestRebase:
             vacuum_keep_last=None, max_exact_keys=0,
         )
         assert stats["pruning"] == "range-join"
-        assert stats["rebased"] is False
-        assert state["attempts"] == 3  # racer 1 + outer 2
+        assert stats["rebased"] is True
+        assert state["attempts"] == 2  # racer 1 + outer 1
         got = _content(spark, t)
         assert got[5] == -1 and got[900] == -5 and got[60_000] == -2
+
+    def test_range_join_tier_recomputes_on_key_overlap(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Batch-test negative: the racer inserts the SAME key the
+        outer batch inserts — the racing entry's range contains a
+        source key, so the tier recomputes (rebase would duplicate)."""
+        root = str(tmp_path / "t")
+        t = _mk(spark, root)
+        state = _race(spark, root, [(60_000, -5)], monkeypatch)
+        stats = merge_upsert_write_pruned(
+            root, _src(spark, [(60_000, -9)]), "k",
+            vacuum_keep_last=None, max_exact_keys=0,
+        )
+        assert stats["pruning"] == "range-join"
+        assert stats["rebased"] is False
+        assert state["attempts"] == 3  # racer 1 + outer 2
+        rows = t.read(spark).filter(F.col("k") == 60_000).collect()
+        assert len(rows) == 1 and rows[0]["v"] == -9
 
     @pytest.mark.parametrize("segmented", [False, True])
     def test_mor_disjoint_conflict_rebases(
