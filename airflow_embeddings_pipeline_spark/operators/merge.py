@@ -42,6 +42,56 @@ def _as_keys(key: str | Sequence[str]) -> list[str]:
     return keys
 
 
+# ---- optimistic/pessimistic publish adaptivity (per-process) --------
+# The prepare/publish split wins when racing writers' scopes are
+# DISJOINT (conflicts absorb via logical rebase — the prepared output
+# still publishes, so nothing staged is wasted: measured 71.5 → 52.6 s
+# at 8 banded writers).  It LOSES when scopes genuinely overlap: every
+# conflicted attempt stages a write the publish must discard, burning
+# shared cluster time (measured 237 → 307 s on the scattered stress).
+# This memory tracks recent conflict OUTCOMES per table root so the
+# next merge starts in the mode the observed regime wants; it is
+# advisory and per-process — a wrong guess costs one wasted prepare
+# (optimistic in a storm) or one serialized write (pessimistic on a
+# disjoint workload), never correctness.
+import threading as _threading
+import time as _time
+
+_CONFLICT_WINDOW_S = 120.0
+_CONFLICT_MEMORY: dict[str, dict] = {}
+_CONFLICT_MEMORY_LOCK = _threading.Lock()
+
+
+def _conflict_note(root: str, kind: str) -> None:
+    """Record a conflict outcome: ``"recompute"`` (a genuine overlap
+    raised SnapshotConflictError) or ``"absorb"`` (the commit rebased
+    — the prepared output published verbatim)."""
+    now = _time.monotonic()
+    cutoff = now - _CONFLICT_WINDOW_S
+    with _CONFLICT_MEMORY_LOCK:
+        d = _CONFLICT_MEMORY.setdefault(
+            root, {"recompute": [], "absorb": []}
+        )
+        d[kind].append(now)
+        for k in ("recompute", "absorb"):
+            d[k] = [t for t in d[k] if t >= cutoff]
+
+
+def _conflict_storming(root: str) -> bool:
+    """True when recent conflicts on this table are dominated by
+    genuine recomputes — the regime where optimistic prepares are
+    pure waste and first attempts should write under the lock."""
+    now = _time.monotonic()
+    cutoff = now - _CONFLICT_WINDOW_S
+    with _CONFLICT_MEMORY_LOCK:
+        d = _CONFLICT_MEMORY.get(root)
+        if not d:
+            return False
+        rec = sum(1 for t in d["recompute"] if t >= cutoff)
+        absorb = sum(1 for t in d["absorb"] if t >= cutoff)
+    return rec >= 2 and rec > 2 * absorb
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
@@ -370,10 +420,23 @@ def merge_upsert_write_pruned(
 
     if write_mode not in ("cow", "mor"):
         raise ValueError(f"unknown write_mode: {write_mode!r}")
+    root_key = os.path.abspath(target_path)
     attempt = 0
     while True:
+        # adaptive optimism: first attempts PREPARE outside the lock
+        # (parallel writers' data jobs overlap — the disjoint-scope
+        # win), unless recent conflicts on this table were dominated
+        # by genuine recomputes (a scattered storm, where a discarded
+        # staged write per conflict burns shared cluster time) or this
+        # call already recomputed once.  Retries and storms write
+        # under the lock, where the CAS aborts BEFORE the write job.
+        mode = (
+            "inline"
+            if attempt > 0 or _conflict_storming(root_key)
+            else "prepared"
+        )
         try:
-            return _pruned_merge_attempt(
+            stats = _pruned_merge_attempt(
                 target_path,
                 source,
                 key,
@@ -386,8 +449,13 @@ def merge_upsert_write_pruned(
                 max_exact_keys=max_exact_keys,
                 write_mode=write_mode,
                 max_dv_rows=max_dv_rows,
+                publish_mode=mode,
             )
+            if stats.get("rebased"):
+                _conflict_note(root_key, "absorb")
+            return stats
         except SnapshotConflictError:
+            _conflict_note(root_key, "recompute")
             if attempt >= conflict_retries:
                 raise
             attempt += 1
@@ -407,6 +475,7 @@ def _pruned_merge_attempt(
     max_exact_keys: int = 200_000,
     write_mode: str = "cow",
     max_dv_rows: int = 100_000_000,
+    publish_mode: str = "prepared",
 ) -> dict:
     """File-pruned MERGE: rewrite ONLY the target files the source
     batch can touch; carry every other file into the new version BY
@@ -483,6 +552,7 @@ def _pruned_merge_attempt(
     on every tier.
     """
     from ..sources.versioned import (
+        SnapshotConflictError,
         VersionedParquetTable,
         _stat_canon,
         _stat_restore,
@@ -676,9 +746,15 @@ def _pruned_merge_attempt(
         # length (one extra count job over a plan this branch computes
         # anyway).
         # the distinct-key shuffle of a >max_exact_keys batch is the
-        # dominant pruning cost and now feeds THREE actions (count,
-        # segment-envelope range join, per-file range join) — persist
-        # it once; unpersisted right after the last consumer below
+        # dominant pruning cost and feeds FOUR actions: count,
+        # segment-envelope range join, per-file range join, and — on a
+        # CAS miss under the commit lock — range_join_conflict's
+        # rebase-scope test.  Persist ONCE and keep it through the
+        # commit (unpersisted in the finally around the commit below):
+        # unpersisting earlier would re-evaluate a possibly
+        # non-deterministic source under the lock, judging
+        # disjointness against different keys than the prepared
+        # output, and re-run the distinct shuffle while holding it.
         src_keys.persist()
         try:
             n_src = src_keys.count()
@@ -768,8 +844,10 @@ def _pruned_merge_attempt(
                 if e["min"] is not None and e["max"] is not None
             ]
             hit = _range_hit(ranged)
-        finally:
+        except BaseException:
+            # failure before the commit region's finally takes over
             src_keys.unpersist()
+            raise
         pruning = "range-join"
 
         def touched(i: int, e: dict) -> bool:
@@ -840,177 +918,244 @@ def _pruned_merge_attempt(
         ),
     }
 
-    if write_mode == "mor" and touched_entries:
-        # NULL-key source rows always insert and cannot be expressed as
-        # "merged rows whose key matches a source key" — the degenerate
-        # case falls back to copy-on-write (same result, parity-tested)
-        if pruning == "exact":
-            has_null_key = any(
-                any(x is None for x in r) for r in head
-            )
-        else:
-            has_null_key = not source.select(*keys).filter(
-                functools.reduce(
-                    operator.or_, [F.col(k).isNull() for k in keys]
+    # src_keys of the range-join tier stays PERSISTED through the
+    # commit: rebase_scope's might_touch_batch (range_join_conflict)
+    # re-joins it under the commit lock on a CAS miss
+    try:
+        if write_mode == "mor" and touched_entries:
+            # NULL-key source rows always insert and cannot be expressed as
+            # "merged rows whose key matches a source key" — the degenerate
+            # case falls back to copy-on-write (same result, parity-tested)
+            if pruning == "exact":
+                has_null_key = any(
+                    any(x is None for x in r) for r in head
                 )
-            ).isEmpty()
-        if not has_null_key:
-            mor = _mor_merge_attempt(
-                table,
-                prior_man,
-                source,
-                keys,
-                touched_entries,
-                carried,
-                totals={
-                    "files_total": files_total,
-                    "bytes_carried": bytes_carried,
-                },
-                base_version=base_version,
-                update_columns=update_columns,
-                schema_evolution=schema_evolution,
-                delete_when=delete_when,
-                evolution_exclude=evolution_exclude,
-                app_metadata=app_metadata,
-                vacuum_keep_last=vacuum_keep_last,
-                max_dv_rows=max_dv_rows,
-                n_src=n_src,
-                pruning=pruning,
-                # MoR keeps the touched entries carried (DV re-point),
-                # so a rebased inline carried set must NOT exclude them
-                rebase_scope={**rebase_scope, "exclude": ()},
-            )
-            if mor is not None:
-                return mor
-        # fall through: copy-on-write handles the degenerate cases
+            else:
+                has_null_key = not source.select(*keys).filter(
+                    functools.reduce(
+                        operator.or_, [F.col(k).isNull() for k in keys]
+                    )
+                ).isEmpty()
+            if not has_null_key:
+                mor = _mor_merge_attempt(
+                    table,
+                    prior_man,
+                    source,
+                    keys,
+                    touched_entries,
+                    carried,
+                    totals={
+                        "files_total": files_total,
+                        "bytes_carried": bytes_carried,
+                    },
+                    base_version=base_version,
+                    update_columns=update_columns,
+                    schema_evolution=schema_evolution,
+                    delete_when=delete_when,
+                    evolution_exclude=evolution_exclude,
+                    app_metadata=app_metadata,
+                    vacuum_keep_last=vacuum_keep_last,
+                    max_dv_rows=max_dv_rows,
+                    n_src=n_src,
+                    pruning=pruning,
+                    # MoR keeps the touched entries carried (DV re-point),
+                    # so a rebased inline carried set must NOT exclude them
+                    rebase_scope={**rebase_scope, "exclude": ()},
+                )
+                if mor is not None:
+                    return mor
+            # fall through: copy-on-write handles the degenerate cases
 
-    # ---- merge only the touched subset (step 4) — read through the
-    # manifest mapping (files store PHYSICAL names; the merge, like
-    # every public surface, speaks logical)
-    if touched_entries and prior_man:
-        subset = table._read_manifest_files(
-            spark, prior_man, touched_entries
-        )
-    elif touched_entries:
-        paths = [os.path.join(table.root, e["path"]) for e in touched_entries]
-        subset = spark.read.schema(schema).parquet(*paths)
-    else:
-        subset = spark.createDataFrame([], schema)
-    # decompose: the batch is by construction small relative to the
-    # touched-file subset (that asymmetry is the whole point of
-    # pruning), so the update leg broadcasts the batch and the subset
-    # files stream through un-shuffled; the insert leg shuffles only
-    # the subset's key columns.
-    merged = merge_upsert(
-        subset,
-        source,
-        key,
-        update_columns=update_columns,
-        schema_evolution=schema_evolution,
-        delete_when=delete_when,
-        evolution_exclude=evolution_exclude,
-        strategy="decompose",
-    )
-    # layout hint: the merged subset clusters WITHIN the touched files'
-    # disjoint range COMPONENTS, and out-of-range inserts (keys beyond
-    # every touched range) get their own file(s) — so no output file's
-    # [min, max] spans a gap, neither between touched bands (a batch
-    # hitting two distant key regions must not mint a file covering
-    # both) nor between the touched region and the append region.
-    # Gap-spanning files intersect most carried files, inflating every
-    # later merge's touched set (measured by
-    # tools/stress_merge_longhorizon.py), and defeat the CDF source's
-    # intra-step range splitting.  Purely a layout decision: same rows,
-    # same manifest semantics.
-    ranged = sorted(
-        (
-            (e["min"], e["max"])
-            for e in touched_entries
-            if e["min"] is not None and e["max"] is not None
-        ),
-    )
-    bands: list[tuple] = []
-    for lo, hi in ranged:
-        if bands and lo <= bands[-1][1]:
-            bands[-1] = (bands[-1][0], max(bands[-1][1], hi))
+        # ---- merge only the touched subset (step 4) — read through the
+        # manifest mapping (files store PHYSICAL names; the merge, like
+        # every public surface, speaks logical)
+        if touched_entries and prior_man:
+            subset = table._read_manifest_files(
+                spark, prior_man, touched_entries
+            )
+        elif touched_entries:
+            paths = [os.path.join(table.root, e["path"]) for e in touched_entries]
+            subset = spark.read.schema(schema).parquet(*paths)
         else:
-            bands.append((lo, hi))
-    # bands are computed in the stats' canonical space (temporal keys
-    # store epoch-us ints); the commit's band predicates compare the
-    # ACTUAL key column, so restore typed bounds for append_split while
-    # band_rows below keeps comparing stats-to-stats
-    _lead_dt = schema[lead].dataType
-    typed_bands = [
-        (_stat_restore(lo, _lead_dt), _stat_restore(hi, _lead_dt))
-        for lo, hi in bands
-    ]
-    split = (
-        typed_bands
-        if len(typed_bands) > 1
-        else (typed_bands[0] if typed_bands else None)
-    )
-    # per-band row estimates from the manifest stats the prune already
-    # holds (each ranged touched file lies inside exactly one band):
-    # they size the commit's first band write so it needs no dedicated
-    # count job — exact counts ride that write's observed metrics
-    band_rows = [
-        sum(
-            e.get("n_rows") or 0
-            for e in touched_entries
-            if e["min"] is not None and lo <= e["min"] and e["max"] <= hi
+            subset = spark.createDataFrame([], schema)
+        # decompose: the batch is by construction small relative to the
+        # touched-file subset (that asymmetry is the whole point of
+        # pruning), so the update leg broadcasts the batch and the subset
+        # files stream through un-shuffled; the insert leg shuffles only
+        # the subset's key columns.
+        merged = merge_upsert(
+            subset,
+            source,
+            key,
+            update_columns=update_columns,
+            schema_evolution=schema_evolution,
+            delete_when=delete_when,
+            evolution_exclude=evolution_exclude,
+            strategy="decompose",
         )
-        for lo, hi in bands
-    ]
-    # app metadata: prior keys persist until overwritten (Delta txn
-    # analog) — merged with this commit's, new keys winning
-    prior_meta = dict(prior_man.get("app_metadata") or {})
-    common = dict(
-        cluster_partitions=max(1, len(touched_entries)),
-        append_split=split,
-        band_rows_hint=band_rows if split is not None else None,
-        stats_columns=keys if trail else None,
-        key_columns=keys,
-        app_metadata={**prior_meta, **(app_metadata or {})} or None,
-        expected_base_version=base_version,
-        constraints=prior_man.get("constraints") or {},
-        column_mapping=prior_man.get("column_mapping") or {},
-        retired_physical=prior_man.get("retired_physical") or [],
-        bloom_columns=prior_man.get("bloom_columns") or [],
-        operation="MERGE",
-        rebase_on_conflict=rebase_scope,
-    )
-    if carried is None:
-        # segmented: the base version's untouched entries carry by
-        # reference inside their segments; the touched files' rows
-        # live on in the rewritten output, so their entries are
-        # excluded outright
-        version = table.commit_with_manifest(
-            merged,
-            lead,
-            carried_base_version=base_version,
-            carried_exclude={e["path"]: e for e in touched_entries},
-            **common,
+        # layout hint: the merged subset clusters WITHIN the touched files'
+        # disjoint range COMPONENTS, and out-of-range inserts (keys beyond
+        # every touched range) get their own file(s) — so no output file's
+        # [min, max] spans a gap, neither between touched bands (a batch
+        # hitting two distant key regions must not mint a file covering
+        # both) nor between the touched region and the append region.
+        # Gap-spanning files intersect most carried files, inflating every
+        # later merge's touched set (measured by
+        # tools/stress_merge_longhorizon.py), and defeat the CDF source's
+        # intra-step range splitting.  Purely a layout decision: same rows,
+        # same manifest semantics.
+        ranged = sorted(
+            (
+                (e["min"], e["max"])
+                for e in touched_entries
+                if e["min"] is not None and e["max"] is not None
+            ),
         )
-    else:
-        version = table.commit_with_manifest(
-            merged, lead, carried=carried, **common
+        bands: list[tuple] = []
+        for lo, hi in ranged:
+            if bands and lo <= bands[-1][1]:
+                bands[-1] = (bands[-1][0], max(bands[-1][1], hi))
+            else:
+                bands.append((lo, hi))
+        # bands are computed in the stats' canonical space (temporal keys
+        # store epoch-us ints); the commit's band predicates compare the
+        # ACTUAL key column, so restore typed bounds for append_split while
+        # band_rows below keeps comparing stats-to-stats
+        _lead_dt = schema[lead].dataType
+        typed_bands = [
+            (_stat_restore(lo, _lead_dt), _stat_restore(hi, _lead_dt))
+            for lo, hi in bands
+        ]
+        split = (
+            typed_bands
+            if len(typed_bands) > 1
+            else (typed_bands[0] if typed_bands else None)
         )
-    if vacuum_keep_last is not None:
-        table.vacuum(keep_last=vacuum_keep_last)
-    return {
-        "version": version,
-        "files_total": files_total,
-        "files_touched": len(touched_entries),
-        "files_carried": n_carried,
-        # the new version's own data files, straight from the
-        # filesystem — never a full-manifest materialization
-        "bytes_rewritten": _vdir_data_bytes(table, version),
-        "bytes_carried": bytes_carried,
-        "rows_source": n_src,
-        "pruning": pruning,
-        "write_mode": "cow",
-        "rebased": table._last_commit_rebase is not None,
-    }
+        # per-band row estimates from the manifest stats the prune already
+        # holds (each ranged touched file lies inside exactly one band):
+        # they size the commit's first band write so it needs no dedicated
+        # count job — exact counts ride that write's observed metrics
+        band_rows = [
+            sum(
+                e.get("n_rows") or 0
+                for e in touched_entries
+                if e["min"] is not None and lo <= e["min"] and e["max"] <= hi
+            )
+            for lo, hi in bands
+        ]
+        # app metadata: prior keys persist until overwritten (Delta txn
+        # analog) — merged with this commit's, new keys winning
+        prior_meta = dict(prior_man.get("app_metadata") or {})
+        common = dict(
+            app_metadata={**prior_meta, **(app_metadata or {})} or None,
+            expected_base_version=base_version,
+            operation="MERGE",
+            rebase_on_conflict=rebase_scope,
+        )
+        if publish_mode == "prepared":
+            # PREPARE/PUBLISH split: every Spark job the commit needs
+            # — the merged-subset write, footer stats, blooms,
+            # constraint check — runs here, OUTSIDE the commit lock,
+            # into a content-addressed staging dir.  N racing writers'
+            # data jobs therefore run in PARALLEL; the lock hold below
+            # covers only conflict analysis (CAS / logical rebase) and
+            # the manifest/marker/pointer publish (driver metadata,
+            # O(touched)).  Without the split, racing writers' walls
+            # summed their write jobs even when every conflict rebased
+            # (measured 71.5 → 52.6 s at 8 banded writers).
+            #
+            # Advisory conflict probe FIRST: if the snapshot is
+            # already stale and provably un-rebasable, recompute now —
+            # preparing would stage a write the publish must discard.
+            # The authoritative check still runs under the lock (a
+            # racer can land during the prepare); this probe only
+            # bounds the waste window to the prepare itself.
+            cur_now = table.current_version()
+            if cur_now != base_version and not table._rebase_compatible(
+                base_version,
+                cur_now,
+                rebase_scope["touched"],
+                rebase_scope["might_touch"],
+                rebase_scope["might_touch_batch"],
+            ):
+                raise SnapshotConflictError(base_version, cur_now)
+            prepared = table.prepare_commit(
+                merged,
+                lead,
+                base_version=base_version,
+                cluster_partitions=max(1, len(touched_entries)),
+                append_split=split,
+                band_rows_hint=band_rows if split is not None else None,
+                stats_columns=keys if trail else None,
+                key_columns=keys,
+                constraints=prior_man.get("constraints") or {},
+                column_mapping=prior_man.get("column_mapping") or {},
+                retired_physical=prior_man.get("retired_physical") or [],
+                bloom_columns=prior_man.get("bloom_columns") or [],
+            )
+            common["prepared"] = prepared
+            commit_df = None
+            new_bytes = prepared["new_bytes"]
+        else:
+            # inline (pessimistic) publish — the conflict-retry shape:
+            # the CAS under the lock aborts BEFORE the write job, so a
+            # storm of genuinely-overlapping writers never stages
+            # writes it must throw away (the pre-split behavior;
+            # measured 237 → 307 s regression on the scattered stress
+            # when retries stayed optimistic)
+            common.update(
+                cluster_partitions=max(1, len(touched_entries)),
+                append_split=split,
+                band_rows_hint=band_rows if split is not None else None,
+                stats_columns=keys if trail else None,
+                key_columns=keys,
+                constraints=prior_man.get("constraints") or {},
+                column_mapping=prior_man.get("column_mapping") or {},
+                retired_physical=prior_man.get("retired_physical") or [],
+                bloom_columns=prior_man.get("bloom_columns") or [],
+            )
+            commit_df = merged
+            new_bytes = None
+        if carried is None:
+            # segmented: the base version's untouched entries carry by
+            # reference inside their segments; the touched files' rows
+            # live on in the rewritten output, so their entries are
+            # excluded outright
+            version = table.commit_with_manifest(
+                commit_df,
+                lead,
+                carried_base_version=base_version,
+                carried_exclude={e["path"]: e for e in touched_entries},
+                **common,
+            )
+        else:
+            version = table.commit_with_manifest(
+                commit_df, lead, carried=carried, **common
+            )
+        if vacuum_keep_last is not None:
+            table.vacuum(keep_last=vacuum_keep_last)
+        return {
+            "version": version,
+            "files_total": files_total,
+            "files_touched": len(touched_entries),
+            "files_carried": n_carried,
+            # the commit's own new data files: the prepare's footer
+            # stats (staged placement) or the version dir's files
+            # (inline retries) — never a full-manifest materialization
+            "bytes_rewritten": (
+                new_bytes
+                if new_bytes is not None
+                else _vdir_data_bytes(table, version)
+            ),
+            "bytes_carried": bytes_carried,
+            "rows_source": n_src,
+            "pruning": pruning,
+            "write_mode": "cow",
+            "rebased": table._last_commit_rebase is not None,
+        }
+    finally:
+        if pruning == "range-join":
+            src_keys.unpersist()
 
 
 def _vdir_data_bytes(table, version: int) -> int:

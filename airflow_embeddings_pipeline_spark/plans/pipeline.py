@@ -1930,18 +1930,18 @@ def t_stream_evolved_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     import os
-    import tempfile
 
     qname = f"cdf_evolved_{os.getpid()}"
+    # checkpoint lives under the same pid-scoped scratch convention as
+    # the table itself, so dead runs' checkpoints are reclaimed with
+    # the hour-grace GC instead of leaking a mkdtemp per catalog run
+    ckpt = _scratch_dir("/tmp/spark_graft_stream_evolved_ckpt", sf_dir)
     q = (
         read_changes_stream(spark, path, starting_version=1)
         .writeStream.format("memory")
         .queryName(qname)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="ckpt_cdf_evolved_"),
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()

@@ -49,6 +49,18 @@ reader of a table must use the same protocol (the object-store
 protocol reads a legacy ``_CURRENT`` pointer as a MIGRATION fallback
 when no ``_ptr-v*`` object exists yet, so switching posix →
 object-store on an existing table is safe; the reverse is not).
+
+The one-way contract is ENFORCED, not prose: the first object-store
+publish stamps a ``_PROTOCOL`` marker object at the table root, and
+every posix pointer read/publish re-checks it (one O(1) stat —
+independent of table size), raising :class:`ProtocolMixingError`
+instead of reading the permanently-stale ``_CURRENT`` (whose next
+commit's orphan reconcile would rmtree every object-store-committed
+version above it — silent destruction of committed data).  Tables
+migrated by code that predates the marker are caught at the next
+write: posix ``publish_pointer`` also LISTs for ``_ptr-v*`` objects,
+and the table layer's version listing re-checks under the commit
+lock before any reconcile runs.
 """
 
 from __future__ import annotations
@@ -56,7 +68,25 @@ from __future__ import annotations
 import os
 import re
 
-_PTR_RE = re.compile(r"^_ptr-v(\d{8})$")
+# \d{8,}: versions keep resolving past 99,999,999 — max() compares
+# ints, so longer digit runs order correctly; only the zero-padded
+# WIDTH is fixed at publish time, which sorts correctly for 8+ digits
+# because shorter (8-digit) names are always numerically smaller
+_PTR_RE = re.compile(r"^_ptr-v(\d{8,})$")
+
+#: marker object stamped by the first object-store publish; posix
+#: opens of a migrated table fail loudly on it instead of reading the
+#: stale ``_CURRENT``
+_PROTOCOL_MARKER = "_PROTOCOL"
+
+
+class ProtocolMixingError(RuntimeError):
+    """A posix-protocol handle touched a table that has object-store
+    commits: its ``_CURRENT`` pointer is permanently stale, and acting
+    on it would present old data (reads) or reconcile-away committed
+    versions (writes).  Re-open the table with
+    ``commit_protocol="object-store"`` (or ``None`` for
+    auto-detection)."""
 
 
 class PosixCommitProtocol:
@@ -144,11 +174,43 @@ class PosixCommitProtocol:
             pass
         return False
 
+    # ---- protocol-mixing guard
+    def _assert_not_migrated(self, *, list_ptrs: bool = False) -> None:
+        """Raise :class:`ProtocolMixingError` when the table has
+        object-store commits this posix handle cannot see.  The marker
+        stat is O(1) and guards every pointer read; ``list_ptrs`` adds
+        the LIST scan for tables migrated by pre-marker code — paid
+        only at publish time (one listdir per commit)."""
+        marker = self.read_small(_PROTOCOL_MARKER)
+        if marker is not None and marker.strip() == "object-store":
+            raise ProtocolMixingError(
+                f"{self.root}: table has object-store commits "
+                f"({_PROTOCOL_MARKER} marker); the posix protocol's "
+                "_CURRENT pointer is permanently stale — re-open with "
+                'commit_protocol="object-store" or None (auto-detect)'
+            )
+        if list_ptrs:
+            try:
+                names = os.listdir(self.root)
+            except OSError:
+                return
+            if any(_PTR_RE.match(n) for n in names):
+                raise ProtocolMixingError(
+                    f"{self.root}: _ptr-v* pointer objects exist "
+                    "(object-store commits, pre-marker) — the posix "
+                    "protocol must not publish over them; re-open "
+                    'with commit_protocol="object-store" or None'
+                )
+
     # ---- pointer
-    def read_pointer(self) -> str | None:
-        """Raw pointer name (``v00000012``) or None (no table)."""
+    def _read_current(self) -> str | None:
         v = self.read_small("_CURRENT")
         return v.strip() if v is not None else None
+
+    def read_pointer(self) -> str | None:
+        """Raw pointer name (``v00000012``) or None (no table)."""
+        self._assert_not_migrated()
+        return self._read_current()
 
     def gc_pointers(self, keep_min_version: int) -> int:
         """Reclaim pointer metadata below the retention horizon —
@@ -160,6 +222,10 @@ class PosixCommitProtocol:
 
     def publish_pointer(self, name: str) -> None:
         """The atomic commit point."""
+        # publish is the destructive commitment: re-check migration
+        # with the full LIST (catches pre-marker migrated tables the
+        # O(1) marker stat cannot) — one listdir per commit
+        self._assert_not_migrated(list_ptrs=True)
         self.put_file("_CURRENT", f"{name}\n")
         # fsync the directory so the rename itself is durable
         dfd = os.open(self.root, os.O_RDONLY)
@@ -206,6 +272,12 @@ class ObjectStoreCommitProtocol(PosixCommitProtocol):
             return False
         return True
 
+    def _assert_not_migrated(self, *, list_ptrs: bool = False) -> None:
+        # posix → object-store migration is the SUPPORTED direction:
+        # this protocol reads the legacy pointer as a fallback and its
+        # first publish stamps the marker, so no guard applies
+        return
+
     def read_pointer(self) -> str | None:
         try:
             names = os.listdir(self.root)
@@ -217,7 +289,7 @@ class ObjectStoreCommitProtocol(PosixCommitProtocol):
         # migration fallback: a table last written by the posix
         # protocol still resolves (first object-store commit then
         # publishes a _ptr-v* at a HIGHER version, which wins the max)
-        return super().read_pointer()
+        return self._read_current()
 
     def gc_pointers(self, keep_min_version: int) -> int:
         # safe in any order and through crashes: the max pointer is
@@ -236,6 +308,13 @@ class ObjectStoreCommitProtocol(PosixCommitProtocol):
         return n
 
     def publish_pointer(self, name: str) -> None:
+        # stamp the one-way migration marker BEFORE the pointer goes
+        # live: any posix handle's next pointer read fails loudly
+        # (O(1) stat) instead of acting on the stale _CURRENT.
+        # Idempotent plain PUT — rewriting the same content is safe,
+        # and create-if-absent semantics are not needed here
+        if (self.read_small(_PROTOCOL_MARKER) or "").strip() != "object-store":
+            self.put_file(_PROTOCOL_MARKER, "object-store\n")
         ptr = f"_ptr-{name}"
         if not self.create_exclusive(ptr, f"{name}\n"):
             # under the commit lock this version number is ours alone;
@@ -267,8 +346,19 @@ def resolve_protocol(spec, root: str):
     construct their own instances) must speak that protocol; anything
     else — including a brand-new root — defaults to posix.  The
     protocol therefore STICKS after the first object-store commit
-    without any plumbing through the operator APIs."""
+    without any plumbing through the operator APIs.
+
+    Detection cost: one O(1) ``_PROTOCOL`` marker read for any table
+    written since the marker existed; the LIST scan only runs for
+    marker-less roots (legacy migrated tables and posix tables —
+    measured flat by tools/probe_version_scale.py)."""
     if spec is None:
+        try:
+            with open(os.path.join(root, _PROTOCOL_MARKER)) as f:
+                if f.read().strip() == "object-store":
+                    return ObjectStoreCommitProtocol(root)
+        except OSError:
+            pass
         try:
             if any(_PTR_RE.match(n) for n in os.listdir(root)):
                 return ObjectStoreCommitProtocol(root)

@@ -55,6 +55,11 @@ _MANIFEST = "_MANIFEST.json"
 _DV_INLINE_MAX = 100_000
 _LOCK = "_COMMIT_LOCK"
 _VERSION_RE = re.compile(r"^v(\d{8})$")
+# content-addressed staging area of the prepare/publish commit split:
+# data files written UNDER NO LOCK into _staged/p-<token>/ and
+# referenced from manifests in place — version-independent placement,
+# nothing moves at publish time (rename-free by construction)
+_STAGED = "_staged"
 _REMOTE_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
 
 
@@ -408,6 +413,22 @@ def _segment_envelope(entries: list) -> dict:
     if stats:
         env["stats"] = stats
     return env
+
+
+def _file_rel_col(col):
+    """Manifest-relative path of a scanned row's source file, from the
+    ``_metadata.file_path`` URI.  Version-dir entries are TWO
+    components (``vXXXXXXXX/<file>``); content-addressed staged
+    entries (prepare/publish split) are THREE
+    (``_staged/p-<32-hex>/<file>``) — the token pattern is specific
+    enough that a table root happening to be named ``_staged`` can
+    never be misread."""
+    from pyspark.sql import functions as F
+
+    last3 = F.substring_index(col, "/", -3)
+    return F.when(
+        last3.rlike(r"^_staged/p-[0-9a-f]{32}/"), last3
+    ).otherwise(F.substring_index(col, "/", -2))
 
 
 def _dv_read_positions(root: str, sidecar_rel: str, data_rel: str):
@@ -872,6 +893,22 @@ class VersionedParquetTable:
             names = os.listdir(self.root)
         except OSError:
             return []
+        if self._protocol.name == "posix":
+            # belt-and-braces protocol-mixing guard, FREE on this
+            # listing: a posix handle seeing _ptr-v* objects is reading
+            # a migrated table whose _CURRENT is stale — every caller
+            # of this listing (commit's reconcile, vacuum) would
+            # otherwise rmtree committed object-store versions.  The
+            # marker stat in read_pointer catches post-marker tables;
+            # this catches tables migrated by pre-marker code.
+            from .commit_protocol import _PTR_RE, ProtocolMixingError
+
+            if any(_PTR_RE.match(n) for n in names):
+                raise ProtocolMixingError(
+                    f"{self.root}: _ptr-v* pointer objects exist — "
+                    "this table has object-store commits; re-open "
+                    'with commit_protocol="object-store" or None'
+                )
         return sorted(
             int(m.group(1)) for n in names if (m := _VERSION_RE.match(n))
         )
@@ -1440,16 +1477,13 @@ class VersionedParquetTable:
                 )
             )
         if dvd:
-            # manifest-relative path = the last two components of the
-            # scan's file URI (entries always name "vXXXXXXXX/<file>")
+            # manifest-relative path from the scan's file URI
+            # (version-dir or staged placement — _file_rel_col)
             scan = (
                 spark.read.schema(phys)
                 .parquet(*[os.path.join(self.root, e["path"]) for e in dvd])
                 .withColumn(
-                    "__dv_f",
-                    F.substring_index(
-                        F.col("_metadata.file_path"), "/", -2
-                    ),
+                    "__dv_f", _file_rel_col(F.col("_metadata.file_path"))
                 )
                 .withColumn("__dv_pos", F.col("_metadata.row_index"))
             )
@@ -1711,10 +1745,7 @@ class VersionedParquetTable:
                 ]
             )
             .withColumn(
-                "__dv_f",
-                F.substring_index(
-                    F.col("_metadata.file_path"), "/", -2
-                ),
+                "__dv_f", _file_rel_col(F.col("_metadata.file_path"))
             )
             .withColumn("__dv_pos", F.col("_metadata.row_index"))
         )
@@ -1763,10 +1794,7 @@ class VersionedParquetTable:
             spark.read.schema(_physical_schema(man))
             .parquet(*[os.path.join(self.root, e["path"]) for e in entries])
             .withColumn(
-                "__file",
-                F.substring_index(
-                    F.col("_metadata.file_path"), "/", -2
-                ),
+                "__file", _file_rel_col(F.col("_metadata.file_path"))
             )
             .withColumn("__pos", F.col("_metadata.row_index"))
         )
@@ -2297,8 +2325,15 @@ class VersionedParquetTable:
             os.makedirs(vdir, exist_ok=True)
             def _link_in(rel: str) -> str:
                 src_p = os.path.join(self.root, rel)
-                # flatten "v00000003/part-x.parquet" → unique flat name
-                dst_p = os.path.join(vdir, rel.replace(os.sep, "_"))
+                # flatten "v00000003/part-x.parquet" → unique flat
+                # name; lstrip the underscore a staged path
+                # ("_staged/p-…") would leave, because Spark's
+                # hidden-file filter silently skips "_"-prefixed data
+                # files (uniqueness holds: version paths start with
+                # "v", so stripped staged names cannot collide)
+                dst_p = os.path.join(
+                    vdir, rel.replace(os.sep, "_").lstrip("_")
+                )
                 if not os.path.exists(dst_p):
                     try:
                         os.link(src_p, dst_p)
@@ -2679,6 +2714,464 @@ class VersionedParquetTable:
         finally:
             self._release_lock()
 
+    def _resolve_write_meta(
+        self,
+        df: DataFrame,
+        key: str,
+        *,
+        base_version: int | None,
+        version_hint: int,
+        stats_columns=None,
+        key_columns=None,
+        column_mapping=None,
+        retired_physical=None,
+        constraints=None,
+        bloom_columns=None,
+        clustering=None,
+        cluster_by=None,
+        append_split=None,
+    ) -> dict:
+        """Resolve a commit's logical→physical write state against
+        ``base_version``'s manifest: column mapping (renames/drops stay
+        metadata-only — data files carry PHYSICAL names), inherited
+        constraints / bloom columns / key identity, and the physically
+        re-aliased ``df``.  Shared by the locked inline commit and the
+        LOCK-FREE prepare phase: a prepared commit resolves against its
+        CAS snapshot, and that stays sound through a logical rebase
+        because ``_REBASE_META_FIELDS`` (schema, mapping, constraints,
+        blooms …) must be IDENTICAL between base and head for the
+        rebase to publish at all.  ``version_hint`` only disambiguates
+        evolved-column physical names (``<name>__v<hint>``) — any
+        unique suffix is correct."""
+        from pyspark.sql import functions as F
+
+        # RAW doc suffices: every inherited field is inline in both
+        # storage forms — inheriting must never materialize an
+        # 800k-entry file list
+        prior_man = (
+            self._raw_manifest(base_version)
+            if base_version is not None
+            and (
+                column_mapping is None
+                or retired_physical is None
+                or constraints is None
+                or bloom_columns is None
+                or clustering is None
+                or key_columns is None
+            )
+            else None
+        )
+        if clustering is None:
+            clustering = (prior_man or {}).get("clustering")
+        if cluster_by is not None and append_split is not None:
+            raise ValueError(
+                "cluster_by cannot combine with append_split: band "
+                "layouts are key-range layouts by definition"
+            )
+        if column_mapping is None:
+            column_mapping = dict(
+                (prior_man or {}).get("column_mapping") or {}
+            )
+        else:
+            column_mapping = dict(column_mapping)
+        if retired_physical is None:
+            retired_physical = list(
+                (prior_man or {}).get("retired_physical") or []
+            )
+        logical_schema = df.schema
+        used_phys = set(column_mapping.values()) | set(retired_physical)
+        for f in logical_schema.fields:
+            if f.name not in column_mapping:
+                phys = (
+                    f.name
+                    if f.name not in used_phys
+                    else f"{f.name}__v{version_hint}"
+                )
+                if phys != f.name:
+                    column_mapping[f.name] = phys
+                used_phys.add(phys)
+        # sparse store: identity entries are implicit
+        column_mapping = {l: p for l, p in column_mapping.items() if l != p}
+        _p = lambda c: column_mapping.get(c, c)
+        key = _p(key)
+        stats_columns = (
+            [_p(c) for c in stats_columns] if stats_columns else None
+        )
+        # row-identity columns, recorded DISTINCTLY from stats columns
+        # (stats may carry skip-only columns that are not key
+        # components); inherited from the prior manifest so the
+        # identity survives metadata and carried-file commits
+        if key_columns is not None:
+            key_columns = [_p(c) for c in key_columns]
+        else:
+            key_columns = list((prior_man or {}).get("key_columns") or [])
+        if column_mapping:
+            df = df.select(
+                *[
+                    F.col(f.name).alias(_p(f.name))
+                    for f in logical_schema.fields
+                ]
+            )
+        if bloom_columns is None:
+            bloom_columns = list(
+                (prior_man or {}).get("bloom_columns") or []
+            )
+        else:
+            bloom_columns = [_p(c) for c in bloom_columns]
+        if constraints is None:
+            constraints = (prior_man or {}).get("constraints") or {}
+        return {
+            "df": df,
+            "key": key,
+            "stats_columns": stats_columns,
+            "key_columns": key_columns,
+            "column_mapping": column_mapping,
+            "retired_physical": retired_physical,
+            "constraints": constraints,
+            "bloom_columns": bloom_columns,
+            "clustering": clustering,
+            "schema_json": logical_schema.jsonValue(),
+            "logical_schema": logical_schema,
+        }
+
+    def _write_clustered_data(
+        self,
+        df: DataFrame,
+        outdir: str,
+        key: str,
+        n_out: int,
+        *,
+        append_split=None,
+        band_rows_hint=None,
+        cluster_by=None,
+    ) -> None:
+        """The commit's DATA-file write: range-clustered on ``key``
+        (or ``cluster_by``), band-split per ``append_split`` so no
+        output file's [min, max] spans a gap between touched key
+        regions.  Pure data placement — used inside the lock by the
+        inline commit and OUTSIDE any lock by :meth:`prepare_commit`
+        (the write's output is version-independent)."""
+        from pyspark.sql import functions as F
+
+        def _clustered(sub: DataFrame, parts: int) -> DataFrame:
+            # range clustering; a single output partition needs no
+            # range bounds, and repartitionByRange would still run
+            # its sampling JOB to compute them — repartition(1) +
+            # sort is row-identical and sampling-free (the narrow
+            # daily-batch commit writes exactly one file, so this
+            # saves a job on the common path)
+            cexpr = cluster_by if cluster_by is not None else F.col(key)
+            if parts == 1:
+                return sub.repartition(1).sortWithinPartitions(cexpr)
+            return sub.repartitionByRange(
+                parts, cexpr
+            ).sortWithinPartitions(cexpr)
+
+        if append_split is None:
+            _clustered(df, n_out).write.mode("overwrite").parquet(outdir)
+            return
+        # one band (lo, hi) or a LIST of disjoint bands: rows of
+        # each band cluster into their OWN files so no output
+        # file's [min, max] spans a gap between bands — a merge
+        # touching two distant key regions must not mint a
+        # gap-spanning file (it would intersect most carried
+        # files, inflating every later merge's touched set, and
+        # it defeats the CDF's intra-step range splitting)
+        bands = (
+            [append_split]
+            if not isinstance(append_split, list)
+            else list(append_split)
+        )
+        in_band = [
+            (F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi))
+            for lo, hi in bands
+        ]
+        any_band = functools.reduce(operator.or_, in_band)
+        # Per-band row counts WITHOUT a dedicated count job: the
+        # caller's manifest-stats hint sizes the FIRST band
+        # write, and exact counts ride that write's observed
+        # metrics (the persisted upstream materializes fully on
+        # its first action, so CollectMetrics sees every row
+        # exactly once) — later bands and the out-of-band append
+        # size from the exact counts.  This folds what used to
+        # be a separate aggregate job per commit into the first
+        # write's own execution.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(
+            obs,
+            *[
+                F.sum(F.when(c, 1).otherwise(0)).alias(f"b{i}")
+                for i, c in enumerate(in_band)
+            ],
+            F.count(F.lit(1)).alias("all"),
+        ).persist()
+        try:
+            hints = list(band_rows_hint or [])
+            hints += [None] * (len(bands) - len(hints))
+            h_tot = sum(h for h in hints if h)
+            counts = None
+            n_in = 0
+            wrote = False
+            # the FIRST write both sizes from the hint and
+            # surfaces the observed counts — give that role to
+            # the band the hint says is biggest, so a
+            # hinted-empty band never burns the blind first
+            # write (its zero-row output would be dropped by
+            # scan_file_stats, but the job itself still costs)
+            order = sorted(
+                range(len(bands)),
+                key=lambda i: -(hints[i] or 0),
+            )
+            for i in order:
+                cond = in_band[i]
+                if counts is None:
+                    # first write: partitions proportional to the
+                    # hinted share (touched-file rows from the
+                    # manifest), evenly split when unhinted
+                    parts = (
+                        max(1, round(n_out * hints[i] / h_tot))
+                        if h_tot and hints[i]
+                        else max(1, n_out // len(bands))
+                    )
+                else:
+                    n_b = counts[f"b{i}"] or 0
+                    if not n_b:
+                        continue
+                    # partitions proportional to the band's share
+                    parts = max(1, round(n_out * n_b / max(1, n_in)))
+                (
+                    _clustered(df.filter(cond), parts)
+                    .write.mode("append" if wrote else "overwrite")
+                    .parquet(outdir)
+                )
+                wrote = True
+                if counts is None:
+                    counts = obs.get
+                    n_in = sum(
+                        counts[f"b{i}"] or 0 for i in range(len(bands))
+                    )
+            n_out_rows = (counts["all"] or 0) - n_in
+            if n_out_rows:
+                # appends cluster into files sized like the
+                # in-band ones
+                per_part = max(1, n_in // n_out) if n_in else n_out_rows
+                parts = max(1, -(-n_out_rows // per_part))
+                # NULL-key rows: every band predicate is NULL for
+                # them, so a bare ~any_band (NULL) would silently
+                # drop them from the write — coalesce to False so
+                # they route into this out-of-band append, where
+                # repartitionByRange's NULLS FIRST ordering
+                # clusters them into the lowest-range file (the
+                # same place the CDF reader expects them)
+                (
+                    _clustered(
+                        df.filter(~F.coalesce(any_band, F.lit(False))),
+                        parts,
+                    )
+                    .write.mode("append" if wrote else "overwrite")
+                    .parquet(outdir)
+                )
+                wrote = True
+            if not wrote:
+                # fully-empty merged subset (e.g. a delete-only
+                # batch emptied the touched files): the version
+                # dir must still exist to carry the manifest
+                df.limit(0).write.mode("overwrite").parquet(outdir)
+        finally:
+            df.unpersist()
+
+    def _enforce_constraints(
+        self, spark, constraints: dict, new_entries: list,
+        column_mapping: dict, logical_schema,
+    ) -> None:
+        """CHECK-constraint enforcement over a commit's NEW data files
+        only (delta-scale — carried files passed their own commit's
+        check).  SQL semantics: a row violates only when the expression
+        is literally FALSE (NULL passes, standard CHECK)."""
+        from pyspark.sql import functions as F
+
+        _p = lambda c: column_mapping.get(c, c)
+        # constraint exprs are LOGICAL: read the new files
+        # (physical names) and alias back before evaluating
+        phys_schema = _physical_schema(
+            {"schema": logical_schema.jsonValue(),
+             "column_mapping": column_mapping}
+        )
+        checked = spark.read.schema(phys_schema).parquet(
+            *[os.path.join(self.root, e["path"]) for e in new_entries]
+        ).select(
+            *[
+                F.col(_p(f.name)).alias(f.name)
+                for f in logical_schema.fields
+            ]
+        )
+        names = list(constraints)
+        # ONE pass over the new files for all constraints
+        row = checked.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(constraints[n]), F.lit(True)),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).collect()[0]
+        for i, n in enumerate(names):
+            if row[f"c{i}"]:
+                raise ConstraintViolationError(
+                    n, constraints[n], int(row[f"c{i}"])
+                )
+
+    # grace window protecting IN-FLIGHT prepares from the staged-dir
+    # GC: a racing writer's staging directory exists before any
+    # manifest references it, so vacuum only reclaims unreferenced
+    # staged dirs older than this (same crashed-run convention as the
+    # catalog scratch GC).  A prepare that holds its token longer than
+    # this without committing must re-prepare.
+    staged_gc_grace_seconds: float = 3600.0
+
+    def prepare_commit(
+        self,
+        df: DataFrame,
+        key: str,
+        *,
+        base_version: int | None = None,
+        cluster_partitions: int | None = None,
+        append_split=None,
+        band_rows_hint=None,
+        stats_columns=None,
+        key_columns=None,
+        column_mapping=None,
+        retired_physical=None,
+        constraints=None,
+        bloom_columns=None,
+        cluster_by=None,
+        entry_flags: dict | None = None,
+        clustering: dict | None = None,
+    ) -> dict:
+        """PREPARE phase of the prepare/publish commit split: run every
+        SPARK JOB a commit needs — the clustered data write, the
+        footer stats scan, the bloom build, the constraint check —
+        into a content-addressed staging directory
+        (``_staged/p-<token>/``) UNDER NO LOCK, and return a prepared
+        token for ``commit_with_manifest(prepared=...)``.
+
+        This is what lets N racing writers' data jobs run in PARALLEL:
+        the commit lock then covers only conflict analysis (CAS /
+        logical rebase) and the manifest/marker/pointer publish —
+        driver-side metadata work in O(touched).  Without the split,
+        N writers' wall time is the SUM of their write jobs even when
+        every conflict rebases (the r10 measurement that motivated
+        this; BASELINE.md "Residual ceilings" item 1).
+
+        The staging placement is VERSION-INDEPENDENT and rename-free:
+        data files stay in the staging directory forever and manifests
+        reference them there, exactly like carried version-dir entries
+        — nothing moves at publish time, so the object-store protocol
+        needs no copy.  Abandoned stagings (a genuinely-conflicted
+        prepare that must recompute, or a crashed writer) are
+        reclaimed by :meth:`vacuum` after ``staged_gc_grace_seconds``.
+
+        ``base_version`` — the CAS snapshot the caller computed
+        against (defaults to the live version); inherited metadata
+        (mapping, constraints, blooms) resolves against it, which a
+        logical rebase keeps sound (``_REBASE_META_FIELDS``).
+
+        Returns the prepared token (a plain dict; treat as opaque).
+        On any failure the staging directory is removed before the
+        exception propagates."""
+        import uuid
+
+        if base_version is None:
+            base_version = self.current_version()
+        meta = self._resolve_write_meta(
+            df,
+            key,
+            base_version=base_version,
+            version_hint=(base_version or 0) + 1,
+            stats_columns=stats_columns,
+            key_columns=key_columns,
+            column_mapping=column_mapping,
+            retired_physical=retired_physical,
+            constraints=constraints,
+            bloom_columns=bloom_columns,
+            clustering=clustering,
+            cluster_by=cluster_by,
+            append_split=append_split,
+        )
+        staging_rel = os.path.join(_STAGED, f"p-{uuid.uuid4().hex}")
+        outdir = os.path.join(self.root, staging_rel)
+        try:
+            n_out = cluster_partitions or int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
+            )
+            self._write_clustered_data(
+                meta["df"],
+                outdir,
+                meta["key"],
+                n_out,
+                append_split=append_split,
+                band_rows_hint=band_rows_hint,
+                cluster_by=cluster_by,
+            )
+            extras = tuple(
+                c for c in (meta["stats_columns"] or ()) if c != meta["key"]
+            )
+            new_entries = scan_file_stats(
+                outdir,
+                meta["key"],
+                relative_to=self.root,
+                extra_columns=extras,
+            )
+            if entry_flags:
+                for e in new_entries:
+                    e.update(entry_flags)
+            if meta["bloom_columns"] and new_entries:
+                _bloom_build_for_files(
+                    self.root, outdir, new_entries, meta["bloom_columns"]
+                )
+            if meta["constraints"] and new_entries:
+                self._enforce_constraints(
+                    df.sparkSession,
+                    meta["constraints"],
+                    new_entries,
+                    meta["column_mapping"],
+                    meta["logical_schema"],
+                )
+        except BaseException:
+            shutil.rmtree(outdir, ignore_errors=True)
+            raise
+        return {
+            "staging_rel": staging_rel,
+            "base_version": base_version,
+            "new_entries": new_entries,
+            "new_bytes": sum(e["bytes"] for e in new_entries),
+            "key": meta["key"],
+            "stats_columns": meta["stats_columns"],
+            "key_columns": meta["key_columns"],
+            "column_mapping": meta["column_mapping"],
+            "retired_physical": meta["retired_physical"],
+            "constraints": meta["constraints"],
+            "bloom_columns": meta["bloom_columns"],
+            "clustering": meta["clustering"],
+            "schema_json": meta["schema_json"],
+        }
+
+    def discard_prepared(self, prepared: dict) -> None:
+        """Best-effort reclaim of a prepared token's staging directory
+        — for callers that abandon a prepare deliberately (a
+        recompute-on-conflict loop).  Crashed callers need nothing:
+        vacuum's staged-dir sweep reclaims unreferenced stagings after
+        the grace window."""
+        shutil.rmtree(
+            os.path.join(self.root, prepared["staging_rel"]),
+            ignore_errors=True,
+        )
+
     def commit_with_manifest(
         self,
         df: DataFrame,
@@ -2708,6 +3201,7 @@ class VersionedParquetTable:
         entry_flags: dict | None = None,
         clustering: dict | None = None,
         rebase_on_conflict: dict | None = None,
+        prepared: dict | None = None,
     ) -> int:
         """Commit ``df``'s rows as NEW data files plus ``carried``
         prior-version file entries BY REFERENCE, under one manifest.
@@ -2884,6 +3378,18 @@ class VersionedParquetTable:
         table's last explicit clustering (inherited until replaced,
         surfaced by :meth:`detail`).
 
+        ``prepared`` — a token from :meth:`prepare_commit` (the
+        prepare/publish split): the data files, footer stats, blooms
+        and constraint check were all produced OUTSIDE the lock into a
+        content-addressed staging directory; this call publishes them
+        — its lock hold covers only conflict analysis and the
+        manifest/marker/pointer write, so racing writers' data jobs
+        run in parallel.  Requires ``expected_base_version ==
+        prepared["base_version"]`` and ``df=None``; ``key`` and the
+        per-write layout/metadata arguments are taken from the token.
+        A CAS failure that cannot rebase reclaims the staging
+        directory before raising (the prepared output is stale).
+
         ``rebase_on_conflict`` — Delta-style logical conflict scoping
         for the CAS: ``{"touched": iterable of base paths this commit
         depends on, "exclude": iterable of paths a recomputed inline
@@ -2926,6 +3432,27 @@ class VersionedParquetTable:
             raise ValueError(
                 "carried_exclude only applies with carried_base_version"
             )
+        if prepared is not None:
+            if df is not None:
+                raise ValueError(
+                    "prepared commits take df=None — the data was "
+                    "written by prepare_commit"
+                )
+            if skip_data_write:
+                raise ValueError(
+                    "skip_data_write does not combine with prepared"
+                )
+            if expected_base_version is _NO_CAS:
+                raise ValueError(
+                    "prepared commits require expected_base_version "
+                    "(the snapshot prepare_commit resolved against)"
+                )
+            if expected_base_version != prepared["base_version"]:
+                raise ValueError(
+                    "expected_base_version must equal the prepared "
+                    "token's base_version — inherited metadata was "
+                    "resolved against that snapshot"
+                )
         self._acquire_lock()
         try:
             self._last_commit_rebase = None
@@ -2945,6 +3472,11 @@ class VersionedParquetTable:
                     # publishing them over a newer version would drop
                     # the interleaved commit's rows, so this is a CAS
                     # failure the caller must recompute for.
+                    if prepared is not None:
+                        # the prepared output is stale against the new
+                        # head; reclaim its staging now rather than
+                        # waiting out vacuum's grace sweep
+                        self.discard_prepared(prepared)
                     raise SnapshotConflictError(expected_base_version, cur)
                 # logical REBASE: every racing commit provably touched
                 # files and key ranges disjoint from this commit's
@@ -2972,7 +3504,15 @@ class VersionedParquetTable:
                     ]
                 expected_base_version = cur
             for e in carried or []:
-                m = _VERSION_RE.match((e["path"].split(os.sep, 1) + [""])[0])
+                first = (e["path"].split(os.sep, 1) + [""])[0]
+                if first == _STAGED:
+                    # content-addressed staging paths are committed
+                    # data like any version-dir entry; reachability is
+                    # proven by the base manifest the caller read them
+                    # from (vacuum's grace sweep never reclaims a
+                    # staged dir a live manifest references)
+                    continue
+                m = _VERSION_RE.match(first)
                 if m is None or cur is None or int(m.group(1)) > cur:
                     raise ValueError(
                         f"carried entry {e['path']!r} does not name a file "
@@ -2984,253 +3524,86 @@ class VersionedParquetTable:
             next_v = (versions[-1] + 1) if versions else 1
             vdir = self._version_dir(next_v)
 
-            # ---- column mapping: resolve logical -> physical space.
-            # The manifest's schema stays LOGICAL; data files, key,
+            # ---- column mapping: resolve logical -> physical space
+            # (shared helper with the lock-free prepare phase).  The
+            # manifest's schema stays LOGICAL; data files, key,
             # stats_columns and per-file stats are PHYSICAL.  The
             # prior manifest is read only when the caller didn't
             # supply the inherited state (the pruned merge passes all
-            # of it from its own single read).
-            # RAW doc suffices: every inherited field is inline in
-            # both storage forms — inheriting must never materialize
-            # an 800k-entry file list
-            prior_man = (
-                self._raw_manifest(cur)
-                if cur is not None
-                and (
-                    column_mapping is None
-                    or retired_physical is None
-                    or constraints is None
-                    or bloom_columns is None
-                    or clustering is None
-                    or key_columns is None
-                )
-                else None
-            )
-            if clustering is None:
-                clustering = (prior_man or {}).get("clustering")
-            if cluster_by is not None and append_split is not None:
-                raise ValueError(
-                    "cluster_by cannot combine with append_split: band "
-                    "layouts are key-range layouts by definition"
-                )
-            if column_mapping is None:
-                column_mapping = dict(
-                    (prior_man or {}).get("column_mapping") or {}
-                )
+            # of it from its own single read).  A prepared commit
+            # resolved all of this at prepare time against its CAS
+            # snapshot — sound here because either cur == that
+            # snapshot or the rebase above proved every
+            # _REBASE_META_FIELD identical.
+            if prepared is not None:
+                meta = prepared
             else:
-                column_mapping = dict(column_mapping)
-            if retired_physical is None:
-                retired_physical = list(
-                    (prior_man or {}).get("retired_physical") or []
+                meta = self._resolve_write_meta(
+                    df,
+                    key,
+                    base_version=cur,
+                    version_hint=next_v,
+                    stats_columns=stats_columns,
+                    key_columns=key_columns,
+                    column_mapping=column_mapping,
+                    retired_physical=retired_physical,
+                    constraints=constraints,
+                    bloom_columns=bloom_columns,
+                    clustering=clustering,
+                    cluster_by=cluster_by,
+                    append_split=append_split,
                 )
-            logical_schema = df.schema
-            used_phys = set(column_mapping.values()) | set(retired_physical)
-            for f in logical_schema.fields:
-                if f.name not in column_mapping:
-                    phys = (
-                        f.name
-                        if f.name not in used_phys
-                        else f"{f.name}__v{next_v}"
-                    )
-                    if phys != f.name:
-                        column_mapping[f.name] = phys
-                    used_phys.add(phys)
-            # sparse store: identity entries are implicit
-            column_mapping = {
-                l: p for l, p in column_mapping.items() if l != p
-            }
-            _p = lambda c: column_mapping.get(c, c)
-            key = _p(key)
-            stats_columns = (
-                [_p(c) for c in stats_columns] if stats_columns else None
-            )
-            # row-identity columns, recorded DISTINCTLY from stats
-            # columns (stats may carry skip-only columns that are not
-            # key components); inherited from the prior manifest so
-            # the identity survives metadata and carried-file commits
-            if key_columns is not None:
-                key_columns = [_p(c) for c in key_columns]
-            else:
-                key_columns = list(
-                    (prior_man or {}).get("key_columns") or []
-                )
-            if column_mapping:
-                df = df.select(
-                    *[
-                        F.col(f.name).alias(_p(f.name))
-                        for f in logical_schema.fields
-                    ]
-                )
+            key = meta["key"]
+            stats_columns = meta["stats_columns"]
+            key_columns = meta["key_columns"]
+            column_mapping = meta["column_mapping"]
+            retired_physical = meta["retired_physical"]
+            constraints = meta["constraints"]
+            bloom_columns = meta["bloom_columns"]
+            clustering = meta["clustering"]
 
-            if skip_data_write:
+            if prepared is not None:
+                # data files, stats, blooms and the constraint check
+                # were all produced at PREPARE time into the staging
+                # dir; the version dir carries only metadata
+                os.makedirs(vdir, exist_ok=True)
+                new_entries = [dict(e) for e in meta["new_entries"]]
+            elif skip_data_write:
                 # metadata-shape commit (delete_where, restore): the
                 # caller guarantees df carries no rows — the version is
                 # carried entries (+ DV updates) only, and no Spark job
                 # runs at all
                 os.makedirs(vdir, exist_ok=True)
-                n_out = 1
+                new_entries = []
             else:
                 n_out = cluster_partitions or int(
                     df.sparkSession.conf.get(
                         "spark.sql.shuffle.partitions", "8"
                     )
                 )
-
-            def _clustered(sub: DataFrame, parts: int) -> DataFrame:
-                # range clustering; a single output partition needs no
-                # range bounds, and repartitionByRange would still run
-                # its sampling JOB to compute them — repartition(1) +
-                # sort is row-identical and sampling-free (the narrow
-                # daily-batch commit writes exactly one file, so this
-                # saves a job on the common path)
-                cexpr = cluster_by if cluster_by is not None else F.col(key)
-                if parts == 1:
-                    return sub.repartition(1).sortWithinPartitions(cexpr)
-                return sub.repartitionByRange(
-                    parts, cexpr
-                ).sortWithinPartitions(cexpr)
-
-            if skip_data_write:
-                pass
-            elif append_split is None:
-                (
-                    _clustered(df, n_out)
-                    .write.mode("overwrite")
-                    .parquet(vdir)
+                self._write_clustered_data(
+                    meta["df"],
+                    vdir,
+                    key,
+                    n_out,
+                    append_split=append_split,
+                    band_rows_hint=band_rows_hint,
+                    cluster_by=cluster_by,
                 )
-            else:
-                # one band (lo, hi) or a LIST of disjoint bands: rows of
-                # each band cluster into their OWN files so no output
-                # file's [min, max] spans a gap between bands — a merge
-                # touching two distant key regions must not mint a
-                # gap-spanning file (it would intersect most carried
-                # files, inflating every later merge's touched set, and
-                # it defeats the CDF's intra-step range splitting)
-                bands = (
-                    [append_split]
-                    if not isinstance(append_split, list)
-                    else list(append_split)
+                new_entries = scan_file_stats(
+                    vdir,
+                    key,
+                    relative_to=self.root,
+                    extra_columns=tuple(
+                        c for c in (stats_columns or ()) if c != key
+                    ),
                 )
-                in_band = [
-                    (F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi))
-                    for lo, hi in bands
-                ]
-                any_band = functools.reduce(operator.or_, in_band)
-                # Per-band row counts WITHOUT a dedicated count job: the
-                # caller's manifest-stats hint sizes the FIRST band
-                # write, and exact counts ride that write's observed
-                # metrics (the persisted upstream materializes fully on
-                # its first action, so CollectMetrics sees every row
-                # exactly once) — later bands and the out-of-band append
-                # size from the exact counts.  This folds what used to
-                # be a separate aggregate job per commit into the first
-                # write's own execution.
-                from pyspark.sql import Observation
-
-                obs = Observation()
-                df = df.observe(
-                    obs,
-                    *[
-                        F.sum(F.when(c, 1).otherwise(0)).alias(f"b{i}")
-                        for i, c in enumerate(in_band)
-                    ],
-                    F.count(F.lit(1)).alias("all"),
-                ).persist()
-                try:
-                    hints = list(band_rows_hint or [])
-                    hints += [None] * (len(bands) - len(hints))
-                    h_tot = sum(h for h in hints if h)
-                    counts = None
-                    n_in = 0
-                    wrote = False
-                    # the FIRST write both sizes from the hint and
-                    # surfaces the observed counts — give that role to
-                    # the band the hint says is biggest, so a
-                    # hinted-empty band never burns the blind first
-                    # write (its zero-row output would be dropped by
-                    # scan_file_stats, but the job itself still costs)
-                    order = sorted(
-                        range(len(bands)),
-                        key=lambda i: -(hints[i] or 0),
-                    )
-                    for i in order:
-                        cond = in_band[i]
-                        if counts is None:
-                            # first write: partitions proportional to the
-                            # hinted share (touched-file rows from the
-                            # manifest), evenly split when unhinted
-                            parts = (
-                                max(1, round(n_out * hints[i] / h_tot))
-                                if h_tot and hints[i]
-                                else max(1, n_out // len(bands))
-                            )
-                        else:
-                            n_b = counts[f"b{i}"] or 0
-                            if not n_b:
-                                continue
-                            # partitions proportional to the band's share
-                            parts = max(1, round(n_out * n_b / max(1, n_in)))
-                        (
-                            _clustered(df.filter(cond), parts)
-                            .write.mode("append" if wrote else "overwrite")
-                            .parquet(vdir)
-                        )
-                        wrote = True
-                        if counts is None:
-                            counts = obs.get
-                            n_in = sum(
-                                counts[f"b{i}"] or 0
-                                for i in range(len(bands))
-                            )
-                    n_out_rows = (counts["all"] or 0) - n_in
-                    if n_out_rows:
-                        # appends cluster into files sized like the
-                        # in-band ones
-                        per_part = max(1, n_in // n_out) if n_in else n_out_rows
-                        parts = max(1, -(-n_out_rows // per_part))
-                        # NULL-key rows: every band predicate is NULL for
-                        # them, so a bare ~any_band (NULL) would silently
-                        # drop them from the write — coalesce to False so
-                        # they route into this out-of-band append, where
-                        # repartitionByRange's NULLS FIRST ordering
-                        # clusters them into the lowest-range file (the
-                        # same place the CDF reader expects them)
-                        (
-                            _clustered(
-                                df.filter(
-                                    ~F.coalesce(any_band, F.lit(False))
-                                ),
-                                parts,
-                            )
-                            .write.mode("append" if wrote else "overwrite")
-                            .parquet(vdir)
-                        )
-                        wrote = True
-                    if not wrote:
-                        # fully-empty merged subset (e.g. a delete-only
-                        # batch emptied the touched files): the version
-                        # dir must still exist to carry the manifest
-                        df.limit(0).write.mode("overwrite").parquet(vdir)
-                finally:
-                    df.unpersist()
             extras = tuple(c for c in (stats_columns or ()) if c != key)
-            new_entries = (
-                []
-                if skip_data_write
-                else scan_file_stats(
-                    vdir, key, relative_to=self.root, extra_columns=extras
-                )
-            )
-            if entry_flags:
+            if entry_flags and prepared is None:
+                # prepared entries carry their flags from prepare time
                 for e in new_entries:
                     e.update(entry_flags)
-            if bloom_columns is None:
-                bloom_columns = list(
-                    (prior_man or {}).get("bloom_columns") or []
-                )
-            else:
-                bloom_columns = [_p(c) for c in bloom_columns]
-            if bloom_columns and new_entries:
+            if bloom_columns and new_entries and prepared is None:
                 _bloom_build_for_files(
                     self.root, vdir, new_entries, bloom_columns
                 )
@@ -3354,42 +3727,18 @@ class VersionedParquetTable:
                             }
                         rewritten_carried.append(e)
                     carried = rewritten_carried
-            if constraints is None:
-                constraints = (prior_man or {}).get("constraints") or {}
-            if constraints and new_entries:
-                # constraint exprs are LOGICAL: read the new files
-                # (physical names) and alias back before evaluating
-                checked = df.sparkSession.read.schema(df.schema).parquet(
-                    *[os.path.join(self.root, e["path"]) for e in new_entries]
-                ).select(
-                    *[
-                        F.col(_p(f.name)).alias(f.name)
-                        for f in logical_schema.fields
-                    ]
+            if constraints and new_entries and prepared is None:
+                # prepared commits checked at prepare time (same code)
+                self._enforce_constraints(
+                    df.sparkSession,
+                    constraints,
+                    new_entries,
+                    column_mapping,
+                    meta["logical_schema"],
                 )
-                names = list(constraints)
-                # ONE pass over the new files for all constraints
-                row = checked.agg(
-                    *[
-                        F.sum(
-                            F.when(
-                                ~F.coalesce(
-                                    F.expr(constraints[n]), F.lit(True)
-                                ),
-                                1,
-                            ).otherwise(0)
-                        ).alias(f"c{i}")
-                        for i, n in enumerate(names)
-                    ]
-                ).collect()[0]
-                for i, n in enumerate(names):
-                    if row[f"c{i}"]:
-                        raise ConstraintViolationError(
-                            n, constraints[n], int(row[f"c{i}"])
-                        )
             man = {
                 "key": key,
-                "schema": logical_schema.jsonValue(),
+                "schema": meta["schema_json"],
             }
             if carried_base_version is None:
                 man["files"] = list(carried or []) + new_entries
@@ -5389,4 +5738,52 @@ class VersionedParquetTable:
                         os.remove(p)
                 except OSError:
                     pass
+        # content-addressed staging dirs (prepare/publish split): a
+        # staged dir no kept manifest references is DEAD — either an
+        # abandoned prepare (a conflicted writer recomputed; its own
+        # cleanup is best-effort) or the data of a vacuumed version.
+        # The age grace protects IN-FLIGHT prepares: a racing writer's
+        # staging exists before any manifest references it, and only
+        # the preparer knows about it until publish.  Not on dry_run —
+        # "delete nothing" includes staging.  Partial references
+        # (some files of a staging carried, others dead) GC
+        # file-by-file like version dirs.
+        if not dry_run:
+            import time as _time
+
+            now = _time.time()
+            sroot = os.path.join(self.root, _STAGED)
+            try:
+                staged = os.listdir(sroot)
+            except OSError:
+                staged = []
+            for name in staged:
+                sdir = os.path.join(sroot, name)
+                rel_prefix = os.path.join(_STAGED, name) + os.sep
+                refs_here = {
+                    r for r in referenced if r.startswith(rel_prefix)
+                }
+                try:
+                    age = now - os.path.getmtime(sdir)
+                except OSError:
+                    continue
+                if not refs_here:
+                    if age >= self.staged_gc_grace_seconds:
+                        shutil.rmtree(sdir, ignore_errors=True)
+                    continue
+                # referenced staging: reclaim only its dead files
+                # (no grace needed — a referenced staging was
+                # published long ago, nothing is in flight in it)
+                for fn in os.listdir(sdir):
+                    rel = os.path.join(_STAGED, name, fn)
+                    if rel in refs_here or fn.startswith("_"):
+                        continue
+                    p = os.path.join(sdir, fn)
+                    try:
+                        if os.path.isdir(p):
+                            shutil.rmtree(p, ignore_errors=True)
+                        else:
+                            os.remove(p)
+                    except OSError:
+                        pass
         return dropped

@@ -212,6 +212,85 @@ class TestObjectStoreRenameFree:
         t.delete_where(spark, "k = 0")  # steals and commits
         assert t.current_version() == 2
 
+    def test_posix_over_migrated_table_raises(self, spark, tmp_path):
+        """The one-way migration contract is ENFORCED: a posix handle
+        on a table with object-store commits raises ProtocolMixingError
+        on any pointer read — instead of reading the stale _CURRENT
+        and letting its next commit's reconcile rmtree committed
+        versions (the r10 review's data-destruction scenario)."""
+        from airflow_embeddings_pipeline_spark.sources.commit_protocol import (
+            ProtocolMixingError,
+        )
+
+        root = str(tmp_path / "t")
+        _mk(spark, root, "posix")
+        t_os = VersionedParquetTable(root, commit_protocol="object-store")
+        t_os.delete_where(spark, "k = 0")  # migrates: _ptr-v2 + marker
+        stale = VersionedParquetTable(root, commit_protocol="posix")
+        with pytest.raises(ProtocolMixingError):
+            stale.current_version()
+        with pytest.raises(ProtocolMixingError):
+            stale.commit_with_manifest(
+                spark.createDataFrame([(1, 1)], "k long, v long"), "k"
+            )
+        # nothing was destroyed: the object-store handle still reads v2
+        assert t_os.current_version() == 2
+        assert t_os.read(spark).count() == 499
+
+    def test_posix_guard_pre_marker_migration(self, spark, tmp_path):
+        """A table migrated by pre-marker code (_ptr objects, no
+        _PROTOCOL marker) is caught by the version-listing guard under
+        the commit lock and by posix publish — not silently stale."""
+        from airflow_embeddings_pipeline_spark.sources.commit_protocol import (
+            ProtocolMixingError,
+        )
+
+        root = str(tmp_path / "t")
+        _mk(spark, root, "posix")
+        VersionedParquetTable(
+            root, commit_protocol="object-store"
+        ).delete_where(spark, "k = 0")
+        os.unlink(os.path.join(root, "_PROTOCOL"))  # simulate pre-marker
+        stale = VersionedParquetTable(root, commit_protocol="posix")
+        # pointer READ cannot see the marker (O(1) stat only) — but the
+        # commit path's version listing fires before any reconcile
+        with pytest.raises(ProtocolMixingError):
+            stale.commit_with_manifest(
+                spark.createDataFrame([(1, 1)], "k long, v long"), "k"
+            )
+        # committed object-store versions are intact
+        assert os.path.isdir(os.path.join(root, "v00000002"))
+
+    def test_marker_auto_detection_is_o1(self, spark, tmp_path):
+        """Auto-detection resolves object-store from the _PROTOCOL
+        marker without listing the root (flat cost at any version
+        count); marker-less roots keep the LIST fallback."""
+        root = str(tmp_path / "t")
+        t = _mk(spark, root, "object-store")
+        t.delete_where(spark, "k = 0")
+        auto = VersionedParquetTable(root)  # commit_protocol=None
+        assert auto._protocol.name == "object-store"
+        assert auto.current_version() == 2
+        # pre-marker table: LIST fallback still detects
+        os.unlink(os.path.join(root, "_PROTOCOL"))
+        auto2 = VersionedParquetTable(root)
+        assert auto2._protocol.name == "object-store"
+
+    def test_pointer_past_eight_digits(self, tmp_path):
+        """_ptr-v* names with 9+ digits keep resolving (the 8-digit
+        regex cap would silently freeze the table at v99,999,999)."""
+        from airflow_embeddings_pipeline_spark.sources.commit_protocol import (
+            ObjectStoreCommitProtocol,
+        )
+
+        root = str(tmp_path / "t")
+        os.makedirs(root)
+        proto = ObjectStoreCommitProtocol(root)
+        for v in (99_999_999, 100_000_000, 100_000_001):
+            with open(os.path.join(root, f"_ptr-v{v:08d}"), "w") as f:
+                f.write(f"v{v:08d}\n")
+        assert proto.read_pointer() == f"v{100_000_001:08d}"
+
     def test_streaming_cdf_resolves_through_protocol(
         self, spark, tmp_path
     ):
