@@ -604,7 +604,7 @@ def _pruned_merge_attempt(
     _p_lead = _cmap.get(lead, lead)
     _p_trail = {_cmap.get(c, c) for c in trail}
     seg_fast = (
-        "file_segments" in prior_man
+        ("file_segments" in prior_man or "seg_ref_lists" in prior_man)
         and prior_man.get("key") == _p_lead
         and _p_trail <= set(prior_man.get("stats_columns", [_p_lead]))
     )
@@ -820,7 +820,7 @@ def _pruned_merge_attempt(
                 import json as _json
 
                 refs = (
-                    table._raw_manifest(base_version).get("file_segments")
+                    table._seg_refs(table._raw_manifest(base_version))
                     or []
                 )
                 env_ranged, keep = [], set()
@@ -1196,6 +1196,7 @@ def _mor_merge_attempt(
     n_src: int,
     pruning: str,
     rebase_scope: dict | None = None,
+    publish_mode: str = "prepared",
 ) -> dict | None:
     """The merge-on-read write plan for :func:`_pruned_merge_attempt`
     (Delta deletion-vectors MERGE analog).  Semantics are IDENTICAL to
@@ -1254,6 +1255,7 @@ def _mor_merge_attempt(
             vacuum_keep_last=vacuum_keep_last,
             max_dv_rows=max_dv_rows, n_src=n_src, pruning=pruning,
             subset_pos=subset_pos, sk=sk, rebase_scope=rebase_scope,
+            publish_mode=publish_mode,
         )
     finally:
         # unpersist on EVERY exit — a SnapshotConflictError retry or
@@ -1285,6 +1287,7 @@ def _mor_commit(
     subset_pos,
     sk,
     rebase_scope=None,
+    publish_mode="prepared",
 ) -> dict | None:
     # _dv_plan only needs the TOUCHED entries' prior DV rows (matched
     # paths are a subset of them) — never the full file list
@@ -1318,25 +1321,66 @@ def _mor_commit(
     lead = keys[0]
     prior_meta = dict(prior_man.get("app_metadata") or {})
     common = dict(
+        app_metadata={**prior_meta, **(app_metadata or {})} or None,
+        expected_base_version=base_version,
+        operation="MERGE[mor]",
+        rebase_on_conflict=rebase_scope,
+    )
+    inherited = dict(
         cluster_partitions=max(1, -(-n_src // 2_000_000)),
         stats_columns=keys if len(keys) > 1 else None,
         key_columns=keys,
-        app_metadata={**prior_meta, **(app_metadata or {})} or None,
-        expected_base_version=base_version,
         constraints=prior_man.get("constraints") or {},
         column_mapping=prior_man.get("column_mapping") or {},
         retired_physical=prior_man.get("retired_physical") or [],
         bloom_columns=prior_man.get("bloom_columns") or [],
-        operation="MERGE[mor]",
-        rebase_on_conflict=rebase_scope,
-        **(dv_kw if n_dv else {}),
     )
+    if publish_mode == "prepared":
+        # prepare/publish split, MoR form: the appended-image write
+        # AND the DV sidecar job both run here, outside the lock (the
+        # sidecar depends only on the touched entries' prior DVs,
+        # which a rebase proves identical between base and head).
+        # Advisory staleness probe first — see the CoW path.
+        from ..sources.versioned import SnapshotConflictError
+
+        cur_now = table.current_version()
+        if cur_now != base_version and not table._rebase_compatible(
+            base_version,
+            cur_now,
+            set(rebase_scope["touched"]) if rebase_scope else set(),
+            (rebase_scope or {}).get("might_touch"),
+            (rebase_scope or {}).get("might_touch_batch"),
+        ):
+            raise SnapshotConflictError(base_version, cur_now)
+        prepared = table.prepare_commit(
+            appended,
+            lead,
+            base_version=base_version,
+            **inherited,
+            **(
+                dict(
+                    dv_touched={e["path"]: e for e in touched_entries},
+                    **dv_kw,
+                )
+                if n_dv
+                else {}
+            ),
+        )
+        common["prepared"] = prepared
+        commit_df = None
+        new_bytes = prepared["new_bytes"]
+    else:
+        common.update(inherited)
+        if n_dv:
+            common.update(dv_kw)
+        commit_df = appended
+        new_bytes = None
     if carried is None:
         # segmented: untouched entries carry inside their segments by
         # reference; touched entries (re-pointed at the new DV
         # sidecar) are the only base entries the commit materializes
         version = table.commit_with_manifest(
-            appended,
+            commit_df,
             lead,
             carried_base_version=base_version,
             carried_touched={e["path"]: e for e in touched_entries},
@@ -1344,7 +1388,7 @@ def _mor_commit(
         )
     else:
         version = table.commit_with_manifest(
-            appended,
+            commit_df,
             lead,
             carried=carried + touched_entries,
             **common,
@@ -1356,7 +1400,11 @@ def _mor_commit(
         "files_total": totals["files_total"],
         "files_touched": len(touched_entries),
         "files_carried": totals["files_total"] - len(touched_entries),
-        "bytes_rewritten": _vdir_data_bytes(table, version),
+        "bytes_rewritten": (
+            new_bytes
+            if new_bytes is not None
+            else _vdir_data_bytes(table, version)
+        ),
         "bytes_carried": totals["bytes_carried"],
         "rows_source": n_src,
         "pruning": pruning,

@@ -839,6 +839,17 @@ class VersionedParquetTable:
     # rewrites a ~250 MB JSON document every time.
     manifest_inline_max: int = 2048
     manifest_segment_rows: int = 4096
+    # LEVEL-2 manifest list: when the segmented manifest's REF LIST
+    # itself outgrows this, the refs move into immutable ``_msegl-*``
+    # chunk files with envelope rollups and the doc stores only chunk
+    # refs — per-commit doc size stays O(1) at any file count.  The
+    # defaults engage past 4096 segments × 4096 rows ≈ 16.7M files
+    # (the r10 synthetic probe sized one level as right to ~10⁷ files;
+    # a ~10⁸-file table needs this second level or every commit
+    # rewrites a multi-MB ref list).  Unchanged chunks carry by
+    # reference across commits exactly like level-1 segments.
+    manifest_seglist_inline_max: int = 4096
+    manifest_seglist_chunk_refs: int = 4096
     # LRU bound on the driver's segment cache, in cached ENTRY ROWS
     # (not segment count): ~2M rows ≈ 500 default-size segments ≈ a
     # few hundred MB of entry JSON — enough to keep an 8M-file
@@ -869,6 +880,10 @@ class VersionedParquetTable:
 
         self._seg_cache: "OrderedDict[str, list]" = OrderedDict()
         self._seg_cache_rows: int = 0
+        # level-2 ref-list chunk loads, memoized the same way (chunks
+        # are immutable); LRU-bounded by chunk count — a chunk is a
+        # few thousand small ref dicts, so 256 chunks is megabytes
+        self._seglist_cache: "OrderedDict[str, list]" = OrderedDict()
         # set by commit_with_manifest: None, or {"planned_base",
         # "onto"} when the last commit published via a logical rebase
         self._last_commit_rebase: dict | None = None
@@ -931,6 +946,117 @@ class VersionedParquetTable:
         except OSError:
             return None
 
+    # ---- level-2 manifest list (segment-of-segments) -----------------
+    @staticmethod
+    def _is_segmented(raw: dict | None) -> bool:
+        """True when a RAW doc stores its file list in segments —
+        either with inline refs (``file_segments``) or with the refs
+        themselves chunked into level-2 files (``seg_ref_lists``)."""
+        return raw is not None and (
+            "file_segments" in raw or "seg_ref_lists" in raw
+        )
+
+    def _load_seg_list(self, rel: str) -> list[dict]:
+        """One level-2 ref-list chunk → its member segment refs,
+        memoized per instance (chunks are immutable)."""
+        refs = self._seglist_cache.get(rel)
+        if refs is not None:
+            self._seglist_cache.move_to_end(rel)
+            return refs
+        with open(os.path.join(self.root, rel)) as f:
+            refs = json.load(f)["refs"]
+        self._seglist_cache[rel] = refs
+        while len(self._seglist_cache) > 256:
+            self._seglist_cache.popitem(last=False)
+        return refs
+
+    def _seg_refs(self, raw: dict | None) -> list[dict] | None:
+        """The full segment-ref list of a RAW doc, transparently
+        resolving the level-2 form; None for inline/plain manifests.
+        O(total refs) — callers that only need aggregates use the
+        chunk rollups instead (:meth:`_segment_totals`)."""
+        if raw is None:
+            return None
+        if "file_segments" in raw:
+            return raw["file_segments"]
+        lists = raw.get("seg_ref_lists")
+        if lists is None:
+            return None
+        out: list[dict] = []
+        for lref in lists:
+            out.extend(self._load_seg_list(lref["path"]))
+        return out
+
+    def _store_seg_refs(
+        self, doc: dict, vdir: str, refs: list, prev_raw: dict | None
+    ) -> None:
+        """Record a segmented manifest's ref list on ``doc``: inline
+        (``file_segments``) at or under ``manifest_seglist_inline_max``
+        refs, else as level-2 ``_msegl-*.json`` chunk files with
+        envelope rollups (``seg_ref_lists``) — any of ``prev_raw``'s
+        chunks whose member refs ALL survive unchanged carries by
+        reference, so the common commit rewrites at most the chunks
+        holding its changed segments plus one chunk of new refs."""
+        if len(refs) <= self.manifest_seglist_inline_max:
+            doc["file_segments"] = refs
+            return
+        import uuid
+
+        _c = lambda r: json.dumps(r, sort_keys=True, separators=(",", ":"))
+        by_path = {r["path"]: _c(r) for r in refs}
+        out_lrefs: list[dict] = []
+        consumed: set[str] = set()
+        for lref in (prev_raw or {}).get("seg_ref_lists") or []:
+            members = self._load_seg_list(lref["path"])
+            if members and all(
+                by_path.get(m["path"]) == _c(m) for m in members
+            ):
+                out_lrefs.append(lref)
+                consumed.update(m["path"] for m in members)
+        remaining = [r for r in refs if r["path"] not in consumed]
+        out_lrefs.extend(self._write_seg_lists(vdir, remaining))
+        doc["seg_ref_lists"] = out_lrefs
+
+    def _write_seg_lists(self, vdir: str, refs: list) -> list[dict]:
+        """Write segment refs as new level-2 ``_msegl-*.json`` chunk
+        files, ``manifest_seglist_chunk_refs`` per chunk; returns their
+        chunk refs (aggregate sums + envelope-of-envelopes rollup)."""
+        import uuid
+
+        out: list[dict] = []
+        if not refs:
+            return out
+        os.makedirs(vdir, exist_ok=True)
+        step = self.manifest_seglist_chunk_refs
+        for i in range(0, len(refs), step):
+            chunk = refs[i : i + step]
+            name = f"_msegl-{uuid.uuid4().hex[:16]}.json"
+            rel = os.path.relpath(os.path.join(vdir, name), self.root)
+            self._protocol.put_file(rel, json.dumps({"refs": chunk}))
+            self._seglist_cache[rel] = chunk
+            while len(self._seglist_cache) > 256:
+                self._seglist_cache.popitem(last=False)
+            out.append(
+                {
+                    "path": rel,
+                    "n_refs": len(chunk),
+                    "n": sum(r.get("n") or 0 for r in chunk),
+                    "rows": sum(r.get("rows") or 0 for r in chunk),
+                    "bytes": sum(r.get("bytes") or 0 for r in chunk),
+                    "dv_rows": sum(r.get("dv_rows") or 0 for r in chunk),
+                    "dv_files": sum(
+                        r.get("dv_files") or 0 for r in chunk
+                    ),
+                    # envelope-of-envelopes: conservative rollup (a
+                    # member without an env poisons to unknown, which
+                    # never skips)
+                    "env": _segment_envelope(
+                        [r.get("env") or {} for r in chunk]
+                    ),
+                }
+            )
+        return out
+
     def manifest(self, version: int) -> dict | None:
         """The version's manifest document with ``files`` MATERIALIZED
         (segment refs resolved), or None for a plain (full-directory)
@@ -938,13 +1064,16 @@ class VersionedParquetTable:
         the manifest is stored; returned entry dicts are fresh objects
         (safe to mutate)."""
         raw = self._raw_manifest(version)
-        if raw is None or "file_segments" not in raw:
+        refs = self._seg_refs(raw)
+        if refs is None:
             return raw
         files: list[dict] = []
-        for ref in raw.pop("file_segments"):
+        for ref in refs:
             files.extend(
                 json.loads(j) for _, j in self._load_segment(ref["path"])
             )
+        raw.pop("file_segments", None)
+        raw.pop("seg_ref_lists", None)
         raw.pop("files_n", None)
         raw["files"] = files
         return raw
@@ -1012,16 +1141,29 @@ class VersionedParquetTable:
         plain versions return :meth:`manifest`'s full doc (same
         shape)."""
         raw = self._raw_manifest(version)
-        if raw is None or "file_segments" not in raw:
+        if raw is None or not self._is_segmented(raw):
             return self.manifest(version)
+        if "file_segments" in raw:
+            refs = raw["file_segments"]
+        else:
+            # level-2: prune whole CHUNKS by their envelope rollup
+            # first — a point read on a 10⁸-file table loads a handful
+            # of ref-list chunks, then a handful of segments
+            refs = []
+            for lref in raw["seg_ref_lists"]:
+                lenv = lref.get("env")
+                if lenv is None or entry_test(lenv):
+                    refs.extend(self._load_seg_list(lref["path"]))
         files: list[dict] = []
-        for ref in raw.pop("file_segments"):
+        for ref in refs:
             env = ref.get("env")
             if env is None or entry_test(env):
                 files.extend(
                     json.loads(j)
                     for _, j in self._load_segment(ref["path"])
                 )
+        raw.pop("file_segments", None)
+        raw.pop("seg_ref_lists", None)
         raw.pop("files_n", None)
         raw["files"] = files
         return raw
@@ -1046,8 +1188,30 @@ class VersionedParquetTable:
         raw_t = self._raw_manifest(v_to)
         if raw_f is None or raw_t is None:
             return None
-        segs_f = raw_f.get("file_segments")
-        segs_t = raw_t.get("file_segments")
+        if "seg_ref_lists" in raw_f and "seg_ref_lists" in raw_t:
+            # level-2 fast path: a chunk shared BY REF between the two
+            # docs holds identical member refs (chunks are immutable),
+            # so every segment it names is shared — resolve only the
+            # non-shared chunks; the diff stays O(changed chunks +
+            # changed segments), never O(total refs)
+            shared_chunks = {
+                l["path"] for l in raw_f["seg_ref_lists"]
+            } & {l["path"] for l in raw_t["seg_ref_lists"]}
+            segs_f = [
+                r
+                for l in raw_f["seg_ref_lists"]
+                if l["path"] not in shared_chunks
+                for r in self._load_seg_list(l["path"])
+            ]
+            segs_t = [
+                r
+                for l in raw_t["seg_ref_lists"]
+                if l["path"] not in shared_chunks
+                for r in self._load_seg_list(l["path"])
+            ]
+        else:
+            segs_f = self._seg_refs(raw_f)
+            segs_t = self._seg_refs(raw_t)
         if segs_f is None or segs_t is None:
             mf, mt = self.manifest(v_from), self.manifest(v_to)
             return (
@@ -1204,7 +1368,11 @@ class VersionedParquetTable:
         keeps segments invisible to ``scan_file_stats`` and to Spark's
         directory scans (same convention as ``_MANIFEST.json``)."""
         files = man.get("files") or []
-        man = {k: v for k, v in man.items() if k != "file_segments"}
+        man = {
+            k: v
+            for k, v in man.items()
+            if k not in ("file_segments", "seg_ref_lists")
+        }
         if len(files) <= self.manifest_inline_max:
             man["files"] = files
             doc = man
@@ -1225,7 +1393,7 @@ class VersionedParquetTable:
                 if base_version is not None
                 else None
             )
-            for ref in (prev_raw or {}).get("file_segments") or []:
+            for ref in self._seg_refs(prev_raw) or []:
                 rows = self._load_segment(ref["path"])
                 if rows and all(by_path.get(p) == j for p, j in rows):
                     refs.append(ref)
@@ -1233,7 +1401,7 @@ class VersionedParquetTable:
             remaining = [(p, j, e) for p, j, e in canon if p not in consumed]
             refs.extend(self._write_segments(vdir, remaining))
             doc = {k: v for k, v in man.items() if k != "files"}
-            doc["file_segments"] = refs
+            self._store_seg_refs(doc, vdir, refs, prev_raw)
             doc["files_n"] = len(files)
         self._write_manifest_doc(vdir, doc)
 
@@ -1338,7 +1506,7 @@ class VersionedParquetTable:
                 "not a committed manifest version"
             )
         dirty = set(exclude) | set(replaced)
-        if "file_segments" not in raw:
+        if not self._is_segmented(raw):
             base_files = raw["files"]
             missing = dirty - {e["path"] for e in base_files}
             if missing:
@@ -1389,7 +1557,25 @@ class VersionedParquetTable:
         def _canon(e: dict) -> str:
             return json.dumps(e, sort_keys=True, separators=(",", ":"))
 
-        for ref in raw["file_segments"]:
+        # level-2 pre-filter: a chunk whose envelope rollup cannot
+        # contain any dirty entry's interval carries BY REFERENCE
+        # without even being read — per-commit chunk loads stay
+        # O(touched), the same guarantee segments give one level down
+        # (an entry ∈ segment ∈ chunk implies chunk env ⊇ segment env
+        # ⊇ entry interval, so a skipped chunk provably holds none of
+        # the dirty paths and the missing-check below stays sound)
+        lrefs_carried: list[dict] = []
+        if "file_segments" in raw:
+            base_refs = raw["file_segments"]
+        else:
+            base_refs = []
+            for lref in raw["seg_ref_lists"]:
+                if not _may_contain(lref):
+                    lrefs_carried.append(lref)
+                else:
+                    base_refs.extend(self._load_seg_list(lref["path"]))
+
+        for ref in base_refs:
             if not _may_contain(ref):
                 refs.append(ref)
                 continue
@@ -1418,8 +1604,21 @@ class VersionedParquetTable:
         )
         refs.extend(self._write_segments(vdir, leftovers))
         doc = {k: v for k, v in man.items() if k not in ("files",)}
-        doc["file_segments"] = refs
-        doc["files_n"] = sum(r["n"] for r in refs)
+        if lrefs_carried or (
+            len(refs) + sum(l["n_refs"] for l in lrefs_carried)
+            > self.manifest_seglist_inline_max
+        ):
+            # level-2 output: untouched chunks carry unloaded; the
+            # surviving refs of dirty chunks + new segments go into
+            # fresh chunk files
+            new_lrefs = self._write_seg_lists(vdir, refs)
+            doc["seg_ref_lists"] = lrefs_carried + new_lrefs
+            doc["files_n"] = sum(
+                l["n"] for l in doc["seg_ref_lists"]
+            )
+        else:
+            doc["file_segments"] = refs
+            doc["files_n"] = sum(r["n"] for r in refs)
         self._write_manifest_doc(vdir, doc)
 
     def app_metadata_of(self, version: int | None = None) -> dict:
@@ -1574,6 +1773,95 @@ class VersionedParquetTable:
             len(counts),
             {"dv_updates_df": delta_df, "dv_delta_counts": counts},
         )
+
+    def _build_dv_sidecar(
+        self,
+        outdir: str,
+        by_path: dict,
+        dv_updates: dict | None,
+        dv_updates_df,
+        dv_delta_counts: dict | None,
+    ):
+        """Build one commit's DV sidecar into ``outdir`` (a version dir
+        — the inline commit — or a staging dir — the lock-free
+        prepare): validates the delta against ``by_path`` (path → base
+        entry of every possibly-affected file), computes each touched
+        file's FULL deleted-position count, and writes the sidecar via
+        the driver (small dict form) or a Spark job (distributed
+        form).  Returns ``(full_counts, alive_dv, sidecar_name)`` —
+        ``sidecar_name`` None when every touched file is fully deleted
+        (no sidecar needed)."""
+        import numpy as np
+
+        if dv_updates and dv_updates_df is not None:
+            raise ValueError("pass dv_updates OR dv_updates_df, not both")
+        if dv_updates_df is not None and not dv_delta_counts:
+            raise ValueError(
+                "dv_updates_df requires dv_delta_counts (the "
+                "caller's per-file groupBy count — it already ran "
+                "one for its rewrite-scale guard)"
+            )
+        touched_dv = set(dv_updates or dv_delta_counts)
+        missing = touched_dv - set(by_path)
+        if missing:
+            raise ValueError(
+                "dv_updates paths must name carried entries; "
+                f"unknown: {sorted(missing)[:3]}"
+            )
+        if dv_updates:
+            # driver path (small, driver-known sets): exact union +
+            # range validation in numpy
+            full: dict[str, object] = {}
+            for rel, delta in dv_updates.items():
+                pos = np.union1d(
+                    self._dv_positions_of(by_path[rel]),
+                    np.asarray(sorted(set(delta)), dtype=np.int64),
+                )
+                n_file = by_path[rel]["n_rows"]
+                if len(pos) and (pos[0] < 0 or pos[-1] >= n_file):
+                    raise ValueError(
+                        f"dv position out of range for {rel} "
+                        f"({pos[0]}..{pos[-1]} vs {n_file} rows)"
+                    )
+                full[rel] = pos
+            full_counts = {r: len(p) for r, p in full.items()}
+        else:
+            # distributed path: counts are delta + prior — the scan
+            # that produced the delta reads LIVE rows only (existing
+            # DVs applied), so delta ∩ prior = ∅ and the sum is
+            # exact; in-range rides the write job
+            full_counts = {
+                r: int(dv_delta_counts[r])
+                + int((by_path[r].get("dv") or {}).get("rows") or 0)
+                for r in touched_dv
+            }
+            for r, n in full_counts.items():
+                if n > by_path[r]["n_rows"]:
+                    raise ValueError(
+                        f"dv delta for {r} implies {n} deleted "
+                        f"rows of {by_path[r]['n_rows']} — "
+                        "positions overlap the prior DV or "
+                        "fall out of range"
+                    )
+        alive_dv = {
+            r for r in touched_dv if full_counts[r] < by_path[r]["n_rows"]
+        }
+        name = None
+        if alive_dv:
+            os.makedirs(outdir, exist_ok=True)
+            if dv_updates:
+                name = _dv_write_sidecar(
+                    outdir, {r: full[r] for r in alive_dv}
+                )
+            else:
+                name = self._dv_write_sidecar_distributed(
+                    outdir,
+                    dv_updates_df,
+                    by_path,
+                    sorted(alive_dv),
+                    expected_rows=sum(full_counts[r] for r in alive_dv),
+                )
+        return full_counts, alive_dv, name
 
     def _dv_write_sidecar_distributed(
         self,
@@ -2023,7 +2311,11 @@ class VersionedParquetTable:
         :meth:`detail` answer without materializing an 800k-entry file
         list per version."""
         raw = self._raw_manifest(version)
-        refs = (raw or {}).get("file_segments")
+        # level-2 docs answer from the CHUNK rollups — O(chunks),
+        # no ref-list load at all
+        refs = (raw or {}).get("seg_ref_lists") or (raw or {}).get(
+            "file_segments"
+        )
         if not refs or any("rows" not in r for r in refs):
             return None
         return {
@@ -3052,10 +3344,15 @@ class VersionedParquetTable:
         cluster_by=None,
         entry_flags: dict | None = None,
         clustering: dict | None = None,
+        dv_updates: dict | None = None,
+        dv_updates_df: DataFrame | None = None,
+        dv_delta_counts: dict | None = None,
+        dv_touched: dict | None = None,
     ) -> dict:
         """PREPARE phase of the prepare/publish commit split: run every
         SPARK JOB a commit needs — the clustered data write, the
-        footer stats scan, the bloom build, the constraint check —
+        footer stats scan, the bloom build, the constraint check, and
+        (merge-on-read) the DV sidecar write —
         into a content-addressed staging directory
         (``_staged/p-<token>/``) UNDER NO LOCK, and return a prepared
         token for ``commit_with_manifest(prepared=...)``.
@@ -3080,6 +3377,16 @@ class VersionedParquetTable:
         against (defaults to the live version); inherited metadata
         (mapping, constraints, blooms) resolves against it, which a
         logical rebase keeps sound (``_REBASE_META_FIELDS``).
+
+        ``dv_updates`` / ``dv_updates_df`` + ``dv_delta_counts`` — the
+        merge-on-read deletes (same contract as
+        :meth:`commit_with_manifest`); require ``dv_touched`` (path →
+        BASE entry of every possibly-affected file — the commit-time
+        ``carried_touched`` set).  The sidecar is written into the
+        staging dir here, so even a MoR commit's lock hold runs no
+        Spark job; sound through a rebase because the sidecar depends
+        only on the touched entries' prior DVs, which
+        ``_rebase_compatible`` proves identical between base and head.
 
         Returns the prepared token (a plain dict; treat as opaque).
         On any failure the staging directory is removed before the
@@ -3142,10 +3449,35 @@ class VersionedParquetTable:
                     meta["column_mapping"],
                     meta["logical_schema"],
                 )
+            dv = None
+            if dv_updates or dv_updates_df is not None:
+                if not dv_touched:
+                    raise ValueError(
+                        "DV arguments at prepare time require "
+                        "dv_touched (path → base entry of every "
+                        "possibly-affected file)"
+                    )
+                full_counts, alive_dv, name = self._build_dv_sidecar(
+                    outdir,
+                    dv_touched,
+                    dv_updates,
+                    dv_updates_df,
+                    dv_delta_counts,
+                )
+                dv = {
+                    "full_counts": full_counts,
+                    "alive": sorted(alive_dv),
+                    "sidecar_rel": (
+                        os.path.join(staging_rel, name)
+                        if name is not None
+                        else None
+                    ),
+                }
         except BaseException:
             shutil.rmtree(outdir, ignore_errors=True)
             raise
         return {
+            **({"dv": dv} if dv is not None else {}),
             "staging_rel": staging_rel,
             "base_version": base_version,
             "new_entries": new_entries,
@@ -3607,91 +3939,51 @@ class VersionedParquetTable:
                 _bloom_build_for_files(
                     self.root, vdir, new_entries, bloom_columns
                 )
-            if dv_updates and dv_updates_df is not None:
-                raise ValueError(
-                    "pass dv_updates OR dv_updates_df, not both"
-                )
-            if dv_updates_df is not None and not dv_delta_counts:
-                raise ValueError(
-                    "dv_updates_df requires dv_delta_counts (the "
-                    "caller's per-file groupBy count — it already ran "
-                    "one for its rewrite-scale guard)"
-                )
             dml_exclude: dict = {}
             dml_replaced: dict = {}
-            if dv_updates or dv_updates_df is not None:
-                import numpy as np
-
+            dv_info = (prepared or {}).get("dv")
+            if dv_info is not None and (
+                dv_updates or dv_updates_df is not None
+            ):
+                raise ValueError(
+                    "DV arguments were consumed by prepare_commit; "
+                    "pass them there only"
+                )
+            if dv_info is not None or dv_updates or dv_updates_df is not None:
                 by_path = (
                     carried_touched
                     if carried_base_version is not None
                     else {e["path"]: e for e in (carried or [])}
                 )
-                touched_dv = set(dv_updates or dv_delta_counts)
-                missing = touched_dv - set(by_path)
-                if missing:
-                    raise ValueError(
-                        "dv_updates paths must name carried entries; "
-                        f"unknown: {sorted(missing)[:3]}"
+                if dv_info is None:
+                    full_counts, alive_dv, name = self._build_dv_sidecar(
+                        vdir,
+                        by_path,
+                        dv_updates,
+                        dv_updates_df,
+                        dv_delta_counts,
                     )
-                if dv_updates:
-                    # driver path (small, driver-known sets): exact
-                    # union + range validation in numpy
-                    full: dict[str, object] = {}
-                    for rel, delta in dv_updates.items():
-                        pos = np.union1d(
-                            self._dv_positions_of(by_path[rel]),
-                            np.asarray(sorted(set(delta)), dtype=np.int64),
-                        )
-                        n_file = by_path[rel]["n_rows"]
-                        if len(pos) and (pos[0] < 0 or pos[-1] >= n_file):
-                            raise ValueError(
-                                f"dv position out of range for {rel} "
-                                f"({pos[0]}..{pos[-1]} vs {n_file} rows)"
-                            )
-                        full[rel] = pos
-                    full_counts = {r: len(p) for r, p in full.items()}
+                    touched_dv = set(full_counts)
+                    sidecar_rel = (
+                        os.path.join(f"v{next_v:08d}", name)
+                        if name is not None
+                        else None
+                    )
                 else:
-                    # distributed path: counts are delta + prior — the
-                    # scan that produced the delta reads LIVE rows only
-                    # (existing DVs applied), so delta ∩ prior = ∅ and
-                    # the sum is exact; in-range rides the write job
-                    full_counts = {
-                        r: int(dv_delta_counts[r])
-                        + int((by_path[r].get("dv") or {}).get("rows") or 0)
-                        for r in touched_dv
-                    }
-                    for r, n in full_counts.items():
-                        if n > by_path[r]["n_rows"]:
-                            raise ValueError(
-                                f"dv delta for {r} implies {n} deleted "
-                                f"rows of {by_path[r]['n_rows']} — "
-                                "positions overlap the prior DV or "
-                                "fall out of range"
-                            )
-                alive_dv = {
-                    r
-                    for r in touched_dv
-                    if full_counts[r] < by_path[r]["n_rows"]
-                }
-                sidecar_rel = None
-                if alive_dv:
-                    os.makedirs(vdir, exist_ok=True)
-                    if dv_updates:
-                        name = _dv_write_sidecar(
-                            vdir, {r: full[r] for r in alive_dv}
+                    # prepared at PREPARE time into the staging dir
+                    # (the sidecar content depends only on the touched
+                    # base entries' prior DVs, which a rebase proves
+                    # identical between base and head)
+                    touched_dv = set(dv_info["full_counts"])
+                    missing = touched_dv - set(by_path)
+                    if missing:
+                        raise ValueError(
+                            "prepared DV paths must name carried "
+                            f"entries; unknown: {sorted(missing)[:3]}"
                         )
-                    else:
-                        name = self._dv_write_sidecar_distributed(
-                            vdir,
-                            dv_updates_df,
-                            by_path,
-                            sorted(alive_dv),
-                            expected_rows=sum(
-                                full_counts[r] for r in alive_dv
-                            ),
-                        )
-                    sidecar_rel = os.path.join(f"v{next_v:08d}", name)
+                    full_counts = dv_info["full_counts"]
+                    alive_dv = set(dv_info["alive"])
+                    sidecar_rel = dv_info["sidecar_rel"]
                 if carried_base_version is not None:
                     # base form: the touched entries become an
                     # exclude/replace edit applied segment-wise by
@@ -5272,11 +5564,11 @@ class VersionedParquetTable:
         # (identical by construction, absent from the diff maps):
         # total files of v_from minus the diff's removed/changed mass
         raw_f = self._raw_manifest(v_from)
-        segs_f = (raw_f or {}).get("file_segments")
+        segs_f = self._seg_refs(raw_f)
         if segs_f is not None:
             raw_t = self._raw_manifest(v_to) or {}
             shared = {r["path"] for r in segs_f} & {
-                r["path"] for r in raw_t.get("file_segments") or []
+                r["path"] for r in self._seg_refs(raw_t) or []
             }
             shared_n = sum(
                 r["n"] for r in segs_f if r["path"] in shared
@@ -5684,7 +5976,12 @@ class VersionedParquetTable:
             # older (non-kept) version dirs, and partial GC must not
             # strand it unreadable
             raw = self._raw_manifest(v)
-            for ref in (raw or {}).get("file_segments") or []:
+            # level-2 chunk files are referenced metadata exactly like
+            # segments: a kept manifest may carry chunks (and their
+            # member segments) living in older non-kept version dirs
+            for lref in (raw or {}).get("seg_ref_lists") or []:
+                referenced.add(lref["path"])
+            for ref in self._seg_refs(raw) or []:
                 referenced.add(ref["path"])
             man = self.manifest(v)
             if man is not None:

@@ -483,6 +483,56 @@ class TestDmlOTouched:
             assert got == {(k, k * 11) for k in range(40, 60)}
             assert t2.read(spark).count() == 400
 
+    def test_pruned_merge_o_touched_range_join_tier(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The >max_exact_keys tier (keys never collected; two-pass
+        envelope range join) keeps the SAME O(touched) segment-load
+        guarantee as the exact tier: the whole merge — envelope
+        range-join, candidate materialization, scan, carried-by-base
+        commit — loads a strict subset of the base's segments, with
+        the far ones never read.  Pins the r10 two-pass fix
+        (merge.py seg_fast range-join) with a cold-instance load
+        count, mirroring the exact-tier test above."""
+        loads: list[str] = []
+        orig = VersionedParquetTable._load_segment
+
+        def counting(self, rel):
+            loads.append(rel)
+            return orig(self, rel)
+
+        monkeypatch.setattr(
+            VersionedParquetTable, "_load_segment", counting
+        )
+        root = str(tmp_path / "t_rj")
+        t = _mk(spark, root, n=400, parts=16)
+        v1 = t.current_version()
+        n_segs = len(_segs(t, v1))
+        batch = spark.range(40, 60).selectExpr("id as k", "id * 11 as v")
+        loads.clear()
+        # force the range-join tier: 20 distinct keys > cap of 8
+        stats = merge_upsert_write_pruned(
+            root, batch, "k",
+            max_exact_keys=8, vacuum_keep_last=None,
+        )
+        assert stats["pruning"] == "range-join", stats
+        assert stats["files_total"] == 16
+        assert stats["files_touched"] < 4
+        assert stats["rows_source"] == 20  # true distinct count
+        assert 0 < len(set(loads)) < n_segs, sorted(set(loads))
+        t2 = VersionedParquetTable(root)
+        raw2 = t2._raw_manifest(t2.current_version())
+        carried = _segs(t, v1) & {
+            x["path"] for x in raw2["file_segments"]
+        }
+        assert len(carried) >= n_segs - 2
+        got = {
+            (r["k"], r["v"])
+            for r in t2.read_range(spark, "k", 40, 59).collect()
+        }
+        assert got == {(k, k * 11) for k in range(40, 60)}
+        assert t2.read(spark).count() == 400
+
     def test_dml_on_inline_table_unchanged(self, spark, tmp_path):
         """The carried-base form on an INLINE manifest (small table)
         takes the delegation path and stays row-identical."""

@@ -55,6 +55,8 @@ def _meta_bytes(root: str, version: int) -> int:
     total = os.path.getsize(os.path.join(vdir, "_MANIFEST.json"))
     for p in glob.glob(os.path.join(vdir, "_mseg-*.parquet")):
         total += os.path.getsize(p)
+    for p in glob.glob(os.path.join(vdir, "_msegl-*.json")):
+        total += os.path.getsize(p)
     return total
 
 
@@ -112,7 +114,7 @@ def run(n_files: int, segmented: bool, spark) -> dict:
     }
 
 
-def run_synthetic(n_files: int, spark) -> dict:
+def run_synthetic(n_files: int, spark, two_level: bool = False) -> dict:
     """Metadata-path costs at ``n_files`` SYNTHETIC entries (segmented
     form, default production segment size).  Measures, on cold
     instances: (1) a small append commit's metadata bytes + wall +
@@ -124,7 +126,19 @@ def run_synthetic(n_files: int, spark) -> dict:
     the version-dir prefix, not existence; nothing here reads rows)."""
     root = os.path.join(BASE, f"syn_{n_files}")
     shutil.rmtree(root, ignore_errors=True)
-    t = VersionedParquetTable(root)
+
+    def _tune(tab):
+        # --two-level: scale the thresholds down (the same trick the
+        # real-mode run() uses for manifest_inline_max) so the LEVEL-2
+        # ref-list machinery engages at probe-friendly sizes; the
+        # production defaults engage past ~16.7M files
+        if two_level:
+            tab.manifest_segment_rows = 256
+            tab.manifest_seglist_inline_max = 64
+            tab.manifest_seglist_chunk_refs = 64
+        return tab
+
+    t = _tune(VersionedParquetTable(root))
     # bootstrap v1: a real (tiny) committed table
     t.commit_with_manifest(
         spark.range(4).selectExpr("id as k", "id * 2 as v"),
@@ -151,11 +165,11 @@ def run_synthetic(n_files: int, spark) -> dict:
     )
     build_wall = time.perf_counter() - t0
     raw = t._raw_manifest(t.current_version())
-    n_segs = len(raw["file_segments"])
+    n_segs = len(t._seg_refs(raw) or [])
     root_doc_bytes = _meta_bytes(root, t.current_version())
 
     # (1) small append commit on a COLD instance
-    ta = VersionedParquetTable(root)
+    ta = _tune(VersionedParquetTable(root))
     t1 = time.perf_counter()
     va = ta.commit_with_manifest(
         spark.range(10**10, 10**10 + 4).selectExpr("id as k", "id*2 as v"),
@@ -170,7 +184,7 @@ def run_synthetic(n_files: int, spark) -> dict:
 
     # (2) point-read candidate materialization (metadata half of
     # read_range) on a COLD instance
-    tr = VersionedParquetTable(root)
+    tr = _tune(VersionedParquetTable(root))
     probe_lo, probe_hi = 5 * rows_per, 7 * rows_per
     t2 = time.perf_counter()
     man = tr._materialize_pruned(
@@ -190,7 +204,7 @@ def run_synthetic(n_files: int, spark) -> dict:
     assert 1 <= len(kept) <= 8, len(kept)
 
     # (3) CDF segment diff across the append on a COLD instance
-    td = VersionedParquetTable(root)
+    td = _tune(VersionedParquetTable(root))
     t3 = time.perf_counter()
     fm, tm = td._diff_file_maps(2, va)
     diff_wall = time.perf_counter() - t3
@@ -198,11 +212,21 @@ def run_synthetic(n_files: int, spark) -> dict:
     changed = {p for p in tm if fm.get(p) != tm[p]}
     assert changed and len(changed) <= 8, len(changed)
 
+    raw_append = t._raw_manifest(va)
     shutil.rmtree(root, ignore_errors=True)
     return {
         "n_files": n_files,
-        "form": "segmented-synthetic",
+        "form": (
+            "segmented-synthetic-2level"
+            if two_level
+            else "segmented-synthetic"
+        ),
         "segments": n_segs,
+        "seg_ref_chunks": len(
+            (raw_append or {}).get("seg_ref_lists") or []
+        ),
+        "append_chunks_loaded": len(ta._seglist_cache),
+        "read_chunks_loaded": len(tr._seglist_cache),
         "build_wall_s": round(build_wall, 3),
         "root_doc_bytes": root_doc_bytes,
         "append_meta_bytes": append_meta,
@@ -222,12 +246,13 @@ def main() -> None:
         "probe_manifest_scale", master="local[8]", shuffle_partitions=8
     )
     if synthetic:
+        two_level = "--two-level" in sys.argv
         sizes = [10_000, 100_000, 1_000_000]
         if args:
             sizes = [int(x) for x in args[0].split(",")]
         rows = []
         for n in sizes:
-            r = run_synthetic(n, spark)
+            r = run_synthetic(n, spark, two_level=two_level)
             rows.append(r)
             print(json.dumps(r), flush=True)
         lo, hi = rows[0], rows[-1]

@@ -260,7 +260,7 @@ def main() -> int:
 
             cur = table.current_version()
             raw = table._raw_manifest(cur) or {}
-            refs = raw.get("file_segments") or []
+            refs = table._seg_refs(raw) or []
             vname = f"v{cur:08d}"
             rec.update(
                 {
