@@ -751,7 +751,10 @@ def _bloom_build_for_files(
     if not blooms:
         return None
     name = _bloom_write_sidecar(vdir, blooms)
-    rel = os.path.join(os.path.basename(vdir), name)
+    # root-relative ref — basename(vdir) would drop the _staged/
+    # component of a prepared commit's staging dir and the sidecar
+    # would resolve against a path that does not exist
+    rel = os.path.relpath(os.path.join(vdir, name), root)
     for e in entries:
         if e["path"] in blooms:
             e["bloom"] = {"path": rel, "cols": sorted(blooms[e["path"]])}
@@ -4453,12 +4456,81 @@ class VersionedParquetTable:
         finally:
             hits.unpersist()
 
+    def _publish_layout_rewrite(
+        self,
+        df: DataFrame,
+        *,
+        base_version: int,
+        man: dict,
+        scope_paths: set,
+        n_out: int,
+        operation: str,
+        stats_columns=None,
+        cluster_by=None,
+        entry_flags: dict | None = None,
+        clustering: dict | None = None,
+    ) -> tuple[int, dict]:
+        """PREPARE/PUBLISH a LAYOUT-ONLY rewrite (compact / DV purge /
+        recluster / zorder): every Spark job the commit needs runs
+        LOCK-FREE into a content-addressed staging dir via
+        :meth:`prepare_commit`, and the publish's lock hold is
+        metadata-only — a maintenance pass no longer stalls racing
+        writers for the duration of its rewrite, which on a large
+        table is the longest write job the engine ever runs (Delta's
+        ``OPTIMIZE`` holds the same concurrency contract).
+
+        Rebase scope: a layout rewrite ADDS NO ROWS, so it conflicts
+        only with racing commits that removed/rewrote/re-DV'd a file
+        it READ (``scope_paths`` — the entry-identity check in
+        ``_rebase_compatible``); racing ADDITIONS and rewrites of
+        other files can never interact with its output and are
+        absorbed by rebuilding the carried set from the live head
+        (constant-False ``might_touch``, head files minus
+        ``exclude=scope_paths``).  A genuine scope overlap raises
+        ``SnapshotConflictError`` — the staging dir is reclaimed by
+        the publish — and the caller recomputes against the new head.
+
+        Returns ``(version, prepared)`` so telemetry reads the
+        commit's own output from the token (staged paths don't carry
+        the version-dir prefix the old counters keyed on)."""
+        inv = _inverse_mapping_of(man)
+        l_key = inv.get(man["key"], man["key"])
+        prepared = self.prepare_commit(
+            df,
+            l_key,
+            base_version=base_version,
+            cluster_partitions=n_out,
+            stats_columns=stats_columns,
+            cluster_by=cluster_by,
+            entry_flags=entry_flags,
+            clustering=clustering,
+        )
+        carried = [
+            e for e in man["files"] if e["path"] not in scope_paths
+        ]
+        version = self.commit_with_manifest(
+            None,
+            l_key,
+            carried=carried,
+            prepared=prepared,
+            expected_base_version=base_version,
+            app_metadata=man.get("app_metadata"),
+            operation=operation,
+            rebase_on_conflict={
+                "touched": scope_paths,
+                "might_touch": lambda e: False,
+                "exclude": scope_paths,
+            },
+        )
+        return version, prepared
+
     def compact(
         self,
         spark: SparkSession,
         *,
         min_file_bytes: int = 32 << 20,
         cluster_partitions: int | None = None,
+        attempts: int = 3,
     ) -> dict:
         """Delta ``OPTIMIZE`` analog for manifest versions: rewrite the
         live manifest's SMALL data files into fewer range-clustered
@@ -4469,15 +4541,37 @@ class VersionedParquetTable:
 
         Rewrite cost is bounded by the small-file mass, never table
         size — same property as the document store's block compaction.
-        Content is unchanged (unit-asserted); the commit is a normal
-        manifest commit (lock, marker, pointer swap), so readers of
-        the old version are undisturbed and vacuum later reclaims the
+        Content is unchanged (unit-asserted).  The rewrite PREPARES
+        lock-free (``_publish_layout_rewrite``): racing writers keep
+        committing while it runs, disjoint racers are absorbed by a
+        logical rebase at publish, and only a racer that rewrote one
+        of the small files being compacted forces a recompute — up to
+        ``attempts`` times against the then-live head before the
+        ``SnapshotConflictError`` propagates.  Readers of the old
+        version are undisturbed and vacuum later reclaims the
         superseded small files.  Returns ``{"version", "files_before",
         "files_after", "bytes_rewritten", "bytes_carried"}``; a table
         with fewer than two small files is a no-op (version unchanged).
         """
-        from pyspark.sql.types import StructType
+        last: SnapshotConflictError | None = None
+        for _ in range(max(1, attempts)):
+            try:
+                return self._compact_once(
+                    spark,
+                    min_file_bytes=min_file_bytes,
+                    cluster_partitions=cluster_partitions,
+                )
+            except SnapshotConflictError as e:
+                last = e  # scope overlap: recompute against new head
+        raise last
 
+    def _compact_once(
+        self,
+        spark: SparkSession,
+        *,
+        min_file_bytes: int,
+        cluster_partitions: int | None,
+    ) -> dict:
         v = self.current_version()
         if v is None:
             raise ValueError(
@@ -4506,26 +4600,23 @@ class VersionedParquetTable:
         inv = _inverse_mapping_of(man)  # manifest key/stats are physical
         small_bytes = sum(e["bytes"] for e in small)
         n_out = cluster_partitions or max(1, small_bytes // (128 << 20) + 1)
-        new_v = self.commit_with_manifest(
-            df, inv.get(man["key"], man["key"]),
-            carried=large, cluster_partitions=n_out,
+        new_v, prepared = self._publish_layout_rewrite(
+            df,
+            base_version=v,
+            man=man,
+            scope_paths={e["path"] for e in small},
+            n_out=n_out,
+            operation="OPTIMIZE[compact]",
             stats_columns=[
                 inv.get(c, c) for c in man.get("stats_columns") or []
             ] or None,
-            app_metadata=man.get("app_metadata"),
-            expected_base_version=v,  # CAS: rewrite was computed against v
-            operation="OPTIMIZE[compact]",
         )
         new_man = self.manifest(new_v) or {"files": []}
         return {
             "version": new_v,
             "files_before": len(man["files"]),
             "files_after": len(new_man["files"]),
-            "bytes_rewritten": sum(
-                e["bytes"]
-                for e in new_man["files"]
-                if e["path"].startswith(f"v{new_v:08d}")
-            ),
+            "bytes_rewritten": prepared["new_bytes"],
             "bytes_carried": sum(e["bytes"] for e in large),
         }
 
@@ -4631,7 +4722,6 @@ class VersionedParquetTable:
                 else dvd
             )
             rewrite_paths = {e["path"] for e in rewrite}
-            kept = [e for e in files if e["path"] not in rewrite_paths]
             inv0 = _inverse_mapping_of(man)
             df = self._read_manifest_files(spark, man, rewrite)
             # bin-pack by LOGICAL mass: a DV'd file's live fraction is
@@ -4648,32 +4738,47 @@ class VersionedParquetTable:
                 )
                 for e in rewrite
             )
-            nv = self.commit_with_manifest(
-                df,
-                inv0.get(man["key"], man["key"]),
-                carried=kept,
-                cluster_partitions=cluster_partitions
-                or max(1, live_bytes // (128 << 20) + 1),
-                stats_columns=[
-                    inv0.get(c, c) for c in man.get("stats_columns") or []
-                ]
-                or None,
-                app_metadata=man.get("app_metadata"),
-                expected_base_version=v,
-                operation=(
-                    "OPTIMIZE[reorg]" if combine else "OPTIMIZE[purge-dv]"
-                ),
-            )
-            dv_actions.append(
-                {
-                    "action": "reorg" if combine else "purge_dv",
-                    "version": nv,
-                    "files_rewritten": len(rewrite),
-                    "dv_rows_purged": dv_rows,
-                    "bytes_rewritten": sum(e["bytes"] for e in rewrite),
-                }
-            )
-            v = nv
+            try:
+                nv, _prep = self._publish_layout_rewrite(
+                    df,
+                    base_version=v,
+                    man=man,
+                    scope_paths=rewrite_paths,
+                    n_out=cluster_partitions
+                    or max(1, live_bytes // (128 << 20) + 1),
+                    operation=(
+                        "OPTIMIZE[reorg]"
+                        if combine
+                        else "OPTIMIZE[purge-dv]"
+                    ),
+                    stats_columns=[
+                        inv0.get(c, c)
+                        for c in man.get("stats_columns") or []
+                    ]
+                    or None,
+                )
+                dv_actions.append(
+                    {
+                        "action": "reorg" if combine else "purge_dv",
+                        "version": nv,
+                        "files_rewritten": len(rewrite),
+                        "dv_rows_purged": dv_rows,
+                        "bytes_rewritten": sum(e["bytes"] for e in rewrite),
+                    }
+                )
+                v = nv
+            except SnapshotConflictError:
+                # a racer rewrote one of the scoped files while the
+                # purge prepared — maintenance never aborts ingest's
+                # win; record the skip, recompute signals from the
+                # live head, and the next maintain() ride retries
+                dv_actions.append(
+                    {
+                        "action": "reorg" if combine else "purge_dv",
+                        "skipped": "concurrent-conflict",
+                    }
+                )
+                v = self.current_version()
             man = self.manifest(v)
             files = man["files"]
         # Z-ORDER DECAY — a table last clustered by optimize_zorder
@@ -4720,14 +4825,25 @@ class VersionedParquetTable:
                 z_signals["zorder_decayed_ratio"] > max_zorder_decay
                 or len(scope) > max_small_files
             ):
-                r = self.optimize_zorder(
-                    spark,
-                    zc["columns"],
-                    buckets=zc.get("buckets", 32),
-                    cluster_partitions=cluster_partitions,
-                    _scope_entries=scope,
-                )
-                if r["version"] != v:
+                try:
+                    r = self.optimize_zorder(
+                        spark,
+                        zc["columns"],
+                        buckets=zc.get("buckets", 32),
+                        cluster_partitions=cluster_partitions,
+                        _scope_entries=scope,
+                    )
+                except SnapshotConflictError:
+                    # racer rewrote a scoped entry mid-repair: skip,
+                    # next ride re-derives the decay scope
+                    dv_actions.append(
+                        {
+                            "action": "rezorder",
+                            "skipped": "concurrent-conflict",
+                        }
+                    )
+                    r = None
+                if r is not None and r["version"] != v:
                     dv_actions.append(
                         {
                             "action": "rezorder",
@@ -4789,24 +4905,33 @@ class VersionedParquetTable:
                 base_v = self.current_version()
                 man_now = self.manifest(base_v)
                 comp_paths = {e["path"] for e in comp}
-                carried = [
-                    e for e in man_now["files"] if e["path"] not in comp_paths
-                ]
                 comp_bytes = sum(e["bytes"] for e in comp)
-                df = self._read_manifest_files(spark, man, comp)
-                nv = self.commit_with_manifest(
-                    df,
-                    inv.get(man["key"], man["key"]),
-                    carried=carried,
-                    cluster_partitions=cluster_partitions
-                    or max(1, comp_bytes // (128 << 20) + 1),
-                    stats_columns=[
-                        inv.get(c, c) for c in man.get("stats_columns") or []
-                    ] or None,
-                    app_metadata=man_now.get("app_metadata"),
-                    expected_base_version=base_v,
-                    operation="OPTIMIZE[recluster]",
-                )
+                df = self._read_manifest_files(spark, man_now, comp)
+                try:
+                    nv, _prep = self._publish_layout_rewrite(
+                        df,
+                        base_version=base_v,
+                        man=man_now,
+                        scope_paths=comp_paths,
+                        n_out=cluster_partitions
+                        or max(1, comp_bytes // (128 << 20) + 1),
+                        operation="OPTIMIZE[recluster]",
+                        stats_columns=[
+                            inv.get(c, c)
+                            for c in man.get("stats_columns") or []
+                        ]
+                        or None,
+                    )
+                except SnapshotConflictError:
+                    # racer rewrote a component file mid-recluster:
+                    # skip this component, the others proceed
+                    actions.append(
+                        {
+                            "action": "recluster",
+                            "skipped": "concurrent-conflict",
+                        }
+                    )
+                    continue
                 actions.append(
                     {
                         "action": "recluster",
@@ -4822,12 +4947,23 @@ class VersionedParquetTable:
             # z tables: the scoped re-zorder above owns small-file
             # health (compact would strip the zorder flag from the
             # fragments it rewrites)
-            stats = self.compact(
-                spark,
-                min_file_bytes=min_file_bytes,
-                cluster_partitions=cluster_partitions,
-            )
-            actions.append({"action": "compact", **stats})
+            try:
+                stats = self.compact(
+                    spark,
+                    min_file_bytes=min_file_bytes,
+                    cluster_partitions=cluster_partitions,
+                )
+                actions.append({"action": "compact", **stats})
+            except SnapshotConflictError:
+                # compact's own retries recompute against each new
+                # head; persistent scope conflicts mean ingest is
+                # rewriting the same small files — yield to it
+                actions.append(
+                    {
+                        "action": "compact",
+                        "skipped": "concurrent-conflict",
+                    }
+                )
         return {
             "triggered": bool(actions),
             "signals": signals,
@@ -4841,6 +4977,7 @@ class VersionedParquetTable:
         *,
         buckets: int = 32,
         cluster_partitions: int | None = None,
+        attempts: int = 3,
         _scope_entries: list | None = None,
     ) -> dict:
         """Delta ``OPTIMIZE ... ZORDER BY (cols)`` analog: rewrite the
@@ -4906,11 +5043,17 @@ class VersionedParquetTable:
         points are re-sketched from the scope alone (bucket boundaries
         need not match the original pass; only per-file range
         tightness matters for pruning).
+
+        Concurrency: the rewrite (sketch scan + clustered write)
+        PREPARES lock-free and publishes metadata-only
+        (``_publish_layout_rewrite``) — ingest never stalls behind
+        it; disjoint racers rebase, a racer that rewrote a scoped
+        file forces a recompute, retried up to ``attempts`` times.
+        With ``_scope_entries`` the caller owns the scope policy, so
+        conflicts propagate after ONE attempt for the caller to
+        re-derive (``maintain()`` records a skipped action and the
+        next ride retries).
         """
-        import math
-
-        from pyspark.sql import functions as F
-
         if len(columns) < 2:
             raise ValueError(
                 "optimize_zorder needs >= 2 columns — a single-column "
@@ -4919,6 +5062,35 @@ class VersionedParquetTable:
             )
         if buckets < 4 or buckets > 1024:
             raise ValueError("buckets must be in [4, 1024]")
+        last: SnapshotConflictError | None = None
+        n_try = max(1, attempts) if _scope_entries is None else 1
+        for _ in range(n_try):
+            try:
+                return self._zorder_once(
+                    spark,
+                    columns,
+                    buckets=buckets,
+                    cluster_partitions=cluster_partitions,
+                    scope_entries=_scope_entries,
+                )
+            except SnapshotConflictError as e:
+                last = e  # scope overlap: re-sketch against new head
+        raise last
+
+    def _zorder_once(
+        self,
+        spark: SparkSession,
+        columns: list | tuple,
+        *,
+        buckets: int,
+        cluster_partitions: int | None,
+        scope_entries: list | None,
+    ) -> dict:
+        import math
+
+        from pyspark.sql import functions as F
+
+        _scope_entries = scope_entries
         v = self.current_version()
         man = self.manifest(v) if v is not None else None
         if man is None:
@@ -4960,14 +5132,14 @@ class VersionedParquetTable:
             _as_double(c)  # type vet before any job runs
         if _scope_entries is None:
             scope = man["files"]
-            z_carried: list = []
-            df = self.read(spark)
+            # pin the read to v's OWN entries — self.read() resolves
+            # the live head, and a racer landing between the version
+            # read above and this scan would double its rows through
+            # the publish-time rebase (df already has them AND the
+            # rebuilt carried set has them)
+            df = self._read_manifest_files(spark, man, scope)
         else:
             scope = list(_scope_entries)
-            scoped = {e["path"] for e in scope}
-            z_carried = [
-                e for e in man["files"] if e["path"] not in scoped
-            ]
             df = self._read_manifest_files(spark, man, scope)
         # -- 1. equi-depth cut points (one column-pruned sketch scan)
         probs = [i / buckets for i in range(1, buckets)]
@@ -5064,16 +5236,15 @@ class VersionedParquetTable:
         stats = list(
             dict.fromkeys([*(prior_stats or [l_key]), *columns])
         )
-        new_v = self.commit_with_manifest(
+        new_v, prepared = self._publish_layout_rewrite(
             df,
-            l_key,
-            carried=z_carried,
-            cluster_partitions=n_out,
-            cluster_by=z_expr,
-            stats_columns=stats,
-            app_metadata=man.get("app_metadata"),
-            expected_base_version=v,
+            base_version=v,
+            man=man,
+            scope_paths={e["path"] for e in scope},
+            n_out=n_out,
             operation=f"OPTIMIZE[zorder({','.join(columns)})]",
+            stats_columns=stats,
+            cluster_by=z_expr,
             entry_flags={"clustered": "zorder"},
             clustering={
                 "type": "zorder",
@@ -5081,17 +5252,12 @@ class VersionedParquetTable:
                 "buckets": buckets,
             },
         )
-        new_man = self.manifest(new_v) or {"files": []}
-        own = [
-            e
-            for e in new_man["files"]
-            if e["path"].startswith(f"v{new_v:08d}{os.sep}")
-        ]
+        own = prepared["new_entries"]
         return {
             "version": new_v,
             "files_before": len(files),
             "files_after": len(own),
-            "bytes_rewritten": sum(e["bytes"] for e in own),
+            "bytes_rewritten": prepared["new_bytes"],
             "z_bits": pos,
         }
 

@@ -235,14 +235,16 @@ class TestBloomCore:
         src = spark.range(5).selectExpr(
             "id * 7 as k", "1000000 + id as u", "'upd' as s"
         )
+        base_paths = {
+            e["path"] for e in t.manifest(t.current_version())["files"]
+        }
         merge_upsert_write_pruned(root, src, "k", vacuum_keep_last=None)
         man = t.manifest(t.current_version())
         assert man.get("bloom_columns") == ["u"]
-        new = [
-            e
-            for e in man["files"]
-            if e["path"].startswith(f"v{t.current_version():08d}")
-        ]
+        # the merge's own output: whatever the base manifest did not
+        # hold (prepared commits place new files under _staged/, not
+        # the version dir)
+        new = [e for e in man["files"] if e["path"] not in base_paths]
         assert new and all("u" in e["bloom"]["cols"] for e in new)
         # the merged-in value is findable through the new file's bloom
         assert t.read_eq(spark, "u", 1000002).count() == 1

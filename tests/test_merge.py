@@ -1707,9 +1707,12 @@ def test_pruned_merge_retries_conflict_and_preserves_both_writers(
         )
 
 
-def test_compact_cas_detects_interleaved_commit(spark, tmp_path, monkeypatch):
+def test_compact_rebases_past_interleaved_commit(spark, tmp_path, monkeypatch):
+    # an interleaved DISJOINT commit (pure append) no longer fails the
+    # compaction: compact prepares lock-free and its publish REBASES —
+    # the racer's file joins the carried set, the small files compact,
+    # no row is lost or doubled (Delta's OPTIMIZE concurrency contract)
     from airflow_embeddings_pipeline_spark.sources.versioned import (
-        SnapshotConflictError,
         VersionedParquetTable,
     )
 
@@ -1725,15 +1728,15 @@ def test_compact_cas_detects_interleaved_commit(spark, tmp_path, monkeypatch):
                 df, "k", carried=man["files"], cluster_partitions=1
             )
 
-    real = VersionedParquetTable.manifest
+    real = VersionedParquetTable.prepare_commit
     state = {"done": False}
 
-    def racing_manifest(self, version):
-        out = real(self, version)
-        if not state["done"]:
+    def racing_prepare(self, *a, **kw):
+        out = real(self, *a, **kw)
+        if not state["done"]:  # race lands BETWEEN prepare and publish
             state["done"] = True
             other = VersionedParquetTable(self.root)
-            man = real(other, other.current_version())
+            man = other.manifest(other.current_version())
             other.commit_with_manifest(
                 spark.createDataFrame([(99, "race")], "k long, v string"),
                 "k",
@@ -1741,11 +1744,12 @@ def test_compact_cas_detects_interleaved_commit(spark, tmp_path, monkeypatch):
             )
         return out
 
-    monkeypatch.setattr(VersionedParquetTable, "manifest", racing_manifest)
-    with pytest.raises(SnapshotConflictError):
-        t.compact(spark, min_file_bytes=1 << 30)
-    # the interleaved row is intact and compact published nothing over it
-    assert t.read(spark).filter(F.col("k") == 99).count() == 1
+    monkeypatch.setattr(VersionedParquetTable, "prepare_commit", racing_prepare)
+    r = t.compact(spark, min_file_bytes=1 << 30)
+    assert t._last_commit_rebase is not None
+    assert r["version"] == t.current_version()
+    rows = {x["k"]: x["v"] for x in t.read(spark).collect()}
+    assert rows == {0: "x", 1: "x", 2: "x", 99: "race"}
 
 
 # -------------------------------------------------------- time travel

@@ -25,11 +25,14 @@ def stage(root):
     return t
 
 def rewritten_bytes(t, v0):
+    # a version's OWN output = entries its predecessor didn't hold
+    # (prepared commits place new files under _staged/, so the old
+    # v-prefix test would count zero)
     tot = 0
     for v in range(v0 + 1, t.current_version() + 1):
-        man = t.manifest(v)
-        tot += sum(e["bytes"] for e in man["files"]
-                   if e["path"].startswith(f"v{v:08d}"))
+        prev = {e["path"] for e in t.manifest(v - 1)["files"]}
+        tot += sum(e["bytes"] for e in t.manifest(v)["files"]
+                   if e["path"] not in prev)
     return tot
 
 # (a) combined reorg
