@@ -34,6 +34,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.versioned import ConcurrentCommitError
+
 
 def _as_keys(key: str | Sequence[str]) -> list[str]:
     keys = [key] if isinstance(key, str) else list(key)
@@ -354,7 +356,15 @@ def merge_upsert_write(
     )
     version = table.commit(merged)
     if vacuum_keep_last is not None:
-        table.vacuum(keep_last=vacuum_keep_last)
+        # ride-along vacuum is BEST-EFFORT under writer
+        # contention: its destructive sweep takes the commit
+        # lock, and a merge that just committed must not fail
+        # because a racing writer holds it — the next ride
+        # vacuums instead
+        try:
+            table.vacuum(keep_last=vacuum_keep_last)
+        except ConcurrentCommitError:
+            pass
     return version
 
 
@@ -1133,7 +1143,15 @@ def _pruned_merge_attempt(
                 commit_df, lead, carried=carried, **common
             )
         if vacuum_keep_last is not None:
-            table.vacuum(keep_last=vacuum_keep_last)
+            # ride-along vacuum is BEST-EFFORT under writer
+            # contention: its destructive sweep takes the commit
+            # lock, and a merge that just committed must not fail
+            # because a racing writer holds it — the next ride
+            # vacuums instead
+            try:
+                table.vacuum(keep_last=vacuum_keep_last)
+            except ConcurrentCommitError:
+                pass
         return {
             "version": version,
             "files_total": files_total,
@@ -1394,7 +1412,15 @@ def _mor_commit(
             **common,
         )
     if vacuum_keep_last is not None:
-        table.vacuum(keep_last=vacuum_keep_last)
+        # ride-along vacuum is BEST-EFFORT under writer
+        # contention: its destructive sweep takes the commit
+        # lock, and a merge that just committed must not fail
+        # because a racing writer holds it — the next ride
+        # vacuums instead
+        try:
+            table.vacuum(keep_last=vacuum_keep_last)
+        except ConcurrentCommitError:
+            pass
     return {
         "version": version,
         "files_total": totals["files_total"],

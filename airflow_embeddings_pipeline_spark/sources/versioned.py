@@ -94,6 +94,15 @@ class SnapshotConflictError(ConcurrentCommitError):
         self.actual = actual
 
 
+class StalePreparedError(ConcurrentCommitError):
+    """A prepared token was published after the staged-GC grace window
+    (or after vacuum already reclaimed its staging directory).
+    Publishing it would commit a manifest referencing files the
+    staged sweep is entitled to delete — re-run ``prepare_commit``
+    against the live head instead.  Checked under the commit lock, the
+    same lock vacuum's sweep holds, so the fence cannot race."""
+
+
 class ConstraintViolationError(RuntimeError):
     """A table CHECK constraint rejected a commit.  Nothing was
     published — the half-written version directory is an orphan above
@@ -3791,6 +3800,35 @@ class VersionedParquetTable:
         self._acquire_lock()
         try:
             self._last_commit_rebase = None
+            if prepared is not None:
+                # staged-GC fence, checked under the SAME lock
+                # vacuum's sweep holds: a token held past the grace
+                # window may have had its staging reclaimed (or be
+                # about to) — publishing it would commit a manifest
+                # referencing deleted files.  The prepare/publish
+                # contract is therefore enforced, not just documented:
+                # publish within the grace window or re-prepare.
+                import time as _t
+
+                sdir = os.path.join(self.root, prepared["staging_rel"])
+                try:
+                    age = _t.time() - os.path.getmtime(sdir)
+                except OSError:
+                    age = None
+                if age is None or age >= self.staged_gc_grace_seconds:
+                    self.discard_prepared(prepared)
+                    raise StalePreparedError(
+                        f"{self.root}: prepared staging "
+                        f"{prepared['staging_rel']!r} is "
+                        + (
+                            "gone (reclaimed by vacuum's staged sweep)"
+                            if age is None
+                            else f"{age:.0f}s old, past the "
+                            f"{self.staged_gc_grace_seconds:.0f}s "
+                            "staged-GC grace window"
+                        )
+                        + " — re-run prepare_commit against the live head"
+                    )
             cur = self.current_version()
             if expected_base_version is not _NO_CAS and cur != expected_base_version:
                 scope = rebase_on_conflict or {}
@@ -6116,7 +6154,18 @@ class VersionedParquetTable:
         ``_COMMITTED`` / ``_MANIFEST`` markers go too, so the
         partially-emptied version cleanly stops being time-travelable
         instead of reading with missing files).  Returns the versions
-        whose directories were FULLY removed."""
+        whose directories were FULLY removed.
+
+        Concurrency: the DESTRUCTIVE sweep runs under the COMMIT LOCK
+        (metadata-only hold — the expensive kept-manifest
+        materialization happens before acquiring it, and versions
+        committed in between are folded into the keep/referenced sets
+        under the lock).  Unlocked, a writer publishing between the
+        keep computation and the sweep would lose its freshly
+        committed version.  ``dry_run`` stays lock-free.  May raise
+        ``ConcurrentCommitError`` if the lock cannot be acquired
+        within ``lock_wait_seconds`` — ride-along callers (the merge's
+        ``vacuum_keep_last``) treat that as "skip this ride"."""
         current = self.current_version()
         if current is None:
             return []
@@ -6137,38 +6186,84 @@ class VersionedParquetTable:
             )
         referenced: set[str] = set()  # relpaths from kept manifests
         for v in keep:
-            # manifest SEGMENTS are referenced metadata exactly like
-            # data files: a kept manifest may carry segments living in
-            # older (non-kept) version dirs, and partial GC must not
-            # strand it unreadable
-            raw = self._raw_manifest(v)
-            # level-2 chunk files are referenced metadata exactly like
-            # segments: a kept manifest may carry chunks (and their
-            # member segments) living in older non-kept version dirs
-            for lref in (raw or {}).get("seg_ref_lists") or []:
-                referenced.add(lref["path"])
-            for ref in self._seg_refs(raw) or []:
-                referenced.add(ref["path"])
-            man = self.manifest(v)
-            if man is not None:
-                referenced.update(e["path"] for e in man["files"])
-                # DV / bloom sidecars are referenced files too: a kept
-                # entry's deletion vector and bloom index must survive
-                # as long as the entry
-                referenced.update(
-                    e["dv"]["path"] for e in man["files"] if e.get("dv")
-                )
-                referenced.update(
-                    e["bloom"]["path"]
-                    for e in man["files"]
-                    if e.get("bloom")
-                )
-        # pointer metadata below the retention horizon goes with the
-        # versions (no-op on posix; the object-store protocol's
-        # LIST-max pointer resolution stays bounded by retention).
-        # NOT on dry_run — "delete nothing" includes metadata.
-        if not dry_run:
+            self._collect_version_refs(v, referenced)
+        if dry_run:
+            # report-only: no lock (deletes nothing, a racy snapshot
+            # of what a real vacuum would drop is exactly the ask)
+            return self._vacuum_sweep(
+                current, keep, referenced, dry_run=True
+            )
+        # DESTRUCTIVE phase under the COMMIT LOCK: vacuum used to run
+        # fully unlocked, and with the prepare/publish split making
+        # racing writers routine that left a real loss window — a
+        # writer publishing v(N+1) between this vacuum's keep
+        # computation and its sweep would have its just-committed
+        # version dir rmtree'd (on disk, not in the stale keep,
+        # unreferenced by the stale kept manifests).  The expensive
+        # part (materializing kept manifests for `referenced`) stays
+        # outside the lock; the hold covers only the sweep itself plus
+        # an O(interleaved commits) refresh below — metadata-only,
+        # same contract as a prepared publish.
+        self._acquire_lock()
+        try:
+            fresh = self.current_version()
+            if fresh is not None and (current is None or fresh > current):
+                # the head advanced while we computed `referenced`:
+                # every version committed in the window joins keep and
+                # contributes its refs (usually zero or one manifest —
+                # their carried refs are already ⊆ the stale head's,
+                # but folding them in makes the sweep airtight rather
+                # than argued)
+                for v in self._versions_on_disk():
+                    if v > (current or 0) and v <= fresh:
+                        keep.add(v)
+                        self._collect_version_refs(v, referenced)
+                current = fresh
+            # pointer metadata below the retention horizon goes with
+            # the versions (no-op on posix; the object-store
+            # protocol's LIST-max pointer resolution stays bounded by
+            # retention).
             self._protocol.gc_pointers(min(keep))
+            return self._vacuum_sweep(
+                current, keep, referenced, dry_run=False
+            )
+        finally:
+            self._release_lock()
+
+    def _collect_version_refs(self, v: int, referenced: set) -> None:
+        """Fold version ``v``'s reachable relpaths into ``referenced``:
+        data files, DV/bloom sidecars, manifest segments and level-2
+        chunk lists — everything partial GC must not strand."""
+        # manifest SEGMENTS are referenced metadata exactly like
+        # data files: a kept manifest may carry segments living in
+        # older (non-kept) version dirs, and partial GC must not
+        # strand it unreadable
+        raw = self._raw_manifest(v)
+        # level-2 chunk files are referenced metadata exactly like
+        # segments: a kept manifest may carry chunks (and their
+        # member segments) living in older non-kept version dirs
+        for lref in (raw or {}).get("seg_ref_lists") or []:
+            referenced.add(lref["path"])
+        for ref in self._seg_refs(raw) or []:
+            referenced.add(ref["path"])
+        man = self.manifest(v)
+        if man is not None:
+            referenced.update(e["path"] for e in man["files"])
+            # DV / bloom sidecars are referenced files too: a kept
+            # entry's deletion vector and bloom index must survive
+            # as long as the entry
+            referenced.update(
+                e["dv"]["path"] for e in man["files"] if e.get("dv")
+            )
+            referenced.update(
+                e["bloom"]["path"]
+                for e in man["files"]
+                if e.get("bloom")
+            )
+
+    def _vacuum_sweep(
+        self, current, keep: set, referenced: set, *, dry_run: bool
+    ) -> list[int]:
         dropped = []
         for v in self._versions_on_disk():
             if v in keep:

@@ -10,12 +10,15 @@ a layout rewrite that (a) runs its Spark jobs OUTSIDE the commit lock,
 """
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
 
 from airflow_embeddings_pipeline_spark.sources.versioned import (
+    ConcurrentCommitError,
     SnapshotConflictError,
+    StalePreparedError,
     VersionedParquetTable,
 )
 
@@ -272,3 +275,128 @@ class TestMaintainConcurrent:
         assert not any(e.get("dv") for e in man["files"])
         rows = {x["k"] for x in t.read(spark).collect()}
         assert rows == set(range(40, 100)) | {500}
+
+class TestVacuumConcurrent:
+    def test_vacuum_folds_interleaved_commit_into_keep(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # the loss window the locked sweep closes: a writer publishes
+        # BETWEEN vacuum's keep computation and its sweep — unlocked,
+        # that freshly committed version dir was "on disk, not in
+        # keep, unreferenced" and got rmtree'd
+        root = str(tmp_path / "t")
+        t = _mk_small_files(spark, root, n=4)
+        real_acquire = VersionedParquetTable._acquire_lock
+        state = {"fired": 0}
+
+        def racing_acquire(self, *a, **kw):
+            if not state["fired"]:
+                state["fired"] = 1
+                other = VersionedParquetTable(self.root)
+                man = other.manifest(other.current_version())
+                other.commit_with_manifest(
+                    spark.createDataFrame(
+                        [(999, "race")], "k long, v string"
+                    ),
+                    "k",
+                    carried=man["files"],
+                    cluster_partitions=1,
+                )
+            return real_acquire(self, *a, **kw)
+
+        monkeypatch.setattr(
+            VersionedParquetTable, "_acquire_lock", racing_acquire
+        )
+        dropped = t.vacuum(keep_last=1)
+        assert state["fired"] == 1
+        head = t.current_version()
+        assert head == 5, "the racer's publish must be the live head"
+        rows = {x["k"]: x["v"] for x in t.read(spark).collect()}
+        assert rows[999] == "race" and len(rows) == 17
+        assert all(v < 4 for v in dropped), (
+            "only pre-race history may drop; the interleaved commit "
+            "and the vacuum-time head must survive"
+        )
+
+    def test_ride_along_vacuum_contention_does_not_fail_the_merge(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from airflow_embeddings_pipeline_spark.operators.merge import (
+            merge_upsert_write_pruned,
+        )
+
+        root = str(tmp_path / "t")
+        t = _mk_small_files(spark, root, n=2)
+
+        def busy_vacuum(self, *a, **kw):
+            raise ConcurrentCommitError("lock held by a racing writer")
+
+        monkeypatch.setattr(VersionedParquetTable, "vacuum", busy_vacuum)
+        r = merge_upsert_write_pruned(
+            root,
+            spark.createDataFrame([(0, "UPD")], "k long, v string"),
+            "k",
+            vacuum_keep_last=2,  # ride-along vacuum requested...
+        )
+        # ...and its contention is swallowed: the merge still commits
+        assert r["version"] == t.current_version()
+        assert t.read(spark).filter("v = 'UPD'").count() == 1
+
+
+class TestStalePreparedFence:
+    def test_publish_refuses_token_older_than_grace(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk_small_files(spark, root, n=2)
+        v = t.current_version()
+        df = spark.createDataFrame([(100, "new")], "k long, v string")
+        prepared = t.prepare_commit(df, "k", base_version=v)
+        sdir = os.path.join(root, prepared["staging_rel"])
+        old = time.time() - t.staged_gc_grace_seconds - 10
+        os.utime(sdir, (old, old))  # held past the grace window
+        with pytest.raises(StalePreparedError):
+            t.commit_with_manifest(
+                None,
+                "k",
+                carried=t.manifest(v)["files"],
+                prepared=prepared,
+                expected_base_version=v,
+            )
+        assert not os.path.exists(sdir), "stale staging is reclaimed"
+        assert t.current_version() == v, "nothing published"
+
+    def test_publish_refuses_token_whose_staging_was_swept(
+        self, spark, tmp_path
+    ):
+        import shutil
+
+        root = str(tmp_path / "t")
+        t = _mk_small_files(spark, root, n=2)
+        v = t.current_version()
+        df = spark.createDataFrame([(100, "new")], "k long, v string")
+        prepared = t.prepare_commit(df, "k", base_version=v)
+        shutil.rmtree(os.path.join(root, prepared["staging_rel"]))
+        with pytest.raises(StalePreparedError, match="gone"):
+            t.commit_with_manifest(
+                None,
+                "k",
+                carried=t.manifest(v)["files"],
+                prepared=prepared,
+                expected_base_version=v,
+            )
+        assert t.current_version() == v
+
+    def test_fresh_token_publishes_through_the_fence(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = _mk_small_files(spark, root, n=2)
+        v = t.current_version()
+        df = spark.createDataFrame([(100, "new")], "k long, v string")
+        prepared = t.prepare_commit(df, "k", base_version=v)
+        nv = t.commit_with_manifest(
+            None,
+            "k",
+            carried=t.manifest(v)["files"],
+            prepared=prepared,
+            expected_base_version=v,
+        )
+        assert nv == v + 1
+        assert t.read(spark).filter("k = 100").count() == 1
