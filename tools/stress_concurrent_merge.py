@@ -21,9 +21,19 @@ What this proves (the Delta ConcurrentModificationException contract):
   (``_rebase_compatible``) must then absorb nearly every CAS
   conflict with zero recomputes, while the default scattered
   workload (every merge touches every file) keeps exercising the
-  genuinely-overlapping recompute path.
+  genuinely-overlapping recompute path;
+* (round 11) with ``--vacuum N``, every merge rides a
+  ``vacuum_keep_last=N`` — the DESTRUCTIVE sweep now racing the
+  other writers' prepares and publishes.  This exercises the locked
+  sweep (an unlocked vacuum could rmtree a version committed between
+  its keep computation and its delete) and the best-effort ride
+  contract (lock contention skips the ride, never fails the merge).
+  Serial equivalence must hold UNCHANGED while history is being
+  aggressively reclaimed mid-storm, and the final table must still
+  read at every retained version.
 
-Usage: python tools/stress_concurrent_merge.py [rows] [threads] [batches] [--banded]
+Usage: python tools/stress_concurrent_merge.py [rows] [threads] [batches]
+           [--banded] [--vacuum N]
 """
 
 from __future__ import annotations
@@ -40,7 +50,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     banded = "--banded" in sys.argv
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    vacuum_keep = None
+    argv = sys.argv[1:]
+    if "--vacuum" in argv:
+        vacuum_keep = int(argv[argv.index("--vacuum") + 1])
+        del argv[argv.index("--vacuum") : argv.index("--vacuum") + 2]
+    args = [a for a in argv if not a.startswith("--")]
     rows = int(args[0]) if len(args) > 0 else 1_000_000
     n_threads = int(args[1]) if len(args) > 1 else 4
     n_batches = int(args[2]) if len(args) > 2 else 8
@@ -78,9 +93,34 @@ def main() -> int:
     # telemetry: count CAS conflicts (true recomputes) and logical
     # REBASES (conflicts absorbed under the lock with zero recompute)
     # by wrapping the attempt fn
-    counters = {"cas_conflicts": 0, "lock_busy": 0, "rebases": 0}
+    counters = {
+        "cas_conflicts": 0,
+        "lock_busy": 0,
+        "rebases": 0,
+        "vacuums_ran": 0,
+        "vacuums_skipped": 0,
+    }
     clock = threading.Lock()
     real_attempt = merge_mod._pruned_merge_attempt
+
+    if vacuum_keep is not None:
+        # telemetry on the ride-along sweeps: ran vs skipped-on-
+        # contention (the merge swallows ConcurrentCommitError from
+        # its best-effort ride, so count at the vacuum seam itself)
+        real_vacuum = VersionedParquetTable.vacuum
+
+        def counting_vacuum(self, *a, **kw):
+            try:
+                dropped = real_vacuum(self, *a, **kw)
+            except ConcurrentCommitError:
+                with clock:
+                    counters["vacuums_skipped"] += 1
+                raise
+            with clock:
+                counters["vacuums_ran"] += 1
+            return dropped
+
+        VersionedParquetTable.vacuum = counting_vacuum
 
     def counting_attempt(*a, **kw):
         try:
@@ -132,7 +172,7 @@ def main() -> int:
                 try:
                     merge_mod.merge_upsert_write_pruned(
                         root, batch, "k",
-                        vacuum_keep_last=None,
+                        vacuum_keep_last=vacuum_keep,
                         conflict_retries=50,
                     )
                     break
@@ -157,6 +197,8 @@ def main() -> int:
         th.join()
     wall = time.time() - t0
     merge_mod._pruned_merge_attempt = real_attempt
+    if vacuum_keep is not None:
+        VersionedParquetTable.vacuum = real_vacuum
     if errors:
         print(json.dumps({"ok": False, "errors": errors}))
         return 1
@@ -198,6 +240,31 @@ def main() -> int:
     got = table.read(spark)
     n_got, n_exp = got.count(), expected.count()
     diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+
+    # --vacuum: history was reclaimed MID-STORM — every version the
+    # final retention window kept must still read (a lost sweep race
+    # shows up here as a dangling manifest / missing files), and the
+    # head must be among them
+    time_travel_ok = None
+    versions_readable = None
+    if vacuum_keep is not None:
+        time_travel_ok = True
+        readable = [
+            v
+            for v in table.versions()
+            if table.manifest(v) is not None
+        ]
+        versions_readable = len(readable)
+        head = table.current_version()
+        if head not in readable:
+            time_travel_ok = False
+        for v in readable:
+            try:
+                table.read_version(spark, v).count()
+            except Exception:
+                time_travel_ok = False
+                break
+
     out = {
         "metric": "concurrent_merge_serializability",
         "workload": "banded" if banded else "scattered",
@@ -214,11 +281,18 @@ def main() -> int:
         "serial_equivalent": diff == 0 and n_got == n_exp,
         "wall_s": round(wall, 1),
     }
+    if vacuum_keep is not None:
+        out["vacuum_keep_last"] = vacuum_keep
+        out["vacuums_ran"] = counters["vacuums_ran"]
+        out["vacuums_skipped_on_contention"] = counters["vacuums_skipped"]
+        out["versions_readable"] = versions_readable
+        out["time_travel_ok"] = time_travel_ok
     print(json.dumps(out))
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
-    return 0 if out["serial_equivalent"] else 1
+    ok = out["serial_equivalent"] and time_travel_ok in (None, True)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
