@@ -103,6 +103,65 @@ class StalePreparedError(ConcurrentCommitError):
     same lock vacuum's sweep holds, so the fence cannot race."""
 
 
+class _SaltedBloomRefs:
+    """Membership-only stand-in for vacuum's ``referenced`` set on
+    very large tables.  An exact ``set[str]`` of every kept relpath is
+    O(~100 B x kept files) of DRIVER memory — ~10 GB at 10^8 files,
+    the last driver-side scale bound in the engine.  This Bloom filter
+    holds the same membership answer in ~1.7 bytes/entry (10^8 files
+    -> ~170 MB; 10^10 -> fits a big driver), with the ONE-SIDED error
+    vacuum can tolerate:
+
+    * false NEGATIVES are impossible — a path that was ``add``-ed
+      always tests positive, so a file referenced by any kept manifest
+      is NEVER deleted;
+    * false POSITIVES over-retain — a dead file survives this run with
+      probability ~fp.  The filter is salted PER VACUUM RUN
+      (``os.urandom``), so consecutive runs err on independent ~fp
+      subsets: a dead file's expected lifetime is ~1/(1-fp) ~ 1.01
+      vacuums, not forever.
+
+    Same one-sided-error direction as Delta's VACUUM parallel listing
+    optimizations: reclamation may be late, never wrong."""
+
+    _BITS_PER_ENTRY = 14  # k=9 optimal -> fp ~ 0.4%
+    _HASHES = 9
+
+    def __init__(self, expected_entries: int):
+        import numpy as _np
+
+        n_bits = max(1024, int(expected_entries) * self._BITS_PER_ENTRY)
+        self._n_bytes = (n_bits + 7) // 8
+        self._bits = _np.zeros(self._n_bytes, dtype=_np.uint8)
+        self._n_bits = self._n_bytes * 8
+        self._salt = os.urandom(8)
+
+    def _indexes(self, item: str):
+        import hashlib
+
+        d = hashlib.blake2b(
+            item.encode("utf-8"), digest_size=16, salt=self._salt
+        ).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1  # odd -> full period
+        for i in range(self._HASHES):
+            yield (h1 + i * h2) % self._n_bits
+
+    def add(self, item: str) -> None:
+        for ix in self._indexes(item):
+            self._bits[ix >> 3] |= 1 << (ix & 7)
+
+    def update(self, items) -> None:
+        for item in items:
+            self.add(item)
+
+    def __contains__(self, item: str) -> bool:
+        return all(
+            self._bits[ix >> 3] & (1 << (ix & 7))
+            for ix in self._indexes(item)
+        )
+
+
 class ConstraintViolationError(RuntimeError):
     """A table CHECK constraint rejected a commit.  Nothing was
     published — the half-written version directory is an orphan above
@@ -6156,16 +6215,34 @@ class VersionedParquetTable:
         instead of reading with missing files).  Returns the versions
         whose directories were FULLY removed.
 
-        Concurrency: the DESTRUCTIVE sweep runs under the COMMIT LOCK
-        (metadata-only hold — the expensive kept-manifest
-        materialization happens before acquiring it, and versions
-        committed in between are folded into the keep/referenced sets
-        under the lock).  Unlocked, a writer publishing between the
-        keep computation and the sweep would lose its freshly
-        committed version.  ``dry_run`` stays lock-free.  May raise
-        ``ConcurrentCommitError`` if the lock cannot be acquired
+        Concurrency: the lock hold is METADATA-ONLY in three acts —
+        the expensive kept-manifest materialization runs BEFORE the
+        lock; under the lock the keep/referenced sets fold in any
+        versions committed in the window, condemned versions lose
+        their ``_COMMITTED``/``_MANIFEST`` markers (they atomically
+        stop being readable/restorable), and crash orphans ABOVE the
+        head are reclaimed (their version numbers get REUSED by the
+        next commit, so deleting them lock-free would race an
+        in-flight writer recreating the dir); the BULK data deletion
+        of condemned dirs below the head runs AFTER the lock is
+        released — a below-head version number is never reused and a
+        file unreferenced by every kept manifest can never be
+        re-referenced (commits carry only head refs plus fresh
+        staging; restore of a condemned version fails cleanly on its
+        removed markers), so racing writers never queue behind the
+        rmtree of a deep history.  ``dry_run`` stays lock-free.  May
+        raise ``ConcurrentCommitError`` if the lock cannot be acquired
         within ``lock_wait_seconds`` — ride-along callers (the merge's
-        ``vacuum_keep_last``) treat that as "skip this ride"."""
+        ``vacuum_keep_last``) treat that as "skip this ride".
+
+        Driver memory: ``referenced`` is an exact ``set`` up to
+        ``vacuum_bloom_min_refs`` estimated kept files (cheap
+        O(segments) estimate), and a per-run-salted Bloom filter
+        (`_SaltedBloomRefs`) beyond — membership stays exact-negative
+        (nothing referenced is ever deleted), false positives
+        over-retain ~0.4% of dead files for one extra vacuum cycle,
+        and the driver bound drops from O(100 B/file) to
+        O(1.75 B/file)."""
         current = self.current_version()
         if current is None:
             return []
@@ -6184,26 +6261,18 @@ class VersionedParquetTable:
             keep.update(
                 v for v in committed_older if self.committed_at(v) >= cutoff
             )
-        referenced: set[str] = set()  # relpaths from kept manifests
+        referenced = self._new_ref_container(keep)
         for v in keep:
             self._collect_version_refs(v, referenced)
         if dry_run:
             # report-only: no lock (deletes nothing, a racy snapshot
             # of what a real vacuum would drop is exactly the ask)
-            return self._vacuum_sweep(
-                current, keep, referenced, dry_run=True
+            condemned = [
+                v for v in self._versions_on_disk() if v not in keep
+            ]
+            return self._sweep_version_dirs(
+                condemned, referenced, dry_run=True
             )
-        # DESTRUCTIVE phase under the COMMIT LOCK: vacuum used to run
-        # fully unlocked, and with the prepare/publish split making
-        # racing writers routine that left a real loss window — a
-        # writer publishing v(N+1) between this vacuum's keep
-        # computation and its sweep would have its just-committed
-        # version dir rmtree'd (on disk, not in the stale keep,
-        # unreferenced by the stale kept manifests).  The expensive
-        # part (materializing kept manifests for `referenced`) stays
-        # outside the lock; the hold covers only the sweep itself plus
-        # an O(interleaved commits) refresh below — metadata-only,
-        # same contract as a prepared publish.
         self._acquire_lock()
         try:
             fresh = self.current_version()
@@ -6224,11 +6293,66 @@ class VersionedParquetTable:
             # protocol's LIST-max pointer resolution stays bounded by
             # retention).
             self._protocol.gc_pointers(min(keep))
-            return self._vacuum_sweep(
-                current, keep, referenced, dry_run=False
+            on_disk = self._versions_on_disk()
+            # crash orphans ABOVE the head: failed commits whose
+            # version number the NEXT commit will reuse — reclaim
+            # under the lock (no commit is in flight while we hold
+            # it; normally zero dirs)
+            orphans_above = [
+                v for v in on_disk if v not in keep and v > current
+            ]
+            dropped_above = self._sweep_version_dirs(
+                orphans_above, referenced, dry_run=False
             )
+            # condemned below-head versions: strip their markers so
+            # they atomically stop being readable/restorable; the
+            # bulk file deletion happens after the lock drops
+            condemned = [
+                v for v in on_disk if v not in keep and v <= current
+            ]
+            for v in condemned:
+                vdir = self._version_dir(v)
+                for marker in (_COMMITTED, _MANIFEST):
+                    try:
+                        os.remove(os.path.join(vdir, marker))
+                    except OSError:
+                        pass
+            # staged-dir sweep stays UNDER the lock: the
+            # StalePreparedError fence checks a staging's age under
+            # this same lock, so sweep-vs-publish interleavings stay
+            # impossible (a lock-free staged sweep could delete a
+            # staging that passed the fence a moment earlier)
+            self._sweep_staged(referenced)
         finally:
             self._release_lock()
+        # LOCK-FREE bulk deletion of the condemned below-head dirs
+        return sorted(
+            dropped_above
+            + self._sweep_version_dirs(condemned, referenced, dry_run=False)
+        )
+
+    # exact-set ceiling for vacuum's referenced-file container; above
+    # this (estimated) kept-file count the salted Bloom tier engages
+    vacuum_bloom_min_refs: int = 5_000_000
+
+    def _new_ref_container(self, keep: set):
+        """Exact ``set`` below ``vacuum_bloom_min_refs`` estimated
+        kept files, per-run-salted Bloom above.  The estimate is
+        O(segments) rollup arithmetic (``_segment_totals``); inline
+        manifests are by construction below any sane threshold.
+        Records the choice in ``_last_vacuum_ref_mode`` for tests."""
+        est = 0
+        for v in keep:
+            tot = self._segment_totals(v)
+            if tot is not None:
+                # data + DV sidecars + (≤1 bloom per file) + segment
+                # and chunk metadata files
+                est += tot["n_files"] * 2 + tot["dv_files"]
+        if est <= self.vacuum_bloom_min_refs:
+            self._last_vacuum_ref_mode = "exact"
+            return set()
+        self._last_vacuum_ref_mode = "bloom"
+        return _SaltedBloomRefs(int(est * 1.5))
 
     def _collect_version_refs(self, v: int, referenced: set) -> None:
         """Fold version ``v``'s reachable relpaths into ``referenced``:
@@ -6261,19 +6385,29 @@ class VersionedParquetTable:
                 if e.get("bloom")
             )
 
-    def _vacuum_sweep(
-        self, current, keep: set, referenced: set, *, dry_run: bool
+    def _sweep_version_dirs(
+        self, condemned: list, referenced, *, dry_run: bool
     ) -> list[int]:
+        """Delete the condemned version dirs' unreferenced files
+        (whole-dir rmtree when nothing referenced remains).  Pure
+        MEMBERSHIP tests against ``referenced`` — a listed entry is
+        kept iff its relpath tests positive — so the container can be
+        the exact set or the Bloom tier.  Returns the versions whose
+        directories were FULLY removed."""
         dropped = []
-        for v in self._versions_on_disk():
-            if v in keep:
-                continue
+        for v in condemned:
             vdir = self._version_dir(v)
             vname = os.path.basename(vdir)
-            refs_here = {
-                r for r in referenced if r.startswith(vname + os.sep)
-            }
-            if not refs_here:
+            try:
+                entries = os.listdir(vdir)
+            except OSError:
+                continue
+            kept_here = [
+                fn
+                for fn in entries
+                if os.path.join(vname, fn) in referenced
+            ]
+            if not kept_here:
                 if not dry_run:
                     shutil.rmtree(vdir, ignore_errors=True)
                 dropped.append(v)
@@ -6282,9 +6416,9 @@ class VersionedParquetTable:
                 continue
             # partial GC: the version is dead but some of its files are
             # carried by live manifests — delete only the unreferenced
-            for fn in os.listdir(vdir):
-                rel = os.path.join(vname, fn)
-                if rel in refs_here:
+            keep_names = set(kept_here)
+            for fn in entries:
+                if fn in keep_names:
                     continue
                 p = os.path.join(vdir, fn)
                 try:
@@ -6296,52 +6430,56 @@ class VersionedParquetTable:
                         os.remove(p)
                 except OSError:
                     pass
-        # content-addressed staging dirs (prepare/publish split): a
-        # staged dir no kept manifest references is DEAD — either an
-        # abandoned prepare (a conflicted writer recomputed; its own
-        # cleanup is best-effort) or the data of a vacuumed version.
-        # The age grace protects IN-FLIGHT prepares: a racing writer's
-        # staging exists before any manifest references it, and only
-        # the preparer knows about it until publish.  Not on dry_run —
-        # "delete nothing" includes staging.  Partial references
-        # (some files of a staging carried, others dead) GC
-        # file-by-file like version dirs.
-        if not dry_run:
-            import time as _time
-
-            now = _time.time()
-            sroot = os.path.join(self.root, _STAGED)
-            try:
-                staged = os.listdir(sroot)
-            except OSError:
-                staged = []
-            for name in staged:
-                sdir = os.path.join(sroot, name)
-                rel_prefix = os.path.join(_STAGED, name) + os.sep
-                refs_here = {
-                    r for r in referenced if r.startswith(rel_prefix)
-                }
-                try:
-                    age = now - os.path.getmtime(sdir)
-                except OSError:
-                    continue
-                if not refs_here:
-                    if age >= self.staged_gc_grace_seconds:
-                        shutil.rmtree(sdir, ignore_errors=True)
-                    continue
-                # referenced staging: reclaim only its dead files
-                # (no grace needed — a referenced staging was
-                # published long ago, nothing is in flight in it)
-                for fn in os.listdir(sdir):
-                    rel = os.path.join(_STAGED, name, fn)
-                    if rel in refs_here or fn.startswith("_"):
-                        continue
-                    p = os.path.join(sdir, fn)
-                    try:
-                        if os.path.isdir(p):
-                            shutil.rmtree(p, ignore_errors=True)
-                        else:
-                            os.remove(p)
-                    except OSError:
-                        pass
         return dropped
+
+    def _sweep_staged(self, referenced) -> None:
+        """Reclaim content-addressed staging dirs (prepare/publish
+        split): a staged dir no kept manifest references is DEAD —
+        either an abandoned prepare (a conflicted writer recomputed;
+        its own cleanup is best-effort) or the data of a vacuumed
+        version.  The age grace protects IN-FLIGHT prepares: a racing
+        writer's staging exists before any manifest references it, and
+        only the preparer knows about it until publish.  Runs UNDER
+        the commit lock — the ``StalePreparedError`` fence checks
+        staging age under the same lock, so no sweep-vs-publish
+        interleaving escapes.  Partial references (some files of a
+        staging carried, others dead) GC file-by-file like version
+        dirs."""
+        import time as _time
+
+        now = _time.time()
+        sroot = os.path.join(self.root, _STAGED)
+        try:
+            staged = os.listdir(sroot)
+        except OSError:
+            staged = []
+        for name in staged:
+            sdir = os.path.join(sroot, name)
+            try:
+                entries = os.listdir(sdir)
+                age = now - os.path.getmtime(sdir)
+            except OSError:
+                continue
+            kept_here = {
+                fn
+                for fn in entries
+                if os.path.join(_STAGED, name, fn) in referenced
+            }
+            if not kept_here:
+                if age >= self.staged_gc_grace_seconds:
+                    shutil.rmtree(sdir, ignore_errors=True)
+                continue
+            # referenced staging: reclaim only its dead files
+            # (no grace needed — a referenced staging was
+            # published long ago, nothing is in flight in it)
+            for fn in entries:
+                if fn in kept_here or fn.startswith("_"):
+                    continue
+                p = os.path.join(sdir, fn)
+                try:
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                    else:
+                        os.remove(p)
+                except OSError:
+                    pass
