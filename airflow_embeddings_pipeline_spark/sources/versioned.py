@@ -124,42 +124,53 @@ class _SaltedBloomRefs:
     Same one-sided-error direction as Delta's VACUUM parallel listing
     optimizations: reclamation may be late, never wrong."""
 
-    _BITS_PER_ENTRY = 14  # k=9 optimal -> fp ~ 0.4%
+    _BITS_PER_ENTRY = 14  # k=9 optimal -> fp ~ 0.1-0.4% measured
     _HASHES = 9
 
     def __init__(self, expected_entries: int):
-        import numpy as _np
-
         n_bits = max(1024, int(expected_entries) * self._BITS_PER_ENTRY)
         self._n_bytes = (n_bits + 7) // 8
-        self._bits = _np.zeros(self._n_bytes, dtype=_np.uint8)
+        # bytearray, not numpy: C-level scalar |= is ~15x faster than
+        # numpy scalar __setitem__ in the per-path hot loop (~6 us/add
+        # measured vs ~70 us), and the filter is a flat bitmap anyway
+        self._bits = bytearray(self._n_bytes)
         self._n_bits = self._n_bytes * 8
+        # blake2b, not tuple-hash tricks: h1/h2 must be INDEPENDENT
+        # for double hashing (correlated halves measured 16x the
+        # design fp rate); keyed blake2b gives the per-run salt for
+        # free
         self._salt = os.urandom(8)
 
-    def _indexes(self, item: str):
+    def _hashes(self, item: str):
         import hashlib
 
         d = hashlib.blake2b(
             item.encode("utf-8"), digest_size=16, salt=self._salt
         ).digest()
-        h1 = int.from_bytes(d[:8], "little")
-        h2 = int.from_bytes(d[8:], "little") | 1  # odd -> full period
-        for i in range(self._HASHES):
-            yield (h1 + i * h2) % self._n_bits
+        return (
+            int.from_bytes(d[:8], "little"),
+            int.from_bytes(d[8:], "little") | 1,  # odd -> full period
+        )
 
     def add(self, item: str) -> None:
-        for ix in self._indexes(item):
-            self._bits[ix >> 3] |= 1 << (ix & 7)
+        h1, h2 = self._hashes(item)
+        bits, n = self._bits, self._n_bits
+        for i in range(self._HASHES):
+            ix = (h1 + i * h2) % n
+            bits[ix >> 3] |= 1 << (ix & 7)
 
     def update(self, items) -> None:
         for item in items:
             self.add(item)
 
     def __contains__(self, item: str) -> bool:
-        return all(
-            self._bits[ix >> 3] & (1 << (ix & 7))
-            for ix in self._indexes(item)
-        )
+        h1, h2 = self._hashes(item)
+        bits, n = self._bits, self._n_bits
+        for i in range(self._HASHES):
+            ix = (h1 + i * h2) % n
+            if not bits[ix >> 3] & (1 << (ix & 7)):
+                return False
+        return True
 
 
 class ConstraintViolationError(RuntimeError):
@@ -6354,10 +6365,19 @@ class VersionedParquetTable:
         self._last_vacuum_ref_mode = "bloom"
         return _SaltedBloomRefs(int(est * 1.5))
 
-    def _collect_version_refs(self, v: int, referenced: set) -> None:
-        """Fold version ``v``'s reachable relpaths into ``referenced``:
-        data files, DV/bloom sidecars, manifest segments and level-2
-        chunk lists — everything partial GC must not strand."""
+    def _collect_version_refs(self, v: int, referenced) -> None:
+        """Fold version ``v``'s reachable relpaths into ``referenced``
+        (exact set or Bloom — ``add``/``update`` only): data files,
+        DV/bloom sidecars, manifest segments and level-2 chunk lists —
+        everything partial GC must not strand.
+
+        Segmented manifests STREAM: entries are walked one segment at
+        a time (peak driver memory = one segment + the LRU-bounded
+        segment cache) instead of ``manifest(v)``'s full
+        materialization — the full ``files`` list is O(~400 B x kept
+        files) of driver dicts (measured, probe_vacuum_scale), which
+        would defeat the Bloom container's whole point at 10^8
+        files."""
         # manifest SEGMENTS are referenced metadata exactly like
         # data files: a kept manifest may carry segments living in
         # older (non-kept) version dirs, and partial GC must not
@@ -6368,14 +6388,25 @@ class VersionedParquetTable:
         # member segments) living in older non-kept version dirs
         for lref in (raw or {}).get("seg_ref_lists") or []:
             referenced.add(lref["path"])
-        for ref in self._seg_refs(raw) or []:
-            referenced.add(ref["path"])
-        man = self.manifest(v)
+        refs = self._seg_refs(raw)
+        if refs is not None:
+            for ref in refs:
+                referenced.add(ref["path"])
+            for ref in refs:
+                for _path, j in self._load_segment(ref["path"]):
+                    e = json.loads(j)
+                    referenced.add(e["path"])
+                    # DV / bloom sidecars are referenced files too: a
+                    # kept entry's deletion vector and bloom index
+                    # must survive as long as the entry
+                    if e.get("dv"):
+                        referenced.add(e["dv"]["path"])
+                    if e.get("bloom"):
+                        referenced.add(e["bloom"]["path"])
+            return
+        man = self.manifest(v)  # inline or plain: small by definition
         if man is not None:
             referenced.update(e["path"] for e in man["files"])
-            # DV / bloom sidecars are referenced files too: a kept
-            # entry's deletion vector and bloom index must survive
-            # as long as the entry
             referenced.update(
                 e["dv"]["path"] for e in man["files"] if e.get("dv")
             )
