@@ -18,9 +18,16 @@ embeddings-pipeline.py:294-352):
   (``compact_rebased`` true, ``compact_attempts`` 1 in the common
   run) and the racers' rows survive into the compacted manifest;
 * the final state equals base ∪ all inserts exactly (diff 0) — the
-  compaction changed layout, never content.
+  compaction changed layout, never content;
+* (round 11) with ``--vacuum N`` every merge ALSO rides a
+  ``vacuum_keep_last=N`` — the three-way storm: ingest commits,
+  a full-table OPTIMIZE rewrite, and history-reclaiming locked
+  sweeps all racing one table.  Serial content must still be exact,
+  every retained version must still read, and the compaction must
+  still publish through the rebase.
 
 Usage: python tools/stress_optimize_concurrent.py [rows] [threads] [batches]
+           [--vacuum N]
 """
 
 from __future__ import annotations
@@ -36,7 +43,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    vacuum_keep = None
+    if "--vacuum" in argv:
+        vacuum_keep = int(argv[argv.index("--vacuum") + 1])
+        del argv[argv.index("--vacuum") : argv.index("--vacuum") + 2]
+    args = [a for a in argv if not a.startswith("--")]
     rows = int(args[0]) if len(args) > 0 else 4_000_000
     n_threads = int(args[1]) if len(args) > 1 else 4
     n_batches = int(args[2]) if len(args) > 2 else 6
@@ -88,7 +100,7 @@ def main() -> int:
                 try:
                     merge_mod.merge_upsert_write_pruned(
                         root, ins, "k",
-                        vacuum_keep_last=None,
+                        vacuum_keep_last=vacuum_keep,
                         conflict_retries=50,
                     )
                     break
@@ -163,6 +175,23 @@ def main() -> int:
     ok_content = sorted(r["v"] for r in sample) == sorted(
         r["v"] for r in base_sample
     )
+    # --vacuum: history was reclaimed throughout the storm — every
+    # retained version must still read (a lost sweep race shows up
+    # as a dangling manifest), and the head must be among them
+    time_travel_ok = None
+    if vacuum_keep is not None:
+        time_travel_ok = True
+        readable = [
+            v for v in table.versions() if table.manifest(v) is not None
+        ]
+        if table.current_version() not in readable or not readable:
+            time_travel_ok = False
+        for v in readable:
+            try:
+                table.read_version(spark, v).count()
+            except Exception:
+                time_travel_ok = False
+                break
     out = {
         "metric": "optimize_vs_ingest_stall",
         "rows": rows,
@@ -179,8 +208,11 @@ def main() -> int:
         "rows_final": n_got,
         "rows_ok": ok_rows,
         "content_ok": ok_content,
-        "ok": ok_rows and ok_content,
+        "ok": ok_rows and ok_content and time_travel_ok in (None, True),
     }
+    if vacuum_keep is not None:
+        out["vacuum_keep_last"] = vacuum_keep
+        out["time_travel_ok"] = time_travel_ok
     print(json.dumps(out))
     import shutil
 
