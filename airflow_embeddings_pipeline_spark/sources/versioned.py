@@ -60,6 +60,14 @@ _VERSION_RE = re.compile(r"^v(\d{8})$")
 # referenced from manifests in place — version-independent placement,
 # nothing moves at publish time (rename-free by construction)
 _STAGED = "_staged"
+# written INTO a staging dir when a manifest referencing it publishes:
+# lets vacuum's under-lock staged pass skip published dirs with one
+# stat instead of membership-testing every file they hold (with
+# content-addressed placement, MOST of a table's data lives in
+# published staging dirs — testing them under the lock would be an
+# O(table files) hold).  Absent on pre-marker tables; vacuum
+# self-heals by marking any referenced-but-unmarked dir it meets.
+_STAGED_PUBLISHED = "_PUBLISHED"
 _REMOTE_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
 
 
@@ -4184,6 +4192,24 @@ class VersionedParquetTable:
                 self._persist_manifest(vdir, man, base_version=cur)
             self._write_marker(vdir)
             self._swap_pointer(next_v)
+            if prepared is not None:
+                # mark the staging PUBLISHED (under this same lock):
+                # vacuum's under-lock staged pass then skips it with
+                # one stat; its file-level GC runs lock-free.  A crash
+                # between the pointer swap and this write leaves a
+                # referenced-but-unmarked dir, which vacuum self-heals
+                try:
+                    with open(
+                        os.path.join(
+                            self.root,
+                            prepared["staging_rel"],
+                            _STAGED_PUBLISHED,
+                        ),
+                        "w",
+                    ) as f:
+                        f.write(f"v{next_v:08d}")
+                except OSError:
+                    pass
             return next_v
         finally:
             self._release_lock()
@@ -6328,19 +6354,21 @@ class VersionedParquetTable:
                         os.remove(os.path.join(vdir, marker))
                     except OSError:
                         pass
-            # staged-dir sweep stays UNDER the lock: the
-            # StalePreparedError fence checks a staging's age under
+            # staged-dir pass UNDER the lock: unpublished dirs only
+            # (the StalePreparedError fence checks staging age under
             # this same lock, so sweep-vs-publish interleavings stay
-            # impossible (a lock-free staged sweep could delete a
-            # staging that passed the fence a moment earlier)
-            self._sweep_staged(referenced)
+            # impossible); published dirs are skipped with one stat
+            # each and GC'd lock-free below
+            published_staged = self._sweep_staged(referenced)
         finally:
             self._release_lock()
-        # LOCK-FREE bulk deletion of the condemned below-head dirs
-        return sorted(
-            dropped_above
-            + self._sweep_version_dirs(condemned, referenced, dry_run=False)
+        # LOCK-FREE bulk deletion: condemned below-head dirs, then
+        # dead files inside published staging dirs
+        dropped = self._sweep_version_dirs(
+            condemned, referenced, dry_run=False
         )
+        self._gc_published_staged(published_staged, referenced)
+        return sorted(dropped_above + dropped)
 
     # exact-set ceiling for vacuum's referenced-file container; above
     # this (estimated) kept-file count the salted Bloom tier engages
@@ -6463,19 +6491,35 @@ class VersionedParquetTable:
                     pass
         return dropped
 
-    def _sweep_staged(self, referenced) -> None:
-        """Reclaim content-addressed staging dirs (prepare/publish
-        split): a staged dir no kept manifest references is DEAD —
-        either an abandoned prepare (a conflicted writer recomputed;
-        its own cleanup is best-effort) or the data of a vacuumed
-        version.  The age grace protects IN-FLIGHT prepares: a racing
-        writer's staging exists before any manifest references it, and
-        only the preparer knows about it until publish.  Runs UNDER
-        the commit lock — the ``StalePreparedError`` fence checks
-        staging age under the same lock, so no sweep-vs-publish
-        interleaving escapes.  Partial references (some files of a
-        staging carried, others dead) GC file-by-file like version
-        dirs."""
+    def _sweep_staged(self, referenced) -> list:
+        """UNDER-LOCK half of the staged sweep: reclaim DEAD
+        content-addressed staging dirs (prepare/publish split) and
+        decide which published dirs the lock-free half may GC inside.
+
+        A staged dir no kept manifest references is DEAD — either an
+        abandoned prepare (a conflicted writer recomputed; its own
+        cleanup is best-effort) or the data of a vacuumed version.
+        The age grace protects IN-FLIGHT prepares: a racing writer's
+        staging exists before any manifest references it, and only the
+        preparer knows about it until publish.  Deleting unpublished
+        dirs MUST stay under the commit lock — the
+        ``StalePreparedError`` fence checks staging age under the same
+        lock, so no sweep-vs-publish interleaving escapes.
+
+        The scale trick: with content-addressed placement MOST of a
+        table's data lives in PUBLISHED staging dirs, and
+        membership-testing all of it here would be an O(table files)
+        lock hold.  A dir carrying the ``_PUBLISHED`` marker (written
+        at publish, under the lock) is skipped with ONE stat; its
+        file-level GC happens lock-free afterwards (a file in a
+        published staging that no kept manifest references can never
+        be re-referenced — staging names are fresh uuids, commits
+        carry only head refs, the same argument as below-head version
+        dirs).  Referenced-but-unmarked dirs (pre-marker tables; a
+        crash between pointer swap and marker write) SELF-HEAL: the
+        marker is written here, one O(dir files) membership pass,
+        once.  Returns the published dir names for
+        :meth:`_gc_published_staged`."""
         import time as _time
 
         now = _time.time()
@@ -6484,27 +6528,70 @@ class VersionedParquetTable:
             staged = os.listdir(sroot)
         except OSError:
             staged = []
+        published: list[str] = []
         for name in staged:
             sdir = os.path.join(sroot, name)
+            if os.path.exists(os.path.join(sdir, _STAGED_PUBLISHED)):
+                published.append(name)
+                continue
             try:
                 entries = os.listdir(sdir)
                 age = now - os.path.getmtime(sdir)
             except OSError:
                 continue
-            kept_here = {
-                fn
-                for fn in entries
-                if os.path.join(_STAGED, name, fn) in referenced
-            }
-            if not kept_here:
-                if age >= self.staged_gc_grace_seconds:
-                    shutil.rmtree(sdir, ignore_errors=True)
+            if age < self.staged_gc_grace_seconds:
+                # possibly an IN-FLIGHT prepare (the fence guarantees
+                # nothing in flight is older than the grace window) —
+                # untouched: no deletion, and NO self-heal either.  A
+                # Bloom false positive on one of an in-flight dir's
+                # files must not mislabel it "published" and let the
+                # lock-free GC eat its siblings; a published-but-
+                # unmarked young dir (marker-write crash) just waits
+                # one grace cycle to be healed.
                 continue
-            # referenced staging: reclaim only its dead files
-            # (no grace needed — a referenced staging was
-            # published long ago, nothing is in flight in it)
+            if any(
+                os.path.join(_STAGED, name, fn) in referenced
+                for fn in entries
+            ):
+                # referenced but unmarked, past grace — published
+                # before the marker existed or the marker write
+                # crashed: self-heal so every later sweep skips it
+                # with a stat.  (Under the Bloom container this can
+                # false-positive on an ABANDONED dir ~0.4% of the
+                # time — harmless: the lock-free GC then reclaims its
+                # dead files and the next salted run drops the rest.)
+                try:
+                    with open(
+                        os.path.join(sdir, _STAGED_PUBLISHED), "w"
+                    ) as f:
+                        f.write("healed")
+                except OSError:
+                    pass
+                published.append(name)
+                continue
+            shutil.rmtree(sdir, ignore_errors=True)
+        return published
+
+    def _gc_published_staged(self, published: list, referenced) -> None:
+        """LOCK-FREE half of the staged sweep: inside each PUBLISHED
+        staging dir, reclaim files no kept manifest references (a
+        compaction rewrote them; their versions fell out of
+        retention).  Safe outside the lock: a published staging's
+        unreferenced file can never be re-referenced, and underscore
+        metadata (markers) is never touched."""
+        sroot = os.path.join(self.root, _STAGED)
+        for name in published:
+            sdir = os.path.join(sroot, name)
+            try:
+                entries = os.listdir(sdir)
+            except OSError:
+                continue
+            live = 0
             for fn in entries:
-                if fn in kept_here or fn.startswith("_"):
+                if fn.startswith("_"):
+                    continue
+                if os.path.join(_STAGED, name, fn) in referenced:
+                    live += 1
                     continue
                 p = os.path.join(sdir, fn)
                 try:
@@ -6514,3 +6601,8 @@ class VersionedParquetTable:
                         os.remove(p)
                 except OSError:
                     pass
+            if not live:
+                # everything this published staging held is dead —
+                # drop the dir (marker included) so the staged
+                # listing stays O(live prepares + live data dirs)
+                shutil.rmtree(sdir, ignore_errors=True)

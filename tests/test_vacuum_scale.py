@@ -274,3 +274,156 @@ class TestLockFreeBulkDeletion:
         would_drop = t.vacuum(keep_last=2, dry_run=True)
         assert would_drop
         assert _walk_files(str(tmp_path / "t")) == before
+
+
+class TestPublishedStagedMarker:
+    def test_publish_marks_staging_and_sweep_skips_it(
+        self, spark, tmp_path
+    ):
+        from airflow_embeddings_pipeline_spark.sources.versioned import (
+            _STAGED_PUBLISHED,
+        )
+
+        root = str(tmp_path / "t")
+        t = _mk_history(spark, root, versions=3)
+        v = t.current_version()
+        prepared = t.prepare_commit(
+            spark.createDataFrame([(900, "new")], "k long, v string"),
+            "k",
+            base_version=v,
+        )
+        sdir = os.path.join(root, prepared["staging_rel"])
+        assert not os.path.exists(os.path.join(sdir, _STAGED_PUBLISHED))
+        t.commit_with_manifest(
+            None,
+            "k",
+            carried=t.manifest(v)["files"],
+            prepared=prepared,
+            expected_base_version=v,
+        )
+        marker = os.path.join(sdir, _STAGED_PUBLISHED)
+        assert os.path.exists(marker), (
+            "publish must mark its staging so vacuum's under-lock "
+            "pass skips it with one stat"
+        )
+        # the under-lock pass returns it as published and leaves it
+        published = t._sweep_staged(set())
+        assert os.path.basename(sdir) in published
+        assert os.path.exists(sdir)
+
+    def test_self_heal_marks_referenced_unmarked_dir_past_grace(
+        self, spark, tmp_path
+    ):
+        import time
+
+        from airflow_embeddings_pipeline_spark.sources.versioned import (
+            _STAGED_PUBLISHED,
+        )
+
+        root = str(tmp_path / "t")
+        t = _mk_history(spark, root, versions=3)
+        v = t.current_version()
+        prepared = t.prepare_commit(
+            spark.createDataFrame([(901, "new")], "k long, v string"),
+            "k",
+            base_version=v,
+        )
+        sdir = os.path.join(root, prepared["staging_rel"])
+        t.commit_with_manifest(
+            None,
+            "k",
+            carried=t.manifest(v)["files"],
+            prepared=prepared,
+            expected_base_version=v,
+        )
+        # simulate a pre-marker table / marker-write crash
+        os.remove(os.path.join(sdir, _STAGED_PUBLISHED))
+        old = time.time() - t.staged_gc_grace_seconds - 10
+        os.utime(sdir, (old, old))
+        t.vacuum(keep_last=2)
+        assert os.path.exists(os.path.join(sdir, _STAGED_PUBLISHED)), (
+            "vacuum must self-heal a referenced-but-unmarked staging"
+        )
+        assert t.read(spark).filter("k = 901").count() == 1
+
+    def test_young_unmarked_dir_untouched_even_if_membership_hits(
+        self, spark, tmp_path
+    ):
+        # the Bloom-fp hazard the grace gate closes: an IN-FLIGHT
+        # prepare's staging must be neither marked published nor
+        # GC'd inside, even when the membership container (falsely)
+        # claims one of its files is referenced
+        from airflow_embeddings_pipeline_spark.sources.versioned import (
+            _STAGED,
+            _STAGED_PUBLISHED,
+        )
+
+        root = str(tmp_path / "t")
+        t = _mk_history(spark, root, versions=2)
+        v = t.current_version()
+        prepared = t.prepare_commit(
+            spark.createDataFrame([(902, "inflight")], "k long, v string"),
+            "k",
+            base_version=v,
+        )
+        sdir = os.path.join(root, prepared["staging_rel"])
+        name = os.path.basename(sdir)
+        files_before = set(os.listdir(sdir))
+        a_file = next(f for f in files_before if not f.startswith("_"))
+        fp_refs = {os.path.join(_STAGED, name, a_file)}  # simulated fp
+        published = t._sweep_staged(fp_refs)
+        assert name not in published
+        assert not os.path.exists(os.path.join(sdir, _STAGED_PUBLISHED))
+        assert set(os.listdir(sdir)) == files_before
+        # the prepare still publishes fine afterwards
+        nv = t.commit_with_manifest(
+            None,
+            "k",
+            carried=t.manifest(v)["files"],
+            prepared=prepared,
+            expected_base_version=v,
+        )
+        assert nv == v + 1
+
+    def test_published_staging_gc_runs_lock_free_and_drops_dead_dirs(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # compaction rewrites all data -> old published stagings fall
+        # fully dead once their versions leave retention, and the
+        # file-level GC inside them must run OUTSIDE the lock
+        root = str(tmp_path / "t")
+        t = _mk_history(spark, root, versions=4)
+        t.compact(spark, min_file_bytes=1 << 40)
+
+        lock_state = {"held": False}
+        real_acquire = VersionedParquetTable._acquire_lock
+        real_release = VersionedParquetTable._release_lock
+        real_gc = VersionedParquetTable._gc_published_staged
+        gc_calls = []
+
+        def acq(self, *a, **kw):
+            r = real_acquire(self, *a, **kw)
+            lock_state["held"] = True
+            return r
+
+        def rel(self, *a, **kw):
+            lock_state["held"] = False
+            return real_release(self, *a, **kw)
+
+        def gc(self, published, referenced):
+            gc_calls.append(lock_state["held"])
+            return real_gc(self, published, referenced)
+
+        monkeypatch.setattr(VersionedParquetTable, "_acquire_lock", acq)
+        monkeypatch.setattr(VersionedParquetTable, "_release_lock", rel)
+        monkeypatch.setattr(
+            VersionedParquetTable, "_gc_published_staged", gc
+        )
+        t.vacuum(keep_last=1)
+        assert gc_calls == [False], (
+            "published-staging GC must run after the lock releases; "
+            f"lock states: {gc_calls}"
+        )
+        rows = {x["k"]: x["v"] for x in t.read(spark).collect()}
+        assert len(rows) == 200  # merges upsert existing keys only
+        assert rows[30] == "u3"  # last merge's update survived the GC
