@@ -628,9 +628,19 @@ def _pq_head(emb: DataFrame):
 
 
 def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 optimization: the benched entry now runs the Arrow-batched
+    # numpy encode (the 100 TB production tier — at 2M vectors the
+    # interpreted HOF encode alone cost ~70 s).  Codes are identical by
+    # construction (same distances, same HALF_UP rounding, same
+    # first-min tie rule — unit-asserted in
+    # test_pq_encode_codes_match_python_argmin and the numpy/HOF parity
+    # units) and the DuckDB oracle is shared verbatim, so the declared
+    # results are bit-identical to the former HOF-tier build.  The HOF
+    # expression tier remains available as ``_pq_encode`` (covered by
+    # the parity units).
     emb = load_table(spark, sf_dir, "embeddings")
     cents, qhead = _pq_head(emb)
-    return _pq_run(spark, emb, _pq_seed_books(cents), qhead)
+    return _pq_run(spark, emb, _pq_seed_books(cents), qhead, encode="numpy")
 
 
 def x_ann_pq_fast(spark: SparkSession, sf_dir: str) -> DataFrame:

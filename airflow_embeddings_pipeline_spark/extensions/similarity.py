@@ -151,6 +151,42 @@ def cosine_topk_blocked(
     )
 
 
+def _cents_sql(centroids: list[list[float]]) -> str:
+    """Nested array literal of double components as ONE SQL text —
+    ``repr(float)`` round-trips the exact IEEE value and the ``D``
+    suffix makes each component a DOUBLE literal, so the parsed tree is
+    value-identical to ``F.array(*[F.lit(float(x)) ...])`` while
+    costing a single py4j call instead of k×dim (the
+    ``hyperplane_signature`` compile-time trick; the per-``F.lit``
+    column-API build measured ~0.5 s of driver time per plan at
+    4×64 components × 2 call sites)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(repr(float(x)) + "D" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text mirror of ``dot`` — same left-fold, same 0.0D seed."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+
+
+def _cell_dists_sql(centroids: list[list[float]], vec_col: str) -> str:
+    """Per-centroid distance array, the shared assignment expression:
+    ``round(c·c - 2·(v·c), 6)`` per centroid over the double-cast
+    vector — textually identical semantics to the former column-API
+    ``F.transform(cents, lambda c: round(dot(c, c) - 2 * dot(v, c), 6))``."""
+    v = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    return (
+        f"transform({_cents_sql(centroids)}, c -> "
+        f"round({_dot_sql('c', 'c')} - 2 * {_dot_sql(v, 'c')}, 6))"
+    )
+
+
 def assign_ivf_cells(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -159,19 +195,28 @@ def assign_ivf_cells(
 ) -> DataFrame:
     """IVF assignment: nearest-centroid cell id per vector, computed
     with built-in expressions over a literal centroid array (no UDF —
-    centroid count is small, the map stage is codegen'd)."""
-    cents = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
-            for c in centroids
-        ]
+    centroid count is small, the map stage is codegen'd).
+
+    Distance to each centroid, pick argmin (deterministic: first min).
+    Rounded to 6dp so an oracle computing the same distances with a
+    different float-accumulation order assigns identical cells.  The
+    whole expression is generated as SQL text — one py4j call per plan
+    instead of one per centroid component — and the argmin is a single
+    left-fold with a strict ``<`` (keeps the FIRST minimum, exactly
+    ``array_position(d, array_min(d)) - 1``'s first-occurrence rule)
+    so the distance array is built once per row instead of twice
+    (higher-order functions run interpreted: no codegen'd
+    common-subexpression elimination rescues a duplicated tree)."""
+    d = _cell_dists_sql(centroids, vec_col)
+    return corpus.withColumn(
+        "ivf_cell",
+        F.expr(
+            f"CAST(aggregate(zip_with({d}, sequence(0, {len(centroids) - 1}), "
+            "(x, i) -> named_struct('d', x, 'i', i)), "
+            "named_struct('d', CAST('Infinity' AS DOUBLE), 'i', -1), "
+            "(acc, x) -> IF(x.d < acc.d, x, acc)).i AS BIGINT)"
+        ),
     )
-    v = _as_double(F.col(vec_col))
-    # Distance to each centroid, pick argmin (deterministic: first min).
-    # Rounded to 6dp so an oracle computing the same distances with a
-    # different float-accumulation order assigns identical cells.
-    dists = F.transform(cents, lambda c: F.round(dot(c, c) - 2 * dot(v, c), 6))
-    return corpus.withColumn("ivf_cell", F.array_position(dists, F.array_min(dists)) - 1)
 
 
 def hyperplane_planes(num_planes: int = 16, dim: int = 64) -> list[list[float]]:
@@ -324,19 +369,15 @@ def ivf_topk(
         centroids,
         vec_col="__qv",
     )
-    cents = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
-            for c in centroids
-        ]
+    # nprobe nearest cells per query, as one generated SQL expression
+    # (same struct-sort argsort as the former column-API build: sort by
+    # (distance, cell id), take the first nprobe cell ids).
+    dists = _cell_dists_sql(centroids, "__qv")
+    order = (
+        f"array_sort(zip_with({dists}, sequence(0, {len(centroids) - 1}), "
+        "(d, i) -> struct(d AS d, i AS i)))"
     )
-    qv = _as_double(F.col("__qv"))
-    dists = F.transform(cents, lambda c: F.round(dot(c, c) - 2 * dot(qv, c), 6))
-    order = F.array_sort(
-        F.zip_with(dists, F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                   lambda d, i: F.struct(d.alias("d"), i.alias("i")))
-    )
-    probe_cells = F.slice(F.transform(order, lambda s: s["i"]), 1, nprobe)
+    probe_cells = F.expr(f"slice(transform({order}, s -> s.i), 1, {nprobe})")
     q = q.withColumn("probe_cell", F.explode(probe_cells)).select(
         "query_id", "__qv", "probe_cell"
     )
