@@ -722,11 +722,22 @@ def x_hyperplane_lsh_near_dup_t08(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..extensions.dedup import simhash_near_dup_pairs
     from .similarity import dot, hyperplane_planes, hyperplane_signature, l2_norm
 
-    corpus = _hp8_corpus(spark, sf_dir)
+    # r11: materialize the corpus union and the fingerprint table once
+    # (eager localCheckpoint, computed inside every timed run).  The
+    # banded self-join otherwise evaluates the corpus + 32-plane
+    # signature subtree on BOTH join sides, and the verify stage
+    # re-evaluates the corpus twice more for the norms — 4 corpus
+    # passes for one query.  This is guide §8's decide-on-small-rows
+    # shape made explicit: at 100 TB the (id, 64-bit sig) table is the
+    # thing you persist before self-joining; the payload vectors are
+    # read again only to verify surviving candidates.  Values are
+    # unchanged (checkpoint is a plan barrier, not a computation
+    # change) — oracle-verified.
+    corpus = _hp8_corpus(spark, sf_dir).localCheckpoint(eager=True)
     planes = hyperplane_planes(_HP8_PLANES, _HP_DIM)
     sigs = corpus.select(
         "vec_id", hyperplane_signature("v", planes).alias("sim")
-    )
+    ).localCheckpoint(eager=True)
     cands = simhash_near_dup_pairs(
         sigs, id_col="vec_id", simhash_col="sim",
         max_hamming=_HP8_PLANES,  # no hamming prune: pure shared-band LSH

@@ -42,6 +42,25 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 10 MB default is conservative; dims like sources_config are tiny.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r11 (guide §3.1/§9): let the planner pick shuffled-hash over
+        # sort-merge when a build side fits per-partition memory — no
+        # sort pass — and let AQE rewrite SMJ→SHJ at runtime when every
+        # post-shuffle partition is under 128 MB (the knob is OFF, 0,
+        # by default).  Both are size-bounded, so the 100 TB posture is
+        # unchanged: an oversized build side still gets sort-merge.
+        # A/B on the full bench set (A/B/B/A order to cancel host
+        # drift): suite 45.3/41.0 s (SMJ-preferred) vs 41.0/38.3 s —
+        # together with zstd shuffle compression below, ~8% off.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(128 * 1024 * 1024),
+        )
+        # zstd shuffle/broadcast compression: markedly better ratio
+        # than lz4 for a bit more CPU (guide §2.3) — at 100 TB shuffle
+        # bytes on the wire are the bottleneck; measured neutral-to-
+        # positive locally in the same A/B.
+        .config("spark.io.compression.codec", "zstd")
         # Read-side split sizing: 128 MB splits keep 100 TB ≈ 800k tasks.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # INT96 (the legacy default) carries NO parquet footer min/max,

@@ -47,7 +47,11 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed):
         plan = joined._jdf.queryExecution().executedPlan().toString()
         # co-located: both sides read bucket-aligned, no shuffle
         assert "Exchange hashpartitioning" not in plan, plan
-        assert "SortMergeJoin" in plan, plan
+        # the property under test is shuffle-freedom, not the specific
+        # shuffle-join flavor: with preferSortMergeJoin=false (r11) the
+        # planner may legally satisfy the bucket distribution with a
+        # shuffled-hash join instead of sort-merge
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
         expect = orders_b.join(lineitem_b.hint("shuffle_hash"), "o_orderkey").count()
         assert joined.count() == expect
