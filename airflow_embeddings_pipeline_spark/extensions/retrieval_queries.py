@@ -615,8 +615,17 @@ def _pq_run(
     )
 
 
-def _pq_head(emb: DataFrame):
-    """One bounded collect feeds codebook seeds and the ADC LUT."""
+def _pq_head(emb: DataFrame, sf_dir: str | None = None):
+    """One bounded head read feeds codebook seeds and the ADC LUT —
+    driver-side pyarrow when possible (r11: no Spark job per build),
+    Spark collect fallback; identical values either way."""
+    if sf_dir is not None:
+        from .similarity import head_embeddings
+
+        rows = head_embeddings(sf_dir, max(_PQ_NCENTS, _PQ_NQUERIES))
+        if rows is not None:
+            cents = [list(v) for _, v in rows[:_PQ_NCENTS]]
+            return cents, rows[:_PQ_NQUERIES]
     head = (
         emb.filter(F.col("vec_id") < max(_PQ_NCENTS, _PQ_NQUERIES))
         .orderBy("vec_id")
@@ -639,20 +648,20 @@ def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression tier remains available as ``_pq_encode`` (covered by
     # the parity units).
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, qhead = _pq_head(emb)
+    cents, qhead = _pq_head(emb, sf_dir)
     return _pq_run(spark, emb, _pq_seed_books(cents), qhead, encode="numpy")
 
 
 def x_ann_pq_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x_ann_pq with the numpy encode tier — same codes, same oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, qhead = _pq_head(emb)
+    cents, qhead = _pq_head(emb, sf_dir)
     return _pq_run(spark, emb, _pq_seed_books(cents), qhead, encode="numpy")
 
 
 def x_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, qhead = _pq_head(emb)
+    cents, qhead = _pq_head(emb, sf_dir)
     books = train_pq_books(emb, _pq_seed_books(cents))
     return _pq_run(spark, emb, books, qhead)
 
@@ -668,7 +677,7 @@ def x_ann_pq_trained_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe (~100 s); this tier closes that to the numpy-fast
     envelope."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, qhead = _pq_head(emb)
+    cents, qhead = _pq_head(emb, sf_dir)
     books = train_pq_books(emb, _pq_seed_books(cents), assign="numpy")
     return _pq_run(spark, emb, books, qhead, encode="numpy")
 
@@ -883,7 +892,7 @@ def x_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .index_store import corpus_fingerprint, load_index_if_valid, save_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, qhead = _pq_head(emb)
+    cents, qhead = _pq_head(emb, sf_dir)
     src = os.path.join(sf_dir, "embeddings.parquet")
     # mtime-keyed filename is only the cache lookup; the loaded meta is
     # validated (source, params, footer-only corpus fingerprint) and a

@@ -151,6 +151,44 @@ def cosine_topk_blocked(
     )
 
 
+def head_embeddings(sf_dir: str, n: int) -> list[tuple[int, list[float]]] | None:
+    """The lowest-``n`` ``(vec_id, embedding)`` rows of the embeddings
+    fixture, read footer-filtered by pyarrow ON THE DRIVER.
+
+    Every IVF/PQ/blocked-top-k build needs these k rows as plan
+    literals (centroid seeds, probe vectors, ADC query head) and
+    previously paid a full Spark job (filter + orderBy + collect,
+    ~0.2 s of the measured wall) just to fetch them.  Reading k rows of
+    a predicate-pruned parquet scan is O(1) row groups at any corpus
+    size — the same driver-side cost class as the collect it replaces,
+    minus the job.  Value identity: pyarrow's ``as_py()`` widens
+    float32 → Python float exactly like Spark's ``collect`` of an
+    ``array<float>`` column (IEEE widening is exact), and rows are
+    sorted by vec_id as before.  Falls back to the caller's Spark path
+    on any read problem by returning None."""
+    import os
+
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", n)],
+        )
+        t = t.sort_by("vec_id")
+        ids = t.column("vec_id").to_pylist()
+        vecs = t.column("embedding").to_pylist()
+        if len(ids) != n:
+            return None  # unexpected fixture shape — use the Spark path
+        return [
+            (int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)
+        ]
+    except Exception:
+        return None
+
+
 def _cents_sql(centroids: list[list[float]]) -> str:
     """Nested array literal of double components as ONE SQL text —
     ``repr(float)`` round-trips the exact IEEE value and the ``D``

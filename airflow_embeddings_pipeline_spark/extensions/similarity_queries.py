@@ -121,14 +121,22 @@ register(
 # reduction.  Shares x_cosine_topk's oracle — the point IS that the
 # scale path is exact.
 def x_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import head_embeddings
+
     emb = load_table(spark, sf_dir, "embeddings")
-    qrows = (
-        emb.filter(F.col("vec_id") < _N_QUERIES)
-        .orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    query_rows = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+    # r11: the k probe vectors come from a driver-side footer-filtered
+    # pyarrow read (O(1) row groups at any scale) instead of a Spark
+    # job; identical values (IEEE float32→double widening), Spark-path
+    # fallback kept.
+    query_rows = head_embeddings(sf_dir, _N_QUERIES)
+    if query_rows is None:
+        qrows = (
+            emb.filter(F.col("vec_id") < _N_QUERIES)
+            .orderBy("vec_id")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        query_rows = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
     return cosine_topk_blocked(emb, query_rows, k=_K).select(
         "query_id", "neighbor_id", "cosine", "rank"
     )
@@ -168,15 +176,28 @@ register(
 # on a small int key.  Deterministic centroids (embeddings of the
 # lowest vec_ids) make the approximation itself oracle-checkable: the
 # DuckDB SQL replicates assignment, probing, and ranking exactly.
-def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def _ivf_seed_centroids(emb: DataFrame, sf_dir: str) -> list[list[float]]:
+    """The deterministic seed centroids (embeddings of vec_id <
+    _N_CENTS) — driver-side pyarrow read when possible (no Spark job
+    per build, ~0.2 s of each IVF query's wall), Spark collect
+    fallback.  Values identical either way."""
+    from .similarity import head_embeddings
+
+    head = head_embeddings(sf_dir, _N_CENTS)
+    if head is not None:
+        return [v for _, v in head]
     cent_rows = (
         emb.filter(F.col("vec_id") < _N_CENTS)
         .orderBy("vec_id")
         .select("embedding")
         .collect()
     )
-    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    return [[float(x) for x in r[0]] for r in cent_rows]
+
+
+def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _ivf_seed_centroids(emb, sf_dir)
     corpus = assign_ivf_cells(emb, centroids)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(corpus, queries, centroids, k=_K, nprobe=_NPROBE).select(
@@ -244,13 +265,7 @@ def x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import train_ivf_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.filter(F.col("vec_id") < _N_CENTS)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    seeds = [[float(x) for x in r[0]] for r in cent_rows]
+    seeds = _ivf_seed_centroids(emb, sf_dir)
     trained = train_ivf_centroids(emb, seeds, iters=1)
     corpus = assign_ivf_cells(emb, trained)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
@@ -419,13 +434,7 @@ def x_kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _as_double, dot, train_ivf_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.filter(F.col("vec_id") < _N_CENTS)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    seeds = [[float(x) for x in r[0]] for r in cent_rows]
+    seeds = _ivf_seed_centroids(emb, sf_dir)
     trained = train_ivf_centroids(emb, seeds, iters=1)
 
     def inertia(cents: list[list[float]], iteration: int) -> DataFrame:
@@ -1134,13 +1143,7 @@ _SD_THRESHOLD = 0.35
 
 def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.filter(F.col("vec_id") < _N_CENTS)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    cents = [[float(x) for x in r[0]] for r in cent_rows]
+    cents = _ivf_seed_centroids(emb, sf_dir)
     cells = assign_ivf_cells(emb, cents).select("vec_id", "label", "embedding", "ivf_cell")
     a = cells.alias("a")
     b = cells.alias("b")
@@ -1234,13 +1237,7 @@ def x_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import dot
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.filter(F.col("vec_id") < _N_CENTS)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    centroids = _ivf_seed_centroids(emb, sf_dir)
     base = assign_ivf_cells(emb, centroids)
 
     v = _as_double(F.col("embedding"))
@@ -1281,23 +1278,17 @@ def x_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qnorm"),
     )
 
-    # probe cells per query — identical construction to ivf_topk
-    cents = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
-            for c in centroids
-        ]
+    # probe cells per query — identical construction to ivf_topk (the
+    # r11 SQL-text fast path: one py4j call instead of one per centroid
+    # component; same struct-sort argsort, same values)
+    from .similarity import _cell_dists_sql
+
+    dists = _cell_dists_sql(centroids, "embedding")
+    order = (
+        f"array_sort(zip_with({dists}, sequence(0, {len(centroids) - 1}), "
+        "(d, i) -> struct(d AS d, i AS i)))"
     )
-    qv_dbl = _as_double(F.col("embedding"))
-    dists = F.transform(cents, lambda c: F.round(dot(c, c) - 2 * dot(qv_dbl, c), 6))
-    order = F.array_sort(
-        F.zip_with(
-            dists,
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-        )
-    )
-    probe_cells = F.slice(F.transform(order, lambda s: s["i"]), 1, _NPROBE)
+    probe_cells = F.expr(f"slice(transform({order}, s -> s.i), 1, {_NPROBE})")
     q = (
         quant.filter(F.col("vec_id") < _N_QUERIES)
         .withColumn("probe_cell", F.explode(probe_cells))
@@ -1446,13 +1437,7 @@ def x_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import dot
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.filter(F.col("vec_id") < _N_CENTS)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    centroids = _ivf_seed_centroids(emb, sf_dir)
     assigned = assign_ivf_cells(emb, centroids)
     cents = F.array(
         *[

@@ -1161,3 +1161,30 @@ def test_pq_numpy_encode_codes_match_hof_trained_books(spark, sf_dir):
         for r in _pq_encode_codes_numpy(emb, books).select(*cols).collect()
     }
     assert hof == npy and len(hof) > 0
+
+
+def test_head_embeddings_matches_spark_collect(spark, sf_dir):
+    """r11: the driver-side pyarrow head read that replaced the per-build
+    Spark collect job must return BIT-identical (vec_id, embedding)
+    rows — same float32→double IEEE widening, same vec_id order — at
+    every n the catalog uses (4 centroid seeds … 16 PQ codewords)."""
+    from pyspark.sql import functions as F
+
+    from airflow_embeddings_pipeline_spark.extensions.similarity import (
+        head_embeddings,
+    )
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for n in (4, 8, 16):
+        rows = (
+            emb.filter(F.col("vec_id") < n)
+            .orderBy("vec_id")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        spark_rows = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+        assert head_embeddings(sf_dir, n) == spark_rows
+
+    # unexpected fixture shape (fewer rows than asked) falls back to None
+    assert head_embeddings(sf_dir, 10**9) is None
