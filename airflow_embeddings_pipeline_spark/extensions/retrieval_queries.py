@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..plans.catalog import Query, register
 from ..sources.registry import load_table
 from ..functions.ranking import single_group
-from .similarity import _as_double, cosine
+from .similarity import _as_double, corpus_rowcount, cosine
 
 _BM25_TERMS = ("vector", "join", "stream", "hash")
 _K1 = 1.2
@@ -532,12 +532,22 @@ def train_pq_books(
 
 
 def _pq_run(
-    spark: SparkSession, emb: DataFrame, books, queries_head, *, encode: str = "hof"
+    spark: SparkSession,
+    emb: DataFrame,
+    books,
+    queries_head,
+    *,
+    encode: str = "hof",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Encode -> broadcast-ADC score -> exact re-rank, shared by the
     seed-codebook and trained-codebook entries.  ``encode="numpy"``
     swaps the interpreted HOF encode for the Arrow-batched numpy tier
-    (identical codes, unit-asserted)."""
+    (identical codes, unit-asserted).  ``corpus_count`` (r11): the
+    exact unfiltered row count when the caller has it from parquet
+    footer metadata — the adaptive candidate pool becomes a literal,
+    removing the 1-row-broadcast cross join stage; None keeps that
+    path."""
     enc = (
         _pq_encode_codes_numpy(emb, books)
         if encode == "numpy"
@@ -574,21 +584,32 @@ def _pq_run(
         .groupBy("query_id", "vec_id")
         .agg(F.round(F.sum("partial"), 6).alias("adc"))
     )
-    # corpus-adaptive pool via the 1-row-broadcast scalar pattern (no
-    # driver count() action; see _PQ_CAND rationale above)
-    pool = emb.agg(
-        F.greatest(
-            F.lit(_PQ_CAND).cast("long"),
-            (F.count("*") / _PQ_CAND_DIV).cast("long"),
-        ).alias("cand_pool")
-    )
     wq = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "vec_id")
-    cands = (
-        adc.withColumn("crank", F.row_number().over(wq))
-        .join(F.broadcast(pool))
-        .filter(F.col("crank") <= F.col("cand_pool"))
-        .drop("cand_pool")
-    )
+    if corpus_count is not None:
+        # exact count from footer metadata → literal pool (same value
+        # as GREATEST(floor, count(*)//div): footer counts are exact)
+        cands = (
+            adc.withColumn("crank", F.row_number().over(wq))
+            .filter(
+                F.col("crank")
+                <= max(_PQ_CAND, corpus_count // _PQ_CAND_DIV)
+            )
+        )
+    else:
+        # corpus-adaptive pool via the 1-row-broadcast scalar pattern
+        # (no driver count() action; see _PQ_CAND rationale above)
+        pool = emb.agg(
+            F.greatest(
+                F.lit(_PQ_CAND).cast("long"),
+                (F.count("*") / _PQ_CAND_DIV).cast("long"),
+            ).alias("cand_pool")
+        )
+        cands = (
+            adc.withColumn("crank", F.row_number().over(wq))
+            .join(F.broadcast(pool))
+            .filter(F.col("crank") <= F.col("cand_pool"))
+            .drop("cand_pool")
+        )
 
     # --- exact re-rank on the surviving candidates only
     nb = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
@@ -649,21 +670,24 @@ def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the parity units).
     emb = load_table(spark, sf_dir, "embeddings")
     cents, qhead = _pq_head(emb, sf_dir)
-    return _pq_run(spark, emb, _pq_seed_books(cents), qhead, encode="numpy")
+    return _pq_run(spark, emb, _pq_seed_books(cents), qhead, encode="numpy",
+                   corpus_count=corpus_rowcount(sf_dir))
 
 
 def x_ann_pq_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x_ann_pq with the numpy encode tier — same codes, same oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents, qhead = _pq_head(emb, sf_dir)
-    return _pq_run(spark, emb, _pq_seed_books(cents), qhead, encode="numpy")
+    return _pq_run(spark, emb, _pq_seed_books(cents), qhead, encode="numpy",
+                   corpus_count=corpus_rowcount(sf_dir))
 
 
 def x_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents, qhead = _pq_head(emb, sf_dir)
     books = train_pq_books(emb, _pq_seed_books(cents))
-    return _pq_run(spark, emb, books, qhead)
+    return _pq_run(spark, emb, books, qhead,
+                   corpus_count=corpus_rowcount(sf_dir))
 
 
 def x_ann_pq_trained_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,7 +703,8 @@ def x_ann_pq_trained_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents, qhead = _pq_head(emb, sf_dir)
     books = train_pq_books(emb, _pq_seed_books(cents), assign="numpy")
-    return _pq_run(spark, emb, books, qhead, encode="numpy")
+    return _pq_run(spark, emb, books, qhead, encode="numpy",
+                   corpus_count=corpus_rowcount(sf_dir))
 
 
 def _pq_oracle() -> str:
@@ -914,7 +939,8 @@ def x_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_index(path, "pq_codebooks", trained, meta=expect_meta)
         books = load_index_if_valid(path, "pq_codebooks", expect_meta)
         assert books is not None, f"just-saved index failed validation: {path}"
-    return _pq_run(spark, emb, books, qhead)
+    return _pq_run(spark, emb, books, qhead,
+                   corpus_count=corpus_rowcount(sf_dir))
 
 
 register(

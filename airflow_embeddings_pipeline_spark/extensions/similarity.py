@@ -189,6 +189,25 @@ def head_embeddings(sf_dir: str, n: int) -> list[tuple[int, list[float]]] | None
         return None
 
 
+def corpus_rowcount(sf_dir: str, name: str = "embeddings") -> int | None:
+    """Exact row count of a fixture table from parquet footer metadata
+    (no data read, no Spark job).  Identical by definition to
+    ``count(*)`` over the unfiltered table — parquet footers carry the
+    exact count, and the engine's own manifests keep per-file row
+    counts for precisely this purpose at scale.  None on any problem →
+    callers keep their 1-row-broadcast aggregate path."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        return int(
+            pq.read_metadata(os.path.join(sf_dir, f"{name}.parquet")).num_rows
+        )
+    except Exception:
+        return None
+
+
 def _cents_sql(centroids: list[list[float]]) -> str:
     """Nested array literal of double components as ONE SQL text —
     ``repr(float)`` round-trips the exact IEEE value and the ``D``

@@ -438,16 +438,13 @@ def x_kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = train_ivf_centroids(emb, seeds, iters=1)
 
     def inertia(cents: list[list[float]], iteration: int) -> DataFrame:
-        carr = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
-                for c in cents
-            ]
-        )
-        v = _as_double(F.col("embedding"))
-        dists = F.transform(carr, lambda c: F.round(dot(c, c) - 2 * dot(v, c), 6))
+        from .similarity import _cell_dists_sql
+
+        # r11 SQL-text fast path (one py4j call; values identical —
+        # same helper the assignment uses)
+        dists = F.expr(f"array_min({_cell_dists_sql(cents, 'embedding')})")
         return emb.select(
-            F.array_min(dists).cast("decimal(18,6)").alias("d")
+            dists.cast("decimal(18,6)").alias("d")
         ).agg(
             F.lit(iteration).alias("iteration"),
             F.count("*").alias("n_vectors"),
@@ -1433,22 +1430,19 @@ register(
 # (already rounded to 6dp), so the whole view is one map stage + one
 # tiny groupBy.
 def x_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import _as_double as _dd
-    from .similarity import dot
-
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _ivf_seed_centroids(emb, sf_dir)
     assigned = assign_ivf_cells(emb, centroids)
-    cents = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
-            for c in centroids
-        ]
+    # same quadratic-form distance the assignment ranks on (c·c − 2v·c);
+    # r11 SQL-text fast path — the per-component literal build cost one
+    # py4j round-trip per centroid component
+    from .similarity import _cents_sql, _dot_sql
+
+    own = f"element_at({_cents_sql(centroids)}, CAST(ivf_cell + 1 AS INT))"
+    v = "transform(`embedding`, x -> CAST(x AS DOUBLE))"
+    d = F.expr(
+        f"round({_dot_sql(own, own)} - 2 * {_dot_sql(v, own)}, 6)"
     )
-    v = _dd(F.col("embedding"))
-    own = F.element_at(cents, (F.col("ivf_cell") + 1).cast("int"))
-    # same quadratic-form distance the assignment ranks on (c·c − 2v·c)
-    d = F.round(dot(own, own) - 2 * dot(v, own), 6)
     per_vec = assigned.select(F.col("ivf_cell").alias("cell"), d.alias("d"))
     # corpus size as a 1-row broadcast, not a second count() action
     tot = emb.agg(F.count("*").alias("total"))

@@ -498,13 +498,19 @@ _LM_V = 500  # vocabulary cap
 def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    total = toks.agg(F.count("*").alias("tot"))
-    vocab = (
+    # r11: one word-count pass feeds BOTH the vocabulary and the total
+    # (total token count == exact integer sum of all per-word counts),
+    # instead of exploding the corpus separately for each.  The
+    # materialized intermediate is the vocabulary-sized count table —
+    # the thing an LM-scoring pipeline persists at 100 TB — not the
+    # exploded corpus.
+    wc = (
         toks.groupBy("w")
         .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), "w")
-        .limit(_LM_V)
+        .localCheckpoint(eager=True)
     )
+    total = wc.agg(F.sum("cnt").alias("tot"))
+    vocab = wc.orderBy(F.desc("cnt"), "w").limit(_LM_V)
     lp = F.round(F.log(F.col("cnt") / F.col("tot")), 9).cast("decimal(18,9)")
     lp_oov = F.round(F.log(F.lit(1.0) / F.col("tot")), 9).cast("decimal(18,9)")
     scored = (
