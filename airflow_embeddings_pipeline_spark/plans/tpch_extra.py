@@ -399,19 +399,39 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
     late = F.datediff("l_shipdate", "o_orderdate") > 90
-    per_order = (
+    # r11: two-level aggregation instead of two COUNT(DISTINCT)s.  The
+    # distinct aggregates compiled to an Expand (3× the shuffle rows)
+    # plus TWO exchanges; grouping by (orderkey, suppkey) first makes
+    # every distinct a plain count, and because hash(l_orderkey)
+    # clusters BOTH group-bys, one explicit repartition serves the two
+    # aggregations — one exchange, no Expand, map-side partial
+    # aggregation intact (guide §2.3/§2.4).  Values identical:
+    # n_supp = distinct suppliers = rows per order after the first
+    # group-by; n_late = distinct late suppliers = sum of any_late;
+    # n_late_lines = total late lines = sum of the per-supplier sums.
+    per_os = (
         li.join(
             orders.filter(F.col("o_orderstatus") == "F"),
             li["l_orderkey"] == orders["o_orderkey"],
         )
-        .groupBy("l_orderkey")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.max(late.cast("long")).alias("any_late"),
+            F.sum(late.cast("long")).alias("n_late_lines_s"),
+        )
+    )
+    per_order = (
+        per_os.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum("any_late").alias("n_late"),
+            F.max(F.when(F.col("any_late") == 1, F.col("l_suppkey"))).alias(
+                "late_supp"
+            ),
             # SQL's count(*) ranges over l1 = the late supplier's late
             # lineitems, so carry that multiplicity, not 1 per order.
-            F.sum(late.cast("long")).alias("n_late_lines"),
+            F.sum("n_late_lines_s").alias("n_late_lines"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
