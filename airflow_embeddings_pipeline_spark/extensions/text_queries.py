@@ -602,19 +602,26 @@ def x_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    # r11: one bigram-count pass feeds the pair counts, the first-token
+    # histogram (c_a = Σ_b c_ab, exact integers) and the continuation
+    # vocabulary (distinct b over the count table = distinct b over the
+    # corpus) — the corpus was previously re-exploded for each.  The
+    # materialized intermediate is the bigram count table itself, the
+    # artifact an n-gram LM pipeline persists; localCheckpoint spills
+    # to disk when it outgrows memory.
+    wc = (
+        bi.groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .localCheckpoint(eager=True)
+    )
     hist = (
-        bi.groupBy("a")
-        .agg(F.count("*").alias("c_a"))
+        wc.groupBy("a")
+        .agg(F.sum("c_ab").alias("c_a"))
         .orderBy(F.desc("c_a"), "a")
         .limit(_LM2_HIST)
     )
-    pairs = (
-        bi.groupBy("a", "b")
-        .agg(F.count("*").alias("c_ab"))
-        .orderBy(F.desc("c_ab"), "a", "b")
-        .limit(_LM2_TOP)
-    )
-    vsize = bi.agg(F.countDistinct("b").alias("v"))
+    pairs = wc.orderBy(F.desc("c_ab"), "a", "b").limit(_LM2_TOP)
+    vsize = wc.agg(F.countDistinct("b").alias("v"))
     lp = F.round(
         F.log(
             (F.coalesce(F.col("c_ab"), F.lit(0)) + 1)
