@@ -263,17 +263,28 @@ def assign_ivf_cells(
     ``array_position(d, array_min(d)) - 1``'s first-occurrence rule)
     so the distance array is built once per row instead of twice
     (higher-order functions run interpreted: no codegen'd
-    common-subexpression elimination rescues a duplicated tree)."""
+    common-subexpression elimination rescues a duplicated tree).
+
+    The cell id is emitted through a generator barrier
+    (``explode(array(expr))`` — the repo's established trick, see the
+    int8 ``qv`` codes): when ``ivf_cell`` is used as a join key,
+    Catalyst pushes an ``isnotnull(ivf_cell)`` filter below the
+    projection and inlines the WHOLE argmin expression into the Filter
+    — every corpus row paid the k×dim distance fold twice (measured in
+    plans/r11/x_ann_ivf*_after.txt before this change).  A one-element
+    explode makes ``ivf_cell`` a runtime attribute the filter must
+    reference, not re-derive; filters on other columns still push
+    through the Generate to the scan."""
     d = _cell_dists_sql(centroids, vec_col)
-    return corpus.withColumn(
-        "ivf_cell",
-        F.expr(
-            f"CAST(aggregate(zip_with({d}, sequence(0, {len(centroids) - 1}), "
-            "(x, i) -> named_struct('d', x, 'i', i)), "
-            "named_struct('d', CAST('Infinity' AS DOUBLE), 'i', -1), "
-            "(acc, x) -> IF(x.d < acc.d, x, acc)).i AS BIGINT)"
-        ),
+    cell = F.expr(
+        f"CAST(aggregate(zip_with({d}, sequence(0, {len(centroids) - 1}), "
+        "(x, i) -> named_struct('d', x, 'i', i)), "
+        "named_struct('d', CAST('Infinity' AS DOUBLE), 'i', -1), "
+        "(acc, x) -> IF(x.d < acc.d, x, acc)).i AS BIGINT)"
     )
+    if "ivf_cell" in corpus.columns:  # keep withColumn's replace semantics
+        corpus = corpus.drop("ivf_cell")
+    return corpus.select("*", F.explode(F.array(cell)).alias("ivf_cell"))
 
 
 def hyperplane_planes(num_planes: int = 16, dim: int = 64) -> list[list[float]]:
