@@ -737,7 +737,23 @@ def contracted_simhash_clusters(
     of its component (singleton fingerprints keep their representative's
     id, so un-paired docs cluster with their exact duplicates).
     """
-    reps = fps.groupBy(simhash_col).agg(F.min(id_col).alias("__rep"))
+    # Materialize the fingerprint table once (eager localCheckpoint):
+    # it is consumed by the reps group-by AND the member-inherit join,
+    # and when ``fps`` is a lazy projection of an expensive fingerprint
+    # expression the member join's pushed-down isnotnull re-derives the
+    # whole expression — four corpus fingerprint passes for one call
+    # (guide §8: persist the small (id, fingerprint) proxy, decide on
+    # it, touch payloads never).  ``reps`` is checkpointed too: it is
+    # entropy-bounded (one row per DISTINCT fingerprint) and otherwise
+    # re-runs its group-by shuffle for each of its two consumers.
+    fps = fps.select(
+        F.col(id_col), F.col(simhash_col)
+    ).localCheckpoint(eager=True)
+    reps = (
+        fps.groupBy(simhash_col)
+        .agg(F.min(id_col).alias("__rep"))
+        .localCheckpoint(eager=True)
+    )
     rep_pairs = simhash_near_dup_pairs(
         reps,
         id_col="__rep",

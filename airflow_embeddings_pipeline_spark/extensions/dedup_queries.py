@@ -386,7 +386,16 @@ def x_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import incremental_near_dup_check
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = docs.select("doc_id", simhash16("text").alias("sim"))
+    # One fingerprint pass (eager localCheckpoint, inside the run): the
+    # new/corpus split otherwise re-evaluates simhash16 per side, and
+    # the hamming filter's inferred isnotnull(sim) pushes through the
+    # band Generate and re-derives the expression a third time on the
+    # corpus side.  This is also the documented scale story — the
+    # standing corpus fingerprints are a persisted index at ingest,
+    # never recomputed per increment.
+    fps = docs.select(
+        "doc_id", simhash16("text").alias("sim")
+    ).localCheckpoint(eager=True)
     new = fps.filter(F.col("doc_id") % 10 == 0)
     corpus = fps.filter(F.col("doc_id") % 10 != 0)
     return incremental_near_dup_check(

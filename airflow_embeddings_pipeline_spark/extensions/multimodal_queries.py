@@ -297,7 +297,17 @@ def x_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.expr("aggregate(barr, CAST(0 AS BIGINT), (a, x) -> a + x)"))
         ).alias("total"),
     )
-    hashed = with_total.select("doc_id", F.expr(_PH_AHASH_SPARK).alias("ahash"))
+    # Materialize the (doc_id, ahash) fingerprint table once (eager
+    # localCheckpoint, computed inside every run): it is consumed five
+    # times below (fps group-by, both membership joins, both intra
+    # self-join sides), and each lazy consumer re-ran the whole
+    # hex→bytes→total→hash chain — plus a pushed-down isnotnull per
+    # join key re-deriving it again (6 duplicated filter copies in the
+    # pre-change plan).  Guide §8: hash the payload once, decide on the
+    # 16-byte proxy.
+    hashed = with_total.select(
+        "doc_id", F.expr(_PH_AHASH_SPARK).alias("ahash")
+    ).localCheckpoint(eager=True)
     # Fingerprint contraction (the proven sign-LSH/MinHash ordering —
     # BASELINE.md's exact-first lesson): band and verify over DISTINCT
     # aHash values only, so the banded-join cost is bounded by corpus

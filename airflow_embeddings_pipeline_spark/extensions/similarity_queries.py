@@ -533,9 +533,14 @@ def x_hyperplane_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = hyperplane_planes(_HP_PLANES, _HP_DIM)
     # double-cast vector materialized once; 16 dot products read it
     vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    # Materialize the (id, 16-bit sig) table once (eager
+    # localCheckpoint, computed inside every run) before the banded
+    # self-join — same fix as the benched t08 entry: both join sides
+    # otherwise re-evaluate the 16-plane signature subtree, and the
+    # join's inferred isnotnull(sim) re-derives it a third time.
     sigs = vecs.select(
         "vec_id", hyperplane_signature("v", planes).alias("sim")
-    )
+    ).localCheckpoint(eager=True)
     cands = simhash_near_dup_pairs(
         sigs, id_col="vec_id", simhash_col="sim",
         max_hamming=_HP_PLANES,  # no hamming prune: pure shared-band LSH
