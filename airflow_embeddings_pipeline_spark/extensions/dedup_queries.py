@@ -854,16 +854,23 @@ def symspell_fuzzy_join(cust: DataFrame, *, encode_ids: bool = False) -> DataFra
         names = cust.select(
             F.col("c_custkey").alias("orig_id"), F.col("c_name").alias("orig_name")
         )
-        # exact membership re-verify on the few candidates: recomputing
-        # the deletion set for candidate rows only is O(candidates),
-        # and it makes the hash tier collision-proof (see docstring)
+        # exact membership re-verify on candidates, which makes the
+        # hash tier collision-proof (see docstring).  Membership in the
+        # single-deletion set has a closed form: corrupt ∈
+        # deletions(orig) ⟺ len(orig) = len(corrupt) + 1 AND
+        # levenshtein(orig, corrupt) = 1 (a one-edit transform that
+        # shortens by one char can only be a deletion).  The predicate
+        # form runs as a codegen'd builtin; rebuilding the variant
+        # ARRAY per candidate row (the previous form) was an
+        # interpreted ~len(name)-substring HOF that dominated the query
+        # when candidates are plentiful (TPCH customer names are
+        # near-identical: 148k candidates from 15k names at sf0.1).
         matched = (
             cand.join(names, "orig_id")
             .join(corrupted, "corrupt_id")
             .filter(
-                F.array_contains(
-                    F.expr(_sym_variants_sql("orig_name")), F.col("corrupt_name")
-                )
+                (F.length("orig_name") == F.length("corrupt_name") + 1)
+                & (F.levenshtein("orig_name", "corrupt_name") == 1)
             )
         )
     else:
@@ -980,11 +987,20 @@ def x_quote_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.split("text", " "), 1, _CONT_TOKENS), " "
         ).alias("qtext"),
     )
-    qsh = quotes.select(
-        "quote_id", shingles("qtext").alias("qsh")
-    ).filter(F.size("qsh") > 0)
-    dsh = docs.select("doc_id", shingles("text").alias("dsh")).filter(
-        F.size("dsh") > 0
+    # Shingle each side once (eager localCheckpoint, inside the run):
+    # the document shingle HOF was otherwise re-evaluated by all three
+    # consumers below (document-frequency pass, candidate-posting join,
+    # verify join) — three interpreted tokenize passes over the corpus;
+    # the quote side likewise by its three consumers.
+    qsh = (
+        quotes.select("quote_id", shingles("qtext").alias("qsh"))
+        .filter(F.size("qsh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    dsh = (
+        docs.select("doc_id", shingles("text").alias("dsh"))
+        .filter(F.size("dsh") > 0)
+        .localCheckpoint(eager=True)
     )
 
     qprefix_len = (
@@ -1130,9 +1146,12 @@ def x_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sh",
         F.explode(F.array(hashed_shingles(F.col("sh")))).alias("__hs"),
     )
+    # One shingle+hash+minhash pass (eager localCheckpoint, inside the
+    # run): both join sides below otherwise re-evaluate the whole
+    # signature pipeline over their slice of the corpus.
     sigs = hashed.select(
         "doc_id", "sh", minhash_from_hashes(F.col("__hs"), _MHJ_K).alias("sig")
-    )
+    ).localCheckpoint(eager=True)
     a = sigs.select(
         F.col("doc_id").alias("id_a"),
         F.col("sh").alias("sa"),

@@ -1146,7 +1146,14 @@ _SD_THRESHOLD = 0.35
 def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_seed_centroids(emb, sf_dir)
-    cells = assign_ivf_cells(emb, cents).select("vec_id", "label", "embedding", "ivf_cell")
+    # One assignment pass (eager localCheckpoint, inside the run): the
+    # within-cell self-join consumes `cells` on both sides and the
+    # final left join a third time — three argmin passes otherwise.
+    cells = (
+        assign_ivf_cells(emb, cents)
+        .select("vec_id", "label", "embedding", "ivf_cell")
+        .localCheckpoint(eager=True)
+    )
     a = cells.alias("a")
     b = cells.alias("b")
     dropped = (
