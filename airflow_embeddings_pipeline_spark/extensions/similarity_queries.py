@@ -758,18 +758,23 @@ def x_hyperplane_lsh_near_dup_t08(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # normalize once per vector below the candidate join (planted rows
     # are not unit-norm); generator barriers as in the stress entry.
+    # The normalized table is materialized ONCE (eager localCheckpoint,
+    # inside the run) and both join sides read it: the per-side form
+    # re-ran the interpreted norm+divide HOF pass over the corpus twice
+    # (interleaved A/B median 3.53 s → 3.24 s, outputs byte-equal).
+    n1 = corpus.select(
+        "vec_id", "v", F.explode(F.array(l2_norm(F.col("v")))).alias("__n")
+    )
+    normed = n1.select(
+        "vec_id",
+        F.explode(F.array(F.transform("v", lambda x: x / F.col("__n")))).alias(
+            "u"
+        ),
+    ).localCheckpoint(eager=True)
+
     def norm_side(out_id: str, out_v: str) -> DataFrame:
-        s1 = corpus.select(
-            F.col("vec_id").alias(out_id), F.col("v").alias("__v")
-        )
-        s2 = s1.select(
-            out_id, "__v", F.explode(F.array(l2_norm(F.col("__v")))).alias("__n")
-        )
-        return s2.select(
-            out_id,
-            F.explode(
-                F.array(F.transform("__v", lambda x: x / F.col("__n")))
-            ).alias(out_v),
+        return normed.select(
+            F.col("vec_id").alias(out_id), F.col("u").alias(out_v)
         )
 
     a = norm_side("id_a", "__na")
