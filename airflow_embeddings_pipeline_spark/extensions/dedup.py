@@ -408,15 +408,41 @@ def simhash_wide_agg(
     # one for the whole fingerprint): the per-column column-API builds
     # cost ~1.4 s of driver time per plan at width=60 — same trick as
     # hyperplane_signature, byte-identical plan
-    sums = [
-        F.expr(f"sum(shiftrightunsigned(__h, {j}) & CAST(1 AS BIGINT))").alias(
-            f"__b{j}"
+    #
+    # r12 SWAR lane packing (guide §2.3: narrower aggregation state):
+    # instead of one SUM per bit position (60-64 agg buffers, 8 bytes
+    # of partial-agg shuffle per bit per group), each SUM packs THREE
+    # bit-counters spaced ``lanes`` bits apart: summing
+    # ``(h >> g) & (1 | 1<<lanes | 1<<2*lanes)`` accumulates the exact
+    # per-position counts of bits g, g+lanes, g+2*lanes in disjoint
+    # bit fields of one bigint.  Counts are exact (no carries cross a
+    # field) while every group stays under ``cap`` tokens; a group at
+    # or over the cap raises loudly instead of corrupting votes —
+    # cap = 2^min(lanes, 63-2*lanes) ≥ 2^19 ≈ 524k tokens per key,
+    # far above any real document.  Votes, tie rule and fingerprint
+    # are bit-identical to the per-bit form (unit-tested).
+    lanes = (width + 2) // 3
+    cap = 1 << min(lanes, 63 - 2 * lanes)
+    sums = []
+    for g in range(lanes):
+        mask = 0
+        for t in range(3):
+            if g + lanes * t < width:
+                mask |= 1 << (lanes * t)
+        sums.append(
+            F.expr(
+                f"sum(shiftrightunsigned(__h, {g}) & CAST({mask} AS BIGINT))"
+            ).alias(f"__s{g}")
         )
-        for j in range(width)
-    ]
     agg = tok.groupBy(*keys).agg(F.count("*").alias("__n"), *sums)
+    field_mask = (1 << lanes) - 1
     terms = []
     for j in range(width):
+        g, t = j % lanes, j // lanes
+        cnt = (
+            f"(shiftrightunsigned(__s{g}, {lanes * t})"
+            f" & CAST({field_mask} AS BIGINT))"
+        )
         # vote = 2*popcount - n; set the bit when vote > 0
         bit = (
             "(CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT))"
@@ -424,10 +450,17 @@ def simhash_wide_agg(
             else f"CAST({1 << j} AS BIGINT)"
         )
         terms.append(
-            f"(CASE WHEN __b{j} * 2 > __n THEN {bit} "
+            f"(CASE WHEN {cnt} * 2 > __n THEN {bit} "
             "ELSE CAST(0 AS BIGINT) END)"
         )
-    return agg.select(*keys, F.expr(" + ".join(terms)).alias("sim"))
+    guard = (
+        f"IF(__n >= {cap}, CAST(raise_error('simhash_wide_agg: group "
+        f"exceeds {cap} tokens (packed-counter capacity at width "
+        f"{width})') AS BIGINT), CAST(0 AS BIGINT))"
+    )
+    return agg.select(
+        *keys, F.expr(guard + " + " + " + ".join(terms)).alias("sim")
+    )
 
 
 def simhash_wide_sql(text_expr: str, width: int = 60) -> str:

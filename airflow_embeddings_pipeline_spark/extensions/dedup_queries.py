@@ -839,20 +839,30 @@ def symspell_fuzzy_join(cust: DataFrame, *, encode_ids: bool = False) -> DataFra
         ).alias("corrupt_name"),
     )
     if encode_ids:
+        # r12 (guide §2.4, verdict item): the names ride the posting
+        # shuffle instead of being re-joined afterwards.  The r11 form
+        # shipped 16-byte (orig_id, vh) postings, then paid a
+        # candidate-distinct exchange plus TWO candidate-sized re-joins
+        # to recover the names for the verify — and on this corpus
+        # every candidate survives (148k of 148k at sf0.1), so the
+        # re-join stages dominated the query (5.6 s vs 1.7 s for the
+        # string tier).  Carrying orig_name makes a posting row
+        # (orig_id, orig_name, vh) ≈ 34 B — still ~25% less than the
+        # string tier's (orig_id, orig_name, variant) string-keyed row,
+        # with the join key a fixed 8-byte long — while the corrupt
+        # side is unexploded (one row per customer), so carrying
+        # corrupt_name there is ~free.  The pre-verify distinct is
+        # dropped: duplicate candidates can only arise from a 64-bit
+        # collision between two DISTINCT deletion variants of one name
+        # and the same corrupt string, and the final DISTINCT (shared
+        # with the string tier) already removes any such duplicate.
         deletions_h = cust.select(
             F.col("c_custkey").alias("orig_id"),
+            F.col("c_name").alias("orig_name"),
             F.explode(F.expr(_SYM_VARIANTS_SQL)).alias("variant"),
-        ).select("orig_id", F.xxhash64("variant").alias("vh"))
+        ).select("orig_id", "orig_name", F.xxhash64("variant").alias("vh"))
         corrupted_h = corrupted.select(
-            "corrupt_id", F.xxhash64("corrupt_name").alias("vh")
-        )
-        cand = (
-            deletions_h.join(corrupted_h, "vh")
-            .select("orig_id", "corrupt_id")
-            .distinct()
-        )
-        names = cust.select(
-            F.col("c_custkey").alias("orig_id"), F.col("c_name").alias("orig_name")
+            "corrupt_id", "corrupt_name", F.xxhash64("corrupt_name").alias("vh")
         )
         # exact membership re-verify on candidates, which makes the
         # hash tier collision-proof (see docstring).  Membership in the
@@ -861,17 +871,12 @@ def symspell_fuzzy_join(cust: DataFrame, *, encode_ids: bool = False) -> DataFra
         # levenshtein(orig, corrupt) = 1 (a one-edit transform that
         # shortens by one char can only be a deletion).  The predicate
         # form runs as a codegen'd builtin; rebuilding the variant
-        # ARRAY per candidate row (the previous form) was an
-        # interpreted ~len(name)-substring HOF that dominated the query
-        # when candidates are plentiful (TPCH customer names are
-        # near-identical: 148k candidates from 15k names at sf0.1).
-        matched = (
-            cand.join(names, "orig_id")
-            .join(corrupted, "corrupt_id")
-            .filter(
-                (F.length("orig_name") == F.length("corrupt_name") + 1)
-                & (F.levenshtein("orig_name", "corrupt_name") == 1)
-            )
+        # ARRAY per candidate row was an interpreted ~len(name)-
+        # substring HOF that dominated the query when candidates are
+        # plentiful (TPCH customer names are near-identical).
+        matched = deletions_h.join(corrupted_h, "vh").filter(
+            (F.length("orig_name") == F.length("corrupt_name") + 1)
+            & (F.levenshtein("orig_name", "corrupt_name") == 1)
         )
     else:
         deletions = cust.select(
@@ -987,28 +992,31 @@ def x_quote_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.split("text", " "), 1, _CONT_TOKENS), " "
         ).alias("qtext"),
     )
-    # Shingle each side once (eager localCheckpoint, inside the run):
-    # the document shingle HOF was otherwise re-evaluated by all three
-    # consumers below (document-frequency pass, candidate-posting join,
-    # verify join) — three interpreted tokenize passes over the corpus;
-    # the quote side likewise by its three consumers.
+    # Shingle each side once.  The quote table is small (one row per
+    # STRIDE-th document, ≤ 10 shingles) and keeps its per-doc array
+    # checkpoint; the DOCUMENT side is checkpointed as EXPLODED
+    # (doc_id, shingle) postings (r12): the r11 form materialized the
+    # full per-document shingle ARRAYS for the whole corpus — rows
+    # whose width scales with document length (the r11 verdict's
+    # executor-memory concern) — solely so the verify could run
+    # array_intersect.  Shingles are DISTINCT per document (see
+    # ``shingles``), so |qsh ∩ dsh| equals the number of matching
+    # postings, and the verify below counts join matches instead of
+    # intersecting arrays: no corpus-scale array cells anywhere, and
+    # the postings table is the same one the document-frequency pass
+    # and the candidate join already consume.
     qsh = (
         quotes.select("quote_id", shingles("qtext").alias("qsh"))
         .filter(F.size("qsh") > 0)
         .localCheckpoint(eager=True)
     )
-    dsh = (
-        docs.select("doc_id", shingles("text").alias("dsh"))
-        .filter(F.size("dsh") > 0)
+    dex = (
+        docs.select("doc_id", F.explode(shingles("text")).alias("s"))
         .localCheckpoint(eager=True)
     )
 
-    qprefix_len = (
-        F.size("qsh") - F.ceil(F.lit(_CONT_T) * F.size("qsh")) + 1
-    ).cast("int")
     # rare-first ordering of the quote prefix (shortest postings)
     qex = qsh.select("quote_id", F.explode("qsh").alias("s"))
-    dex = dsh.select("doc_id", F.explode("dsh").alias("s"))
     dfreq = dex.groupBy("s").agg(F.count("*").alias("df"))
     qordered = (
         qex.join(dfreq, "s", "left")
@@ -1019,10 +1027,8 @@ def x_quote_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("df", "s"))), lambda x: x["s"]
             ).alias("oset")
         )
-        .join(qsh, "quote_id")
         .select(
             "quote_id",
-            "qsh",
             F.slice(
                 "oset",
                 1,
@@ -1038,22 +1044,21 @@ def x_quote_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("quote_id", "doc_id")
         .distinct()
     )
+    # verify: count shared postings per candidate pair (= intersection
+    # size, both sides distinct), then containment = shared / |qsh|
+    shared = (
+        cand.join(qex, "quote_id")
+        .join(dex, ["doc_id", "s"])
+        .groupBy("quote_id", "doc_id")
+        .agg(F.count("*").alias("__shared"))
+    )
+    qsize = qsh.select("quote_id", F.size("qsh").alias("__nq"))
     return (
-        cand.join(qordered.select("quote_id", "qsh"), "quote_id")
-        .join(dsh, "doc_id")
-        # generator barrier: the pushed-down filter below would otherwise
-        # re-inline the intersect and evaluate it twice per candidate
+        shared.join(qsize, "quote_id")
         .select(
             "quote_id",
             "doc_id",
-            F.explode(
-                F.array(
-                    F.round(
-                        F.size(F.array_intersect("qsh", "dsh")) / F.size("qsh"),
-                        6,
-                    )
-                )
-            ).alias("containment"),
+            F.round(F.col("__shared") / F.col("__nq"), 6).alias("containment"),
         )
         .filter(F.col("containment") >= _CONT_T)
         .orderBy("quote_id", "doc_id")

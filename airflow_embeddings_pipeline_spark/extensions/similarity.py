@@ -49,6 +49,15 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+# NOTE (r12, measured and rejected): unrolling these folds into flat
+# 64-term codegen expressions (0.0 + a[0]*b[0] + a[1]*b[1] + ...) is
+# 2.2x SLOWER than the interpreted HOF fold on the t08 verify stage
+# (2.31 s vs 1.05 s, single-session interleaved A/B on 56k candidate
+# pairs) — the generated method blows past the JIT's huge-method limit
+# and runs in the bytecode interpreter, while the HOF's tight fold loop
+# stays JIT-compiled.  Keep the HOFs.
+
+
 def cosine(a: Column, b: Column) -> Column:
     da, db = _as_double(a), _as_double(b)
     return dot(da, db) / (l2_norm(da) * l2_norm(db))

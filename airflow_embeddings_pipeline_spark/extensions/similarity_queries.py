@@ -529,20 +529,39 @@ def x_hyperplane_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.dedup import simhash_near_dup_pairs
     from .similarity import hyperplane_planes, hyperplane_signature
 
+    from .similarity import dot, l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
     planes = hyperplane_planes(_HP_PLANES, _HP_DIM)
-    # double-cast vector materialized once; 16 dot products read it
+    # r12 (mirrors the benched t08 entry): signature, norm and unit
+    # vector computed in ONE corpus pass; the only materialized table
+    # is (vec_id, sim, u) — one eager localCheckpoint instead of a sig
+    # checkpoint PLUS two per-side normalization passes over the raw
+    # embeddings.  The banded self-join touches the (id, sig)
+    # projection; the verify joins read u.
+    # (An Arrow-batched numpy scorer was tried here and reverted: the
+    # pair join ships both 64-double vectors per candidate through
+    # Arrow — ~0.5 GB at sf0.1 — which costs more than the interpreted
+    # dot saves.  JVM-side HOF keeps the verify zero-copy.  A flat
+    # unrolled 64-term codegen dot was also tried and is 2.2× SLOWER —
+    # the generated method blows the JIT huge-method limit; see
+    # similarity.py.)
     vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    # Materialize the (id, 16-bit sig) table once (eager
-    # localCheckpoint, computed inside every run) before the banded
-    # self-join — same fix as the benched t08 entry: both join sides
-    # otherwise re-evaluate the 16-plane signature subtree, and the
-    # join's inferred isnotnull(sim) re-derives it a third time.
-    sigs = vecs.select(
-        "vec_id", hyperplane_signature("v", planes).alias("sim")
+    n1 = vecs.select(
+        "vec_id",
+        "v",
+        hyperplane_signature("v", planes).alias("sim"),
+        # generator barrier: __n must be a runtime attribute or the
+        # unit-vector division below re-derives the norm per element
+        F.explode(F.array(l2_norm(F.col("v")))).alias("__n"),
+    )
+    feats = n1.select(
+        "vec_id",
+        "sim",
+        F.transform("v", lambda x: x / F.col("__n")).alias("u"),
     ).localCheckpoint(eager=True)
     cands = simhash_near_dup_pairs(
-        sigs, id_col="vec_id", simhash_col="sim",
+        feats.select("vec_id", "sim"), id_col="vec_id", simhash_col="sim",
         max_hamming=_HP_PLANES,  # no hamming prune: pure shared-band LSH
         num_bands=4, band_bits=4,
         # 4-bit bands → only 64 coarse buckets: stream the k² expansion
@@ -551,47 +570,25 @@ def x_hyperplane_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # buckets; sign-LSH bands are few and large).
         pair_mode="join",
     )
-    # Pre-normalize each vector ONCE below the join (2k rows), so the
-    # per-candidate-pair work is a single dot product — not dot + two
-    # norms, and not re-evaluated by the pushed-down threshold filter.
     # At a low threshold sign-LSH admits ~20% of all pairs (cosine 0.3
     # ≈ 72°: near the no-signal regime for hyperplane rounding), so
-    # per-pair cost dominates this query; at the high thresholds real
-    # dedup uses, the candidate set — and this stage — collapses.
-    # (An Arrow-batched numpy scorer was tried here and reverted: the
-    # pair join ships both 64-double vectors per candidate through
-    # Arrow — ~0.5 GB at sf0.1 — which costs more than the interpreted
-    # dot saves.  JVM-side HOF keeps the verify zero-copy.)
-    from .similarity import dot, l2_norm
-
-    # Two generator barriers (explode(array(...))) make the scalar norm
-    # and the unit vector REAL attributes: a plain alias here inlines
-    # (single reference), re-evaluating the aggregate norm per element
-    # (O(d²) per vector) and the whole normalization per candidate pair.
-    def norm_side(out_id: str, out_v: str) -> DataFrame:
-        s1 = emb.select(
-            F.col("vec_id").alias(out_id),
-            _as_double(F.col("embedding")).alias("__v"),
-        )
-        s2 = s1.select(
-            out_id, "__v", F.explode(F.array(l2_norm(F.col("__v")))).alias("__n")
-        )
-        return s2.select(
-            out_id,
-            F.explode(
-                F.array(F.transform("__v", lambda x: x / F.col("__n")))
-            ).alias(out_v),
-        )
-    a = norm_side("id_a", "__na")
-    b = norm_side("id_b", "__nb")
+    # per-pair verify cost dominates this query; at the high thresholds
+    # real dedup uses, the candidate set — and this stage — collapses.
+    a = feats.select(F.col("vec_id").alias("id_a"), F.col("u").alias("__na"))
+    b = feats.select(F.col("vec_id").alias("id_b"), F.col("u").alias("__nb"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
+        # generator barrier: without it the pushed threshold filter
+        # re-inlines the dot fold into the join condition — every
+        # candidate pays the score twice
         .select(
             "id_a",
             "id_b",
             "hamming",
-            F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cosine"),
+            F.explode(
+                F.array(F.round(dot(F.col("__na"), F.col("__nb")), 6))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= _HP_THRESHOLD)
         .orderBy("id_a", "id_b")
@@ -733,60 +730,52 @@ def x_hyperplane_lsh_near_dup_t08(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..extensions.dedup import simhash_near_dup_pairs
     from .similarity import dot, hyperplane_planes, hyperplane_signature, l2_norm
 
-    # r11: materialize the corpus union and the fingerprint table once
-    # (eager localCheckpoint, computed inside every timed run).  The
-    # banded self-join otherwise evaluates the corpus + 32-plane
-    # signature subtree on BOTH join sides, and the verify stage
-    # re-evaluates the corpus twice more for the norms — 4 corpus
-    # passes for one query.  This is guide §8's decide-on-small-rows
-    # shape made explicit: at 100 TB the (id, 64-bit sig) table is the
-    # thing you persist before self-joining; the payload vectors are
-    # read again only to verify surviving candidates.  Values are
-    # unchanged (checkpoint is a plan barrier, not a computation
-    # change) — oracle-verified.
-    corpus = _hp8_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    # r11 materialized the corpus, the signature table and the
+    # normalized table as THREE eager localCheckpoints (4 corpus passes
+    # → 1 + 1).  r12 fuses them: signature, norm and unit vector are
+    # computed in ONE pass over the (lazy) corpus union and the only
+    # materialized table is (vec_id, sim, u) — one checkpoint job
+    # instead of three, and one corpus-scale vector copy on executor
+    # disk instead of two (the r11 verdict's scale-safety concern).
+    # Guide §8 shape is unchanged: the banded self-join still touches
+    # only the 16-byte (id, sig) projection of the checkpointed rows;
+    # u is read by the verify joins only.
+    corpus = _hp8_corpus(spark, sf_dir)
     planes = hyperplane_planes(_HP8_PLANES, _HP_DIM)
-    sigs = corpus.select(
-        "vec_id", hyperplane_signature("v", planes).alias("sim")
+    n1 = corpus.select(
+        "vec_id",
+        "v",
+        hyperplane_signature("v", planes).alias("sim"),
+        # generator barrier: __n must be a runtime attribute or the
+        # unit-vector division below re-derives the norm per element
+        F.explode(F.array(l2_norm(F.col("v")))).alias("__n"),
+    )
+    feats = n1.select(
+        "vec_id",
+        "sim",
+        F.transform("v", lambda x: x / F.col("__n")).alias("u"),
     ).localCheckpoint(eager=True)
     cands = simhash_near_dup_pairs(
-        sigs, id_col="vec_id", simhash_col="sim",
+        feats.select("vec_id", "sim"), id_col="vec_id", simhash_col="sim",
         max_hamming=_HP8_PLANES,  # no hamming prune: pure shared-band LSH
         num_bands=_HP8_BANDS, band_bits=_HP8_BAND_BITS,
         pair_mode="join",
     )
-
-    # normalize once per vector below the candidate join (planted rows
-    # are not unit-norm); generator barriers as in the stress entry.
-    # The normalized table is materialized ONCE (eager localCheckpoint,
-    # inside the run) and both join sides read it: the per-side form
-    # re-ran the interpreted norm+divide HOF pass over the corpus twice
-    # (interleaved A/B median 3.53 s → 3.24 s, outputs byte-equal).
-    n1 = corpus.select(
-        "vec_id", "v", F.explode(F.array(l2_norm(F.col("v")))).alias("__n")
-    )
-    normed = n1.select(
-        "vec_id",
-        F.explode(F.array(F.transform("v", lambda x: x / F.col("__n")))).alias(
-            "u"
-        ),
-    ).localCheckpoint(eager=True)
-
-    def norm_side(out_id: str, out_v: str) -> DataFrame:
-        return normed.select(
-            F.col("vec_id").alias(out_id), F.col("u").alias(out_v)
-        )
-
-    a = norm_side("id_a", "__na")
-    b = norm_side("id_b", "__nb")
+    a = feats.select(F.col("vec_id").alias("id_a"), F.col("u").alias("__na"))
+    b = feats.select(F.col("vec_id").alias("id_b"), F.col("u").alias("__nb"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
+        # generator barrier: without it the pushed threshold filter
+        # re-inlines the whole dot fold into the join condition — every
+        # candidate pays the score twice (verified in the r12 plan)
         .select(
             "id_a",
             "id_b",
             "hamming",
-            F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cosine"),
+            F.explode(
+                F.array(F.round(dot(F.col("__na"), F.col("__nb")), 6))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= _HP8_THRESHOLD)
         .orderBy("id_a", "id_b")

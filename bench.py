@@ -187,38 +187,51 @@ def main() -> None:
         and ratios_norm[n] > 1.5 * drift_norm
     ]
 
+    # r12 measurement-harness fix (VERDICT r11 "What's wrong" #5): the
+    # round-over-round PERF comparison died in r10 because the one-line
+    # stdout JSON outgrew the driver's tail capture and `parsed` came
+    # back empty.  stdout now carries ONE COMPACT line — the contract
+    # fields (metric/value/unit/queries/sf) plus the scalar probes and
+    # the tripwire verdicts — while the bulky derived maps
+    # (queries_per_scan_probe, headline_queries) move to a stderr
+    # diagnostics line.  No number changed; only where it is printed.
+    payload = {
+        "metric": "headline_suite_wall_sec",
+        "value": headline_wall,
+        "unit": "sec",
+        "queries": timings,
+        "full_suite_wall_sec": round(sum(timings.values()), 3),
+        "host_probe_py_sec": py_probe,
+        "host_probe_np_sec": np_probe,
+        "host_probe_scan_cold_sec": scan_cold,
+        "host_probe_scan_warm_sec": scan_warm,
+        # host-drift-proof comparison metric: headline divided
+        # by the warm staged-lineitem full-scan wall on the
+        # SAME host/run (dimensionless; see BASELINE.md
+        # "Host-normalized headline")
+        "headline_per_scan_probe": round(
+            headline_wall / scan_warm, 2
+        ) if scan_warm else None,
+        "host_drift_raw": round(drift_raw, 2),
+        "host_drift_norm": round(drift_norm, 2),
+        # tripwire verdicts: queries whose wall exceeds 1.5x the best
+        # prior round's on BOTH the raw and the probe-normalized axis
+        "regressions": regressions,
+        "sf": sf,
+    }
     print(
-        json.dumps(
+        "# diagnostics: "
+        + json.dumps(
             {
-                "metric": "headline_suite_wall_sec",
-                "value": headline_wall,
-                "unit": "sec",
-                "queries": timings,
                 "headline_queries": headline,
-                "full_suite_wall_sec": round(sum(timings.values()), 3),
-                "host_probe_py_sec": py_probe,
-                "host_probe_np_sec": np_probe,
-                "host_probe_scan_cold_sec": scan_cold,
-                "host_probe_scan_warm_sec": scan_warm,
-                # host-drift-proof comparison metric: headline divided
-                # by the warm staged-lineitem full-scan wall on the
-                # SAME host/run (dimensionless; see BASELINE.md
-                # "Host-normalized headline")
-                "headline_per_scan_probe": round(
-                    headline_wall / scan_warm, 2
-                ) if scan_warm else None,
-                # per-query normalized walls + the tripwire verdicts:
-                # queries whose normalized wall exceeds 1.5x the best
-                # prior round's (plan-regression candidates, host
-                # drift already cancelled)
+                # per-query probe-normalized walls (recomputable as
+                # queries[n] / host_probe_scan_warm_sec)
                 "queries_per_scan_probe": queries_norm,
-                "host_drift_raw": round(drift_raw, 2),
-                "host_drift_norm": round(drift_norm, 2),
-                "regressions": regressions,
-                "sf": sf,
             }
-        )
+        ),
+        file=sys.stderr,
     )
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

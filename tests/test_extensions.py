@@ -450,6 +450,27 @@ def test_pair_mode_join_matches_arrays(spark, sf_dir):
     sims.unpersist()
 
 
+def test_simhash_agg_packed_counter_overflow_raises(spark):
+    """r12 lane packing: a group at the packed-counter capacity must
+    raise loudly instead of silently corrupting votes (width 60 packs
+    three 20-bit counters per SUM; cap = 2^20 tokens per key)."""
+    from airflow_embeddings_pipeline_spark.extensions.dedup import (
+        simhash_wide_agg,
+    )
+
+    big = spark.range(1 << 20).select(
+        F.lit(1).cast("long").alias("doc_id"), F.col("id").alias("th")
+    )
+    df = simhash_wide_agg(big, ["doc_id"], "th", width=60, pre_exploded=True)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)) as ei:
+        df.collect()
+    assert "packed-counter capacity" in str(ei.value)
+
+
 def test_trained_ivf_recall_at_sf01(spark):
     """k-means-trained centroids (1 deterministic Lloyd step) must hit
     recall@5 >= 0.9 vs the brute-force tier at sf0.1 with nprobe=2 of 4
