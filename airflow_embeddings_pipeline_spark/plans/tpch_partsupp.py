@@ -81,14 +81,28 @@ def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic partsupp: 4 suppliers per part via the dbgen
     assignment formula, integer-exact availqty/supplycost.
 
-    The supplier count enters as a 1-row broadcast cross join (not a
-    driver ``.collect()``) so the relation stays a pure lazy plan —
-    composable under every downstream optimizer rewrite."""
+    The supplier count is exact in parquet footer metadata (identical
+    by definition to ``count(*)`` over the unfiltered table; the
+    engine's manifests carry per-file counts for this at scale), so it
+    enters as a LITERAL — r12, same pattern as the PQ candidate pool:
+    the footer probe removes the count-aggregate stage and its 1-row
+    BroadcastNestedLoopJoin from all five partsupp consumers (q2, q9,
+    q11, q16, q20).  The broadcast-aggregate path is kept as the
+    fallback for sources without footer metadata."""
+    from ..extensions.similarity import corpus_rowcount
+
     part = load_table(spark, sf_dir, "part")
-    scount = load_table(spark, sf_dir, "supplier").agg(
-        F.count("*").alias("scount")
-    )
-    base = part.select("p_partkey").join(F.broadcast(scount)).select(
+    n_supp = corpus_rowcount(sf_dir, "supplier")
+    if n_supp is not None:
+        with_count = part.select(
+            "p_partkey", F.lit(int(n_supp)).cast("long").alias("scount")
+        )
+    else:
+        scount = load_table(spark, sf_dir, "supplier").agg(
+            F.count("*").alias("scount")
+        )
+        with_count = part.select("p_partkey").join(F.broadcast(scount))
+    base = with_count.select(
         "p_partkey",
         "scount",
         F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("i"),
