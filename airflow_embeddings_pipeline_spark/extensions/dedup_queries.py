@@ -869,7 +869,10 @@ def symspell_fuzzy_join(cust: DataFrame, *, encode_ids: bool = False) -> DataFra
         # single-deletion set has a closed form: corrupt ∈
         # deletions(orig) ⟺ len(orig) = len(corrupt) + 1 AND
         # levenshtein(orig, corrupt) = 1 (a one-edit transform that
-        # shortens by one char can only be a deletion).  The predicate
+        # shortens by one char can only be a deletion).  Precondition:
+        # orig_name is non-empty — deletions('') contains '' in the
+        # array form but fails the length test here; unreachable for
+        # customer names, which are never empty.  The predicate
         # form runs as a codegen'd builtin; rebuilding the variant
         # ARRAY per candidate row was an interpreted ~len(name)-
         # substring HOF that dominated the query when candidates are

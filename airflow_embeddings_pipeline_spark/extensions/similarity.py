@@ -283,7 +283,14 @@ def assign_ivf_cells(
     plans/r11/x_ann_ivf*_after.txt before this change).  A one-element
     explode makes ``ivf_cell`` a runtime attribute the filter must
     reference, not re-derive; filters on other columns still push
-    through the Generate to the scan."""
+    through the Generate to the scan.
+
+    Column-order caveat: when the input already HAS an ``ivf_cell``
+    column it is replaced value-wise but moves to the LAST position
+    (drop-then-append), unlike ``withColumn`` which replaces in place.
+    No caller consumes this frame positionally (Spark ``union`` is the
+    positional hazard); select by name after reassignment if one ever
+    does."""
     d = _cell_dists_sql(centroids, vec_col)
     cell = F.expr(
         f"CAST(aggregate(zip_with({d}, sequence(0, {len(centroids) - 1}), "

@@ -260,8 +260,38 @@ def _scratch_dir(root: str, sf_dir: str) -> str:
     return path
 
 
-def j_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.merge import merge_upsert_write_pruned
+# ------------------------------------------------- shared scratch seed
+# Ten of the versioned-lifecycle entries start from the IDENTICAL
+# initial commit — orders projected to (k, price, status), clustered on
+# k into 16 files, no stats columns.  r12 (the r11 verdict's deferred
+# item): that target is committed ONCE per (process, fixture-mtime)
+# into a template table, and each entry seeds its own scratch root with
+# ``clone_to`` — a hardlink-per-file, Spark-free metadata clone with an
+# independent lifecycle (either side's vacuum only unlinks its own
+# names; data files are immutable copy-on-write throughout the engine,
+# so sharing inodes is safe).  The cloned root is byte-identical in
+# content to a direct commit (same deterministic projection, same
+# clustering, version 1 either way); only data-file NAMES differ, which
+# nothing observable depends on.  The commit path itself is untouched —
+# this is a builder-side reuse of the existing (tested) clone
+# primitive.  Nothing survives the process: the template lives under a
+# pid-scoped scratch dir and is rebuilt from the parquet fixtures by
+# the first consumer of every run, and the memo key carries the fixture
+# file's mtime so a rewritten fixture invalidates it (the load_table
+# memo's contract).
+_ORDERS_KPS_TEMPLATES: dict[tuple, str] = {}
+
+
+def _orders_kps_table(
+    spark: SparkSession,
+    sf_dir: str,
+    dest_path: str,
+    app_metadata: dict | None = None,
+):
+    """Seed ``dest_path`` with the shared (k, price, status) initial
+    commit — template-clone fast path, direct commit fallback."""
+    import os
+
     from ..sources.versioned import VersionedParquetTable
 
     orders = load_table(spark, sf_dir, "orders")
@@ -270,6 +300,33 @@ def j_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("price"),
         F.col("o_orderstatus").alias("status"),
     )
+    try:
+        mkey = os.stat(os.path.join(sf_dir, "orders.parquet")).st_mtime_ns
+    except OSError:
+        table = VersionedParquetTable(dest_path)
+        table.commit_with_manifest(
+            target, "k", cluster_partitions=16, app_metadata=app_metadata
+        )
+        return table
+    key = (os.path.abspath(sf_dir), mkey)
+    troot = _ORDERS_KPS_TEMPLATES.get(key)
+    if troot is None or not os.path.isdir(troot):
+        troot = _scratch_dir("/tmp/spark_graft_tmpl_orders_kps", sf_dir)
+        tmpl = VersionedParquetTable(troot)
+        tmpl.commit_with_manifest(target, "k", cluster_partitions=16)
+        _ORDERS_KPS_TEMPLATES[key] = troot
+    # set_cdc_watermark=False: a direct initial commit carries no CDC
+    # watermark metadata, and the clone must be indistinguishable
+    VersionedParquetTable(troot).clone_to(
+        dest_path, set_cdc_watermark=False, app_metadata=app_metadata
+    )
+    return VersionedParquetTable(dest_path)
+
+
+def j_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert_write_pruned
+
+    orders = load_table(spark, sf_dir, "orders")
     updates = orders.filter(F.col("o_orderkey") % 97 == 1).select(
         F.col("o_orderkey").alias("k"),
         (F.col("o_totalprice").cast("double") * 2).alias("price"),
@@ -283,8 +340,7 @@ def j_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = updates.unionAll(inserts)
 
     path = _scratch_dir("/tmp/spark_graft_pruned_merge", sf_dir)
-    table = VersionedParquetTable(path)
-    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    table = _orders_kps_table(spark, sf_dir, path)
     merge_upsert_write_pruned(path, source, "k", vacuum_keep_last=None)
     return table.read(spark).orderBy("k")
 
@@ -337,14 +393,8 @@ register(
 # clause), proving the physical strategy never leaks into results.
 def j_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import merge_upsert_write_pruned
-    from ..sources.versioned import VersionedParquetTable
 
     orders = load_table(spark, sf_dir, "orders")
-    target = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_totalprice").cast("double").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
     updates = orders.filter(F.col("o_orderkey") % 97 == 1).select(
         F.col("o_orderkey").alias("k"),
         (F.col("o_totalprice").cast("double") * 2).alias("price"),
@@ -363,8 +413,7 @@ def j_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = updates.unionAll(deletes).unionAll(inserts)
 
     path = _scratch_dir("/tmp/spark_graft_mor_merge", sf_dir)
-    table = VersionedParquetTable(path)
-    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    table = _orders_kps_table(spark, sf_dir, path)
     stats = merge_upsert_write_pruned(
         path, source, "k",
         delete_when=F.col("s.status") == "DEL",
@@ -421,17 +470,8 @@ register(
 # out.  TWO deletes stack (the second unions into a fresh sidecar), so
 # the entry also proves DV accumulation; oracled as plain WHERE NOT.
 def s_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.versioned import VersionedParquetTable
-
-    orders = load_table(spark, sf_dir, "orders")
-    target = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_totalprice").cast("double").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
     path = _scratch_dir("/tmp/spark_graft_delete_where", sf_dir)
-    table = VersionedParquetTable(path)
-    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    table = _orders_kps_table(spark, sf_dir, path)
     table.delete_where(spark, "k % 89 = 7")
     table.delete_where(spark, "status = 'F' AND k % 41 = 3")
     return table.read(spark).orderBy("k")
@@ -596,17 +636,8 @@ register(
 # touched files rewritten; assignments see the PRE-update row (SQL
 # UPDATE semantics).  Oracled as CASE WHEN.
 def s_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.versioned import VersionedParquetTable
-
-    orders = load_table(spark, sf_dir, "orders")
-    target = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_totalprice").cast("double").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
     path = _scratch_dir("/tmp/spark_graft_update_where", sf_dir)
-    table = VersionedParquetTable(path)
-    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    table = _orders_kps_table(spark, sf_dir, path)
     table.update_where(
         spark,
         "k % 89 = 7",
@@ -1339,14 +1370,8 @@ register(
 # their relational definition over the same base slices.
 def s_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import merge_upsert_write_pruned
-    from ..sources.versioned import VersionedParquetTable
 
     orders = load_table(spark, sf_dir, "orders")
-    target = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_totalprice").cast("double").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
     updates = orders.filter(F.col("o_orderkey") % 97 == 1).select(
         F.col("o_orderkey").alias("k"),
         (F.col("o_totalprice").cast("double") * 2).alias("price"),
@@ -1365,8 +1390,7 @@ def s_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = updates.unionAll(deletes).unionAll(inserts)
 
     path = _scratch_dir("/tmp/spark_graft_table_changes", sf_dir)
-    table = VersionedParquetTable(path)
-    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    table = _orders_kps_table(spark, sf_dir, path)
     merge_upsert_write_pruned(
         path, source, "k",
         delete_when=F.col("s.status") == "DEL", vacuum_keep_last=None,
@@ -1425,14 +1449,8 @@ register(
 # (producer: file-diff export; consumer: pruned apply).
 def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import apply_changes, merge_upsert_write_pruned
-    from ..sources.versioned import VersionedParquetTable
 
     orders = load_table(spark, sf_dir, "orders")
-    target = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_totalprice").cast("double").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
     updates = orders.filter(F.col("o_orderkey") % 97 == 1).select(
         F.col("o_orderkey").alias("k"),
         (F.col("o_totalprice").cast("double") * 2).alias("price"),
@@ -1451,11 +1469,9 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = updates.unionAll(deletes).unionAll(inserts)
 
     p_path = _scratch_dir("/tmp/spark_graft_cdc_primary", sf_dir)
-    primary = VersionedParquetTable(p_path)
-    primary.commit_with_manifest(target, "k", cluster_partitions=16)
+    primary = _orders_kps_table(spark, sf_dir, p_path)
     r_path = _scratch_dir("/tmp/spark_graft_cdc_replica", sf_dir)
-    replica = VersionedParquetTable(r_path)
-    replica.commit_with_manifest(target, "k", cluster_partitions=16)
+    replica = _orders_kps_table(spark, sf_dir, r_path)
 
     merge_upsert_write_pruned(
         p_path, source, "k",
@@ -1509,14 +1525,8 @@ register(
 # are unit-covered, wall time being non-deterministic).
 def s_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import merge_upsert_write_pruned
-    from ..sources.versioned import VersionedParquetTable
 
     orders = load_table(spark, sf_dir, "orders")
-    target = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_totalprice").cast("double").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
     source = (
         orders.filter(F.col("o_orderkey") % 97 == 1)
         .select(
@@ -1533,8 +1543,7 @@ def s_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     path = _scratch_dir("/tmp/spark_graft_time_travel", sf_dir)
-    table = VersionedParquetTable(path)
-    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    table = _orders_kps_table(spark, sf_dir, path)
     merge_upsert_write_pruned(
         path, source, "k",
         delete_when=F.col("s.status") == "DEL", vacuum_keep_last=None,
@@ -1577,15 +1586,9 @@ register(
 # touched-file mass, never table size.
 def t_stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import merge_upsert_write_pruned
-    from ..sources.versioned import VersionedParquetTable
     from ..sources.versioned_stream import read_changes_stream
 
     orders = load_table(spark, sf_dir, "orders")
-    target = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_totalprice").cast("double").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
     updates = orders.filter(F.col("o_orderkey") % 97 == 1).select(
         F.col("o_orderkey").alias("k"),
         (F.col("o_totalprice").cast("double") * 2).alias("price"),
@@ -1604,8 +1607,7 @@ def t_stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = updates.unionAll(deletes).unionAll(inserts)
 
     path = _scratch_dir("/tmp/spark_graft_stream_cdf", sf_dir)
-    table = VersionedParquetTable(path)
-    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    _orders_kps_table(spark, sf_dir, path)
     merge_upsert_write_pruned(
         path, source, "k",
         delete_when=F.col("s.status") == "DEL", vacuum_keep_last=None,
@@ -1679,14 +1681,8 @@ register(
 # plain v1 state, proving the rollback is exact.
 def s_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import merge_upsert_write_pruned
-    from ..sources.versioned import VersionedParquetTable
 
     orders = load_table(spark, sf_dir, "orders")
-    target = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_totalprice").cast("double").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
     bad = orders.filter(F.col("o_orderkey") % 97 == 1).select(
         F.col("o_orderkey").alias("k"),
         F.lit(-1.0).alias("price"),
@@ -1699,8 +1695,7 @@ def s_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     path = _scratch_dir("/tmp/spark_graft_restore", sf_dir)
-    table = VersionedParquetTable(path)
-    table.commit_with_manifest(target, "k", cluster_partitions=16)
+    table = _orders_kps_table(spark, sf_dir, path)
     merge_upsert_write_pruned(path, bad, "k", vacuum_keep_last=None)
     table.restore(spark, 1)
     return table.read(spark).orderBy("k")
@@ -1740,14 +1735,8 @@ def t_stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_upsert_write_pruned,
         sync_replica_stream,
     )
-    from ..sources.versioned import VersionedParquetTable
 
     orders = load_table(spark, sf_dir, "orders")
-    target = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_totalprice").cast("double").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
     updates = orders.filter(F.col("o_orderkey") % 97 == 1).select(
         F.col("o_orderkey").alias("k"),
         (F.col("o_totalprice").cast("double") * 2).alias("price"),
@@ -1766,12 +1755,10 @@ def t_stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = updates.unionAll(deletes).unionAll(inserts)
 
     p_path = _scratch_dir("/tmp/spark_graft_scdc_primary", sf_dir)
-    primary = VersionedParquetTable(p_path)
-    primary.commit_with_manifest(target, "k", cluster_partitions=16)
+    primary = _orders_kps_table(spark, sf_dir, p_path)
     r_path = _scratch_dir("/tmp/spark_graft_scdc_replica", sf_dir)
-    replica = VersionedParquetTable(r_path)
-    replica.commit_with_manifest(
-        target, "k", cluster_partitions=16,
+    replica = _orders_kps_table(
+        spark, sf_dir, r_path,
         app_metadata={"cdc_last_applied_version": 1},
     )
 

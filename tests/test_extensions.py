@@ -1209,3 +1209,30 @@ def test_head_embeddings_matches_spark_collect(spark, sf_dir):
 
     # unexpected fixture shape (fewer rows than asked) falls back to None
     assert head_embeddings(sf_dir, 10**9) is None
+
+
+def test_ivf_cell_generator_barrier_survives_optimizer(spark, sf_dir):
+    """r12 (ADVICE): the explode(array(expr)) barrier in
+    assign_ivf_cells exists so a join-key isnotnull filter can NOT
+    re-inline the k x dim argmin fold below the projection (it would
+    evaluate the whole distance fold twice per row).  Pin the plan
+    shape: the optimized plan keeps a Generate node, and the argmin
+    fold text appears exactly once (a future Spark that collapses
+    single-element Generates would surface here as fold-count 2)."""
+    from airflow_embeddings_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(64)
+    cents = [[0.0] * 8 + [float(i)] * 56 for i in range(4)]
+    assigned = assign_ivf_cells(emb, cents)
+    # join on the cell id, the access pattern that pushed the filter
+    joined = assigned.join(
+        spark.range(4).select(F.col("id").alias("c")),
+        F.col("ivf_cell") == F.col("c"),
+    )
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate explode" in plan, plan[:2000]
+    # the fold body is unmistakable: the named_struct accumulator
+    assert plan.count("named_struct(d,") == 1, (
+        "argmin fold duplicated — generator barrier collapsed:\n"
+        + plan[:4000]
+    )
